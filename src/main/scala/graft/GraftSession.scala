@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Mirrors the reference environment semantics (Databricks 16.4 LTS, Spark
+  * 3.5.2, UTC — reference README.md:46) on OSS Spark 4.1.2:
+  *   - UTC session timezone (the reference repairs timestamp_ntz →
+  *     timestamp via to_timestamp, W2_NYCTaxi_ETL.ipynb cell 81; pinning UTC
+  *     makes that cast deterministic).
+  *   - AQE on (runtime shuffle-partition coalescing + skew-join splitting):
+  *     on a 1000-executor cluster this is what keeps small reduce stages
+  *     from fragmenting and skewed keys from stalling a stage.
+  *   - shuffle.partitions sized for the local harness (32 threads); on a
+  *     real cluster this would be ~2-3x total cores, and AQE coalesces down.
+  */
+object GraftSession {
+  def builder(appName: String = "graft", cores: String = "32"): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

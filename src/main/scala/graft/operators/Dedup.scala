@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline. New scope beyond
+  * the reference (its only dedup-shaped op is distinct(), SURVEY.md §2b);
+  * built entirely from Catalyst built-ins (higher-order array functions +
+  * xxhash64), so everything distributes: the only shuffles are the
+  * candidate-generation groupBy/joins, never a cartesian product.
+  *
+  * Scale notes (100 TB): every method here is
+  *   narrow map (per-doc sketch) → shuffle on sketch key → verify join.
+  * The sketch keys (band hashes / simhash chunks) are uniformly distributed
+  * by construction, so the shuffle is skew-resistant except for degenerate
+  * corpora (billions of identical docs) — AQE skew-join handles the rest.
+  */
+object Dedup {
+
+  /** Tokenize + lowercase. */
+  private def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct word-level k-shingles of a text column. Short docs (< k
+    * tokens) contribute their whole token string as a single shingle.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val t = toks(text)
+    val n = greatest(size(t) - lit(k - 1), lit(1))
+    array_distinct(
+      transform(sequence(lit(0), n - 1), i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+  }
+
+  /** Exact dedup: hash-groupBy on the full text (md5 keeps the shuffle key
+    * 16 bytes instead of the document body — at 100 TB you shuffle digests,
+    * not documents). Keeps the lowest id per group.
+    */
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val groups = df
+      .select(md5(col(textCol)).as("h"), col(idCol))
+      .groupBy("h")
+      .agg(min(col(idCol)).as(idCol))
+    df.join(groups, Seq(idCol), "left_semi")
+  }
+
+  /** Exact-dup group profile: digest, surviving id, multiplicity. */
+  def exactGroups(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(md5(col(textCol)).as("h"), col(idCol))
+      .groupBy("h")
+      .agg(min(col(idCol)).cast("long").as("keep_id"), count(lit(1)).as("copies"))
+
+  /** MinHash signature from a column of pre-hashed shingles (array<long>):
+    * numHashes independent families realized as xxhash64(h, seed_i) —
+    * re-seeding the hash beats (a*x+b) mod p both for speed (no modulo) and
+    * for ANSI-safety (no overflowing multiply). Hashing shingle strings to
+    * longs once and re-hashing longs per family keeps the 64-family sweep
+    * O(numHashes) long-hashes instead of O(numHashes) string walks.
+    */
+  def minHashSignature(shingleHashes: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleHashes, h => xxhash64(h, lit(i))))
+    }: _*)
+
+  /** MinHash + LSH banding near-dup pairs.
+    *
+    * Plan shape: per-doc signature (narrow) → explode `bands` band keys →
+    * shuffle on (band, bandHash) via self-equi-join → distinct candidate
+    * pairs → verify true Jaccard on the shingle sets. Choosing
+    * bands·rowsPerBand = numHashes tunes the S-curve so that pairs with
+    * J ≥ threshold almost surely collide in ≥1 band.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+    */
+  def minHashLsh(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    import org.apache.spark.storage.StorageLevel
+
+    // Materialize the sketch table once (id, shingles, signature). Without
+    // the persist, Catalyst's CollapseProject inlines the whole signature
+    // expression into BOTH sides of the self-join and into every exploded
+    // band — a 30x+ re-evaluation. At 100 TB this sketch table is the thing
+    // you'd write to storage; locally MEMORY_AND_DISK is its analogue.
+    val sketched = df.select(
+        col(idCol).cast("long").as("id"),
+        shingles(col(textCol), shingleK).as("sh"))
+      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+      .select(col("id"), col("sh"), minHashSignature(col("hs"), numHashes).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val banded = sketched.select(
+      col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), i =>
+        struct(i.as("band"), xxhash64(slice(col("sig"), i * lit(r) + 1, lit(r)), i).as("bh"))))
+        .as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
+
+    // candidate ids only through the band shuffle; shingle arrays join back
+    // after dedup so large arrays never ride the skewed part of the plan
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    val shTbl = sketched.select(col("id"), col("sh"))
+    pairs
+      .join(shTbl.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shTbl.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash of the token stream, packed into a long. Per-token
+    * xxhash64 votes +1/-1 on each bit position; the sign of the per-bit sum
+    * is the fingerprint bit.
+    */
+  def simHash(text: Column): Column = {
+    val hs = transform(toks(text), t => xxhash64(t))
+    val votes = aggregate(
+      hs,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bitVotes(h), (a, v) => a + v))
+    // pack with shift+or (no ANSI overflow on the sign bit, unlike acc*2+b)
+    aggregate(votes, lit(0L),
+      (acc, v) => shiftleft(acc, 1).bitwiseOR(when(v > 0, 1L).otherwise(0L)))
+  }
+
+  /** +1/-1 vote per bit of a 64-bit hash (bit 63 first, so the packing fold
+    * reconstructs bits in order).
+    */
+  private def bitVotes(h: Column): Column =
+    array((63 to 0 by -1).map(b =>
+      when(shiftrightunsigned(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))): _*)
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    *
+    * Candidate generation is the classic chunk-banding trick: split the 64
+    * bits into `chunks` equal blocks; any pair with Hamming ≤ chunks-1 must
+    * agree exactly on ≥1 block (pigeonhole), so an equi-join per block finds
+    * all of them — no cartesian. Verification is bit_count(a XOR b).
+    */
+  def simHashPairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      chunks: Int = 4): DataFrame = {
+    val w = 64 / chunks
+    val sketched = df
+      .select(col(idCol).cast("long").as("id"), simHash(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sketched.select(
+      col("id"), col("sh"),
+      explode(array((0 until chunks).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftrightunsigned(col("sh"), i * w).bitwiseAND(lit((1L << w) - 1)).as("cv"))): _*))
+        .as("ck"))
+      .select(col("id"), col("sh"), col("ck.chunk"), col("ck.cv"))
+
+    banded.as("a").join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard similarity ≥ threshold via an inverted-index
+    * join — the scalable exact method: explode shingles, equi-join on the
+    * shingle, count shared shingles per pair, then J = |∩| / (|A|+|B|-|∩|).
+    * `maxDf` drops ubiquitous shingles from candidate generation (prefix
+    * filtering) to bound the pair blowup; pairs whose every shared shingle
+    * is ubiquitous are the only misses, so set maxDf ≫ expected dup-group
+    * size. No cartesian product anywhere.
+    */
+  def ngramJaccard(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      threshold: Double = 0.6,
+      maxDf: Int = 10000): DataFrame = {
+    // posting list carries 8-byte shingle hashes, not shingle strings: the
+    // self-join shuffles longs (64-bit collisions are negligible for |∩|)
+    val sh = df.select(col(idCol).cast("long").as("id"),
+        transform(shingles(col(textCol), k), s => xxhash64(s)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
+    val posting = sh.select(col("id"), explode(col("sh")).as("s"))
+    val filtered = posting.join(
+        posting.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
+        Seq("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val common = filtered.as("a").join(filtered.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+}

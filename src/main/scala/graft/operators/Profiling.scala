@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiling (reference SURVEY.md §2d rows 2-7).
+  *
+  * The reference profiles the fact table with single-pass conditional
+  * aggregates: per-column negative counts (W2_NYCTaxi_ETL.ipynb cell 9),
+  * per-column null counts (cells 12/14/77), exact distinct cardinalities
+  * (cell 16), describe() summaries (cells 6/27/44/94) and an exact
+  * percentile (cell 21). All of these are a single scan + single-row
+  * reduce — no shuffle of data rows, only of 1-row partial aggregates —
+  * which is exactly how they stay cheap at 100 TB.
+  */
+object Profiling {
+
+  private def aggAll(df: DataFrame, aggs: Seq[Column]): DataFrame =
+    df.groupBy().agg(aggs.head, aggs.tail: _*)
+
+  /** sum(when(c < 0, 1).otherwise(0)) per column, one scan (reference cell 9). */
+  def negativeCounts(df: DataFrame, cols: Seq[String]): DataFrame =
+    aggAll(df, cols.map(c => sum(when(col(c) < 0, 1).otherwise(0)).as(s"neg_$c")))
+
+  /** count(when(c.isNull, 1)) per column, one scan (reference cells 12/14/77). */
+  def nullCounts(df: DataFrame, cols: Seq[String]): DataFrame =
+    aggAll(df, cols.map(c => count(when(col(c).isNull, lit(1))).as(s"null_$c")))
+
+  /** Exact distinct cardinality per column (reference cell 16). Exact
+    * countDistinct expands to one shuffle per distinct-column under a single
+    * Aggregate; fine at notebook scale.
+    */
+  def distinctCounts(df: DataFrame, cols: Seq[String]): DataFrame =
+    aggAll(df, cols.map(c => countDistinct(col(c)).as(s"dist_$c")))
+
+  /** Scale path for cell 16: HyperLogLog++ sketch — one pass, no per-column
+    * shuffle of raw values, bounded error. The variant to use at 100 TB.
+    */
+  def approxDistinctCounts(df: DataFrame, cols: Seq[String], rsd: Double = 0.01): DataFrame =
+    aggAll(df, cols.map(c => approx_count_distinct(col(c), rsd).as(s"dist_$c")))
+
+  /** describe()-shaped stats as a deterministic single-row frame
+    * (reference cells 6/27/44/94 use df.describe()).
+    */
+  def summaryStats(df: DataFrame, c: String): DataFrame =
+    aggAll(df, Seq(
+      count(col(c)).as("count"),
+      round(avg(col(c)), 4).as("mean"),
+      round(stddev(col(c)), 4).as("stddev"),
+      min(col(c)).as("min"),
+      max(col(c)).as("max")))
+
+  /** Exact interpolated percentiles (reference cell 21 uses
+    * approxQuantile(relativeError=0) ⇒ exact). `percentile` is the exact
+    * aggregate; swap to percentile_approx (GK sketch) at 100 TB.
+    */
+  def percentiles(df: DataFrame, c: String, ps: Seq[Double]): DataFrame =
+    aggAll(df, ps.map(p =>
+      round(expr(s"percentile($c, $p)"), 2).as("p" + (p * 1000).toInt)))
+}

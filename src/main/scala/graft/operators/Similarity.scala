@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`). New scope
+  * beyond the reference. All math is built from higher-order array
+  * functions (zip_with / aggregate) over double-cast vectors — no UDFs, no
+  * driver-side loops; top-k goes through orderBy+limit which Catalyst plans
+  * as TakeOrderedAndProject (per-partition heap + driver merge of k rows,
+  * never a full sort).
+  *
+  * Scale path: brute force is one narrow pass — O(N·d) FLOPs, embarrassingly
+  * parallel, fine when the scan is the bottleneck anyway. The LSH variants
+  * cut candidates by bucketing on random-hyperplane sign bits; at cluster
+  * scale you would additionally bucket-partition the table at rest so a
+  * query touches only matching partitions (partition pruning on `bucket`).
+  */
+object Similarity {
+
+  /** Cast a float vector column to double for numerically stable math. */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact brute-force top-k by cosine against a literal query vector.
+    * Deterministic tie-break on id. Returns (id, sim).
+    */
+  def bruteForceTopK(
+      df: DataFrame,
+      queryVec: Seq[Double],
+      k: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = array(queryVec.map(lit): _*)
+    df.select(
+        col(idCol).cast("long").as(idCol),
+        cosine(toDouble(col(vecCol)), q).as("sim_raw"))
+      .orderBy(col("sim_raw").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("sim_raw"), 4).as("sim"))
+  }
+
+  /** Deterministic random hyperplanes (seeded), as literal arrays — the
+    * bucketing projection is a pure narrow map.
+    */
+  private def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id (nPlanes bits packed into a long) for each vector. */
+  def lshBucket(v: Column, dim: Int, nPlanes: Int = 16, seed: Long = 42L): Column = {
+    val planes = hyperplanes(dim, nPlanes, seed)
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+      val d = dot(v, array(p.map(lit): _*))
+      acc.bitwiseOR(when(d >= 0, lit(1L << i)).otherwise(lit(0L)))
+    }
+  }
+
+  /** ANN top-k: prefilter to buckets within `probeHamming` bits of the
+    * query's bucket (multiprobe), then exact cosine on survivors. At rest,
+    * cluster the table by `bucket` so this becomes a partition-pruned scan.
+    */
+  def annTopK(
+      df: DataFrame,
+      queryVec: Seq[Double],
+      dim: Int,
+      k: Int = 10,
+      nPlanes: Int = 16,
+      probeHamming: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = array(queryVec.map(lit): _*)
+    // driver-side bucket of the query: evaluate the same plane dots locally
+    val planes = hyperplanes(dim, nPlanes)
+    val qBucket = planes.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+      val d = p.zip(queryVec).map { case (a, b) => a * b }.sum
+      if (d >= 0) acc | (1L << i) else acc
+    }
+    val vd = toDouble(col(vecCol))
+    df.select(col(idCol).cast("long").as(idCol), vd.as("v"),
+        lshBucket(vd, dim, nPlanes).as("bucket"))
+      .filter(bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming)
+      .select(col(idCol), cosine(col("v"), q).as("sim_raw"))
+      .orderBy(col("sim_raw").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("sim_raw"), 4).as("sim"))
+  }
+
+  /** Embedding near-duplicate pairs: bucket-join on band signatures of the
+    * hyperplane bits (several narrow bands so near pairs collide in ≥1
+    * band), verify exact cosine ≥ threshold. id_a < id_b; no cartesian.
+    */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      dim: Int,
+      threshold: Double = 0.95,
+      nPlanes: Int = 16,
+      bands: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val w = nPlanes / bands
+    val vd = toDouble(col(vecCol))
+    // persist: the bucket expression (nPlanes dot products) must evaluate
+    // once per vector, not once per band per join side
+    val sketched = df.select(
+        col(idCol).cast("long").as("id"), vd.as("v"),
+        lshBucket(vd, dim, nPlanes).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sketched.select(
+      col("id"), col("v"),
+      explode(array((0 until bands).map(i =>
+        struct(lit(i).as("band"),
+          shiftrightunsigned(col("bucket"), i * w).bitwiseAND(lit((1L << w) - 1)).as("bv"))): _*))
+        .as("bk"))
+      .select(col("id"), col("v"), col("bk.band"), col("bk.bv"))
+    // candidate ids first (cheap longs through the shuffle + dedup), then
+    // join vectors back and compute cosine once per UNIQUE candidate pair
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val vecs = sketched.select(col("id"), col("v"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("sim_raw"))
+      .filter(col("sim_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim_raw"), 4).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+}

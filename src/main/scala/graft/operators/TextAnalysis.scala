@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, all built from
+  * codegen'd `org.apache.spark.sql.functions` Column expressions — no UDFs,
+  * so every metric stays inside WholeStageCodegen and scales linearly with
+  * input bytes (one narrow map stage, no shuffle).
+  *
+  * New scope beyond the reference (which has no text ops — SURVEY.md §2h);
+  * designed for the `documents` table (doc_id, text, lang, source, n_chars).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization, shared by the metrics below. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish subword segmentation: splits on word boundaries AND runs of
+    * punctuation/digits, the usual pre-tokenizer shape (GPT-2-style regex
+    * family). Pure regexp — codegen'd, no UDF.
+    */
+  def bpeishTokens(text: Column): Column =
+    filter(
+      split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => length(trim(t)) > 0)
+
+  /** Per-document structural quality metrics: char length, whitespace token
+    * count, mean token length, alpha/digit/punct density, stopword ratio.
+    * One projection, no shuffle.
+    */
+  def qualityMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = wsTokens(t)
+    val nChar = length(t).cast("long")
+    val nTok = size(toks).cast("long")
+    val alpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+    val digit = length(regexp_replace(t, "[^0-9]", "")).cast("double")
+    val punct = length(regexp_replace(t, "[^.,;:!?'\"()-]", "")).cast("double")
+    val stop = size(filter(toks, w => lower(w).isin(StopWords.en: _*))).cast("double")
+    df.withColumn("n_char", nChar)
+      .withColumn("n_tokens", nTok)
+      .withColumn("mean_token_len",
+        round((nChar - (nTok - lit(1))).cast("double") / nTok, 4))
+      .withColumn("alpha_ratio", round(alpha / nChar, 4))
+      .withColumn("digit_ratio", round(digit / nChar, 4))
+      .withColumn("punct_ratio", round(punct / nChar, 4))
+      .withColumn("stopword_ratio", round(stop / nTok, 4))
+  }
+
+  /** Composite quality score in [0,1] from the structural metrics: the
+    * C4/Gopher-style heuristic family (length window, alpha density,
+    * stopword presence). Deterministic, columnar.
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val m = qualityMetrics(df, textCol)
+    val lenOk = when(col("n_tokens").between(5, 100000), 1.0).otherwise(0.0)
+    val alphaOk = least(col("alpha_ratio") / 0.6, lit(1.0))
+    val stopOk = least(col("stopword_ratio") / 0.05, lit(1.0))
+    val meanLenOk = when(col("mean_token_len").between(2.0, 12.0), 1.0).otherwise(0.0)
+    m.withColumn("quality_score",
+      round((lenOk + alphaOk + stopOk + meanLenOk) / 4.0, 4))
+  }
+
+  /** Token counting: whitespace tokens plus BPE-ish subword count (a cheap
+    * proxy for LLM token budget accounting over a corpus).
+    */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_ws_tokens", size(wsTokens(col(textCol))).cast("long"))
+      .withColumn("n_bpeish_tokens", size(bpeishTokens(col(textCol))).cast("long"))
+
+  /** Character n-gram language ID: scores each candidate language by
+    * stopword hits (whole-token evidence) and picks argmax; `und` when no
+    * evidence. An n-gram/stopword heuristic in the spirit of CLD — purely
+    * columnar: score computation is a fold over a literal profile array, so
+    * it stays a narrow map stage at any scale.
+    */
+  def languageId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = transform(wsTokens(col(textCol)), lower _)
+    // score per language = #tokens found in that language's stopword profile
+    val scored = StopWords.profiles.map { case (langCode, words) =>
+      struct(
+        size(filter(toks, w => w.isin(words: _*))).cast("double").as("score"),
+        lit(langCode).as("code"))
+    }
+    // argmax via array_max over (score, code) structs — ties break on code
+    val best = array_max(array(scored.toSeq: _*))
+    df.withColumn("lang_pred",
+      when(best.getField("score") > 0, best.getField("code")).otherwise(lit("und")))
+      .withColumn("lang_conf",
+        round(best.getField("score") / greatest(size(toks), lit(1)).cast("double"), 4))
+  }
+
+  /** 64-bit document fingerprint: order-sensitive rolling combine of token
+    * hashes — each step rehashes (accumulator, next token), i.e. a hash
+    * chain over the token stream. Content-identical docs collide exactly;
+    * any reorder/edit changes the print. One narrow pass, overflow-free.
+    */
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("fingerprint",
+      aggregate(
+        wsTokens(col(textCol)),
+        lit(1125899906842597L),
+        (acc, tok) => xxhash64(acc, tok)))
+}
+
+/** Minimal per-language stopword profiles (public common-word lists). */
+object StopWords {
+  val en: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "for", "on", "with", "as", "was", "at", "by", "be")
+  val es: Seq[String] = Seq("el", "la", "los", "las", "de", "que", "y", "en",
+    "un", "una", "es", "por", "con", "para", "del", "se", "no", "su")
+  val fr: Seq[String] = Seq("le", "la", "les", "de", "des", "et", "en", "un",
+    "une", "est", "que", "pour", "dans", "qui", "sur", "au", "pas", "ne")
+  val deu: Seq[String] = Seq("der", "die", "das", "und", "in", "den", "von",
+    "zu", "mit", "sich", "auf", "ist", "im", "dem", "nicht", "ein", "eine")
+  val it: Seq[String] = Seq("il", "la", "di", "che", "e", "un", "una", "per",
+    "in", "non", "sono", "con", "del", "della", "le", "si", "da")
+  val profiles: Map[String, Seq[String]] =
+    Map("en" -> en, "es" -> es, "fr" -> fr, "de" -> deu, "it" -> it)
+}

@@ -1,0 +1,469 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.operators.{Dedup, Profiling, Similarity, TextAnalysis}
+
+/** One catalog entry: a Spark implementation plus (when SQL-expressible) a
+  * DuckDB oracle over the same parquet tables. Column names are aligned
+  * 1:1 between the two (the driver's compare sorts columns by name before
+  * hashing). Every query ends in a deterministic ORDER BY so row order can
+  * never cause a spurious mismatch.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryCatalog {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- scans,
+  // filters, projections (reference SURVEY.md §2b)
+
+  private val relational: Seq[Q] = Seq(
+    Q("q_pricing_summary",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+              sum(l_quantity) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(avg(l_quantity), 4) AS avg_qty,
+              round(avg(l_discount), 6) AS avg_disc,
+              count(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    Q("q_filter_project",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_quantity").between(10, 20) && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+              FROM lineitem
+              WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("q_filter_compound",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter((col("l_discount") > 0.05 || col("l_tax") < 0.03) && !(col("l_returnflag") === "R"))
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus, count(*) AS n FROM lineitem
+              WHERE (l_discount > 0.05 OR l_tax < 0.03) AND NOT (l_returnflag = 'R')
+              GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    Q("q_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    // ------------------------------------------------------------ profiling
+    // (reference cells 9/12/16/21: one-pass conditional aggregates)
+
+    Q("q_profile_negatives",
+      (s, dir) => Profiling.negativeCounts(t(s, dir, "customer"), Seq("c_acctbal")),
+      Some("""SELECT CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS neg_c_acctbal FROM customer""")),
+
+    Q("q_profile_nulls",
+      (s, dir) => Profiling.nullCounts(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_shipdate", "l_returnflag")),
+      Some("""SELECT count(CASE WHEN l_quantity IS NULL THEN 1 END) AS null_l_quantity,
+              count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS null_l_shipdate,
+              count(CASE WHEN l_returnflag IS NULL THEN 1 END) AS null_l_returnflag
+              FROM lineitem""")),
+
+    Q("q_profile_distinct",
+      (s, dir) => Profiling.distinctCounts(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_orderkey", "l_quantity", "l_suppkey")),
+      Some("""SELECT count(DISTINCT l_returnflag) AS dist_l_returnflag,
+              count(DISTINCT l_linestatus) AS dist_l_linestatus,
+              count(DISTINCT l_orderkey) AS dist_l_orderkey,
+              count(DISTINCT l_quantity) AS dist_l_quantity,
+              count(DISTINCT l_suppkey) AS dist_l_suppkey
+              FROM lineitem""")),
+
+    Q("q_summary_stats",
+      (s, dir) => Profiling.summaryStats(t(s, dir, "lineitem"), "l_extendedprice"),
+      Some("""SELECT count(l_extendedprice) AS count,
+              round(avg(l_extendedprice), 4) AS mean,
+              round(stddev(l_extendedprice), 4) AS stddev,
+              min(l_extendedprice) AS min, max(l_extendedprice) AS max
+              FROM lineitem""")),
+
+    Q("q_percentiles",
+      (s, dir) => Profiling.percentiles(t(s, dir, "lineitem"), "l_extendedprice",
+        Seq(0.5, 0.9, 0.999)),
+      Some("""SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS p500,
+              round(quantile_cont(l_extendedprice, 0.9), 2) AS p900,
+              round(quantile_cont(l_extendedprice, 0.999), 2) AS p999
+              FROM lineitem""")),
+
+    // ---------------------------------------------------------------- joins
+    // (reference SURVEY.md §2c: capability parity — broadcast dim join,
+    // shuffle join, semi/anti for lookup-filter semantics)
+
+    Q("q_join_broadcast_dims",
+      (s, dir) => t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("customers"), round(sum("c_acctbal"), 2).as("total_bal"))
+        .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name, count(*) AS customers,
+              round(sum(c_acctbal), 2) AS total_bal
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    Q("q_join_shuffle_revenue",
+      (s, dir) => t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct("o_orderkey").as("order_count"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(DISTINCT o_orderkey) AS order_count,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    Q("q_join_semi",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n FROM customer
+              WHERE c_custkey IN (SELECT o_custkey FROM orders)
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    Q("q_join_anti",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n FROM customer
+              WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // -------------------------------------------------------------- windows
+    // (reference §2e: rank over partition; plus running agg for frames)
+
+    Q("q_window_rank_top3",
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc)
+        t(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+            rank().over(w).as("rnk"))
+          .filter(col("rnk") <= 3)
+          .orderBy("c_nationkey", "rnk", "c_custkey")
+      },
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal, CAST(rnk AS INT) AS rnk FROM (
+              SELECT c_nationkey, c_custkey, c_acctbal,
+              rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk
+              FROM customer) WHERE rnk <= 3
+              ORDER BY c_nationkey, rnk, c_custkey""")),
+
+    Q("q_window_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(-2, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            round(sum("value").over(w), 4).as("run_sum"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+              round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS run_sum
+              FROM events ORDER BY user_id, event_id""")),
+
+    // --------------------------------------------------------- sorts, top-k
+    // (reference §2f: orderBy(desc).limit → TakeOrderedAndProject)
+
+    Q("q_topk_pairs",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy(col("cnt").desc, col("l_suppkey"), col("l_partkey"))
+        .limit(10),
+      Some("""SELECT l_suppkey, l_partkey, count(*) AS cnt,
+              round(sum(l_quantity), 2) AS qty
+              FROM lineitem GROUP BY l_suppkey, l_partkey
+              ORDER BY cnt DESC, l_suppkey, l_partkey LIMIT 10""")),
+
+    Q("q_concat_route_topk",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("route", concat_ws(" to ", col("l_suppkey"), col("l_partkey")))
+        .select("route", "cnt")
+        .orderBy(col("cnt").desc, col("route"))
+        .limit(10),
+      Some("""SELECT concat_ws(' to ', l_suppkey, l_partkey) AS route, count(*) AS cnt
+              FROM lineitem GROUP BY l_suppkey, l_partkey
+              ORDER BY cnt DESC, route LIMIT 10""")),
+
+    // ----------------------------------------------- conditionals, datetime
+    // (reference §2h: when/otherwise chains, hour/dayofweek/year/month)
+
+    Q("q_case_when_slots",
+      (s, dir) => t(s, dir, "events")
+        .withColumn("slot",
+          when(hour(col("ts")).between(0, 5), "Night")
+            .when(hour(col("ts")).between(6, 11), "Morning")
+            .when(hour(col("ts")).between(12, 16), "Afternoon")
+            .when(hour(col("ts")).between(17, 20), "Evening")
+            .otherwise("LateNight"))
+        .groupBy("slot")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .orderBy("slot"),
+      Some("""SELECT CASE
+                WHEN hour(ts) BETWEEN 0 AND 5 THEN 'Night'
+                WHEN hour(ts) BETWEEN 6 AND 11 THEN 'Morning'
+                WHEN hour(ts) BETWEEN 12 AND 16 THEN 'Afternoon'
+                WHEN hour(ts) BETWEEN 17 AND 20 THEN 'Evening'
+                ELSE 'LateNight' END AS slot,
+              count(*) AS n, round(avg(value), 4) AS avg_value
+              FROM events GROUP BY 1 ORDER BY slot""")),
+
+    Q("q_date_parts",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("y", "m"),
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS y,
+              CAST(month(o_orderdate) AS INT) AS m,
+              count(*) AS n, round(sum(o_totalprice), 2) AS total
+              FROM orders GROUP BY 1, 2 ORDER BY y, m""")),
+
+    Q("q_dayofweek",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(dayofweek(col("o_orderdate")).as("dow"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("dow"),
+      // Spark dayofweek: 1=Sunday..7; DuckDB dayofweek: 0=Sunday..6 → +1
+      Some("""SELECT CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow, count(*) AS n
+              FROM orders GROUP BY 1 ORDER BY dow""")),
+
+    Q("q_agg_multimetric",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          round(avg("l_extendedprice"), 2).as("avg_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(avg(l_quantity), 4) AS avg_qty,
+              round(avg(l_discount), 6) AS avg_disc,
+              round(avg(l_extendedprice), 2) AS avg_price, count(*) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Q("q_corr_grouped",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4)
+              AS corr_qty_price FROM lineitem
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Q("q_set_union",
+      (s, dir) => t(s, dir, "nation").select(col("n_name").as("name"))
+        .union(t(s, dir, "region").select(col("r_name").as("name")))
+        .distinct()
+        .orderBy("name"),
+      Some("""SELECT n_name AS name FROM nation
+              UNION SELECT r_name FROM region ORDER BY name""")),
+
+    // 3VL drop-semantics (the reference's load-bearing quirk, SURVEY.md §2l
+    // step 7): a NULL CASE branch makes the band predicate NULL → row drops.
+    Q("q_fare_band_3vl",
+      (s, dir) => {
+        val expected = when(col("l_returnflag") === "A",
+            greatest(col("l_quantity") * 400.0, col("l_extendedprice") * 0.3))
+          .when(col("l_returnflag") === "R", lit(20000.0))
+        t(s, dir, "lineitem")
+          .withColumn("expected", expected)
+          .filter(!(col("l_extendedprice") > col("expected") * 2.0 ||
+            col("l_extendedprice") < col("expected") * 0.5))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("kept"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS kept FROM (
+                SELECT l_returnflag, l_extendedprice,
+                CASE WHEN l_returnflag = 'A'
+                       THEN greatest(l_quantity * 400.0, l_extendedprice * 0.3)
+                     WHEN l_returnflag = 'R' THEN 20000.0 END AS expected
+                FROM lineitem)
+              WHERE NOT (l_extendedprice > expected * 2.0
+                      OR l_extendedprice < expected * 0.5)
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // sign-fix when-chain (reference cell 55 shape)
+    Q("q_sign_fix_agg",
+      (s, dir) => t(s, dir, "customer")
+        .withColumn("bal_fixed",
+          when(col("c_acctbal") < 0 && col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"),
+            -col("c_acctbal")).otherwise(col("c_acctbal")))
+        .groupBy("c_mktsegment")
+        .agg(round(sum("bal_fixed"), 2).as("total_bal"), count(lit(1)).as("n"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, round(sum(CASE
+                WHEN c_acctbal < 0 AND c_mktsegment IN ('AUTOMOBILE','BUILDING')
+                THEN -c_acctbal ELSE c_acctbal END), 2) AS total_bal,
+              count(*) AS n FROM customer
+              GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+  )
+
+  // ------------------------------------------------------------- text/docs
+  // (training-data pipeline surface; `documents` table)
+
+  private val text: Seq[Q] = Seq(
+    Q("q_dedup_exact",
+      (s, dir) => Dedup.exactGroups(t(s, dir, "documents")).orderBy("h"),
+      Some("""SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,
+              count(*) AS copies FROM documents GROUP BY md5(text) ORDER BY h""")),
+
+    Q("q_text_quality",
+      (s, dir) => TextAnalysis.qualityMetrics(t(s, dir, "documents"))
+        .select("doc_id", "n_char", "n_tokens", "alpha_ratio", "digit_ratio")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_char,
+              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+              round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    / CAST(length(text) AS DOUBLE), 4) AS alpha_ratio,
+              round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    / CAST(length(text) AS DOUBLE), 4) AS digit_ratio
+              FROM documents ORDER BY doc_id""")),
+
+    Q("q_token_stats_by_lang",
+      (s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+          sum("n_ws_tokens").as("total_tokens"),
+          round(avg("n_ws_tokens"), 2).as("avg_tokens"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS docs,
+              CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+                AS total_tokens,
+              round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 2) AS avg_tokens
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
+    Q("q_lang_source_dist",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, count(*) AS n FROM documents
+              GROUP BY lang, source ORDER BY lang, source""")),
+
+    Q("q_doc_len_histogram",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy((floor(col("n_chars") / 100.0) * 100).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(floor(n_chars / 100.0) * 100 AS INT) AS bucket,
+              count(*) AS n FROM documents GROUP BY 1 ORDER BY bucket""")),
+
+    Q("q_multimodal_binary_meta",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+          md5(col("text")).as("digest"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              md5(text) AS digest FROM documents ORDER BY doc_id""")),
+
+    // -------------------------------------------- rows-only (no SQL oracle)
+    Q("q_langid",
+      (s, dir) => TextAnalysis.languageId(t(s, dir, "documents"))
+        .select("doc_id", "lang_pred", "lang_conf")
+        .orderBy("doc_id"),
+      None),
+
+    Q("q_quality_score",
+      (s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"))
+        .select("doc_id", "quality_score")
+        .orderBy("doc_id"),
+      None),
+
+    Q("q_fingerprint",
+      (s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id"),
+      None),
+
+    Q("q_dedup_minhash",
+      (s, dir) => Dedup.minHashLsh(t(s, dir, "documents"), threshold = 0.2),
+      None),
+
+    Q("q_dedup_simhash",
+      (s, dir) => Dedup.simHashPairs(t(s, dir, "documents"), maxHamming = 16),
+      None),
+
+    Q("q_dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), threshold = 0.15),
+      None)
+  )
+
+  // ----------------------------------------------------------- embeddings
+
+  private val embeddings: Seq[Q] = Seq(
+    Q("q_knn_cosine",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), q, k = 10)
+      },
+      Some("""SELECT vec_id, round(sim_raw, 4) AS sim FROM (
+                SELECT vec_id, list_cosine_similarity(
+                  CAST(embedding AS DOUBLE[]),
+                  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+                ) AS sim_raw FROM embeddings WHERE vec_id <> 0)
+              ORDER BY sim_raw DESC, vec_id LIMIT 10""")),
+
+    Q("q_ann_lsh",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+        Similarity.annTopK(emb.filter(col("vec_id") =!= 0), q, dim = 64,
+          k = 10, nPlanes = 8, probeHamming = 3)
+      },
+      None),
+
+    Q("q_embed_neardup",
+      (s, dir) => Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
+        dim = 64, threshold = 0.25, nPlanes = 16, bands = 4),
+      None)
+  )
+
+  val all: Seq[Q] = relational ++ text ++ embeddings
+}

@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source/sink surface (reference SURVEY.md §2a, §2k).
+  *
+  * The reference's I/O surface is: Parquet scan with schema inference
+  * (W2_NYCTaxi_ETL.ipynb cell 3), Parquet overwrite checkpoints (cells
+  * 31/36/46/...), a partitioned Delta final sink (cell 119), CSV dimension
+  * load (README.md:20, declared but unused), and Delta OPTIMIZE/ZORDER
+  * maintenance (cells 131-132). Delta jars are absent offline, so the
+  * partitioned sink is hive-layout Parquet — identical partition-pruning
+  * semantics — and Z-order is approximated by range-repartition +
+  * sort-within-partitions, which populates Parquet row-group min/max stats
+  * for the same data-skipping effect on those key columns.
+  */
+object Tables {
+  val tpch: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet scan; schema comes from the footer (reference cell 3).
+    *
+    * Schema repair, mirroring the reference's to_timestamp normalization
+    * (W2_NYCTaxi_ETL.ipynb cell 81): the `events` table carries
+    * TIMESTAMP(NANOS) which Spark 4 only reads as long (legacy
+    * nanosAsLong, set in the session) — normalize it back to a microsecond
+    * TimestampType column so downstream datetime functions apply.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      .map(_ => df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000"))))
+      .getOrElse(df)
+  }
+
+  /** CSV dimension load with header inference (reference README.md:20). */
+  def loadCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** Stage checkpoint: overwrite Parquet (reference cells 31/36/46/60/...). */
+  def checkpoint(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Partitioned final sink (reference cell 119's Delta write, re-expressed
+    * as hive-layout Parquet). `sortCols` stands in for Z-ORDER (cell 132):
+    * range-partition + in-partition sort → tight row-group min/max stats →
+    * Parquet predicate pushdown skips row groups, the same scan-pruning the
+    * reference gets from Delta data skipping.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    val laidOut =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange((partitionCols ++ sortCols).map(col): _*)
+          .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      else df
+    laidOut.write
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** Small-file compaction (reference cell 131's OPTIMIZE): bin-pack into
+    * `numFiles` outputs. At cluster scale pair with maxRecordsPerFile.
+    */
+  def compact(spark: SparkSession, path: String, numFiles: Int): Unit = {
+    val df = spark.read.parquet(path)
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    df.repartition(numFiles).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tmp), conf)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}
