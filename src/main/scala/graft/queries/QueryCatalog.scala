@@ -465,5 +465,29 @@ object QueryCatalog {
       None)
   )
 
-  val all: Seq[Q] = relational ++ text ++ embeddings
+  // ----------------------------------------------------------- taxi parity
+  // The reference's own program (SURVEY.md §2l) over the deterministic
+  // fixture (golden values asserted in TaxiPipelineSpec; rows-only here
+  // because the fixture is not one of the driver's parquet tables).
+
+  private val taxi: Seq[Q] = {
+    import graft.taxi.{Analytics, Cleaning, TaxiFixture}
+    def cleanedFixture(s: SparkSession): DataFrame =
+      Cleaning.pipeline(TaxiFixture.raw(s))
+    Seq(
+      Q("q_taxi_pipeline",
+        (s, _) => cleanedFixture(s).orderBy("tpep_pickup_datetime", "PULocationID"),
+        None),
+      Q("q_taxi_q5_congestion", (s, _) => Analytics.q5Congestion(cleanedFixture(s)), None),
+      Q("q_taxi_q4_payment_rank",
+        (s, _) => Analytics.q4PaymentRankByRateCode(cleanedFixture(s))
+          .orderBy("RatecodeID", "rank", "payment_type"),
+        None),
+      Q("q_taxi_q7_top_routes",
+        (s, _) => Analytics.q7TopRoutes(cleanedFixture(s)), None),
+      Q("q_taxi_q8_airport_stats",
+        (s, _) => Analytics.q8AirportVsNonAirport(cleanedFixture(s)), None))
+  }
+
+  val all: Seq[Q] = relational ++ text ++ embeddings ++ taxi
 }

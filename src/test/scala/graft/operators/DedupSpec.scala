@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the quick brown fox jumps over a lazy dog"),   // near dup of 1
+      (4L, "completely different content about spark sql engines"),
+      (5L, "spark sql engines process completely different content"), // shares vocab w/ 4
+      (6L, "short text")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps the lowest id per identical text") {
+    val kept = Dedup.exact(docs).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(1L, 3L, 4L, 5L, 6L))
+    val groups = Dedup.exactGroups(docs).collect()
+    val dup = groups.filter(_.getAs[Long]("copies") == 2L)
+    assert(dup.length === 1 && dup.head.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minHashLsh(docs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical → jaccard 1.0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("minhash jaccard estimate equals true jaccard for identical docs") {
+    val j = Dedup.minHashLsh(docs, threshold = 0.5)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("jaccard").head().getDouble(0)
+    assert(j === 1.0)
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated docs far apart") {
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) === 0)
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((4L, 6L)))
+  }
+
+  test("ngram jaccard computes the exact similarity") {
+    val rows = Dedup.ngramJaccard(docs, threshold = 0.1)
+      .collect().map(r => ((r.getLong(1), r.getLong(0)), r.getDouble(2))).toMap
+    // doc1 vs doc2 identical: J = 1.0 (keys are (id_b, id_a) order-insensitive here)
+    val j12 = rows.getOrElse((2L, 1L), rows((1L, 2L)))
+    assert(j12 === 1.0)
+    // doc1 vs doc3: 7 shingles each ("the quick brown", ... ) differing in
+    // the 3 shingles containing "a"/"the" → |∩|=4, |∪|=10 → 0.4
+    val j13 = rows.getOrElse((3L, 1L), rows((1L, 3L)))
+    assert(j13 === 0.4)
+  }
+}

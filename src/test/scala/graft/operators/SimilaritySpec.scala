@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val vecs = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // identical to query
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // close
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),  // opposite
+      (5L, Array(0.5f, 0.5f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val top = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") =!= 0), Seq(1.0, 0.0, 0.0, 0.0), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.map(_._1).toSeq === Seq(1L, 2L, 5L))
+    assert(top(0)._2 === 1.0)
+    assert(top(1)._2 === math.rint(0.9 / math.sqrt(0.82) * 10000) / 10000)
+  }
+
+  test("ANN LSH with multiprobe recovers the exact nearest neighbor") {
+    val ann = Similarity.annTopK(vecs.filter(col("vec_id") =!= 0),
+      Seq(1.0, 0.0, 0.0, 0.0), dim = 4, k = 2, nPlanes = 8, probeHamming = 3)
+      .collect().map(_.getLong(0))
+    assert(ann.contains(1L))
+  }
+
+  test("near-dup pairs finds identical vectors above threshold") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, dim = 4, threshold = 0.95,
+      nPlanes = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    assert(!pairs.exists(p => p._2 == 4L)) // opposite vector never matches
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "The quick brown fox jumps over the lazy dog near the river bank."),
+      (2L, "El rapido zorro marron salta sobre el perro perezoso en la calle."),
+      (3L, "12345 67890 !!!"),
+      (4L, "word")
+    ).toDF("doc_id", "text")
+  }
+
+  test("quality metrics: counts and ratios") {
+    val m = TextAnalysis.qualityMetrics(docs).filter(col("doc_id") === 1).head()
+    assert(m.getAs[Long]("n_char") === 64L)
+    assert(m.getAs[Long]("n_tokens") === 13L)
+    assert(m.getAs[Double]("stopword_ratio") > 0.2) // the, over, the, near, the
+  }
+
+  test("quality score separates prose from garbage") {
+    val scores = TextAnalysis.qualityScore(docs)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > scores(3L))
+    assert(scores(1L) > scores(4L)) // too short to pass the length window
+  }
+
+  test("token counting: whitespace vs BPE-ish subword") {
+    val t = TextAnalysis.tokenCounts(docs).filter(col("doc_id") === 3).head()
+    assert(t.getAs[Long]("n_ws_tokens") === 3L)
+    // digits split from punctuation: 12345, 67890, !, !, !
+    assert(t.getAs[Long]("n_bpeish_tokens") >= 3L)
+  }
+
+  test("language id picks the profile with most stopword hits") {
+    val langs = TextAnalysis.languageId(docs)
+      .select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1L) === "en")
+    assert(langs(2L) === "es")
+    assert(langs(3L) === "und") // no stopword evidence
+  }
+
+  test("fingerprint is order-sensitive and content-deterministic") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fingerprint")).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+}
