@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` schema
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * New scope beyond the reference (it is batch-only, SURVEY.md §2i) —
+  * the streaming counterparts of its aggregation patterns: windowed
+  * aggregates with watermarks, exactly-once-style dedup, and stateful
+  * sessionization via flatMapGroupsWithState.
+  *
+  * Scale notes: all three are keyed-state operators; state is partitioned
+  * by group key across executors (HDFS/RocksDB-backed state store on a real
+  * cluster), and the watermark bounds state size — without it, windows and
+  * dedup keys accumulate forever.
+  */
+object EventStreams {
+
+  /** Sliding-window event counts/averages per event_type. Late data beyond
+    * the watermark is dropped; window state is evicted once the watermark
+    * passes window end.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      window: String = "1 hour",
+      slide: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("avg_value"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * the streaming analogue of Dedup.exact.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Internal running-session state (kept public for encoder codegen). */
+  final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+
+  /** Event-time sessionization with a gap timeout: a session closes when no
+    * event arrives for `gapMinutes` (event-time, enforced via watermark +
+    * EventTimeTimeout). Emits one row per closed session.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMinutes: Int = 30,
+      watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(
+        userId: Long,
+        rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[Session]
+      var cur = state.getOption
+      for (e <- sorted) {
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.end <= gapMs =>
+            cur = Some(s.copy(end = t max s.end, n = s.n + 1, sum = s.sum + e.value))
+          case Some(s) =>
+            closed ::= Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.sum)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      if (sorted.isEmpty && state.hasTimedOut) {
+        // watermark passed the gap: close the open session
+        state.getOption.foreach { s =>
+          closed ::= Session(userId, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.end), s.n, s.sum)
+        }
+        state.remove()
+      } else {
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "an image payload", "web"),
+      (1L, "an audio payload", "web"),
+      (2L, "a video payload", "crawl"),
+      (3L, "another image", "crawl")
+    ).toDF("doc_id", "text", "source")
+  }
+
+  test("fromDocuments builds typed media items with binary payloads") {
+    val items = Multimodal.fromDocuments(docs).collect().sortBy(_.media_id)
+    assert(items.length === 4)
+    assert(items.map(_.kind).toSeq === Seq("image", "audio", "video", "image"))
+    assert(new String(items(0).bytes, "UTF-8") === "an image payload")
+  }
+
+  test("decodeFeatures is deterministic, partition-parallel, and typed") {
+    val feats = Multimodal.decodeFeatures(Multimodal.fromDocuments(docs))
+    val rows = feats.collect().sortBy(_.media_id)
+    assert(rows.length === 4)
+    assert(rows.forall(_.embedding.length === 8))
+    assert(rows(0).n_bytes === "an image payload".getBytes("UTF-8").length.toLong)
+    // determinism: same input → same features
+    val again = Multimodal.decodeFeatures(Multimodal.fromDocuments(docs))
+      .collect().sortBy(_.media_id)
+    assert(rows.map(_.digest).toSeq === again.map(_.digest).toSeq)
+  }
+
+  test("sampleFrames fans out N frames per video item only") {
+    val frames = Multimodal.sampleFrames(Multimodal.fromDocuments(docs), n = 3).collect()
+    assert(frames.length === 3)
+    assert(frames.forall(_.media_id === 2L))
+    assert(frames.map(_.frame_idx).sorted.toSeq === Seq(0, 1, 2))
+    assert(frames.map(_.offset_ms).sorted.toSeq === Seq(0L, 1000L, 2000L))
+  }
+}

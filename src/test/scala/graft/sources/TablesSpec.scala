@@ -1,0 +1,78 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.taxi.{Cleaning, Features, TaxiFixture}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Source/sink surface (SURVEY.md §2a, §2k): partitioned hive-layout sink
+  * with partition pruning, sort-layout (Z-order stand-in), compaction,
+  * CSV dimension load, and catalog DDL over the written table.
+  */
+class TablesSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft-sink").toString
+
+  test("partitioned write + partition-pruned re-read (cells 119/127)") {
+    val cleaned = Features.withDateParts(Cleaning.pipeline(TaxiFixture.raw(spark)))
+    val path = s"$tmp/final"
+    Tables.writePartitioned(cleaned, path,
+      partitionCols = Seq("pickup_year", "pickup_month", "pickup_day"),
+      sortCols = Seq("PULocationID", "DOLocationID"))
+    val back = spark.read.parquet(path)
+    assert(back.count() === 11)
+    // partition columns recovered from directory layout
+    assert(back.columns.contains("pickup_year"))
+    val pruned = back.filter(col("pickup_year") === 2024 && col("pickup_month") === 1)
+    assert(pruned.count() === 10) // the non-2024 row lives in 2023/12
+    // pruning happens at planning: the 2023 partition never gets scanned
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+  }
+
+  test("catalog DDL over the partitioned table (cells 122-127)") {
+    val path = s"$tmp/final"
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS graft_test.taxi USING PARQUET LOCATION '$path'")
+    spark.sql("MSCK REPAIR TABLE graft_test.taxi")
+    val parts = spark.sql("SHOW PARTITIONS graft_test.taxi").collect().map(_.getString(0))
+    assert(parts.exists(_.startsWith("pickup_year=2024")))
+    assert(parts.exists(_.startsWith("pickup_year=2023")))
+    val n = spark.sql(
+      "SELECT count(*) FROM graft_test.taxi WHERE pickup_year = 2024 AND pickup_month = 1")
+      .head().getLong(0)
+    assert(n === 10L)
+  }
+
+  test("compaction bin-packs to the requested file count (cell 131 OPTIMIZE)") {
+    val path = s"$tmp/compact"
+    val df = spark.range(0, 1000).toDF("id").repartition(8)
+    df.write.mode("overwrite").parquet(path)
+    val before = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before === 8)
+    Tables.compact(spark, path, numFiles = 2)
+    val after = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after === 2)
+    assert(spark.read.parquet(path).count() === 1000)
+  }
+
+  test("CSV dimension source with header (README.md:20 zone lookup)") {
+    val csv = s"$tmp/zones.csv"
+    Files.writeString(java.nio.file.Paths.get(csv),
+      "LocationID,Borough,Zone,service_zone\n" +
+        "1,EWR,Newark Airport,EWR\n132,Queens,JFK Airport,Airports\n" +
+        "138,Queens,LaGuardia Airport,Airports\n236,Manhattan,Upper East Side North,Yellow Zone\n")
+    val zones = Tables.loadCsv(spark, csv)
+    assert(zones.count() === 4)
+    assert(zones.schema("LocationID").dataType.typeName === "integer")
+    // the broadcast zone join the reference implies but never ships (§2c)
+    val cleaned = Cleaning.pipeline(TaxiFixture.raw(spark))
+    val joined = cleaned.join(broadcast(zones),
+      cleaned("PULocationID") === zones("LocationID"), "inner")
+    assert(joined.count() > 0)
+    val airportTrips = cleaned.join(broadcast(zones.filter(col("service_zone")
+      .isin("Airports", "EWR"))), cleaned("PULocationID") === zones("LocationID"),
+      "left_semi")
+    assert(airportTrips.count() === 1) // the JFK pickup row
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+
+  import EventStreams._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, user: Long = 1L,
+      typ: String = "click", v: Double = 1.0): Event =
+    Event(id, ts(t), user, typ, v)
+
+  test("windowed counts aggregate into sliding windows and honor the watermark") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = windowedCounts(in.toDF(), window = "1 hour", slide = "30 minutes",
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("win").outputMode("append").start()
+    in.addData(
+      ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:20:00"),
+      ev(3, "2024-01-01 10:40:00", typ = "view"))
+    q.processAllAvailable()
+    // advance watermark far enough to close the 10:00 windows
+    in.addData(ev(99, "2024-01-01 13:00:00"))
+    q.processAllAvailable()
+    val rows = spark.table("win").collect()
+    q.stop()
+    assert(rows.nonEmpty)
+    val clicks = rows.filter(_.getAs[String]("event_type") == "click")
+      .map(r => r.getAs[Timestamp]("window_start").toString -> r.getAs[Long]("n")).toMap
+    assert(clicks("2024-01-01 10:00:00.0") === 2L) // events 1,2 in [10:00,11:00)
+    assert(clicks("2024-01-01 09:30:00.0") === 2L) // sliding window also catches both
+  }
+
+  test("streaming dedup drops repeated event_ids") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    in.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:00"),
+      ev(2, "2024-01-01 10:01:00"))
+    q.processAllAvailable()
+    in.addData(ev(1, "2024-01-01 10:02:00"), ev(3, "2024-01-01 10:03:00"))
+    q.processAllAvailable()
+    val n = spark.table("dedup").count()
+    q.stop()
+    assert(n === 3L) // ids 1,2,3 exactly once
+  }
+
+  test("sessionization closes sessions after the gap and aggregates per session") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = sessionize(in.toDS(), gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    // user 1: two events 5 min apart (one session), then silence
+    in.addData(
+      ev(1, "2024-01-01 10:00:00", v = 2.0), ev(2, "2024-01-01 10:05:00", v = 3.0),
+      ev(3, "2024-01-01 10:00:00", user = 2L, v = 7.0))
+    q.processAllAvailable()
+    // much later event advances the watermark past both sessions' gap
+    in.addData(ev(9, "2024-01-01 12:00:00", user = 3L))
+    q.processAllAvailable()
+    in.addData(ev(10, "2024-01-01 14:00:00", user = 3L))
+    q.processAllAvailable()
+    val rows = spark.table("sessions").collect()
+    q.stop()
+    val byUser = rows.map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(byUser.contains(1L) && byUser.contains(2L))
+    assert(byUser(1L).getAs[Long]("n_events") === 2L)
+    assert(byUser(1L).getAs[Double]("total_value") === 5.0)
+    assert(byUser(1L).getAs[Timestamp]("session_end") === ts("2024-01-01 10:05:00"))
+    assert(byUser(2L).getAs[Long]("n_events") === 1L)
+  }
+}
