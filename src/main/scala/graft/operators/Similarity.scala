@@ -26,7 +26,17 @@ object Similarity {
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine via the native codegen'd expression (graftnative.CosineSimilarity):
+    * one fused primitive-double loop inside WholeStageCodegen.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftnative.CosineSimilarity(a, b)
+
+  /** Reference formulation from built-in higher-order functions (interpreted
+    * lambda dispatch per element) — kept as the correctness oracle for the
+    * native expression and as the fallback composition.
+    */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Exact brute-force top-k by cosine against a literal query vector.
     * Deterministic tie-break on id. Returns (id, sim).

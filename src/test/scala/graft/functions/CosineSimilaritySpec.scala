@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.CosineSimilarity
+
+class CosineSimilaritySpec extends SparkSpec {
+
+  private lazy val df = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0)),
+      (2L, Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)),
+      (3L, Array(1.0, 1.0, 0.0), Array(1.0, 0.0, 0.0)),
+      (4L, Array(-1.0, 0.0, 0.0), Array(1.0, 0.0, 0.0))
+    ).toDF("id", "a", "b")
+  }
+
+  test("native expression matches the higher-order-function formulation") {
+    val rows = df.select(col("id"),
+      CosineSimilarity(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof")).collect()
+    for (r <- rows)
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12, s"id=${r.getLong(0)}")
+    val byId = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assertApprox(byId(1L), 1.0)
+    assertApprox(byId(2L), 0.0)
+    assertApprox(byId(3L), 1.0 / math.sqrt(2))
+    assertApprox(byId(4L), -1.0)
+  }
+
+  test("implicit cast accepts float vectors") {
+    import spark.implicits._
+    val f = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val v = f.select(CosineSimilarity(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-7)
+  }
+
+  test("null in, null out") {
+    import spark.implicits._
+    val n = Seq((Some(Array(1.0, 2.0)), Option.empty[Array[Double]]))
+      .toDF("a", "b")
+    assert(n.select(CosineSimilarity(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("SQL registration exposes cosine_sim") {
+    CosineSimilarity.register(spark)
+    df.createOrReplaceTempView("vecs")
+    val v = spark.sql("SELECT cosine_sim(a, b) FROM vecs WHERE id = 1").head().getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-12)
+  }
+
+  test("expression participates in whole-stage codegen") {
+    // repartition defeats the local-relation fold so a real codegen stage
+    // plans; materialize so AQE finalizes the plan before inspecting it
+    val q = df.repartition(2).select(CosineSimilarity(col("a"), col("b")))
+    q.collect()
+    // the "*(n)" prefix marks a WholeStageCodegen stage in the plan string
+    assert(q.queryExecution.executedPlan.toString.contains("*(1) Project"))
+  }
+
+  private def assertApprox(a: Double, b: Double, eps: Double = 1e-12): Unit =
+    assert(math.abs(a - b) < eps)
+}
