@@ -51,14 +51,16 @@ object QueryCatalog {
               ORDER BY l_returnflag, l_linestatus""")),
 
     Q("q_filter_project",
+      // (l_orderkey, l_linenumber) is not unique in the synthetic data;
+      // order by the full output row for engine-independent determinism
       (s, dir) => t(s, dir, "lineitem")
         .filter(col("l_quantity").between(10, 20) && col("l_returnflag") === "R")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
               FROM lineitem
               WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'
-              ORDER BY l_orderkey, l_linenumber""")),
+              ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""")),
 
     Q("q_filter_compound",
       (s, dir) => t(s, dir, "lineitem")
@@ -341,6 +343,195 @@ object QueryCatalog {
               GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 
+  // ------------------------------------------------- extended relational II
+  // (window variants, multi-dim aggs, set ops, string funcs, pivot,
+  //  limit/offset, as-of join, batch sessionization)
+
+  private val relational2: Seq[Q] = Seq(
+    Q("q_window_funcs",
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+            row_number().over(w).as("rn"),
+            dense_rank().over(w).as("drnk"),
+            lag("c_acctbal", 1).over(w).as("prev_bal"),
+            lead("c_acctbal", 1).over(w).as("next_bal"))
+          .filter(col("rn") <= 5)
+          .orderBy("c_nationkey", "rn")
+      },
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS INT) AS rn,
+              CAST(drnk AS INT) AS drnk, prev_bal, next_bal FROM (
+                SELECT c_nationkey, c_custkey, c_acctbal,
+                row_number() OVER w AS rn, dense_rank() OVER w AS drnk,
+                lag(c_acctbal, 1) OVER w AS prev_bal,
+                lead(c_acctbal, 1) OVER w AS next_bal
+                FROM customer
+                WINDOW w AS (PARTITION BY c_nationkey
+                             ORDER BY c_acctbal DESC, c_custkey))
+              WHERE rn <= 5 ORDER BY c_nationkey, rn""")),
+
+    Q("q_rollup",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+              count(*) AS n FROM lineitem
+              GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    Q("q_cube",
+      (s, dir) => t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_extendedprice"), 2).as("total"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+              round(sum(l_extendedprice), 2) AS total, count(*) AS n
+              FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+              ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    Q("q_intersect",
+      (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("k"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy("k"),
+      Some("""SELECT c_nationkey AS k FROM customer
+              INTERSECT SELECT s_nationkey FROM supplier ORDER BY k""")),
+
+    Q("q_except",
+      (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("k"))
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy("k"),
+      Some("""SELECT c_nationkey AS k FROM customer
+              EXCEPT SELECT s_nationkey FROM supplier ORDER BY k""")),
+
+    Q("q_string_funcs",
+      (s, dir) => t(s, dir, "part")
+        .filter(col("p_partkey") <= 50)
+        .select(col("p_partkey"),
+          upper(col("p_type")).as("type_u"),
+          substring(col("p_name"), 1, 5).as("name5"),
+          regexp_replace(col("p_brand"), "Brand#", "B").as("brand_s"),
+          col("p_name").like("%red%").as("has_red"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_type) AS type_u,
+              substring(p_name, 1, 5) AS name5,
+              replace(p_brand, 'Brand#', 'B') AS brand_s,
+              p_name LIKE '%red%' AS has_red,
+              coalesce(regexp_extract(p_name, '([a-z]+)$', 1), '') AS last_word
+              FROM part WHERE p_partkey <= 50 ORDER BY p_partkey""")),
+
+    Q("q_pivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+              count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F,
+              count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Q("q_token_freq",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20),
+      Some("""SELECT tok, count(*) AS n FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+              WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20""")),
+
+    Q("q_limit_offset",
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // order by enough columns to make the offset window deterministic
+      (s, dir) => t(s, dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .offset(5).limit(5),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+              ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+              LIMIT 5 OFFSET 5""")),
+
+    // As-of join composed from union + running max over a window (Spark has
+    // no native as-of): each click matched to the latest purchase second
+    // ≤ its own, per user. Oracle uses DuckDB's native ASOF JOIN — two
+    // completely different implementations, same semantics. Timestamps are
+    // second-truncated in both engines (the raw column is nanos).
+    Q("q_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("sec", date_trunc("second", col("ts")))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("sec")).distinct()
+          .withColumn("kind", lit(0)).withColumn("event_id", lit(null).cast("long"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("sec"), lit(1).as("kind"), col("event_id"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("sec"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        purchases.unionByName(clicks)
+          .withColumn("purchase_sec",
+            max(when(col("kind") === 0, col("sec"))).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("purchase_sec"))
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (
+                SELECT event_id, user_id, date_trunc('second', ts) AS sec
+                FROM events WHERE event_type = 'click'),
+              purch AS (
+                SELECT DISTINCT user_id, date_trunc('second', ts) AS sec
+                FROM events WHERE event_type = 'purchase')
+              SELECT c.event_id, p.sec AS purchase_sec
+              FROM clicks c ASOF LEFT JOIN purch p
+                ON c.user_id = p.user_id AND p.sec <= c.sec
+              ORDER BY c.event_id""")),
+
+    // Batch sessionization via window functions (the batch analog of
+    // streaming.EventStreams.sessionize): session starts where the gap to
+    // the previous event of the same user exceeds 30 min.
+    Q("q_sessionize_batch",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        val ev = t(s, dir, "events")
+          .withColumn("sec", date_trunc("second", col("ts")))
+        val flagged = ev.withColumn("gap_s",
+            unix_timestamp(col("sec")) - unix_timestamp(lag("sec", 1).over(w)))
+          .withColumn("new_session",
+            when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+        flagged
+          .withColumn("session_id", sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("sec", "event_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id")
+          .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH flagged AS (
+                SELECT user_id,
+                  CASE WHEN date_diff('second',
+                    lag(date_trunc('second', ts)) OVER w,
+                    date_trunc('second', ts)) > 1800
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY date_trunc('second', ts), event_id))
+              SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                count(*) AS n_events
+              FROM flagged GROUP BY user_id ORDER BY user_id""")),
+
+    // HLL++ sketch profiling — the 100 TB path for exact countDistinct
+    // (rows-only: DuckDB's approx sketch differs by construction)
+    Q("q_approx_distinct",
+      (s, dir) => Profiling.approxDistinctCounts(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")),
+      None)
+  )
+
   // ------------------------------------------------------------- text/docs
   // (training-data pipeline surface; `documents` table)
 
@@ -489,5 +680,5 @@ object QueryCatalog {
         (s, _) => Analytics.q8AirportVsNonAirport(cleanedFixture(s)), None))
   }
 
-  val all: Seq[Q] = relational ++ text ++ embeddings ++ taxi
+  val all: Seq[Q] = relational ++ relational2 ++ text ++ embeddings ++ taxi
 }
