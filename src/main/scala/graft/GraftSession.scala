@@ -25,6 +25,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // The reference ran Spark 3.5 with ANSI off (Databricks default); its

@@ -51,6 +51,15 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(math.abs(v - 1.0) < 1e-12)
   }
 
+  test("GraftExtensions injects cosine_sim at session build (spark.sql.extensions)") {
+    // newSession() gets a fresh SessionState: temp registrations are gone,
+    // so resolution can only come from the injected extension function
+    val s2 = spark.newSession()
+    val v = s2.sql("SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d))")
+      .head().getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-12)
+  }
+
   test("expression participates in whole-stage codegen") {
     // repartition defeats the local-relation fold so a real codegen stage
     // plans; materialize so AQE finalizes the plan before inspecting it
