@@ -10,6 +10,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // warmup pass: JIT + codegen compile once so the timed pass measures
+    // steady-state plan execution, not first-run compilation
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1")
+      selected.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
