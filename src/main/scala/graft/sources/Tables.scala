@@ -67,6 +67,24 @@ object Tables {
       .parquet(path)
   }
 
+  /** Bucketed table write: co-locates future joins/aggregations on
+    * `bucketCols` — two tables bucketed the same way join with NO exchange
+    * on either side (the 100 TB answer to repeated fact-to-fact joins).
+    * Requires the session catalog (saveAsTable); in-bucket sort makes the
+    * join a zero-shuffle, zero-sort merge.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int = 32): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Small-file compaction (reference cell 131's OPTIMIZE): bin-pack into
     * `numFiles` outputs. At cluster scale pair with maxRecordsPerFile.
     */

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SkewJoinSpec extends SparkSpec {
+
+  private lazy val lineitem =
+    Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+  private lazy val orders =
+    Tables.load(spark, "/root/testdata/sf0.001", "orders")
+
+  test("salted equi-join returns exactly the plain join result") {
+    val plain = lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SkewJoin.saltedEquiJoin(
+        lineitem.withColumnRenamed("l_orderkey", "k"),
+        orders.withColumnRenamed("o_orderkey", "k"),
+        key = "k", discriminator = col("l_linenumber"), salts = 4)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("salted two-phase aggregation equals the direct aggregation") {
+    val direct = lineitem.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("sum"), count(lit(1)).as("count"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val salted = SkewJoin.saltedSumCount(lineitem, "l_returnflag", "l_quantity", salts = 4)
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted === direct)
+  }
+
+  test("bucketed tables join without any exchange") {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    Tables.writeBucketed(lineitem, "li_bucketed", Seq("l_orderkey"), numBuckets = 4)
+    Tables.writeBucketed(orders, "ord_bucketed", Seq("o_orderkey"), numBuckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      joined.count() // materialize so AQE finalizes
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+}
