@@ -177,6 +177,71 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected components over near-duplicate pairs → dedup clusters, so a
+    * corpus keeps ONE representative per transitive duplicate group (the
+    * step after any pairwise method: pairs alone under-delete when dups
+    * chain A~B~C without A~C).
+    *
+    * Alternating large-star / small-star iterations (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") expressed as
+    * DataFrame self-joins — each round is two shuffles on the edge list,
+    * converging in O(log n) rounds; no driver-side graph. Returns
+    * (id, component) where component = min id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // undirected, deduplicated edge list (8-byte endpoints only)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // min-label propagation: comp(v) ← min(comp(v), min comp over N(v)),
+    // iterated to fixpoint. Rounds = component diameter, which for dedup
+    // clusters is tiny; for adversarial long-chain graphs swap in the
+    // large-star/small-star contraction (O(log n) rounds), same interface.
+    var labels = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .withColumn("component", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNbr = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min("component").as("nbr_min"))
+      val next = labels.join(viaNbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end fuzzy dedup: minhash-LSH pairs → connected components →
+    * per-cluster representative (min id). Returns (id, component, keep).
+    */
+  def fuzzyDedupClusters(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashLsh(df, idCol, textCol, threshold = threshold)
+    val allIds = df.select(col(idCol).cast("long").as("id_a"))
+      .withColumn("id_b", col("id_a"))
+    val comps = connectedComponents(pairs.select("id_a", "id_b").union(allIds))
+    comps.withColumn("keep", col("id") === col("component"))
+      .orderBy("component", "id")
+  }
+
   /** Exact n-gram Jaccard similarity ≥ threshold via an inverted-index
     * join — the scalable exact method: explode shingles, equi-join on the
     * shingle, count shared shingles per pair, then J = |∩| / (|A|+|B|-|∩|).

@@ -91,6 +91,37 @@ object TextAnalysis {
         round(best.getField("score") / greatest(size(toks), lit(1)).cast("double"), 4))
   }
 
+  /** Repetition metrics (Gopher-style repetition filters): duplicate-token
+    * ratio and the frequency share of the single most repeated bigram.
+    * Entirely per-row — the top-bigram count is a sort + run-length fold
+    * over the row's own bigram array, so unlike the explode+groupBy
+    * formulation it needs NO shuffle and scales with input bytes.
+    */
+  def repetitionMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = wsTokens(col(textCol))
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array())
+    val sorted = array_sort(bigrams)
+    // run-length fold over the sorted bigrams: (prev, current run, best run)
+    val best = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    df.withColumn("dup_token_ratio",
+        round(lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 4))
+      .withColumn("top_bigram_ratio",
+        when(size(t) >= 2,
+          round(best.cast("double") / (size(t) - 1), 4)).otherwise(0.0))
+  }
+
   /** 64-bit document fingerprint: order-sensitive rolling combine of token
     * hashes — each step rehashes (accumulator, next token), i.e. a hash
     * chain over the token stream. Content-identical docs collide exactly;

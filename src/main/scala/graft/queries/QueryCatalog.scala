@@ -620,7 +620,33 @@ object QueryCatalog {
 
     Q("q_dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), threshold = 0.15),
-      None)
+      None),
+
+    Q("q_dedup_clusters",
+      (s, dir) => Dedup.fuzzyDedupClusters(t(s, dir, "documents"), threshold = 0.2),
+      None),
+
+    Q("q_text_repetition",
+      (s, dir) => TextAnalysis.repetitionMetrics(t(s, dir, "documents"))
+        .select("doc_id", "dup_token_ratio", "top_bigram_ratio")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents),
+              bg AS (
+                SELECT doc_id,
+                  unnest([t[i] || ' ' || t[i+1] for i in range(1, greatest(len(t), 1))]) AS b
+                FROM toks),
+              cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+              agg AS (SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS nb
+                      FROM cnt GROUP BY 1)
+              SELECT tk.doc_id,
+                round(1.0 - CAST(len(list_distinct(tk.t)) AS DOUBLE) / len(tk.t), 4)
+                  AS dup_token_ratio,
+                coalesce(round(CAST(agg.mx AS DOUBLE) / agg.nb, 4), 0.0)
+                  AS top_bigram_ratio
+              FROM toks tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
+              ORDER BY tk.doc_id"""))
   )
 
   // ----------------------------------------------------------- embeddings

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupClusterSpec extends SparkSpec {
+
+  test("connected components labels transitive groups by min id") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11}, {20} (self-pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("fuzzy dedup clusters chain A~B~C into one cluster with one keeper") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "aa bb cc dd ee ff gg xx"),   // near dup of 1
+      (3L, "aa bb cc dd ee ff yy xx"),   // near dup of 2, farther from 1
+      (4L, "totally unrelated content right here now ok")
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.fuzzyDedupClusters(docs, threshold = 0.3).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("component"), r.getAs[Boolean]("keep"))).toMap
+    assert(clusters(1L) === ((1L, true)))
+    assert(clusters(2L)._1 === 1L && !clusters(2L)._2)
+    assert(clusters(3L)._1 === 1L && !clusters(3L)._2)
+    assert(clusters(4L) === ((4L, true)))
+  }
+
+  test("repetition metrics: duplicate tokens and repeated bigrams score high") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "all words here are fully unique tokens"),
+      (3L, "one")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_token_ratio"), r.getAs[Double]("top_bigram_ratio"))).toMap
+    assert(m(1L)._1 > 0.8 && m(1L)._2 === 1.0) // "spam spam" is every bigram
+    assert(m(2L)._1 === 0.0)
+    assert(m(2L)._2 < 0.5)
+    assert(m(3L) === ((0.0, 0.0))) // single token: no bigrams
+  }
+}
