@@ -103,6 +103,65 @@ object Similarity {
       .select(col(idCol), round(col("sim_raw"), 4).as("sim"))
   }
 
+  /** IVF-style ANN: a coarse quantizer (k deterministic sample centroids)
+    * assigns every vector a `centroid_id`; a query scores only the vectors
+    * in the `nProbe` centroids nearest to it. At rest the table would be
+    * written partitioned/clustered BY centroid_id, so each probe is a
+    * partition-pruned scan touching nProbe/k of the data — the IVF
+    * trade-off (recall vs fraction scanned) with no index structure beyond
+    * a column.
+    *
+    * Centroid sampling is hash-deterministic (ids with the smallest
+    * xxhash64), standing in for k-means — swap in trained centroids
+    * without changing the plan shape.
+    */
+  def ivfAssign(
+      df: DataFrame,
+      k: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, Array[(Long, Seq[Double])]) = {
+    val centroids = df
+      .select(col(idCol).cast("long").as("cid"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("h", xxhash64(col("cid")))
+      .orderBy("h").limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    val scored = centroids.map { case (cid, cv) =>
+      struct(cosine(toDouble(col(vecCol)), array(cv.map(lit): _*)).as("sim"),
+        lit(cid).as("cid"))
+    }
+    val assigned = df.withColumn("centroid_id",
+      array_max(array(scored.toIndexedSeq: _*)).getField("cid"))
+    (assigned, centroids)
+  }
+
+  /** Query the IVF-assigned table: probe the nProbe nearest centroids, then
+    * exact cosine among their members only.
+    */
+  def ivfTopK(
+      assigned: DataFrame,
+      centroids: Array[(Long, Seq[Double])],
+      queryVec: Seq[Double],
+      k: Int = 10,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val probes = centroids.sortBy { case (_, cv) => -cos(cv, queryVec) }
+      .take(nProbe).map(_._1)
+    val q = array(queryVec.map(lit): _*)
+    assigned
+      .filter(col("centroid_id").isin(probes.toIndexedSeq: _*))
+      .select(col(idCol).cast("long").as(idCol),
+        cosine(toDouble(col(vecCol)), q).as("sim_raw"))
+      .orderBy(col("sim_raw").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("sim_raw"), 4).as("sim"))
+  }
+
   /** Embedding near-duplicate pairs: bucket-join on band signatures of the
     * hyperplane bits (several narrow bands so near pairs collide in ≥1
     * band), verify exact cosine ≥ threshold. id_a < id_b; no cartesian.

@@ -679,6 +679,16 @@ object QueryCatalog {
     Q("q_embed_neardup",
       (s, dir) => Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
         dim = 64, threshold = 0.25, nPlanes = 16, bands = 4),
+      None),
+
+    Q("q_ann_ivf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+        val (assigned, centroids) = Similarity.ivfAssign(emb.filter(col("vec_id") =!= 0))
+        Similarity.ivfTopK(assigned, centroids, q, k = 10, nProbe = 4)
+      },
       None)
   )
 

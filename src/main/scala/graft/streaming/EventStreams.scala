@@ -39,6 +39,14 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("avg_value"))
 
+  /** Stream-static enrichment: join each event against a broadcast
+    * dimension table (the streaming counterpart of the reference's implied
+    * zone lookup, SURVEY.md §2c). The static side re-resolves per
+    * micro-batch; broadcast keeps it shuffle-free on the stream side.
+    */
+  def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Streaming exact dedup on event_id within the watermark horizon —
     * the streaming analogue of Dedup.exact.
     */

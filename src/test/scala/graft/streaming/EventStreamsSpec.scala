@@ -38,6 +38,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(clicks("2024-01-01 09:30:00.0") === 2L) // sliding window also catches both
   }
 
+  test("stream-static broadcast enrichment joins dimension rows per batch") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sql = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val q = enriched(in.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    in.addData(ev(1, "2024-01-01 10:00:00", user = 1L),
+      ev(2, "2024-01-01 10:01:00", user = 3L))
+    q.processAllAvailable()
+    val rows = spark.table("enriched").collect()
+    q.stop()
+    val tiers = rows.map(r => r.getAs[Long]("user_id") -> r.getAs[String]("tier")).toMap
+    assert(tiers(1L) === "gold")
+    assert(tiers(3L) === null) // left join keeps unmatched stream rows
+  }
+
   test("streaming dedup drops repeated event_ids") {
     val spark0 = spark
     import spark0.implicits._
