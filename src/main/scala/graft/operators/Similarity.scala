@@ -21,6 +21,12 @@ object Similarity {
   /** Cast a float vector column to double for numerically stable math. */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Collect one row's vector as the query (by id), as doubles. */
+  def collectQueryVec(df: DataFrame, id: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Double] =
+    df.filter(col(idCol) === id).select(toDouble(col(vecCol)))
+      .head().getSeq[Double](0).toSeq
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -152,14 +158,9 @@ object Similarity {
     }
     val probes = centroids.sortBy { case (_, cv) => -cos(cv, queryVec) }
       .take(nProbe).map(_._1)
-    val q = array(queryVec.map(lit): _*)
-    assigned
-      .filter(col("centroid_id").isin(probes.toIndexedSeq: _*))
-      .select(col(idCol).cast("long").as(idCol),
-        cosine(toDouble(col(vecCol)), q).as("sim_raw"))
-      .orderBy(col("sim_raw").desc, col(idCol))
-      .limit(k)
-      .select(col(idCol), round(col("sim_raw"), 4).as("sim"))
+    bruteForceTopK(
+      assigned.filter(col("centroid_id").isin(probes.toIndexedSeq: _*)),
+      queryVec, k, idCol, vecCol)
   }
 
   /** Embedding near-duplicate pairs: bucket-join on band signatures of the

@@ -655,8 +655,7 @@ object QueryCatalog {
     Q("q_knn_cosine",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") === 0)
-          .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+        val q = Similarity.collectQueryVec(emb, 0)
         Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), q, k = 10)
       },
       Some("""SELECT vec_id, round(sim_raw, 4) AS sim FROM (
@@ -669,8 +668,7 @@ object QueryCatalog {
     Q("q_ann_lsh",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") === 0)
-          .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+        val q = Similarity.collectQueryVec(emb, 0)
         Similarity.annTopK(emb.filter(col("vec_id") =!= 0), q, dim = 64,
           k = 10, nPlanes = 8, probeHamming = 3)
       },
@@ -684,8 +682,7 @@ object QueryCatalog {
     Q("q_ann_ivf",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") === 0)
-          .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+        val q = Similarity.collectQueryVec(emb, 0)
         val (assigned, centroids) = Similarity.ivfAssign(emb.filter(col("vec_id") =!= 0))
         Similarity.ivfTopK(assigned, centroids, q, k = 10, nProbe = 4)
       },

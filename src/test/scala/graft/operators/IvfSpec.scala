@@ -17,8 +17,7 @@ class IvfSpec extends SparkSpec {
   }
 
   test("IVF top-k with generous probes recovers most of brute-force top-k") {
-    val q = emb.filter(col("vec_id") === 0)
-      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    val q = Similarity.collectQueryVec(emb, 0)
     val rest = emb.filter(col("vec_id") =!= 0)
     val exact = Similarity.bruteForceTopK(rest, q, k = 10)
       .collect().map(_.getLong(0)).toSet
@@ -30,8 +29,7 @@ class IvfSpec extends SparkSpec {
   }
 
   test("probing all centroids equals brute force exactly") {
-    val q = emb.filter(col("vec_id") === 0)
-      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    val q = Similarity.collectQueryVec(emb, 0)
     val rest = emb.filter(col("vec_id") =!= 0)
     val exact = Similarity.bruteForceTopK(rest, q, k = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
