@@ -529,7 +529,25 @@ object QueryCatalog {
     Q("q_approx_distinct",
       (s, dir) => Profiling.approxDistinctCounts(t(s, dir, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")),
-      None)
+      None),
+
+    // EP3 parity (SURVEY.md §3): SQL text through the ANTLR parser +
+    // catalog resolution, not the DataFrame DSL
+    Q("q_sql_text",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("li_v")
+        t(s, dir, "orders").createOrReplaceTempView("ord_v")
+        s.sql("""SELECT o_orderstatus, count(*) AS n,
+                 round(sum(l_extendedprice), 2) AS total
+                 FROM ord_v JOIN li_v ON o_orderkey = l_orderkey
+                 WHERE o_totalprice > 100000
+                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+              round(sum(l_extendedprice), 2) AS total
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE o_totalprice > 100000
+              GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 
   // ------------------------------------------------------------- text/docs
@@ -710,7 +728,26 @@ object QueryCatalog {
       Q("q_taxi_q7_top_routes",
         (s, _) => Analytics.q7TopRoutes(cleanedFixture(s)), None),
       Q("q_taxi_q8_airport_stats",
-        (s, _) => Analytics.q8AirportVsNonAirport(cleanedFixture(s)), None))
+        (s, _) => Analytics.q8AirportVsNonAirport(cleanedFixture(s)), None),
+      // the broadcast zone-dimension join the reference implies but never
+      // ships (SURVEY.md §2c) — replaces the hardcoded airport-ID list
+      Q("q_taxi_zone_join",
+        (s, _) => {
+          import s.implicits._
+          val zones = Seq(
+            (1, "EWR", "Newark Airport", "EWR"),
+            (132, "Queens", "JFK Airport", "Airports"),
+            (138, "Queens", "LaGuardia Airport", "Airports"),
+            (236, "Manhattan", "Upper East Side North", "Yellow Zone"),
+            (237, "Manhattan", "Upper East Side South", "Yellow Zone"))
+            .toDF("LocationID", "Borough", "Zone", "service_zone")
+          val trips = cleanedFixture(s)
+          trips.join(broadcast(zones), trips("PULocationID") === zones("LocationID"))
+            .groupBy("Borough")
+            .agg(count(lit(1)).as("trips"), round(avg("fare_amount"), 2).as("avg_fare"))
+            .orderBy("Borough")
+        },
+        None))
   }
 
   val all: Seq[Q] = relational ++ relational2 ++ text ++ embeddings ++ taxi
