@@ -18,6 +18,7 @@ import org.apache.spark.sql.graftnative.CosineSimilarity
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graftnative.VectorOpRewrites)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftnative.TopKPerKeyStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim"),

@@ -531,6 +531,22 @@ object QueryCatalog {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")),
       None),
 
+    // Custom physical operator (graftnative.TopKPerKeyExec): bounded-heap
+    // grouped top-k, oracled against the window row_number formulation
+    Q("q_topk_per_key",
+      (s, dir) => org.apache.spark.sql.graftnative.TopKPerKey(
+          t(s, dir, "customer"),
+          keyCols = Seq("c_nationkey"),
+          orderCols = Seq(col("c_acctbal").desc, col("c_custkey")), k = 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+        .orderBy("c_nationkey", "c_custkey"),
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal FROM (
+                SELECT c_nationkey, c_custkey, c_acctbal,
+                row_number() OVER (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+                FROM customer) WHERE rn <= 3
+              ORDER BY c_nationkey, c_custkey""")),
+
     // EP3 parity (SURVEY.md §3): SQL text through the ANTLR parser +
     // catalog resolution, not the DataFrame DSL
     Q("q_sql_text",

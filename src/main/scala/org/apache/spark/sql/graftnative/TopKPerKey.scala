@@ -1,0 +1,123 @@
+package org.apache.spark.sql.graftnative
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Grouped top-k as a first-class operator — the (c)-tier extension point:
+  * custom LogicalPlan + SparkStrategy + SparkPlan, registered through
+  * GraftExtensions.
+  *
+  * Semantics: for each distinct key, the first `k` child rows under
+  * `sortOrder` (row_number ≤ k — supply a tiebreak for determinism).
+  *
+  * Why not a window? `row_number().over(partitionBy(key).orderBy(...))`
+  * plans as Exchange → SortExec(full sort of EVERY group) → WindowExec,
+  * materializing and sorting all n rows per partition. This operator keeps
+  * a bounded heap per key: O(n log k) comparisons, O(#keys · k) memory, no
+  * sort of the non-surviving rows — the same reason Spark plans global
+  * orderBy+limit as TakeOrderedAndProject. At 100 TB, "top 10 routes per
+  * city" over billions of rows never buffers more than keys·k rows per
+  * task.
+  */
+case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(keys.nonEmpty, "TopKPerKey needs at least one key")
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  /** All rows of one key must be co-located; Catalyst inserts the hash
+    * exchange (or reuses an existing compatible partitioning).
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(keys))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val localKeys = keys
+    val localOrder = sortOrder
+    val localOutput = output
+    val localK = k
+    child.execute().mapPartitionsInternal { iter =>
+      val keyProj = UnsafeProjection.create(localKeys, localOutput)
+      val ord = GenerateOrdering.generate(localOrder, localOutput)
+      // max-heap under the sort order: head = worst surviving row → O(log k)
+      // eviction when a better row arrives
+      implicit val rowOrd: Ordering[InternalRow] = (a, b) => ord.compare(a, b)
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        val heap = heaps.getOrElseUpdate(key.copy(), mutable.PriorityQueue.empty)
+        if (heap.size < localK) heap.enqueue(row.copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Planner strategy: maps the logical node to the physical operator. */
+object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+  /** Top `k` rows per key group under `orderCols` (use `col.desc`/`asc`;
+    * bare columns default to ascending). Deterministic only if the order
+    * has no ties — add a tiebreak column as with any top-k.
+    *
+    * Column-to-expression note: Spark 4's Column wraps a lazy ColumnNode
+    * that only becomes a catalyst expression during analysis, so the sort
+    * columns are resolved by analyzing a throwaway Sort plan and lifting
+    * out its (fully resolved, serializable) SortOrder list.
+    */
+  def apply(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column], k: Int): DataFrame = {
+    val analyzedSort = df.sort(orderCols: _*).queryExecution.analyzed
+    val (order, child) = analyzedSort match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => (s.order, s.child)
+      case other => throw new IllegalStateException(
+        s"expected a Sort plan from df.sort, got ${other.nodeName}")
+    }
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    val keys = keyCols.map { n =>
+      child.output.find(a => resolver(a.name, n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"key column $n not found in ${child.output.map(_.name).mkString(", ")}"))
+    }
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.classic.Dataset.ofRows(spark,
+      TopKPerKeyNode(keys, order, k, child))
+  }
+}
