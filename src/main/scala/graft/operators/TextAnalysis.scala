@@ -91,6 +91,25 @@ object TextAnalysis {
         round(best.getField("score") / greatest(size(toks), lit(1)).cast("double"), 4))
   }
 
+  /** PII redaction: replace email addresses, international-ish phone
+    * numbers, and IPv4 addresses with typed placeholder tokens. RE2-safe
+    * patterns (no backrefs/lookarounds) so the same regexes run on Spark
+    * (java.util.regex), DuckDB (RE2), and most other engines. One narrow
+    * regexp pass — codegen'd, no shuffle.
+    */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+    val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    df.withColumn("text_redacted",
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), email, "<EMAIL>"),
+          ipv4, "<IP>"),
+        phone, "<PHONE>"))
+      .withColumn("pii_found", col(textCol) =!= col("text_redacted"))
+  }
+
   /** Repetition metrics (Gopher-style repetition filters): duplicate-token
     * ratio and the frequency share of the single most repeated bigram.
     * Entirely per-row — the top-bigram count is a sort + run-length fold

@@ -683,6 +683,50 @@ object QueryCatalog {
               ORDER BY tk.doc_id"""))
   )
 
+  private val sampling: Seq[Q] = Seq(
+    Q("q_train_test_split",
+      (s, dir) => graft.operators.Sampling
+        .deterministicSplit(t(s, dir, "documents"), "doc_id")
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split"),
+      Some("""SELECT CASE
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  IN ('c','d') THEN 'valid'
+                ELSE 'test' END AS split, count(*) AS n
+              FROM documents GROUP BY 1 ORDER BY split""")),
+
+    Q("q_stratified_sample",
+      (s, dir) => graft.operators.Sampling
+        .stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 4, "de" -> 16, "es" -> 8, "fr" -> 8, "zh" -> 8))
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n FROM documents
+              WHERE strpos(
+                CASE lang WHEN 'en' THEN '0123'
+                          WHEN 'de' THEN '0123456789abcdef'
+                          ELSE '01234567' END,
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) > 0
+              GROUP BY lang ORDER BY lang""")),
+
+    Q("q_redact_pii",
+      (s, dir) => TextAnalysis.redactPii(t(s, dir, "documents"))
+        .select(col("doc_id"), col("pii_found"), md5(col("text_redacted")).as("digest"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+              text <> regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS pii_found,
+              md5(regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g')) AS digest
+              FROM documents ORDER BY doc_id"""))
+  )
+
   // ----------------------------------------------------------- embeddings
 
   private val embeddings: Seq[Q] = Seq(
@@ -766,5 +810,6 @@ object QueryCatalog {
         None))
   }
 
-  val all: Seq[Q] = relational ++ relational2 ++ text ++ embeddings ++ taxi
+  val all: Seq[Q] =
+    relational ++ relational2 ++ text ++ sampling ++ embeddings ++ taxi
 }

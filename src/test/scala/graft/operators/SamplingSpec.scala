@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    (0L until 1000L).map(i => (i, if (i % 4 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+  }
+
+  test("deterministic split is stable, complete, and roughly proportioned") {
+    val once = Sampling.deterministicSplit(docs, "doc_id")
+    val again = Sampling.deterministicSplit(docs.repartition(7), "doc_id")
+    val a = once.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = again.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b) // row order / partitioning cannot change the assignment
+    assert(a.values.sum === 1000L)
+    assert(a("train") > 650 && a("train") < 850) // 75% expected
+    // per-row stability, not just counts
+    val moved = once.as("x").join(again.as("y"), "doc_id")
+      .filter(col("x.split") =!= col("y.split")).count()
+    assert(moved === 0L)
+  }
+
+  test("stratified sample keeps per-stratum quotas of 16ths") {
+    val sampled = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 16, "de" -> 4))
+    val counts = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("en") === 250L) // 16/16 = keep all 250
+    assert(counts("de") > 130 && counts("de") < 240) // 4/16 of 750 ≈ 187
+    // strata not in the map are dropped entirely
+    val dropped = Sampling.stratifiedSample(docs, "lang", "doc_id", Map("en" -> 16))
+    assert(dropped.filter(col("lang") === "de").count() === 0L)
+  }
+
+  test("PII redaction replaces emails, phones, and IPs with typed tokens") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "contact me at jane.doe@example.com or +1 (555) 123-4567 ok"),
+      (2L, "server at 192.168.0.1 responded"),
+      (3L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[String]("text_redacted"), x.getAs[Boolean]("pii_found"))).toMap
+    assert(r(1L)._1 === "contact me at <EMAIL> or <PHONE> ok")
+    assert(r(1L)._2)
+    assert(r(2L)._1 === "server at <IP> responded")
+    assert(!r(3L)._2)
+    assert(r(3L)._1 === "nothing sensitive here at all")
+  }
+}
