@@ -73,6 +73,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(n === 3L) // ids 1,2,3 exactly once
   }
 
+  test("windowed aggregation writes durably to a parquet file sink with checkpointing") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val in = MemoryStream[Event]
+    val q = windowedCounts(in.toDF(), window = "1 hour", slide = "1 hour",
+        watermark = "30 minutes")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    in.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:20:00"))
+    q.processAllAvailable()
+    in.addData(ev(3, "2024-01-01 13:00:00")) // advance watermark, close window
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    val rows = out.collect()
+    assert(rows.exists(r => r.getAs[Long]("n") == 2L &&
+      r.getAs[String]("event_type") == "click"))
+    // checkpoint directory materialized (exactly-once bookkeeping)
+    assert(new java.io.File(s"$dir/ckpt").exists())
+  }
+
   test("sessionization closes sessions after the gap and aggregates per session") {
     val spark0 = spark
     import spark0.implicits._
