@@ -12,14 +12,20 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // warmup pass: JIT + codegen compile once so the timed pass measures
     // steady-state plan execution, not first-run compilation
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1")
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
       selected.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
+      spark.catalog.clearCache() // drop warmup-persisted sketch tables
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operators persist their sketch tables; release between queries so
+      // cached blocks never accumulate across the run
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

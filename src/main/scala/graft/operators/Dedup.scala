@@ -142,28 +142,37 @@ object Dedup {
     array((63 to 0 by -1).map(b =>
       when(shiftrightunsigned(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))): _*)
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
-    *
-    * Candidate generation is the classic chunk-banding trick: split the 64
-    * bits into `chunks` equal blocks; any pair with Hamming ≤ chunks-1 must
-    * agree exactly on ≥1 block (pigeonhole), so an equi-join per block finds
-    * all of them — no cartesian. Verification is bit_count(a XOR b).
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming — complete:
+    * the block count is DERIVED as maxHamming+1, so by pigeonhole every
+    * qualifying pair agrees exactly on ≥1 block and is found by the
+    * per-block equi-join (no cartesian). Verification is bit_count(a XOR b).
+    * Larger maxHamming ⇒ narrower blocks ⇒ more candidates — the honest
+    * cost of a wider guarantee.
     */
   def simHashPairs(
       df: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 3,
-      chunks: Int = 4): DataFrame = {
-    val w = 64 / chunks
+      maxHamming: Int = 3): DataFrame = {
+    // recall guarantee needs maxHamming+1 blocks (pigeonhole): any pair
+    // within maxHamming agrees exactly on >=1 block. Blocks split the 64
+    // bits as evenly as possible (the first `rem` blocks get width+1).
+    val chunks = math.min(maxHamming + 1, 64)
+    val base = 64 / chunks
+    val rem = 64 % chunks
+    val offsets = (0 until chunks).scanLeft(0)((off, i) =>
+      off + base + (if (i < rem) 1 else 0))
     val sketched = df
       .select(col(idCol).cast("long").as("id"), simHash(col(textCol)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sketched.select(
       col("id"), col("sh"),
-      explode(array((0 until chunks).map(i =>
+      explode(array((0 until chunks).map { i =>
+        val w = base + (if (i < rem) 1 else 0)
         struct(lit(i).as("chunk"),
-          shiftrightunsigned(col("sh"), i * w).bitwiseAND(lit((1L << w) - 1)).as("cv"))): _*))
+          shiftrightunsigned(col("sh"), offsets(i))
+            .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1)).as("cv"))
+      }: _*))
         .as("ck"))
       .select(col("id"), col("sh"), col("ck.chunk"), col("ck.cv"))
 

@@ -91,11 +91,21 @@ object Tables {
   def compact(spark: SparkSession, path: String, numFiles: Int): Unit = {
     val df = spark.read.parquet(path)
     val tmp = path.stripSuffix("/") + "__compact_tmp"
+    val bak = path.stripSuffix("/") + "__compact_bak"
     df.repartition(numFiles).write.mode("overwrite").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tmp), conf)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val bakPath = new org.apache.hadoop.fs.Path(bak)
+    // keep the original reachable until the swap succeeds: move it aside,
+    // move the compacted data in, then drop the backup; restore on failure
+    fs.delete(bakPath, true)
+    if (!fs.rename(dst, bakPath))
+      throw new java.io.IOException(s"compact: could not move $path aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      fs.rename(bakPath, dst) // restore the original
+      throw new java.io.IOException(s"compact: could not swap in $tmp, restored $path")
+    }
+    fs.delete(bakPath, true)
   }
 }

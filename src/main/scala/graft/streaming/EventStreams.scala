@@ -48,10 +48,13 @@ object EventStreams {
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
   /** Streaming exact dedup on event_id within the watermark horizon —
-    * the streaming analogue of Dedup.exact.
+    * the streaming analogue of Dedup.exact. dropDuplicatesWithinWatermark
+    * (not plain dropDuplicates) is what lets the watermark EVICT per-id
+    * state; with dropDuplicates("event_id") alone the state store grows
+    * one entry per id forever.
     */
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
   final case class Event(
       event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -86,7 +89,9 @@ object EventStreams {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.end <= gapMs =>
-            cur = Some(s.copy(end = t max s.end, n = s.n + 1, sum = s.sum + e.value))
+            // min on start: a late but in-watermark event may precede it
+            cur = Some(s.copy(start = t min s.start, end = t max s.end,
+              n = s.n + 1, sum = s.sum + e.value))
           case Some(s) =>
             closed ::= Session(userId, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.end), s.n, s.sum)

@@ -12,6 +12,11 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * [[VectorOpRewrites]], which recognizes the equivalent
   * aggregate(zip_with(a, b, *), 0.0, +) higher-order formulation and
   * swaps it for this fused loop.
+  *
+  * Null semantics deliberately mirror that HOF formulation so the
+  * session-wide rewrite can never change an answer: mismatched lengths
+  * (zip_with pads with null → multiply null → sum null) and null elements
+  * both yield NULL.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -23,15 +28,19 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "dot_product"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       dot += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -45,9 +54,14 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       s"""
          |double $dot = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else { $dot += $a.getDouble($i) * $b.getDouble($i); }
+         |  }
          |}
          |${ev.value} = $dot;
        """.stripMargin

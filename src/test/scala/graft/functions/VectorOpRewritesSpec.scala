@@ -33,6 +33,27 @@ class VectorOpRewritesSpec extends SparkSpec {
     assert(byId(2L) === -1.0)
   }
 
+  test("rewrite preserves null semantics: length mismatch and null elements give NULL") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType, containsNull = true)),
+      StructField("b", ArrayType(DoubleType, containsNull = true))))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Seq(1.0), Seq(1.0, 2.0)),          // length mismatch
+        Row(Seq(1.0, null), Seq(1.0, 2.0)),    // null element
+        Row(Seq(1.0, 2.0), Seq(3.0, 4.0)))),   // clean
+      schema)
+    val rows = d.select(
+      Similarity.dot(col("a"), col("b")).as("hof_or_rewritten"),
+      org.apache.spark.sql.graftnative.DotProduct(col("a"), col("b")).as("native"))
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    assert(rows(2).getDouble(0) === 11.0 && rows(2).getDouble(1) === 11.0)
+  }
+
   test("non-matching aggregations are left untouched") {
     // sum of squares of one array: same ArrayAggregate shape but no zip_with
     val q = df.select(

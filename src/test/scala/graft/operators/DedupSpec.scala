@@ -47,6 +47,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((4L, 6L)))
   }
 
+  test("simhash recall is complete up to maxHamming (blocks derived by pigeonhole)") {
+    // exhaustive ground truth: all pairs with bit_count(xor) <= 20
+    import org.apache.spark.sql.functions.{bit_count, col}
+    val sk = docs.select(col("doc_id").cast("long").as("id"),
+      Dedup.simHash(col("text")).as("sh"))
+    val truth = sk.as("a").join(sk.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int").as("h"))
+      .filter(col("h") <= 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.simHashPairs(docs, maxHamming = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found === truth)
+  }
+
   test("ngram jaccard computes the exact similarity") {
     val rows = Dedup.ngramJaccard(docs, threshold = 0.1)
       .collect().map(r => ((r.getLong(1), r.getLong(0)), r.getDouble(2))).toMap

@@ -28,7 +28,7 @@ def main(sf: str, out: str) -> int:
         except Exception as e:
             bad.append((name, f"ORACLE SQL ERROR: {e}"))
             continue
-        files = glob.glob(f"{out}/{name}/*.parquet")
+        files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
         if not files:
             bad.append((name, "NO SPARK OUTPUT"))
             continue
