@@ -649,7 +649,7 @@ object QueryCatalog {
       None),
 
     Q("q_dedup_simhash",
-      (s, dir) => Dedup.simHashPairs(t(s, dir, "documents"), maxHamming = 8),
+      (s, dir) => Dedup.simHashPairs(t(s, dir, "documents"), maxHamming = 4),
       None),
 
     Q("q_dedup_ngram_jaccard",
