@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join composed from bucketing + equi-join — the
+  * scalable rewrite of `points JOIN intervals ON start <= pt AND pt <= end`,
+  * which Spark would otherwise plan as a broadcast-nested-loop (O(n·m)
+  * comparisons and a broadcast of a whole side).
+  *
+  * Points map to one bucket of width `bucketSize`; intervals explode to
+  * every bucket they overlap; an equi-join on the bucket id followed by the
+  * exact band predicate gives the same pairs with a plain hash shuffle.
+  * Pick bucketSize ≈ the typical interval length: interval fan-out stays
+  * ~2 rows and the candidate set stays near the true result size. A point
+  * lies in exactly one bucket, so no pair can match twice — no dedup pass.
+  */
+object RangeJoin {
+
+  def intervalJoin(
+      points: DataFrame,
+      pt: Column,
+      intervals: DataFrame,
+      start: Column,
+      end: Column,
+      bucketSize: Long): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
+    val p = points.withColumn("__bucket", floor(pt / bucketSize).cast("long"))
+    val i = intervals
+      .withColumn("__bucket",
+        explode(sequence(
+          floor(start / bucketSize).cast("long"),
+          floor(end / bucketSize).cast("long"))))
+    p.join(i, Seq("__bucket"))
+      .filter(pt >= start && pt <= end)
+      .drop("__bucket")
+  }
+}

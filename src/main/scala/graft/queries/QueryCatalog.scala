@@ -491,6 +491,31 @@ object QueryCatalog {
                 ON c.user_id = p.user_id AND p.sec <= c.sec
               ORDER BY c.event_id""")),
 
+    // Range join composed as bucket + equi-join + band filter (Spark has no
+    // native range join; the naive inequality join is a nested loop).
+    // Oracle uses DuckDB's native inequality (IE) join — different
+    // algorithm, same semantics: lineitems shipped within 90 days of each
+    // order's date.
+    Q("q_range_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_shipdate"), datediff(col("l_shipdate"), lit("1970-01-01")).as("ship_day"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderpriority"),
+            datediff(col("o_orderdate"), lit("1970-01-01")).as("start_day"))
+          .withColumn("end_day", col("start_day") + 90)
+        graft.operators.RangeJoin.intervalJoin(
+            li, col("ship_day"), ord, col("start_day"), col("end_day"), bucketSize = 90)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n
+              FROM orders JOIN lineitem
+                ON l_shipdate >= o_orderdate
+               AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // Batch sessionization via window functions (the batch analog of
     // streaming.EventStreams.sessionize): session starts where the gap to
     // the previous event of the same user exceeds 30 min.
