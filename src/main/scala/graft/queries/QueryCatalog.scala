@@ -549,6 +549,32 @@ object QueryCatalog {
                 count(*) AS n_events
               FROM flagged GROUP BY user_id ORDER BY user_id""")),
 
+    // Batch time-bucketed aggregation (the batch twin of the streaming
+    // windowed counts): window() struct's start == DuckDB's time_bucket
+    Q("q_time_window_agg",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(col("window.start").as("bucket"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy("bucket", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+              count(*) AS n, round(sum(value), 2) AS total
+              FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""")),
+
+    // JSON column extraction (events.props holds JSON documents)
+    Q("q_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          round(avg("k"), 4).as("avg_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+              round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // HLL++ sketch profiling — the 100 TB path for exact countDistinct
     // (rows-only: DuckDB's approx sketch differs by construction)
     Q("q_approx_distinct",
