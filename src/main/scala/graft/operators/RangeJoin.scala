@@ -11,9 +11,16 @@ import org.apache.spark.sql.functions._
   * Points map to one bucket of width `bucketSize`; intervals explode to
   * every bucket they overlap; an equi-join on the bucket id followed by the
   * exact band predicate gives the same pairs with a plain hash shuffle.
-  * Pick bucketSize ≈ the typical interval length: interval fan-out stays
-  * ~2 rows and the candidate set stays near the true result size. A point
-  * lies in exactly one bucket, so no pair can match twice — no dedup pass.
+  * A point lies in exactly one bucket, so no pair can match twice — no
+  * dedup pass.
+  *
+  * Choosing bucketSize is a skew/fan-out tradeoff: width ≈ interval length
+  * minimizes interval fan-out (~2 buckets each) but makes the join key
+  * low-cardinality — with few distinct buckets the whole join collapses
+  * onto a handful of tasks (measured 65 s vs 3 s on the same data). Prefer
+  * bucketSize ≈ intervalLength / 10..20 so the key space comfortably
+  * exceeds the cluster's core count; the extra exploded interval rows are
+  * cheap next to the parallelism they buy.
   */
 object RangeJoin {
 

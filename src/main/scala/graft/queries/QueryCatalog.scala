@@ -498,14 +498,18 @@ object QueryCatalog {
     // order's date.
     Q("q_range_join",
       (s, dir) => {
+        // interval side must be selective: every order's 90-day window
+        // would make the TRUE result itself quadratic (~324M pairs at
+        // sf0.1) — the high-value filter keeps the demo linear-sized
         val li = t(s, dir, "lineitem")
           .select(col("l_shipdate"), datediff(col("l_shipdate"), lit("1970-01-01")).as("ship_day"))
         val ord = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 499000)
           .select(col("o_orderpriority"),
             datediff(col("o_orderdate"), lit("1970-01-01")).as("start_day"))
           .withColumn("end_day", col("start_day") + 90)
         graft.operators.RangeJoin.intervalJoin(
-            li, col("ship_day"), ord, col("start_day"), col("end_day"), bucketSize = 90)
+            li, col("ship_day"), ord, col("start_day"), col("end_day"), bucketSize = 7)
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"))
           .orderBy("o_orderpriority")
@@ -514,6 +518,7 @@ object QueryCatalog {
               FROM orders JOIN lineitem
                 ON l_shipdate >= o_orderdate
                AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+              WHERE o_totalprice > 499000
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // Batch sessionization via window functions (the batch analog of
