@@ -16,19 +16,29 @@ object Bench {
       selected.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
+    // NOTE: sketch tables persisted by dedup/similarity operators stay
+    // cached across the run on purpose — clearing the cache per query
+    // was measured 6x slower overall (unpersist churn + GC pressure) and
+    // warm sketch reuse is the realistic pipeline steady state
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      // NOTE: sketch tables persisted by dedup/similarity operators stay
-      // cached across the run on purpose — clearing the cache per query
-      // was measured 6x slower overall (unpersist churn + GC pressure) and
-      // warm sketch reuse is the realistic pipeline steady state
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query records -1.0, never its elapsed wall time
+      val sec =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the whole line < ~1.6 KB so log-tail
+    // capture (and the driver's JSON parse of it) never truncates it
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.values.filter(_ >= 0)
+    val total = BigDecimal(if (ok.nonEmpty) ok.sum else 0.0)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -79,19 +79,18 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    import org.apache.spark.storage.StorageLevel
 
     // Materialize the sketch table once (id, shingles, signature). Without
     // the persist, Catalyst's CollapseProject inlines the whole signature
     // expression into BOTH sides of the self-join and into every exploded
     // band — a 30x+ re-evaluation. At 100 TB this sketch table is the thing
     // you'd write to storage; locally MEMORY_AND_DISK is its analogue.
-    val sketched = df.select(
+    // Tracked in OperatorCaches: callers release via releaseAll().
+    val sketched = OperatorCaches.persistTracked(df.select(
         col(idCol).cast("long").as("id"),
         shingles(col(textCol), shingleK).as("sh"))
       .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
-      .select(col("id"), col("sh"), minHashSignature(col("hs"), numHashes).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), col("sh"), minHashSignature(col("hs"), numHashes).as("sig")))
 
     val banded = sketched.select(
       col("id"),
@@ -162,9 +161,8 @@ object Dedup {
     val rem = 64 % chunks
     val offsets = (0 until chunks).scanLeft(0)((off, i) =>
       off + base + (if (i < rem) 1 else 0))
-    val sketched = df
-      .select(col(idCol).cast("long").as("id"), simHash(col(textCol)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sketched = OperatorCaches.persistTracked(df
+      .select(col(idCol).cast("long").as("id"), simHash(col(textCol)).as("sh")))
     val banded = sketched.select(
       col("id"), col("sh"),
       explode(array((0 until chunks).map { i =>
@@ -191,11 +189,15 @@ object Dedup {
     * step after any pairwise method: pairs alone under-delete when dups
     * chain A~B~C without A~C).
     *
-    * Alternating large-star / small-star iterations (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond") expressed as
-    * DataFrame self-joins — each round is two shuffles on the edge list,
-    * converging in O(log n) rounds; no driver-side graph. Returns
+    * Min-label propagation: comp(v) ← min(comp(v), min comp over N(v)),
+    * iterated to fixpoint — rounds = component diameter, which for dedup
+    * clusters (dense near-clique dup groups) is 1–2. For graphs with long
+    * chains use [[connectedComponentsStar]] (O(log n) rounds). Returns
     * (id, component) where component = min id reachable.
+    *
+    * Convergence is detected with one aggregate per round, no join: every
+    * label is monotonically non-increasing, so sum(component) strictly
+    * decreases until the fixpoint (summed as decimal(38,0) — no wrap).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -205,14 +207,14 @@ object Dedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // min-label propagation: comp(v) ← min(comp(v), min comp over N(v)),
-    // iterated to fixpoint. Rounds = component diameter, which for dedup
-    // clusters is tiny; for adversarial long-chain graphs swap in the
-    // large-star/small-star contraction (O(log n) rounds), same interface.
     var labels = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
       .withColumn("component", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("component").cast("decimal(38,0)")).as("s"))
+      .head.getDecimal(0)
+    var prevSum = labelSum(labels)
 
     var converged = false
     var iter = 0
@@ -226,12 +228,18 @@ object Dedup {
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).isEmpty
-      labels.unpersist()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
+    // the final labels are materialized (labelSum ran an action), so the
+    // edge cache is no longer needed; the labels handle itself is tracked
+    // for the caller to release after its own action completes
+    edges.unpersist(blocking = false)
+    OperatorCaches.register(labels)
     labels
   }
 
@@ -268,15 +276,13 @@ object Dedup {
       maxDf: Int = 10000): DataFrame = {
     // posting list carries 8-byte shingle hashes, not shingle strings: the
     // self-join shuffles longs (64-bit collisions are negligible for |∩|)
-    val sh = df.select(col(idCol).cast("long").as("id"),
-        transform(shingles(col(textCol), k), s => xxhash64(s)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = OperatorCaches.persistTracked(df.select(col(idCol).cast("long").as("id"),
+        transform(shingles(col(textCol), k), s => xxhash64(s)).as("sh")))
     val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
     val posting = sh.select(col("id"), explode(col("sh")).as("s"))
-    val filtered = posting.join(
+    val filtered = OperatorCaches.persistTracked(posting.join(
         posting.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
-        Seq("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Seq("s")))
     val common = filtered.as("a").join(filtered.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -32,14 +32,19 @@ object RangeJoin {
       end: Column,
       bucketSize: Long): DataFrame = {
     require(bucketSize > 0, "bucketSize must be positive")
-    val p = points.withColumn("__bucket", floor(pt / bucketSize).cast("long"))
+    // collision-free temp key: a fixed "__bucket" would silently clobber a
+    // caller column of that name (and corrupt the drop below)
+    val taken = (points.columns ++ intervals.columns).toSet
+    val bucket = Iterator.from(0).map(i => s"__graft_bucket_$i")
+      .find(!taken.contains(_)).get
+    val p = points.withColumn(bucket, floor(pt / bucketSize).cast("long"))
     val i = intervals
-      .withColumn("__bucket",
+      .withColumn(bucket,
         explode(sequence(
           floor(start / bucketSize).cast("long"),
           floor(end / bucketSize).cast("long"))))
-    p.join(i, Seq("__bucket"))
+    p.join(i, Seq(bucket))
       .filter(pt >= start && pt <= end)
-      .drop("__bucket")
+      .drop(bucket)
   }
 }

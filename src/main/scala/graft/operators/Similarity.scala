@@ -179,10 +179,9 @@ object Similarity {
     val vd = toDouble(col(vecCol))
     // persist: the bucket expression (nPlanes dot products) must evaluate
     // once per vector, not once per band per join side
-    val sketched = df.select(
+    val sketched = OperatorCaches.persistTracked(df.select(
         col(idCol).cast("long").as("id"), vd.as("v"),
-        lshBucket(vd, dim, nPlanes).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        lshBucket(vd, dim, nPlanes).as("bucket")))
     val banded = sketched.select(
       col("id"), col("v"),
       explode(array((0 until bands).map(i =>

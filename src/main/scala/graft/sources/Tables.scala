@@ -29,11 +29,15 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .map(_ => df.withColumn("ts",
+    // keyed on the table NAME, not "any long column called ts": only the
+    // events table is known to carry nanos-as-long; a future table whose
+    // long ts is already micros/seconds must not be silently divided
+    if (name == "events" &&
+        df.schema.exists(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
+      df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000"))))
-      .getOrElse(df)
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else df
   }
 
   /** CSV dimension load with header inference (reference README.md:20). */

@@ -20,8 +20,11 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * no Row boxing like a Scala UDF. Float vectors arrive via the implicit
   * array<float> → array<double> input cast.
   *
-  * Null behavior: null on null input; mismatched lengths compare the
-  * common prefix (callers guarantee equal dims).
+  * Null behavior (SQL-facing, so defensive): null on null input, null on
+  * dimension mismatch, null if either array contains a null element, and
+  * null when either vector has zero norm — 0/0 would yield NaN, and NaN
+  * sorts above every real similarity in descending order, silently
+  * winning top-k. eval and codegen are kept in lockstep.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -33,17 +36,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  // nullable even when children aren't: zero-norm / mismatch / null
+  // element produce null past the nullIntolerant input check
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_sim"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i)
       val yi = y.getDouble(i)
       dot += xi * yi
@@ -51,7 +60,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 || ny == 0.0) null
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -64,16 +74,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi;
-         |  $nx += $xi * $xi;
-         |  $ny += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi;
+         |    $nx += $xi * $xi;
+         |    $ny += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    if ($nx == 0.0 || $ny == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |    }
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

@@ -44,6 +44,33 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(n.select(CosineSimilarity(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("zero norm, dim mismatch, and null elements yield null (interpreted + codegen)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some(Array(Option(0.0), Option(0.0))), Some(Array(Option(1.0), Option(2.0)))), // zero left norm
+      (2L, Some(Array(Option(1.0), Option(2.0))), Some(Array(Option(0.0), Option(0.0)))), // zero right norm
+      (3L, Some(Array(Option(1.0), Option(2.0))), Some(Array(Option(1.0)))),              // dim mismatch
+      (4L, Some(Array(Option(1.0), None)), Some(Array(Option(1.0), Option(2.0)))),        // null element
+      (5L, Some(Array(Option(3.0), Option(4.0))), Some(Array(Option(3.0), Option(4.0)))))  // control
+      .toDF("id", "a", "b")
+    // codegen path: repartition defeats local-relation constant folding
+    val gen = rows.repartition(2)
+      .select(col("id"), CosineSimilarity(col("a"), col("b")).as("c")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(gen(1L).isEmpty && gen(2L).isEmpty && gen(3L).isEmpty && gen(4L).isEmpty)
+    assert(math.abs(gen(5L).get - 1.0) < 1e-12)
+    // interpreted path must agree (eval/codegen lockstep)
+    val interp = rows
+      .select(col("id"), CosineSimilarity(col("a"), col("b")).as("c")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(interp == gen)
+    // the top-k failure mode this prevents: a zero vector must not rank
+    // above real matches under descending sort (NaN would)
+    val best = rows.select(col("id"), CosineSimilarity(col("a"), col("b")).as("c"))
+      .orderBy(col("c").desc).head()
+    assert(best.getLong(0) == 5L)
+  }
+
   test("SQL registration exposes cosine_sim") {
     CosineSimilarity.register(spark)
     df.createOrReplaceTempView("vecs")

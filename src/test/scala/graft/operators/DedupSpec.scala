@@ -73,4 +73,16 @@ class DedupSpec extends SparkSpec {
     val j13 = rows.getOrElse((3L, 1L), rows((1L, 3L)))
     assert(j13 === 0.4)
   }
+
+  test("operator-internal caches are tracked and releasable") {
+    OperatorCaches.releaseAll()
+    assert(OperatorCaches.liveCount === 0)
+    val pairs = Dedup.minHashLsh(docs, threshold = 0.3)
+    val before = pairs.count()
+    assert(OperatorCaches.liveCount > 0)
+    OperatorCaches.releaseAll()
+    assert(OperatorCaches.liveCount === 0)
+    // releasing is correctness-neutral: the frame recomputes from lineage
+    assert(pairs.count() === before)
+  }
 }

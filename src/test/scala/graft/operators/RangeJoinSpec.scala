@@ -33,4 +33,19 @@ class RangeJoinSpec extends SparkSpec {
       .select("v").collect().map(_.getLong(0)).sorted
     assert(matched.toSeq === Seq(10L, 15L, 20L))
   }
+
+  test("caller columns named like the internal bucket key survive intact") {
+    import spark.implicits._
+    // both inputs already carry the names the implementation would want
+    val pts = Seq((10L, "keep-p"), (15L, "keep-p2"))
+      .toDF("v", "__graft_bucket_0")
+    val ivs = Seq((1L, 10L, 20L, "keep-i")).toDF("iv_id", "s", "e", "__graft_bucket_1")
+    val out = RangeJoin.intervalJoin(pts, col("v"), ivs, col("s"), col("e"), 7)
+    assert(out.columns.count(_ == "__graft_bucket_0") == 1)
+    assert(out.columns.count(_ == "__graft_bucket_1") == 1)
+    val rows = out.orderBy("v").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("__graft_bucket_0")).toSeq == Seq("keep-p", "keep-p2"))
+    assert(rows.forall(_.getAs[String]("__graft_bucket_1") == "keep-i"))
+  }
 }

@@ -75,4 +75,19 @@ class TablesSpec extends SparkSpec {
       "left_semi")
     assert(airportTrips.count() === 1) // the JFK pickup row
   }
+
+  test("nanos ts repair applies only to the events table, not any long 'ts'") {
+    import spark.implicits._
+    // a future table whose long ts is ALREADY micros must come back verbatim
+    val micros = 1704067200000000L // 2024-01-01T00:00:00 in micros
+    val dir = s"$tmp/tsrepair"
+    Seq((1L, micros)).toDF("id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/ledger.parquet")
+    val back = Tables.load(spark, dir, "ledger")
+    assert(back.schema("ts").dataType.typeName === "long")
+    assert(back.head().getLong(1) === micros)
+    // the events table itself still gets the nanos→micros repair
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    assert(ev.schema("ts").dataType.typeName === "timestamp")
+  }
 }
