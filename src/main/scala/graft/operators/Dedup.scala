@@ -48,6 +48,21 @@ object Dedup {
       .groupBy("h")
       .agg(min(col(idCol)).cast("long").as("keep_id"), count(lit(1)).as("copies"))
 
+  /** Incremental exact dedup: keep only the rows of `newDf` whose text does
+    * not already appear in `baseDf` — the every-ingest operation of a
+    * growing corpus (dedup the new crawl against everything kept so far).
+    * Anti-join on md5 digests, so the shuffle carries 16-byte keys, never
+    * document bodies; at 100 TB the base corpus side is a digest column
+    * scan, and a pre-computed digest table makes it a pure key join.
+    */
+  def incrementalExact(
+      newDf: DataFrame,
+      baseDf: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val seen = baseDf.select(md5(col(textCol)).as("__graft_seen_h")).distinct()
+    newDf.join(seen, md5(newDf(textCol)) === seen("__graft_seen_h"), "left_anti")
+  }
+
   /** MinHash signature from a column of pre-hashed shingles (array<long>):
     * numHashes independent families realized as xxhash64(h, seed_i) —
     * re-seeding the hash beats (a*x+b) mod p both for speed (no modulo) and
@@ -207,10 +222,13 @@ object Dedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // labels lineage is truncated per round (localCheckpoint): round k's
+    // plan would otherwise embed rounds 0..k-1 and Catalyst re-analysis
+    // would dominate — see connectedComponentsStar for the measurement
     var labels = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
       .withColumn("component", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal = df
       .agg(sum(col("component").cast("decimal(38,0)")).as("s"))
       .head.getDecimal(0)
@@ -227,34 +245,103 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      labels.unpersist(blocking = false)
-      labels = next
+      labels = next // superseded checkpoints are dropped by the ContextCleaner
       iter += 1
     }
-    // the final labels are materialized (labelSum ran an action), so the
-    // edge cache is no longer needed; the labels handle itself is tracked
-    // for the caller to release after its own action completes
+    // labels are materialized checkpoint blocks; the edge cache can go now
     edges.unpersist(blocking = false)
-    OperatorCaches.register(labels)
     labels
+  }
+
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — O(log n) rounds regardless of component diameter, vs the
+    * O(diameter) of [[connectedComponents]]'s label propagation. Same
+    * contract: input (id_a, id_b) pairs, output (id, component = min id
+    * reachable). Prefer this for graphs that can chain (provenance links,
+    * URL graphs); min-label stays the default for near-clique dup groups
+    * where diameter ≈ 1 and each round is cheaper.
+    *
+    * Each round is two grouped-min shuffles over an edge list that only
+    * ever holds 8-byte endpoint pairs — no adjacency materialization, no
+    * driver-side graph. Convergence = edge-set fixpoint (the edges form
+    * stars around component minima), checked with two anti-joins.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // canonical undirected edges (lo < hi), self-loops dropped
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+
+    // Lineage MUST be truncated per round: each round's plan embeds the
+    // previous round's, so without truncation Catalyst re-analyzes an
+    // exponentially growing tree and planning time dwarfs execution
+    // (measured: round 2 already 20 s on a 10-node chain). localCheckpoint
+    // materializes partitions and replaces the plan with a LogicalRDD —
+    // on a real cluster swap for reliable checkpoint() on executor loss.
+    // It also means the (possibly expensive) `pairs` input evaluates once.
+    val pairs0 = pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      .localCheckpoint()
+    val nodes = pairs0.select(col("src").as("id"))
+      .union(pairs0.select(col("dst").as("id")))
+      .distinct()
+    var edges = canon(pairs0).localCheckpoint()
+
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star(u): m = min(N(u) ∪ {u}); link every LARGER neighbor to m
+      val adj = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = adj.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = canon(adj.join(mins, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst")))
+      // small-star(u): m = min of the strictly-smaller neighborhood;
+      // link u and every smaller neighbor to m
+      val adj2 = ls.select(col("hi").as("u"), col("lo").as("v")) // v < u by canon
+      val mins2 = adj2.groupBy("u").agg(min("v").as("m"))
+      val ss = canon(
+        adj2.join(mins2, Seq("u"))
+          .select(col("v").as("src"), col("m").as("dst"))
+          .union(mins2.select(col("u").as("src"), col("m").as("dst"))))
+        .localCheckpoint()
+      converged = ss.except(edges).isEmpty && edges.except(ss).isEmpty
+      edges = ss // superseded checkpoint blocks are dropped by the ContextCleaner
+      iter += 1
+    }
+    // fixpoint is a forest of stars centered on each component's min id
+    nodes
+      .join(edges.select(col("hi").as("id"), col("lo").as("component"))
+        .groupBy("id").agg(min("component").as("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** End-to-end fuzzy dedup: minhash-LSH pairs → connected components →
     * per-cluster representative (min id). Returns (id, component, keep).
+    * `useStar` switches the clustering to [[connectedComponentsStar]]; the
+    * labels are identical either way (component = min reachable id).
     */
   def fuzzyDedupClusters(
       df: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      useStar: Boolean = false): DataFrame = {
     val pairs = minHashLsh(df, idCol, textCol, threshold = threshold)
     val allIds = df.select(col(idCol).cast("long").as("id_a"))
       .withColumn("id_b", col("id_a"))
-    val comps = connectedComponents(pairs.select("id_a", "id_b").union(allIds))
+    val allPairs = pairs.select("id_a", "id_b").union(allIds)
+    val comps =
+      if (useStar) connectedComponentsStar(allPairs)
+      else connectedComponents(allPairs)
     comps.withColumn("keep", col("id") === col("component"))
       .orderBy("component", "id")
   }

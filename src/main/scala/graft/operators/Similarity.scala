@@ -132,13 +132,72 @@ object Similarity {
       .orderBy("h").limit(k)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    (ivfAssignWith(df, centroids, vecCol), centroids)
+  }
+
+  /** Distributed spherical k-means (Lloyd's) for IVF coarse quantization.
+    *
+    * Init = the same hash-deterministic sample ivfAssign uses; each round:
+    * (1) assign every vector to its max-cosine centroid (narrow map — the
+    * k centroids ride along as literals; for k·d beyond a few thousand
+    * doubles, broadcast-join a centroid table instead, same plan shape),
+    * (2) new centroid = elementwise mean of members via posexplode →
+    * groupBy(cid, pos) avg — a map-side-combined shuffle of k·d partial
+    * sums, never the vectors themselves. Driver only ever holds k·d
+    * doubles. Cosine assignment + mean update = spherical k-means; the
+    * mean objective is monotone, so a handful of rounds suffice for a
+    * coarse quantizer. Empty clusters keep their previous centroid.
+    */
+  def kmeansCentroids(
+      df: DataFrame,
+      k: Int = 16,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[(Long, Seq[Double])] = {
+    var centroids: Array[(Long, Seq[Double])] = df
+      .select(col(idCol).cast("long").as("cid"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("h", xxhash64(col("cid")))
+      .orderBy("h").limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toSeq) }
+    if (iters == 0) return centroids
+    val vecs = OperatorCaches.persistTracked(
+      df.select(toDouble(col(vecCol)).as("v")).filter(col("v").isNotNull))
+    for (_ <- 1 to iters) {
+      val scored = centroids.map { case (cid, cv) =>
+        // zero-norm vectors score -2 (below any real cosine) so they still
+        // land in some cluster instead of producing a null assignment
+        struct(coalesce(cosine(col("v"), array(cv.map(lit): _*)), lit(-2.0)).as("sim"),
+          lit(cid).as("cid"))
+      }
+      val means = vecs
+        .withColumn("cid", array_max(array(scored.toIndexedSeq: _*)).getField("cid"))
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy("cid", "pos").agg(avg("col").as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    centroids
+  }
+
+  /** Assign `centroid_id` from a given (trained or sampled) centroid set —
+    * the narrow-map half of ivfAssign, reusable with kmeansCentroids.
+    */
+  def ivfAssignWith(
+      df: DataFrame,
+      centroids: Array[(Long, Seq[Double])],
+      vecCol: String = "embedding"): DataFrame = {
     val scored = centroids.map { case (cid, cv) =>
-      struct(cosine(toDouble(col(vecCol)), array(cv.map(lit): _*)).as("sim"),
+      struct(coalesce(cosine(toDouble(col(vecCol)), array(cv.map(lit): _*)), lit(-2.0)).as("sim"),
         lit(cid).as("cid"))
     }
-    val assigned = df.withColumn("centroid_id",
+    df.withColumn("centroid_id",
       array_max(array(scored.toIndexedSeq: _*)).getField("cid"))
-    (assigned, centroids)
   }
 
   /** Query the IVF-assigned table: probe the nProbe nearest centroids, then

@@ -146,6 +146,26 @@ object TextAnalysis {
     * chain over the token stream. Content-identical docs collide exactly;
     * any reorder/edit changes the print. One narrow pass, overflow-free.
     */
+  /** TF-IDF over whitespace tokens: per-(doc, token) term frequency,
+    * per-token document frequency, idf = ln((N+1)/(df+1)). Returns one row
+    * per (doc_id, tok) with tf, df, and tfidf — callers aggregate/rank
+    * from there. All shuffles carry (token, counts); the doc-count scalar
+    * rides in via a 1-row broadcast cross join, not a driver constant, so
+    * the plan is a single job at any scale.
+    */
+  def tfidf(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log((col("__n") + 1.0) / (col("df") + 1.0)))
+      .drop("__n")
+  }
+
   def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("fingerprint",
       aggregate(

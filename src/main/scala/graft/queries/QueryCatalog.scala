@@ -716,6 +716,56 @@ object QueryCatalog {
       (s, dir) => Dedup.fuzzyDedupClusters(t(s, dir, "documents"), threshold = 0.2),
       None),
 
+    // same clustering via large-star/small-star (O(log n) rounds) — labels
+    // must equal q_dedup_clusters exactly; driver sees both row counts agree
+    Q("q_dedup_clusters_star",
+      (s, dir) => Dedup.fuzzyDedupClusters(t(s, dir, "documents"), threshold = 0.2,
+        useStar = true),
+      None),
+
+    // incremental ingest dedup: a simulated re-crawl batch (ids shifted by
+    // 1000; every 3rd doc edited) anti-joined against the existing corpus
+    // on text digest — only the edited docs survive
+    Q("q_dedup_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val newBatch = docs.select(
+          (col("doc_id") + 1000).as("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        Dedup.incrementalExact(newBatch, docs)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH newb AS (
+                SELECT doc_id + 1000 AS doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+                FROM documents)
+              SELECT n.doc_id FROM newb n
+              ANTI JOIN documents o ON md5(n.text) = md5(o.text)
+              ORDER BY doc_id""")),
+
+    // TF-IDF: highest-salience tokens by average tf-idf across the corpus
+    // ordering is on the ROUNDED score: raw float averages differ in ulps
+    // between engines (summation order), which would flip near-equal ranks
+    Q("q_tfidf",
+      (s, dir) => TextAnalysis.tfidf(t(s, dir, "documents"))
+        .groupBy("tok", "df").agg(round(avg("tfidf"), 4).as("tfidf"))
+        .orderBy(col("tfidf").desc, col("tok"))
+        .limit(15)
+        .select("tok", "df", "tfidf"),
+      Some("""WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+              tf AS (
+                SELECT doc_id, tok, count(*) AS tf FROM toks
+                WHERE tok <> '' GROUP BY doc_id, tok),
+              dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+              n AS (SELECT count(*) AS n FROM documents)
+              SELECT tok, df, round(avg(tf * ln((n.n + 1.0) / (df + 1.0))), 4) AS tfidf
+              FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+              GROUP BY tok, df, n.n
+              ORDER BY tfidf DESC, tok
+              LIMIT 15""")),
+
     Q("q_text_repetition",
       (s, dir) => TextAnalysis.repetitionMetrics(t(s, dir, "documents"))
         .select("doc_id", "dup_token_ratio", "top_bigram_ratio")
@@ -819,6 +869,53 @@ object QueryCatalog {
         val q = Similarity.collectQueryVec(emb, 0)
         val (assigned, centroids) = Similarity.ivfAssign(emb.filter(col("vec_id") =!= 0))
         Similarity.ivfTopK(assigned, centroids, q, k = 10, nProbe = 4)
+      },
+      None),
+
+    // top-k similarity JOIN (every query vector against the corpus at
+    // once): broadcast the 3-row query side through a nested-loop cross
+    // join (narrow — no shuffle of the corpus), then the custom
+    // TopKPerKey operator keeps a bounded heap per query instead of
+    // sorting all N·Q scored pairs
+    Q("q_sim_join_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"),
+            Similarity.toDouble(col("embedding")).as("qv"))
+        val corpus = emb.filter(col("vec_id") >= 3)
+          .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("cv"))
+        val scored = corpus.crossJoin(broadcast(queries))
+          .select(col("q_id"), col("vec_id"),
+            Similarity.cosine(col("qv"), col("cv")).as("sim_raw"))
+        org.apache.spark.sql.graftnative.TopKPerKey(
+            scored, keyCols = Seq("q_id"),
+            orderCols = Seq(col("sim_raw").desc, col("vec_id")), k = 3)
+          .select(col("q_id"), col("vec_id"), round(col("sim_raw"), 4).as("sim"))
+          .orderBy("q_id", "vec_id")
+      },
+      Some("""SELECT q_id, vec_id, round(sim_raw, 4) AS sim FROM (
+                SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                       list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])) AS sim_raw,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                         CAST(c.embedding AS DOUBLE[])) DESC,
+                                  c.vec_id) AS rn
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 3 AND c.vec_id >= 3) WHERE rn <= 3
+              ORDER BY q_id, vec_id""")),
+
+    // IVF with Lloyd-trained (spherical k-means) centroids instead of the
+    // hash sample — better cell balance, same partition-prunable plan
+    Q("q_ann_ivf_kmeans",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = Similarity.collectQueryVec(emb, 0)
+        val rest = emb.filter(col("vec_id") =!= 0)
+        val centroids = Similarity.kmeansCentroids(rest, k = 16, iters = 3)
+        Similarity.ivfTopK(Similarity.ivfAssignWith(rest, centroids), centroids,
+          q, k = 10, nProbe = 4)
       },
       None)
   )

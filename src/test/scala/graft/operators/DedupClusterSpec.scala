@@ -16,6 +16,31 @@ class DedupClusterSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("large-star/small-star agrees with label propagation on chains and random graphs") {
+    import spark.implicits._
+    // 60-node chain: worst case for label propagation (diameter 59),
+    // log-round case for star contraction
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val viaStar = Dedup.connectedComponentsStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar.size == 60 && viaStar.values.forall(_ == 1L))
+
+    // seeded random graph: star and min-label must produce identical labels
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(150)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = edges.toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === prop)
+
+    // empty edge list degenerates cleanly
+    assert(Dedup.connectedComponentsStar(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .isEmpty)
+  }
+
   test("fuzzy dedup clusters chain A~B~C into one cluster with one keeper") {
     import spark.implicits._
     val docs = Seq(

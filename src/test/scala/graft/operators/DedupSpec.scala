@@ -74,6 +74,21 @@ class DedupSpec extends SparkSpec {
     assert(j13 === 0.4)
   }
 
+  test("incremental dedup keeps only texts unseen in the base corpus") {
+    import spark.implicits._
+    val base = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "alpha beta"),     // exact dup of base 1 → dropped
+      (11L, "gamma delta"),    // exact dup of base 2 → dropped
+      (12L, "epsilon zeta")    // genuinely new → kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(fresh, base).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(12L))
+    // self-dedup degenerates to empty
+    assert(Dedup.incrementalExact(base, base).isEmpty)
+  }
+
   test("operator-internal caches are tracked and releasable") {
     OperatorCaches.releaseAll()
     assert(OperatorCaches.liveCount === 0)

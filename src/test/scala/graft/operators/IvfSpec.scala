@@ -28,6 +28,34 @@ class IvfSpec extends SparkSpec {
     assert((exact intersect ivf).size >= 6, s"recall too low: $exact vs $ivf")
   }
 
+  test("k-means training monotonically improves the spherical objective") {
+    def objective(cs: Array[(Long, Seq[Double])]): Double = {
+      val scored = cs.map { case (cid, cv) =>
+        struct(coalesce(Similarity.cosine(Similarity.toDouble(col("embedding")),
+          array(cv.map(lit): _*)), lit(-2.0)).as("sim"), lit(cid).as("cid"))
+      }
+      emb.select(array_max(array(scored.toIndexedSeq: _*)).getField("sim").as("s"))
+        .agg(avg("s")).head().getDouble(0)
+    }
+    val init = Similarity.kmeansCentroids(emb, k = 8, iters = 0)
+    val trained = Similarity.kmeansCentroids(emb, k = 8, iters = 3)
+    assert(trained.length === 8)
+    assert(trained.map(_._1).toSeq === (0L until 8L)) // stable cluster ids
+    assert(objective(trained) >= objective(init) - 1e-9)
+  }
+
+  test("trained centroids slot into the same IVF plan; probe-all stays exact") {
+    val q = Similarity.collectQueryVec(emb, 0)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(rest, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val centroids = Similarity.kmeansCentroids(rest, k = 8, iters = 3)
+    val assigned = Similarity.ivfAssignWith(rest, centroids)
+    val ivf = Similarity.ivfTopK(assigned, centroids, q, k = 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf === exact)
+  }
+
   test("probing all centroids equals brute force exactly") {
     val q = Similarity.collectQueryVec(emb, 0)
     val rest = emb.filter(col("vec_id") =!= 0)
