@@ -40,19 +40,32 @@ case class TopKPerKeyNode(
     copy(child = newChild)
 }
 
+/** `partial = true` is the map-side instance: it runs BEFORE the exchange
+  * with no distribution requirement and prunes each input partition to its
+  * local per-key top-k — correct because a row outside its partition's
+  * top-k cannot be in the global top-k. The shuffle then moves at most
+  * partitions·keys·k rows instead of everything, the same contract as
+  * partial aggregation (worst case, all-distinct keys, it's a no-op pass —
+  * same trade Spark's own partial HashAggregate makes).
+  */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     sortOrder: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  /** All rows of one key must be co-located; Catalyst inserts the hash
-    * exchange (or reuses an existing compatible partitioning).
+  /** Final instance: all rows of one key co-located; Catalyst inserts the
+    * hash exchange (or reuses an existing compatible partitioning).
     */
   override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(keys))
+    if (partial) super.requiredChildDistribution
+    else Seq(ClusteredDistribution(keys))
+
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
 
   override protected def doExecute(): RDD[InternalRow] = {
     val localKeys = keys
@@ -88,7 +101,10 @@ case class TopKPerKeyExec(
 object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      // partial (map-side) prune → exchange (inserted by EnsureRequirements
+      // between the two) → final per-key top-k
+      TopKPerKeyExec(keys, order, k,
+        TopKPerKeyExec(keys, order, k, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }

@@ -36,6 +36,10 @@ class TopKPerKeySpec extends SparkSpec {
     q.collect()
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), plan)
+    // map-side partial prune feeds the exchange: only partitions·keys·k
+    // rows shuffle, not every input row
+    assert(plan.contains("TopKPerKeyPartial"), plan)
+    assert(plan.indexOf("TopKPerKeyPartial") > plan.indexOf("Exchange hashpartitioning"), plan)
     assert(plan.contains("Exchange hashpartitioning"), plan)
     assert(!plan.contains("Window"), plan)
     assert(!plan.contains("Sort "), plan) // no full partition sort anywhere
