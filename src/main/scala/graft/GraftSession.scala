@@ -25,6 +25,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime bloom-filter pruning: for a shuffle join with a selective
+      // filter on one side, inject a bloom filter of that side's join keys
+      // into the other side's SCAN, so non-matching fact rows die before
+      // the exchange. Thresholds stay at defaults (creation side ≤ 10 MB,
+      // application side ≥ 10 GB) — exactly the 100 TB fact-to-dim shape;
+      // RuntimeFilterSpec forces low thresholds to exercise it locally.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -56,6 +56,34 @@ object EventStreams {
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join with an event-time range: pair each left
+    * event with right events of the same user arriving within
+    * `withinMinutes` AFTER it (e.g. click → purchase attribution).
+    *
+    * Both sides are watermarked and the join condition bounds event time on
+    * both sides — that pair of constraints is what lets Spark EVICT
+    * buffered rows from the join state store once the watermark passes the
+    * interval; an unbounded condition would buffer both streams forever.
+    */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      withinMinutes: Int = 30,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("l_id"), col("user_id"),
+        col("ts").as("l_ts"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"), col("event_type").as("r_type"))
+    l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("l_id"), col("r_id"), col("user_id"),
+        col("l_ts"), col("r_ts"), col("l_type"), col("r_type"))
+  }
+
   final case class Event(
       event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

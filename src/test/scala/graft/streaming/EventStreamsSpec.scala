@@ -56,6 +56,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(tiers(3L) === null) // left join keeps unmatched stream rows
   }
 
+  test("stream-stream interval join pairs events within the window, drops the rest") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = streamStreamJoin(clicks.toDF(), buys.toDF(), withinMinutes = 30)
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    clicks.addData(
+      ev(1, "2024-01-01 10:00:00", user = 1L),
+      ev(2, "2024-01-01 10:00:00", user = 2L))
+    buys.addData(
+      ev(100, "2024-01-01 10:10:00", user = 1L, typ = "buy"), // within 30 min → match
+      ev(101, "2024-01-01 11:30:00", user = 2L, typ = "buy"), // 90 min later → no match
+      ev(102, "2024-01-01 09:50:00", user = 1L, typ = "buy")) // before the click → no match
+    q.processAllAvailable()
+    val pairs = spark.table("ssj").collect()
+      .map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id")))
+    q.stop()
+    assert(pairs.toSeq === Seq((1L, 100L)))
+  }
+
   test("streaming dedup drops repeated event_ids") {
     val spark0 = spark
     import spark0.implicits._
