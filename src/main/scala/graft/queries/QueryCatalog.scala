@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{Dedup, Profiling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Profiling, Similarity, SkewJoin, TextAnalysis}
 
 /** One catalog entry: a Spark implementation plus (when SQL-expressible) a
   * DuckDB oracle over the same parquet tables. Column names are aligned
@@ -170,6 +170,36 @@ object QueryCatalog {
       Some("""SELECT c_mktsegment, count(*) AS n FROM customer
               WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // salted equi-join: hot fact keys spread over 8 sub-keys, dim side
+    // replicated 8x — semantics must equal the plain join (the oracle IS
+    // the plain join), only the shuffle distribution changes
+    Q("q_join_salted",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("okey"), col("l_quantity"), col("l_extendedprice"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+        SkewJoin.saltedEquiJoin(li, ord, "okey", discriminator = col("l_extendedprice"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"),
+            round(sum("l_extendedprice"), 2).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS qty,
+                     round(sum(l_extendedprice), 2) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // salted two-phase aggregation for extreme key skew: partial on
+    // (key, salt), final on key — equals the direct grouped aggregate
+    Q("q_agg_salted",
+      (s, dir) => SkewJoin.saltedSumCount(
+          t(s, dir, "lineitem"), "l_returnflag", "l_quantity")
+        .select(col("l_returnflag"), col("sum").as("sum_qty"), col("count").as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // -------------------------------------------------------------- windows
     // (reference §2e: rank over partition; plus running agg for frames)
