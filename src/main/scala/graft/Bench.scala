@@ -38,9 +38,10 @@ object Bench {
       // a failure in either pass stays a failure
       k -> (if (v1 < 0 || v2 < 0) -1.0 else math.min(v1, v2))
     }
-    // 3-decimal rounding keeps the whole line < ~1.6 KB so log-tail
-    // capture (and the driver's JSON parse of it) never truncates it
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // 2-decimal rounding keeps the whole line well under the ~2.3 KB
+    // log-tail capture (the driver parses the tail; round 1's 9-decimal
+    // line outran it and the round lost its bench numbers)
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val ok = results.values.filter(_ >= 0)

@@ -171,6 +171,40 @@ object QueryCatalog {
               WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // null-safe equality join (<=>): null keys MATCH null keys, unlike =
+    // where NULL = NULL is unknown and the row vanishes — SQL 3VL parity
+    // checked against DuckDB's IS NOT DISTINCT FROM
+    Q("q_join_nullsafe",
+      (s, dir) => {
+        val cust = t(s, dir, "customer").withColumn("nk",
+          when(col("c_nationkey") === 3, lit(null)).otherwise(col("c_nationkey")))
+        val nat = t(s, dir, "nation").withColumn("nk2",
+          when(col("n_nationkey") === 3, lit(null)).otherwise(col("n_nationkey")))
+        cust.join(nat, col("nk") <=> col("nk2"))
+          .groupBy("n_name").agg(count(lit(1)).as("n"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, count(*) AS n
+              FROM (SELECT CASE WHEN c_nationkey = 3 THEN NULL
+                           ELSE c_nationkey END AS nk FROM customer) c
+              JOIN (SELECT n_name, CASE WHEN n_nationkey = 3 THEN NULL
+                           ELSE n_nationkey END AS nk2 FROM nation) n
+                ON c.nk IS NOT DISTINCT FROM n.nk2
+              GROUP BY n_name ORDER BY n_name""")),
+
+    // schema-evolution union: columns matched by NAME across different
+    // orders (the multi-batch ingest shape), vs DuckDB UNION ALL BY NAME
+    Q("q_union_by_name",
+      (s, dir) => {
+        val a = t(s, dir, "region").select(col("r_regionkey").as("k"), col("r_name").as("name"))
+        val b = t(s, dir, "nation").select(col("n_name").as("name"), col("n_nationkey").as("k"))
+        a.unionByName(b).orderBy("k", "name")
+      },
+      Some("""SELECT r_regionkey AS k, r_name AS name FROM region
+              UNION ALL BY NAME
+              SELECT n_name AS name, n_nationkey AS k FROM nation
+              ORDER BY k, name""")),
+
     // salted equi-join: hot fact keys spread over 8 sub-keys, dim side
     // replicated 8x — semantics must equal the plain join (the oracle IS
     // the plain join), only the shuffle distribution changes
@@ -232,6 +266,24 @@ object QueryCatalog {
               round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS run_sum
               FROM events ORDER BY user_id, event_id""")),
+
+    // value-based RANGE frame (vs the ROWS frame above): all orders within
+    // the last 30 days per customer — peer rows share one frame
+    Q("q_window_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-30, 0)
+        t(s, dir, "orders")
+          .withColumn("d", datediff(col("o_orderdate"), lit("1990-01-01")))
+          .select(col("o_custkey"), col("d"),
+            count(lit(1)).over(w).as("n_30d"))
+          .orderBy("o_custkey", "d")
+      },
+      Some("""SELECT o_custkey, d, count(*) OVER (PARTITION BY o_custkey
+                ORDER BY d RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_30d
+              FROM (SELECT o_custkey,
+                      datediff('day', DATE '1990-01-01', o_orderdate) AS d
+                    FROM orders)
+              ORDER BY o_custkey, d""")),
 
     // --------------------------------------------------------- sorts, top-k
     // (reference §2f: orderBy(desc).limit → TakeOrderedAndProject)
