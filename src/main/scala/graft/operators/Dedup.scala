@@ -336,13 +336,16 @@ object Dedup {
       threshold: Double = 0.5,
       useStar: Boolean = false): DataFrame = {
     val pairs = minHashLsh(df, idCol, textCol, threshold = threshold)
-    val allIds = df.select(col(idCol).cast("long").as("id_a"))
-      .withColumn("id_b", col("id_a"))
-    val allPairs = pairs.select("id_a", "id_b").union(allIds)
+    // iterate ONLY over nodes that have edges (dup-group members — usually
+    // a small fraction of the corpus); the singleton majority joins back
+    // afterwards as its own component, so no per-round shuffle carries it
     val comps =
-      if (useStar) connectedComponentsStar(allPairs)
-      else connectedComponents(allPairs)
-    comps.withColumn("keep", col("id") === col("component"))
+      if (useStar) connectedComponentsStar(pairs)
+      else connectedComponents(pairs)
+    df.select(col(idCol).cast("long").as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .withColumn("keep", col("id") === col("component"))
       .orderBy("component", "id")
   }
 
