@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-shape regression guard: the scale properties the engine is built
+  * around, asserted on the planned (pre-execution) physical plans of the
+  * driver-facing catalog, so a refactor that silently de-optimizes a
+  * query fails here rather than at 100 TB.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no catalog query plans a CartesianProduct") {
+    // the one intended unkeyed join (q_sim_join_topk) broadcasts its 3-row
+    // side as BroadcastNestedLoopJoin — CartesianProduct must appear nowhere
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    }
+  }
+
+  test("filters and projection reach the parquet scan") {
+    val p = planOf("q_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    // pruned read schema, not the full 16-column lineitem
+    assert(!p.contains("l_comment"), p)
+  }
+
+  test("joins plan as hash equi-joins, strategy picked by stats") {
+    assert(planOf("q_join_broadcast_dims").contains("BroadcastHashJoin"))
+    // at sf0.001 the orders side fits the broadcast threshold, so Catalyst
+    // rightly broadcasts what would shuffle at 100 TB — assert it's an
+    // equi-join of SOME hash flavor, not a nested loop
+    val rev = planOf("q_join_shuffle_revenue")
+    assert(Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .exists(rev.contains), rev)
+    assert(!rev.contains("NestedLoop"), rev)
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, never a full sort") {
+    val p = planOf("q_topk_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("aggregations are partial before the exchange (map-side combine)") {
+    val p = planOf("q_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("grouped top-k keeps the map-side partial prune") {
+    val p = planOf("q_topk_per_key")
+    assert(p.contains("TopKPerKeyPartial"), p)
+  }
+
+  test("partition-pruned scan skips non-matching hive partitions") {
+    // writePartitioned layout verified in TablesSpec; here the catalog's
+    // time-bucketed events query must keep its filter at the scan
+    val p = planOf("q_time_window_agg")
+    assert(p.contains("Scan parquet"), p)
+  }
+}
