@@ -71,6 +71,22 @@ object Tables {
       .parquet(path)
   }
 
+  /** Incremental partition upsert: overwrite ONLY the partitions present
+    * in `df`, leaving every other partition untouched — the daily-load
+    * pattern for a 100 TB table (static overwrite mode would wipe the
+    * whole table root; dynamic mode replaces just the dirs the batch
+    * touches). Scoped via option so the session default stays static.
+    */
+  def upsertPartitions(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Bucketed table write: co-locates future joins/aggregations on
     * `bucketCols` — two tables bucketed the same way join with NO exchange
     * on either side (the 100 TB answer to repeated fact-to-fact joins).

@@ -76,6 +76,27 @@ class TablesSpec extends SparkSpec {
     assert(airportTrips.count() === 1) // the JFK pickup row
   }
 
+  test("dynamic partition upsert replaces only the touched partitions") {
+    import spark.implicits._
+    val path = s"$tmp/upsert"
+    Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03"))
+      .toDF("v", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    // batch touches only day=2024-01-02 (new value) and 2024-01-04 (new partition)
+    Tables.upsertPartitions(
+      Seq((20L, "2024-01-02"), (40L, "2024-01-04")).toDF("v", "day"),
+      path, Seq("day"))
+    // partition-column inference types `day` as DATE; normalize for compare
+    val back = spark.read.parquet(path)
+      .select(col("day").cast("string").as("day"), col("v")).collect()
+      .map(r => r.getAs[String]("day") -> r.getAs[Long]("v")).toMap
+    assert(back === Map(
+      "2024-01-01" -> 1L,   // untouched
+      "2024-01-02" -> 20L,  // replaced
+      "2024-01-03" -> 3L,   // untouched
+      "2024-01-04" -> 40L)) // appended partition
+  }
+
   test("nanos ts repair applies only to the events table, not any long 'ts'") {
     import spark.implicits._
     // a future table whose long ts is ALREADY micros must come back verbatim
