@@ -573,6 +573,42 @@ object QueryCatalog {
                 ON c.user_id = p.user_id AND p.sec <= c.sec
               ORDER BY c.event_id""")),
 
+    // as-of with a tolerance horizon (inner flavor): a click matches only
+    // if the latest preceding purchase happened within 10 minutes — the
+    // time-series engine's `asof ... tolerance` knob, composed from the
+    // same single-shuffle union+window plan plus one filter
+    Q("q_asof_tolerance",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("sec", date_trunc("second", col("ts")))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("sec")).distinct()
+          .withColumn("kind", lit(0)).withColumn("event_id", lit(null).cast("long"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("sec"), lit(1).as("kind"), col("event_id"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("sec"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        purchases.unionByName(clicks)
+          .withColumn("purchase_sec",
+            max(when(col("kind") === 0, col("sec"))).over(w))
+          .filter(col("kind") === 1)
+          .filter(unix_timestamp(col("sec")) - unix_timestamp(col("purchase_sec")) <= 600)
+          .select(col("event_id"), col("purchase_sec"))
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (
+                SELECT event_id, user_id, date_trunc('second', ts) AS sec
+                FROM events WHERE event_type = 'click'),
+              purch AS (
+                SELECT DISTINCT user_id, date_trunc('second', ts) AS sec
+                FROM events WHERE event_type = 'purchase')
+              SELECT c.event_id, p.sec AS purchase_sec
+              FROM clicks c ASOF JOIN purch p
+                ON c.user_id = p.user_id AND p.sec <= c.sec
+              WHERE epoch(c.sec) - epoch(p.sec) <= 600
+              ORDER BY c.event_id""")),
+
     // Range join composed as bucket + equi-join + band filter (Spark has no
     // native range join; the naive inequality join is a nested loop).
     // Oracle uses DuckDB's native inequality (IE) join — different
@@ -987,6 +1023,15 @@ object QueryCatalog {
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 3 AND c.vec_id >= 3) WHERE rn <= 3
               ORDER BY q_id, vec_id""")),
+
+    // single-pass frequent-items sketch (Karp et al. misra-gries style via
+    // df.stat.freqItems): the approximate heavy-hitters pass a pipeline
+    // runs before exact counting; array_sort makes the output stable
+    Q("q_freq_items",
+      (s, dir) => t(s, dir, "events").stat
+        .freqItems(Seq("event_type"), 0.1)
+        .select(array_sort(col("event_type_freqItems")).as("event_types")),
+      None),
 
     // IVF with Lloyd-trained (spherical k-means) centroids instead of the
     // hash sample — better cell balance, same partition-prunable plan
