@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Property tests for the dedup sketches: invariants over seeded random
+  * corpora and graphs, not just crafted fixtures.
+  */
+class DedupPropertySpec extends SparkSpec {
+
+  private val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi")
+
+  private def randomDocs(seed: Long, n: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (0L until n.toLong).map { i =>
+      val len = 3 + rnd.nextInt(25)
+      i -> Seq.fill(len)(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+  }
+
+  test("minhash jaccard estimates track true jaccard within banding recall") {
+    import spark.implicits._
+    // 120 random docs plus exact duplicates of the first 30 (ids +1000):
+    // every duplicate pair has J=1 and MUST collide in all 16 bands
+    val base = randomDocs(7L, 120)
+    val docs = (base ++ base.take(30).map { case (i, t) => (i + 1000L, t) })
+      .toDF("doc_id", "text")
+    val reported = Dedup.minHashLsh(docs, threshold = 0.0, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every reported pair's jaccard is the TRUE shingle jaccard (the
+    // verify join recomputes it exactly), so all values lie in (0, 1]
+    assert(reported.values.forall(j => j > 0.0 && j <= 1.0))
+    // complete recall on the planted J=1 pairs, each reported as exactly 1
+    for (i <- 0L until 30L)
+      assert(reported.get((i, i + 1000L)).contains(1.0), s"missing dup pair $i")
+  }
+
+  test("simhash of identical text is identical; hamming bounded by 64") {
+    import spark.implicits._
+    val docs = randomDocs(11L, 80).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 64).collect()
+    assert(pairs.nonEmpty)
+    for (r <- pairs) {
+      val h = r.getInt(2)
+      assert(h >= 0 && h <= 64)
+    }
+    // self-consistency: duplicate text rows hash identically (hamming 0)
+    val dup = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val d = Dedup.simHashPairs(dup, maxHamming = 0).collect()
+    assert(d.length === 1 && d.head.getInt(2) === 0)
+  }
+
+  test("star and min-label components agree across many random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(40)
+      val m = n + rnd.nextInt(3 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = edges.toDF("id_a", "id_b")
+      val star = Dedup.connectedComponentsStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prop = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === prop, s"divergence at seed=$seed n=$n m=$m")
+      // every label is a member of its own component (root is reachable)
+      assert(star.forall { case (_, c) => star.get(c).contains(c) })
+    }
+  }
+
+  test("shingle count is max(1, tokens - k + 1) for distinct tokens") {
+    import spark.implicits._
+    for (len <- Seq(1, 2, 3, 4, 10, 30)) {
+      val text = (0 until len).map(i => s"w$i").mkString(" ")
+      val n = Seq((1L, text)).toDF("doc_id", "text")
+        .select(size(Dedup.shingles(col("text"), 3)).as("n")).head().getInt(0)
+      assert(n === math.max(1, len - 2), s"len=$len")
+    }
+    // degenerate: high-repetition text dedups shingles below the bound
+    val rep = Seq((1L, Seq.fill(20)("same").mkString(" "))).toDF("doc_id", "text")
+      .select(size(Dedup.shingles(col("text"), 3)).as("n")).head().getInt(0)
+    assert(rep === 1)
+  }
+}
