@@ -349,6 +349,35 @@ object Dedup {
       .orderBy("component", "id")
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing ≥ minHits
+    * distinct word n-grams with any benchmark/eval document — the standard
+    * n-gram-overlap test-set-leak check run before training. Returns
+    * (id, n_hits) for contaminated docs only.
+    *
+    * Plan shape: benchmark n-gram set (distinct, hashed to 8-byte keys) is
+    * BROADCAST — eval suites are tiny next to a 100 TB corpus, so the check
+    * is a narrow map-side semi-join over the corpus scan: no shuffle
+    * touches corpus text, and the only exchange is the final per-doc count
+    * (which carries only ids of matching docs).
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5,
+      minHits: Int = 1): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(transform(shingles(col(textCol), n),
+        s => xxhash64(s))).as("g"): _*)
+    val benchGrams = grams(benchmark).distinct()
+    grams(corpus, col(idCol).cast("long").as("id")).distinct()
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   /** Exact n-gram Jaccard similarity ≥ threshold via an inverted-index
     * join — the scalable exact method: explode shingles, equi-join on the
     * shingle, count shared shingles per pair, then J = |∩| / (|A|+|B|-|∩|).

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training: documents are laid out in a
+  * deterministic hash order and split into fixed-capacity packs
+  * (concat-and-split packing — each pack holds the documents whose stream
+  * START offset falls inside its window, the standard pretraining layout).
+  *
+  * Scale shape: one shuffle (the per-shard window sort). The corpus is
+  * first sharded 16-way by an md5 digit of the id, and the running offset
+  * is computed PER SHARD — a single global window would serialize 100 TB
+  * through one task, while per-shard windows parallelize freely (shards
+  * are independent streams, as multi-host training readers expect).
+  * The plan reads only (id, length): no document text moves.
+  */
+object Packing {
+
+  /** Assign each row a shard, a deterministic position key, its start
+    * offset in the shard's concatenated stream, and its pack number
+    * (`floor(startOff / capacity)`). `lenCol` is the row's length in
+    * whatever unit capacity is expressed in (tokens, chars, bytes).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      lenCol: String = "n_chars",
+      capacity: Long = 4096L): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val key = md5(concat_ws(":", lit("pack"), col(idCol).cast("string")))
+    val w = Window.partitionBy("shard").orderBy("pack_key")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(
+        col(idCol),
+        col(lenCol).cast("long").as("len"),
+        substring(key, 1, 1).as("shard"),
+        key.as("pack_key"))
+      .withColumn("start_off", coalesce(sum(col("len")).over(w), lit(0L)))
+      .withColumn("pack_no", floor(col("start_off") / capacity.toDouble).cast("int"))
+  }
+
+  /** Per-pack summary (docs per pack, filled length) — the layout manifest
+    * a training reader consumes.
+    */
+  def packSummary(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      lenCol: String = "n_chars",
+      capacity: Long = 4096L): DataFrame =
+    packSequences(df, idCol, lenCol, capacity)
+      .groupBy("shard", "pack_no")
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len"))
+      .orderBy("shard", "pack_no")
+}

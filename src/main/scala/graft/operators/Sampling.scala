@@ -38,6 +38,20 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Deterministic global corpus shuffle: order by md5(seed, key). The
+    * every-epoch operation of a training pipeline — a full-corpus
+    * permutation that is reproducible (same seed ⇒ same order, across
+    * engines and re-runs) and re-randomizable (new seed ⇒ fresh
+    * permutation). Plans as a range-partitioned sort on a 32-char key:
+    * one shuffle, no driver-side state, no RNG to snapshot. Returns the
+    * frame with its `shuffle_key` so downstream writes can bucket or
+    * range-split on it.
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String, seed: String): DataFrame =
+    df.withColumn("shuffle_key",
+        md5(concat_ws(":", lit(seed), col(keyCol).cast("string"))))
+      .orderBy("shuffle_key")
+
   /** Deterministic per-stratum downsampling: keep each row iff its key
     * hash-bucket (0-15) falls inside the stratum's quota of 16ths. The
     * sampling decision is a narrow filter — no shuffle, no state — and

@@ -172,6 +172,42 @@ object TextAnalysis {
         wsTokens(col(textCol)),
         lit(1125899906842597L),
         (acc, tok) => xxhash64(acc, tok)))
+
+  /** Fixed-size token-window chunking with overlap — the context-window
+    * splitter of a training pipeline (documents → model-sized pieces,
+    * adjacent chunks sharing `overlap` tokens so no boundary context is
+    * lost). Output: one row per (doc, chunk_idx) with the chunk text and
+    * its token count.
+    *
+    * Plan shape: tokenize (narrow) → explode a per-doc chunk-index
+    * sequence → slice. No shuffle at all: chunk rows are born in the same
+    * partition as their document, so at 100 TB this pipelines straight
+    * into the next narrow stage (tokenize/pack) with zero exchange.
+    */
+  def chunk(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkTokens: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    // chunk i covers tokens [i·stride+1, i·stride+chunkTokens]; the last
+    // chunk is the first one whose window reaches the end of the doc
+    val nToks = size(col("__toks"))
+    val nChunks = when(nToks <= chunkTokens, lit(1))
+      .otherwise(ceil((nToks - lit(chunkTokens)).cast("double") / stride).cast("int") + 1)
+    df.select(col(idCol), wsTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        array_join(slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens), size(col("__toks")) - col("chunk_idx") * stride)
+          .as("n_chunk_tokens"))
+  }
 }
 
 /** Minimal per-language stopword profiles (public common-word lists). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{Dedup, Profiling, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{Dedup, Packing, Profiling, Similarity, SkewJoin, TextAnalysis}
 
 /** One catalog entry: a Spark implementation plus (when SQL-expressible) a
   * DuckDB oracle over the same parquet tables. Column names are aligned
@@ -516,6 +516,19 @@ object QueryCatalog {
               count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // list aggregation: sorted-distinct collect rendered to a csv string so
+    // the value compares bytewise across engines (list encodings differ)
+    Q("q_list_agg",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
+          count(lit(1)).as("n"))
+        .orderBy("lang"),
+      Some("""SELECT lang,
+                string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+                count(*) AS n
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
     Q("q_token_freq",
       (s, dir) => t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("tok"))
@@ -884,6 +897,51 @@ object QueryCatalog {
               ORDER BY tfidf DESC, tok
               LIMIT 15""")),
 
+    // context-window chunking: fixed 64-token windows, 16-token overlap;
+    // chunk text compared verbatim against DuckDB's list-slice rebuild
+    Q("q_doc_chunks",
+      (s, dir) => TextAnalysis.chunk(t(s, dir, "documents"),
+          chunkTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH tk AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents),
+              ex AS (
+                SELECT doc_id, t,
+                  unnest(generate_series(0,
+                    CASE WHEN len(t) <= 64 THEN 0
+                         ELSE CAST(ceil((len(t) - 64) / 48.0) AS INT) END)) AS ci
+                FROM tk)
+              SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+                array_to_string(t[ci*48+1 : ci*48+64], ' ') AS chunk_text,
+                CAST(least(64, len(t) - ci*48) AS INT) AS n_chunk_tokens
+              FROM ex ORDER BY doc_id, chunk_idx""")),
+
+    // benchmark decontamination: every 20th doc plays the eval set; corpus
+    // docs sharing >=1 distinct 5-gram with it are flagged with hit counts
+    Q("q_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.decontaminate(
+            docs.filter(col("doc_id") % 20 =!= 0),
+            docs.filter(col("doc_id") % 20 === 0),
+            n = 5)
+          .orderBy("id")
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+                FROM documents),
+              gr AS (
+                SELECT doc_id,
+                  unnest([array_to_string(t[i:i+4], ' ')
+                          for i in range(1, greatest(len(t)-4, 1) + 1)]) AS g
+                FROM tk),
+              bench AS (SELECT DISTINCT g FROM gr WHERE doc_id % 20 = 0),
+              corp AS (SELECT DISTINCT doc_id, g FROM gr WHERE doc_id % 20 <> 0)
+              SELECT CAST(corp.doc_id AS BIGINT) AS id, count(*) AS n_hits
+              FROM corp WHERE g IN (SELECT g FROM bench)
+              GROUP BY 1 ORDER BY id""")),
+
     Q("q_text_repetition",
       (s, dir) => TextAnalysis.repetitionMetrics(t(s, dir, "documents"))
         .select("doc_id", "dup_token_ratio", "top_bigram_ratio")
@@ -934,6 +992,34 @@ object QueryCatalog {
                           ELSE '01234567' END,
                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) > 0
               GROUP BY lang ORDER BY lang""")),
+
+    // concat-and-split sequence packing: 16 md5 shards, per-shard running
+    // offset, pack = floor(start/4096 chars); compared as the pack manifest
+    Q("q_seq_packing",
+      (s, dir) => Packing.packSummary(t(s, dir, "documents"), capacity = 4096L),
+      Some("""WITH k AS (
+                SELECT doc_id, n_chars,
+                       md5('pack:' || CAST(doc_id AS VARCHAR)) AS pack_key
+                FROM documents),
+              o AS (
+                SELECT substring(pack_key, 1, 1) AS shard, n_chars,
+                  coalesce(sum(n_chars) OVER (
+                    PARTITION BY substring(pack_key, 1, 1) ORDER BY pack_key
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+                FROM k)
+              SELECT shard, CAST(floor(start_off / 4096.0) AS INT) AS pack_no,
+                count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_len
+              FROM o GROUP BY 1, 2 ORDER BY shard, pack_no""")),
+
+    // deterministic epoch shuffle: md5(seed, id) permutation, first 20 rows
+    Q("q_global_shuffle",
+      (s, dir) => graft.operators.Sampling
+        .deterministicShuffle(t(s, dir, "documents"), "doc_id", "epoch0")
+        .limit(20)
+        .select("doc_id", "shuffle_key"),
+      Some("""SELECT doc_id,
+                md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+              FROM documents ORDER BY shuffle_key LIMIT 20""")),
 
     Q("q_redact_pii",
       (s, dir) => TextAnalysis.redactPii(t(s, dir, "documents"))

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Chunking, decontamination, sequence packing, deterministic shuffle —
+  * the corpus-layout operators of the training pipeline.
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  test("chunk: windows, overlap, and tail size") {
+    import spark.implicits._
+    val tokens = (1 to 100).map(i => s"t$i")
+    val docs = Seq((1L, tokens.mkString(" ")), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs, chunkTokens = 10, overlap = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+
+    val doc1 = out.filter(_.getLong(0) == 1L)
+    // stride 8: ceil((100-10)/8)+1 = 13 chunks
+    assert(doc1.length === 13)
+    assert(doc1.head.getAs[String]("chunk_text") === (1 to 10).map(i => s"t$i").mkString(" "))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(doc1(1).getAs[String]("chunk_text").startsWith("t9 t10 t11"))
+    // tail chunk: tokens 97..100
+    assert(doc1.last.getAs[String]("chunk_text") === "t97 t98 t99 t100")
+    assert(doc1.last.getAs[Int]("n_chunk_tokens") === 4)
+    // every chunk except the tail is full-width
+    assert(doc1.init.forall(_.getAs[Int]("n_chunk_tokens") == 10))
+
+    val doc2 = out.filter(_.getLong(0) == 2L)
+    assert(doc2.length === 1)
+    assert(doc2.head.getAs[String]("chunk_text") === "a b c")
+    assert(doc2.head.getAs[Int]("n_chunk_tokens") === 3)
+  }
+
+  test("decontaminate flags n-gram overlap with the benchmark only") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "What is the capital of France Paris is the answer here")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the benchmark 5-gram "what is the capital of"
+      (1L, "trivia night asked What is the capital of France and we won"),
+      // no 5-gram in common
+      (2L, "completely unrelated text about spark shuffles and parquet files")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.decontaminate(corpus, bench, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(1L) && hits(1L) >= 1L)
+    assert(!hits.contains(2L))
+  }
+
+  test("packSequences: per-shard offsets are the running sum; pack_no = floor(off/cap)") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, (i * 7 % 23 + 1) * 10)).toDF("doc_id", "n_chars")
+    val out = Packing.packSequences(docs, capacity = 300L).collect()
+    out.groupBy(_.getAs[String]("shard")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[String]("pack_key"))
+      var run = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("start_off") === run)
+        assert(r.getAs[Int]("pack_no") === (run / 300L).toInt)
+        run += r.getAs[Long]("len")
+      }
+    }
+    // packSummary conserves rows and length
+    val summary = Packing.packSummary(docs, capacity = 300L).collect()
+    assert(summary.map(_.getAs[Long]("n_docs")).sum === 40L)
+    assert(summary.map(_.getAs[Long]("sum_len")).sum ===
+      out.map(_.getAs[Long]("len")).sum)
+  }
+
+  test("deterministicShuffle: same seed same order, new seed new order") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def order(seed: String): Seq[Long] =
+      Sampling.deterministicShuffle(docs, "doc_id", seed)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val a = order("epoch0")
+    assert(a === order("epoch0"))
+    assert(a !== order("epoch1"))
+    assert(a.sorted === (1L to 100L))
+  }
+}
