@@ -20,6 +20,18 @@ object Dedup {
   /** Tokenize + lowercase. */
   private def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** Truncate plan lineage between iterative rounds (mandatory: each
+    * round's plan otherwise embeds all previous rounds and Catalyst
+    * re-analysis goes exponential). Uses a RELIABLE checkpoint when the
+    * session has a checkpoint dir — on a 1000-executor cluster the blocks
+    * survive executor loss, where localCheckpoint blocks would kill the
+    * job — and falls back to executor-local blocks otherwise (local[],
+    * tests).
+    */
+  private def truncated(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** Distinct word-level k-shingles of a text column. Short docs (< k
     * tokens) contribute their whole token string as a single shingle.
     */
@@ -222,13 +234,12 @@ object Dedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // labels lineage is truncated per round (localCheckpoint): round k's
+    // labels lineage is truncated per round (see [[truncated]]): round k's
     // plan would otherwise embed rounds 0..k-1 and Catalyst re-analysis
     // would dominate — see connectedComponentsStar for the measurement
-    var labels = edges.select(col("src").as("id"))
+    var labels = truncated(edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+      .withColumn("component", col("id")))
     def labelSum(df: DataFrame): java.math.BigDecimal = df
       .agg(sum(col("component").cast("decimal(38,0)")).as("s"))
       .head.getDecimal(0)
@@ -241,11 +252,10 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min("component").as("nbr_min"))
-      val next = labels.join(viaNbr, Seq("id"), "left")
+      val next = truncated(labels.join(viaNbr, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
-        .localCheckpoint()
+            .as("component")))
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -282,17 +292,16 @@ object Dedup {
     // Lineage MUST be truncated per round: each round's plan embeds the
     // previous round's, so without truncation Catalyst re-analyzes an
     // exponentially growing tree and planning time dwarfs execution
-    // (measured: round 2 already 20 s on a 10-node chain). localCheckpoint
-    // materializes partitions and replaces the plan with a LogicalRDD —
-    // on a real cluster swap for reliable checkpoint() on executor loss.
+    // (measured: round 2 already 20 s on a 10-node chain). [[truncated]]
+    // materializes partitions and replaces the plan with a LogicalRDD
+    // (reliable checkpoint when the session has a checkpoint dir).
     // It also means the (possibly expensive) `pairs` input evaluates once.
-    val pairs0 = pairs.select(col("id_a").cast("long").as("src"),
-        col("id_b").cast("long").as("dst"))
-      .localCheckpoint()
+    val pairs0 = truncated(pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst")))
     val nodes = pairs0.select(col("src").as("id"))
       .union(pairs0.select(col("dst").as("id")))
       .distinct()
-    var edges = canon(pairs0).localCheckpoint()
+    var edges = truncated(canon(pairs0))
 
     var converged = edges.isEmpty
     var iter = 0
@@ -308,11 +317,10 @@ object Dedup {
       // link u and every smaller neighbor to m
       val adj2 = ls.select(col("hi").as("u"), col("lo").as("v")) // v < u by canon
       val mins2 = adj2.groupBy("u").agg(min("v").as("m"))
-      val ss = canon(
+      val ss = truncated(canon(
         adj2.join(mins2, Seq("u"))
           .select(col("v").as("src"), col("m").as("dst"))
-          .union(mins2.select(col("u").as("src"), col("m").as("dst"))))
-        .localCheckpoint()
+          .union(mins2.select(col("u").as("src"), col("m").as("dst")))))
       converged = ss.except(edges).isEmpty && edges.except(ss).isEmpty
       edges = ss // superseded checkpoint blocks are dropped by the ContextCleaner
       iter += 1
