@@ -34,12 +34,46 @@ object Dedup {
 
   /** Distinct word-level k-shingles of a text column. Short docs (< k
     * tokens) contribute their whole token string as a single shingle.
+    *
+    * Built by zip_with-chaining k shifted slices — NOT by indexing into
+    * the token array from inside a `transform` lambda: a free variable in
+    * a higher-order-function lambda is re-evaluated PER ELEMENT (no CSE in
+    * Catalyst's interpreted HOF path), so `slice(t, i+1, k)` inside the
+    * lambda re-runs the regex tokenizer once per gram — O(tokens²) per
+    * document. The zip_with form evaluates the token array k+1 times per
+    * row, and each lambda touches only its own arguments.
     */
   def shingles(text: Column, k: Int = 3): Column = {
     val t = toks(text)
-    val n = greatest(size(t) - lit(k - 1), lit(1))
-    array_distinct(
-      transform(sequence(lit(0), n - 1), i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+    val gramLen = greatest(size(t) - lit(k - 1), lit(1))
+    val first = slice(t, lit(1), gramLen)
+    // concat_ws skips the nulls zip_with pads short docs with, so a
+    // < k-token doc yields its whole token string, as before
+    val grams = (1 until k).foldLeft(first) { (acc, j) =>
+      zip_with(acc, slice(t, lit(j + 1), gramLen), (a, b) => concat_ws(" ", a, b))
+    }
+    array_distinct(grams)
+  }
+
+  /** Distinct k-shingle HASHES, built from per-token hashes: each gram is
+    * xxhash64 over its k-token-hash window (XxHash64 hashes arrays
+    * natively), so no gram string is ever materialized. The string path
+    * ([[shingles]] + per-gram xxhash64) costs O(tokens·k) byte copies per
+    * document and measured ~2× the whole sketch time; this one is one
+    * string hash per token plus k-long hashes per gram. Same set
+    * semantics modulo 64-bit collisions (irrelevant for sketching).
+    */
+  def hashedShingles(text: Column, k: Int = 3): Column = {
+    val hs = transform(toks(text), t => xxhash64(t))
+    val gramLen = greatest(size(hs) - lit(k - 1), lit(1))
+    // chain-combine k shifted copies (zip_with, same rationale as in
+    // [[shingles]]): gram_i = xxhash64(…xxhash64(h_i, h_i+1)…, h_i+k-1);
+    // nulls from short-doc padding are skipped by the hash, so < k-token
+    // docs still contribute exactly one gram
+    val grams = (1 until k).foldLeft(slice(hs, lit(1), gramLen)) { (acc, j) =>
+      zip_with(acc, slice(hs, lit(j + 1), gramLen), (a, b) => xxhash64(a, b))
+    }
+    array_distinct(grams)
   }
 
   /** Exact dedup: hash-groupBy on the full text (md5 keeps the shuffle key
@@ -91,21 +125,43 @@ object Dedup {
     *
     * Plan shape: per-doc signature (narrow) → explode `bands` band keys →
     * shuffle on (band, bandHash) via self-equi-join → distinct candidate
-    * pairs → verify true Jaccard on the shingle sets. Choosing
-    * bands·rowsPerBand = numHashes tunes the S-curve so that pairs with
-    * J ≥ threshold almost surely collide in ≥1 band.
+    * pairs → verify true Jaccard on the shingle sets.
     * Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+    *
+    * `bands` defaults to 0 = auto: pick the fewest bands (widest rows-per-
+    * band r, cheapest shuffle + fewest candidate pairs) whose band-collision
+    * probability 1-(1-t^r)^b at t = threshold is still ≥ 0.95, so pairs at
+    * the asked threshold are found, not just pairs well above it. A fixed
+    * banding can silently put the S-curve knee ABOVE the caller's threshold
+    * (e.g. b=16, r=4 → knee 0.5: at J = 0.3 per-pair recall is ~34%) —
+    * false negatives no downstream exact-Jaccard verify can repair. r is
+    * floored at 2: r=1 buckets every doc by each raw minhash value, which
+    * degenerates toward all-pairs at corpus scale. Thresholds below ~0.3
+    * (where even r=2 cannot reach 95% with 64 hashes) therefore get
+    * best-effort recall — minhash LSH is the wrong tool that far down the
+    * similarity range; use [[ngramJaccard]]'s exact posting-list join there.
     */
   def minHashLsh(
       df: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       numHashes: Int = 64,
-      bands: Int = 16,
+      bands: Int = 0,
       shingleK: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
+    val b0 =
+      if (bands > 0) bands
+      else {
+        // divisor pairs (b = n/r) from widest r down to the r=2 floor;
+        // recall(t) = 1-(1-t^r)^b at t = threshold
+        val rs = (numHashes to 2 by -1).filter(numHashes % _ == 0)
+        val rOk = rs.find { r =>
+          1.0 - math.pow(1.0 - math.pow(threshold, r), numHashes / r) >= 0.95
+        }.getOrElse(2)
+        numHashes / rOk
+      }
+    require(numHashes % b0 == 0, "bands must divide numHashes")
+    val r = numHashes / b0
 
     // Materialize the sketch table once (id, shingles, signature). Without
     // the persist, Catalyst's CollapseProject inlines the whole signature
@@ -115,13 +171,12 @@ object Dedup {
     // Tracked in OperatorCaches: callers release via releaseAll().
     val sketched = OperatorCaches.persistTracked(df.select(
         col(idCol).cast("long").as("id"),
-        shingles(col(textCol), shingleK).as("sh"))
-      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
-      .select(col("id"), col("sh"), minHashSignature(col("hs"), numHashes).as("sig")))
+        hashedShingles(col(textCol), shingleK).as("sh"))
+      .select(col("id"), col("sh"), minHashSignature(col("sh"), numHashes).as("sig")))
 
     val banded = sketched.select(
       col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), i =>
+      explode(transform(sequence(lit(0), lit(b0 - 1)), i =>
         struct(i.as("band"), xxhash64(slice(col("sig"), i * lit(r) + 1, lit(r)), i).as("bh"))))
         .as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bh"))
@@ -228,9 +283,15 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // materialize the (possibly expensive) pair source ONCE before the
+    // union references it twice — without this the upstream plan (e.g. a
+    // full minhash-LSH) executes once per union branch
+    val pairs0 = truncated(
+      pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst")))
     // undirected, deduplicated edge list (8-byte endpoints only)
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges = pairs0
+      .union(pairs0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -376,10 +437,12 @@ object Dedup {
       n: Int = 5,
       minHits: Int = 1): DataFrame = {
     def grams(df: DataFrame, cols: Column*): DataFrame =
-      df.select(cols :+ explode(transform(shingles(col(textCol), n),
-        s => xxhash64(s))).as("g"): _*)
+      df.select(cols :+ explode(hashedShingles(col(textCol), n)).as("g"): _*)
     val benchGrams = grams(benchmark).distinct()
-    grams(corpus, col(idCol).cast("long").as("id")).distinct()
+    // corpus grams are already distinct PER DOC (shingles() dedups within
+    // the array), so (id, g) needs no distinct — the whole corpus side
+    // stays shuffle-free: scan → explode → broadcast-semi → partial count
+    grams(corpus, col(idCol).cast("long").as("id"))
       .join(broadcast(benchGrams), Seq("g"), "left_semi")
       .groupBy("id")
       .agg(count(lit(1)).as("n_hits"))
@@ -404,7 +467,7 @@ object Dedup {
     // posting list carries 8-byte shingle hashes, not shingle strings: the
     // self-join shuffles longs (64-bit collisions are negligible for |∩|)
     val sh = OperatorCaches.persistTracked(df.select(col(idCol).cast("long").as("id"),
-        transform(shingles(col(textCol), k), s => xxhash64(s)).as("sh")))
+        hashedShingles(col(textCol), k).as("sh")))
     val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
     val posting = sh.select(col("id"), explode(col("sh")).as("s"))
     val filtered = OperatorCaches.persistTracked(posting.join(

@@ -831,8 +831,11 @@ object QueryCatalog {
         .orderBy("doc_id"),
       None),
 
+    // 0.5 is the realistic fuzzy-dedup operating point: auto-banding keeps
+    // ≥95% band-collision recall at the threshold (0.2 would need the
+    // degenerate r<2 banding — see Dedup.minHashLsh scaladoc)
     Q("q_dedup_minhash",
-      (s, dir) => Dedup.minHashLsh(t(s, dir, "documents"), threshold = 0.2),
+      (s, dir) => Dedup.minHashLsh(t(s, dir, "documents"), threshold = 0.5),
       None),
 
     Q("q_dedup_simhash",
@@ -844,13 +847,13 @@ object QueryCatalog {
       None),
 
     Q("q_dedup_clusters",
-      (s, dir) => Dedup.fuzzyDedupClusters(t(s, dir, "documents"), threshold = 0.2),
+      (s, dir) => Dedup.fuzzyDedupClusters(t(s, dir, "documents"), threshold = 0.5),
       None),
 
     // same clustering via large-star/small-star (O(log n) rounds) — labels
     // must equal q_dedup_clusters exactly; driver sees both row counts agree
     Q("q_dedup_clusters_star",
-      (s, dir) => Dedup.fuzzyDedupClusters(t(s, dir, "documents"), threshold = 0.2,
+      (s, dir) => Dedup.fuzzyDedupClusters(t(s, dir, "documents"), threshold = 0.5,
         useStar = true),
       None),
 
