@@ -38,18 +38,22 @@ object Bench {
       // a failure in either pass stays a failure
       k -> (if (v1 < 0 || v2 < 0) -1.0 else math.min(v1, v2))
     }
-    // 2-decimal rounding keeps the whole line well under the ~2.3 KB
-    // log-tail capture (the driver parses the tail; round 1's 9-decimal
-    // line outran it and the round lost its bench numbers)
+    // The driver keeps only the LAST 2000 chars of output and JSON-parses
+    // the line it finds there (round 1's 2.4 KB line outran it and the
+    // round lost its bench numbers), so the whole line must stay < ~1.9 KB:
+    // 2-decimal times, the "q_" prefix stripped from keys (every catalog
+    // name carries it), and sf reported as its basename.
     def r3(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    def short(k: String): String = k.stripPrefix("q_")
+    val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val ok = results.values.filter(_ >= 0)
     val total = BigDecimal(if (ok.nonEmpty) ok.sum else 0.0)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val sfName = sfDir.split('/').last
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -813,17 +813,62 @@ object QueryCatalog {
               md5(text) AS digest FROM documents ORDER BY doc_id""")),
 
     // -------------------------------------------- rows-only (no SQL oracle)
+    // oracle replays the stopword-profile argmax: 5 scored rows per doc
+    // (lateral VALUES join), argmax via row_number over (score DESC, code
+    // DESC) — the DESC code tiebreak mirrors Spark's array_max on
+    // struct(score, code)
     Q("q_langid",
       (s, dir) => TextAnalysis.languageId(t(s, dir, "documents"))
         .select("doc_id", "lang_pred", "lang_conf")
         .orderBy("doc_id"),
-      None),
+      Some("""WITH tk AS (
+                SELECT doc_id, list_transform(
+                  regexp_split_to_array(trim(text), '\s+'), w -> lower(w)) AS t
+                FROM documents),
+              s AS (
+                SELECT doc_id, t, lang.code AS code,
+                  CAST(len(list_filter(t, w -> list_contains(lang.words, w)))
+                    AS DOUBLE) AS score
+                FROM tk, (VALUES
+                  ('en', ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be']),
+                  ('es', ['el','la','los','las','de','que','y','en','un','una','es','por','con','para','del','se','no','su']),
+                  ('fr', ['le','la','les','de','des','et','en','un','une','est','que','pour','dans','qui','sur','au','pas','ne']),
+                  ('de', ['der','die','das','und','in','den','von','zu','mit','sich','auf','ist','im','dem','nicht','ein','eine']),
+                  ('it', ['il','la','di','che','e','un','una','per','in','non','sono','con','del','della','le','si','da'])
+                ) AS lang(code, words)),
+              best AS (
+                SELECT doc_id, code, score, len(t) AS n
+                FROM s QUALIFY row_number() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, code DESC) = 1)
+              SELECT doc_id,
+                CASE WHEN score > 0 THEN code ELSE 'und' END AS lang_pred,
+                round(score / greatest(n, 1), 4) AS lang_conf
+              FROM best ORDER BY doc_id""")),
 
+    // oracle recomputes the C4/Gopher-style heuristic; intermediates are
+    // rounded to 4dp BEFORE the component scores, exactly as qualityScore
+    // builds on qualityMetrics' rounded columns
     Q("q_quality_score",
       (s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"))
         .select("doc_id", "quality_score")
         .orderBy("doc_id"),
-      None),
+      Some("""WITH m AS (
+                SELECT doc_id,
+                  CAST(length(text) AS DOUBLE) AS n_char,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+                  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+                  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be'],
+                      lower(w)))) AS DOUBLE) AS stop
+                FROM documents)
+              SELECT doc_id, round((
+                (CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+                least(round(alpha/n_char,4)/0.6, 1.0) +
+                least(round(stop/n_tok,4)/0.05, 1.0) +
+                (CASE WHEN round((n_char-(n_tok-1))/n_tok,4) BETWEEN 2.0 AND 12.0
+                 THEN 1.0 ELSE 0.0 END)
+                )/4.0, 4) AS quality_score
+              FROM m ORDER BY doc_id""")),
 
     Q("q_fingerprint",
       (s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))
@@ -842,9 +887,32 @@ object QueryCatalog {
       (s, dir) => Dedup.simHashPairs(t(s, dir, "documents"), maxHamming = 4),
       None),
 
+    // exact-similarity dedup IS oracle-able (unlike the sketch-based ops):
+    // DuckDB rebuilds the 3-gram shingle sets from strings and replays the
+    // posting-list self-join; Spark's 64-bit shingle hashing collides with
+    // probability ~1e-8 at this corpus size, so |∩| matches exactly
     Q("q_dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), threshold = 0.15),
-      None),
+      Some("""WITH tk AS (
+                SELECT doc_id AS id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                FROM documents),
+              sh AS (SELECT id, list_distinct(
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]
+                  END) AS s
+                FROM tk),
+              sz AS (SELECT id, len(s) AS sz FROM sh),
+              p AS (SELECT id, unnest(s) AS g FROM sh),
+              common AS (
+                SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS DOUBLE) AS inter
+                FROM p a JOIN p b ON a.g = b.g AND a.id < b.id
+                GROUP BY 1, 2)
+              SELECT id_a, id_b,
+                round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+              FROM common JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+              WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.15
+              ORDER BY id_a, id_b""")),
 
     Q("q_dedup_clusters",
       (s, dir) => Dedup.fuzzyDedupClusters(t(s, dir, "documents"), threshold = 0.5),
