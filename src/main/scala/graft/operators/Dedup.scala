@@ -340,7 +340,12 @@ object Dedup {
     * Each round is two grouped-min shuffles over an edge list that only
     * ever holds 8-byte endpoint pairs — no adjacency materialization, no
     * driver-side graph. Convergence = edge-set fixpoint (the edges form
-    * stars around component minima), checked with two anti-joins.
+    * stars around component minima), checked by comparing a
+    * (count, Σ xxhash64(lo,hi)) fingerprint across rounds: one aggregate
+    * over the already-materialized checkpoint instead of two anti-join
+    * shuffles per round (the edge list is distinct by construction, so
+    * multiset equality is set equality; a false match needs a 64-bit
+    * hash-sum collision — the same risk class as the shingle hashing).
     */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // canonical undirected edges (lo < hi), self-loops dropped
@@ -364,7 +369,13 @@ object Dedup {
       .distinct()
     var edges = truncated(canon(pairs0))
 
-    var converged = edges.isEmpty
+    def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("lo"), col("hi")).cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prevFp = fingerprint(edges)
+    var converged = prevFp._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       // large-star(u): m = min(N(u) ∪ {u}); link every LARGER neighbor to m
@@ -382,7 +393,9 @@ object Dedup {
         adj2.join(mins2, Seq("u"))
           .select(col("v").as("src"), col("m").as("dst"))
           .union(mins2.select(col("u").as("src"), col("m").as("dst")))))
-      converged = ss.except(edges).isEmpty && edges.except(ss).isEmpty
+      val fp = fingerprint(ss)
+      converged = fp == prevFp
+      prevFp = fp
       edges = ss // superseded checkpoint blocks are dropped by the ContextCleaner
       iter += 1
     }
