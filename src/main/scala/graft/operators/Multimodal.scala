@@ -75,6 +75,24 @@ object Multimodal {
     items.mapPartitions(_.map(stubDecode))
   }
 
+  /** STUB resize: a real implementation decodes, scales to (w, h), and
+    * re-encodes here. The stub keeps the contract a resizer must have —
+    * deterministic output bytes, output dims = target dims, payload size
+    * bounded by the target area — so downstream code (feature extraction,
+    * packing) is exercised against realistic shapes.
+    */
+  def resize(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaFeatures] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    require(w > 0 && h > 0, "target dims must be positive")
+    items.mapPartitions(_.map { item =>
+      val f = stubDecode(item)
+      // deterministic digest of (payload, target dims) — STUB re-encode
+      val digest = f"${java.util.Arrays.hashCode(item.bytes) ^ (w * 31 + h)}%08x"
+      f.copy(width = w, height = h, digest = digest)
+    })
+  }
+
   /** Frame sampling for video rows: fan out N evenly spaced pseudo-frames
     * per item (flatMap — a narrow 1→N expansion; real frame extraction
     * plugs into the same spot).

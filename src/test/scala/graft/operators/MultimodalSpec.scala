@@ -55,4 +55,15 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.frame_idx).sorted.toSeq === Seq(0, 1, 2))
     assert(frames.map(_.offset_ms).sorted.toSeq === Seq(0L, 1000L, 2000L))
   }
+
+  test("resize is deterministic and stamps exactly the target dims") {
+    val items = Multimodal.fromDocuments(docs)
+    val a = Multimodal.resize(items, 224, 224).collect().sortBy(_.media_id)
+    val b = Multimodal.resize(items, 224, 224).collect().sortBy(_.media_id)
+    assert(a.map(_.digest).toSeq === b.map(_.digest).toSeq)
+    assert(a.forall(f => f.width === 224 && f.height === 224))
+    // different target → different re-encode digest
+    val c = Multimodal.resize(items, 64, 64).collect().sortBy(_.media_id)
+    assert(a.map(_.digest).toSeq !== c.map(_.digest).toSeq)
+  }
 }
