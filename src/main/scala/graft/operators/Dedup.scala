@@ -223,6 +223,33 @@ object Dedup {
     array((63 to 0 by -1).map(b =>
       when(shiftrightunsigned(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))): _*)
 
+  /** Bulk SimHash sketch (id, sh) — bit-identical to [[simHash]] but built
+    * as explode(token hashes) → 64 codegen'd bit-count SUMs → repack,
+    * instead of the per-row higher-order-function fold. The HOF path
+    * allocates a 64-long vote array per TOKEN and runs interpreted
+    * (lambda-bearing expressions are excluded from whole-stage codegen);
+    * the aggregate path keeps the whole sketch inside one hash-aggregate
+    * stage with map-side partial sums, so at scale it is a narrow
+    * explode + one shuffle of 65 longs per document. Equivalence: bit b is
+    * set iff Σ votes > 0 iff 2·(count of set bit b) > n_tokens. Docs whose
+    * token array is null produce no row here (vs a null sh from simHash) —
+    * indistinguishable downstream, since null never equi-joins.
+    */
+  private[operators] def simHashSketch(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df.select(col(idCol).cast("long").as("id"),
+      explode(transform(toks(col(textCol)), t => xxhash64(t))).as("h"))
+    val bitSums = (63 to 0 by -1).map(b =>
+      sum(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L))).as(s"s$b"))
+    val counted = tokens.groupBy("id")
+      .agg(count(col("h")).as("n"), bitSums: _*)
+    val sh = (63 to 0 by -1).foldLeft(lit(0L)) { (acc, b) =>
+      shiftleft(acc, 1).bitwiseOR(
+        when(col(s"s$b") * 2 > col("n"), 1L).otherwise(0L))
+    }
+    counted.select(col("id"), sh.as("sh"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming — complete:
     * the block count is DERIVED as maxHamming+1, so by pigeonhole every
     * qualifying pair agrees exactly on ≥1 block and is found by the
@@ -243,8 +270,8 @@ object Dedup {
     val rem = 64 % chunks
     val offsets = (0 until chunks).scanLeft(0)((off, i) =>
       off + base + (if (i < rem) 1 else 0))
-    val sketched = OperatorCaches.persistTracked(df
-      .select(col(idCol).cast("long").as("id"), simHash(col(textCol)).as("sh")))
+    val sketched = OperatorCaches.persistTracked(
+      simHashSketch(df, idCol, textCol))
     val banded = sketched.select(
       col("id"), col("sh"),
       explode(array((0 until chunks).map { i =>

@@ -40,6 +40,15 @@ class DedupSpec extends SparkSpec {
     assert(j === 1.0)
   }
 
+  test("simHashSketch (aggregate path) is bit-identical to the simHash column") {
+    val viaCol = docs.select(col("doc_id").cast("long").as("id"),
+      Dedup.simHash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = Dedup.simHashSketch(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg === viaCol)
+  }
+
   test("simhash: identical docs at hamming 0; unrelated docs far apart") {
     val pairs = Dedup.simHashPairs(docs, maxHamming = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
