@@ -56,6 +56,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TopKPerKeyPartial"), p)
   }
 
+  test("decontamination broadcasts the benchmark grams; corpus side stays narrow") {
+    val p = planOf("q_decontaminate")
+    // benchmark n-gram set rides a broadcast exchange into a semi-join;
+    // the corpus text itself must never be shuffled
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("simhash sketch is one codegen'd hash-aggregate, not an interpreted HOF fold") {
+    val p = planOf("q_dedup_simhash")
+    // the 64 bit-count sums show up as partial aggregates (map-side combine)
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    // vote accumulation no longer runs through interpreted lambda exprs
+    assert(!p.contains("aggregate(lambda"), p)
+  }
+
   test("partition-pruned scan skips non-matching hive partitions") {
     // writePartitioned layout verified in TablesSpec; here the catalog's
     // time-bucketed events query must keep its filter at the scan
