@@ -52,6 +52,51 @@ object Sampling {
         md5(concat_ws(":", lit(seed), col(keyCol).cast("string"))))
       .orderBy("shuffle_key")
 
+  /** 256-way deterministic bucket from the first two md5 hex digits —
+    * finer-grained sibling of [[hashBucket16]] for rate-based sampling.
+    * Spark side decodes them with conv(hex, 16, 10); an engine without
+    * conv (DuckDB) gets the same value from
+    * (instr(hexAlphabet, digit1)-1)*16 + (instr(hexAlphabet, digit2)-1).
+    */
+  def hashBucket256(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("long")
+
+  /** Mixture (domain-reweighting) sampling: downsample each stratum so the
+    * kept corpus approaches the target weight distribution — the
+    * "data mixture" step of a training pipeline (e.g. web 50% / books 30%
+    * / code 20% regardless of raw crawl proportions). Downsample-only: the
+    * feasible total is N = min_s(count_s / w_s), each stratum keeps
+    * ~w_s·N rows, and the binding (scarcest-relative-to-weight) stratum
+    * keeps everything. Strata not in `weights` are dropped.
+    *
+    * The keep decision is `hashBucket256(key) < ceil(256·w_s·N/count_s)`:
+    * a narrow filter against a broadcast-sized per-stratum threshold map —
+    * no shuffle beyond the one tiny count aggregate, stable under re-runs
+    * and repartitioning, and rate-quantized to 1/256 (so realized
+    * proportions are within ~0.4% of targets; use exact-quota rank
+    * sampling if that matters more than avoiding a per-stratum sort).
+    */
+  def mixtureSample(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val counts = df.groupBy(stratumCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    require(present.nonEmpty, "no stratum from weights present in the data")
+    val feasibleN = present.map { case (s, w) => counts(s) / w }.min
+    val thresholds = present.map { case (s, w) =>
+      s -> math.min(256L, math.ceil(256.0 * w * feasibleN / counts(s)).toLong)
+    }
+    val thr = thresholds.foldLeft(lit(null).cast("long")) { case (acc, (s, t)) =>
+      when(col(stratumCol) === s, lit(t)).otherwise(acc)
+    }
+    df.filter(hashBucket256(col(keyCol)) < thr)
+  }
+
   /** Deterministic per-stratum downsampling: keep each row iff its key
     * hash-bucket (0-15) falls inside the stratum's quota of 16ths. The
     * sampling decision is a narrow filter — no shuffle, no state — and

@@ -1064,6 +1064,34 @@ object QueryCatalog {
                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) > 0
               GROUP BY lang ORDER BY lang""")),
 
+    // domain-mixture resampling to target weights (src0:src1:src2 =
+    // 50:30:20); oracle mirrors the threshold arithmetic exactly —
+    // N = min(count/w), thr = ceil(256·w·N/count) — with the 256-bucket
+    // decoded via instr over the hex alphabet (DuckDB has no conv)
+    Q("q_mixture_sample",
+      (s, dir) => graft.operators.Sampling
+        .mixtureSample(t(s, dir, "documents"), "source", "doc_id",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+      Some("""WITH c AS (
+                SELECT source, CAST(count(*) AS DOUBLE) AS c
+                FROM documents GROUP BY source),
+              w AS (SELECT * FROM (VALUES
+                ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) AS t(source, w)),
+              j AS (SELECT c.source, c.c, w.w FROM c JOIN w USING (source)),
+              n AS (SELECT min(c / w) AS n FROM j),
+              t AS (SELECT source,
+                least(256, CAST(ceil(256.0 * w * (SELECT n FROM n) / c) AS BIGINT))
+                  AS thr FROM j)
+              SELECT d.doc_id, d.source
+              FROM documents d JOIN t ON d.source = t.source
+              WHERE (strpos('0123456789abcdef',
+                       substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef',
+                       substring(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) < t.thr
+              ORDER BY d.doc_id""")),
+
     // concat-and-split sequence packing: 16 md5 shards, per-shard running
     // offset, pack = floor(start/4096 chars); compared as the pack manifest
     Q("q_seq_packing",

@@ -39,6 +39,28 @@ class SamplingSpec extends SparkSpec {
     assert(dropped.filter(col("lang") === "de").count() === 0L)
   }
 
+  test("mixture sample hits target proportions; binding stratum keeps everything") {
+    // raw mix: 250 en / 750 de; target 50/50 → en binds (N = 500):
+    // en keeps all 250, de downsamples to ~250 (rate quantized to 1/256)
+    val kept = Sampling.mixtureSample(docs, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.5))
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") === 250L)
+    assert(math.abs(byLang("de") - 250L) <= 40L,
+      s"de kept ${byLang("de")}, expected ~250")
+  }
+
+  test("mixture sample is deterministic and drops unlisted strata") {
+    val a = Sampling.mixtureSample(docs, "lang", "doc_id", Map("en" -> 1.0))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.mixtureSample(docs, "lang", "doc_id", Map("en" -> 1.0))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a sameElements b)
+    // only-en mixture keeps every en row and no de row
+    assert(a.length === 250 && a.forall(_ % 4 == 0))
+  }
+
   test("PII redaction replaces emails, phones, and IPs with typed tokens") {
     import spark.implicits._
     val d = Seq(
