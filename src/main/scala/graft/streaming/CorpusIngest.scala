@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Dedup
+
+/** Streaming corpus growth: the continuous version of the every-ingest
+  * dedup loop (crawl batches arrive as a stream; only genuinely new
+  * documents reach the corpus). New scope beyond the reference (batch-only,
+  * SURVEY.md §2i), composing the batch operators it already ships:
+  * per-batch exact dedup + digest anti-join against everything kept so far
+  * ([[Dedup.incrementalExact]]) + hive-partitioned append.
+  *
+  * Scale + exactly-once notes:
+  *  - The anti-join carries 16-byte md5 digests, never document bodies; at
+  *    100 TB the base side is a digest column scan (or a pre-built digest
+  *    table — swap the `spark.read.parquet` for it, same plan).
+  *  - Retried micro-batches are CONTENT-idempotent without transactional
+  *    sinks: a re-run batch re-checks against the base, which already
+  *    contains whatever the failed attempt appended, so survivors of the
+  *    first attempt are filtered out the second time. (File-level
+  *    duplicates can only arise for rows that were mid-flight in a crashed
+  *    write, the usual parquet-append caveat; a table format with commit
+  *    atomicity slots in here unchanged.)
+  *  - Partitioning by `partitionCols` (default: source) keeps each append
+  *    scoped to the partitions the batch touches.
+  */
+object CorpusIngest {
+
+  /** Start the ingest stream: `docs` must contain `idCol`, `textCol`, and
+    * `partitionCols`. Returns the StreamingQuery handle.
+    */
+  def incrementalCorpusIngest(
+      docs: DataFrame,
+      basePath: String,
+      checkpointDir: String,
+      partitionCols: Seq[String] = Seq("source"),
+      idCol: String = "doc_id",
+      textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // within-batch exact dedup (keep lowest id per text)
+        val fresh = Dedup.exact(batch, idCol, textCol)
+        val fs = new Path(basePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val novel =
+          if (fs.exists(new Path(basePath)))
+            Dedup.incrementalExact(fresh, spark.read.parquet(basePath), textCol)
+          else fresh
+        novel.write.mode("append").partitionBy(partitionCols: _*).parquet(basePath)
+      }
+      .start()
+}
