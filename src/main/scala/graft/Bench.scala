@@ -31,7 +31,12 @@ object Bench {
         catch { case _: Throwable => -1.0 }
       name -> sec
     }
+    // explicit GC before each timed pass: leftover garbage from the
+    // previous pass (or warmup) otherwise lands as collection pauses in
+    // whichever queries run first, adding run-to-run noise
+    System.gc()
     val p1 = timedPass()
+    System.gc()
     val p2 = timedPass()
     val results = p1.map { case (k, v1) =>
       val v2 = p2.getOrElse(k, v1)

@@ -51,6 +51,14 @@ class SamplingSpec extends SparkSpec {
       s"de kept ${byLang("de")}, expected ~250")
   }
 
+  test("mixture sample depends only on relative weights") {
+    val a = Sampling.mixtureSample(docs, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.5)).select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.mixtureSample(docs, "lang", "doc_id",
+      Map("en" -> 2.0, "de" -> 2.0)).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a sameElements b)
+  }
+
   test("mixture sample is deterministic and drops unlisted strata") {
     val a = Sampling.mixtureSample(docs, "lang", "doc_id", Map("en" -> 1.0))
       .select("doc_id").collect().map(_.getLong(0)).sorted
