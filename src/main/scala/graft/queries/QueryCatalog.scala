@@ -121,6 +121,19 @@ object QueryCatalog {
               round(quantile_cont(l_extendedprice, 0.999), 2) AS p999
               FROM lineitem""")),
 
+    // grouped exact percentiles (sort-based interpolating percentile per
+    // group — Spark percentile() and DuckDB quantile_cont share the linear
+    // interpolation definition, so values match exactly after rounding)
+    Q("q_pctl_by_lang",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(round(expr("percentile(n_chars, 0.5)"), 2).as("p50"),
+          round(expr("percentile(n_chars, 0.95)"), 2).as("p95"))
+        .orderBy("lang"),
+      Some("""SELECT lang, round(quantile_cont(n_chars, 0.5), 2) AS p50,
+              round(quantile_cont(n_chars, 0.95), 2) AS p95
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
     // ---------------------------------------------------------------- joins
     // (reference SURVEY.md §2c: capability parity — broadcast dim join,
     // shuffle join, semi/anti for lookup-filter semantics)

@@ -27,6 +27,15 @@ object Tables {
     * nanosAsLong, set in the session) — normalize it back to a microsecond
     * TimestampType column so downstream datetime functions apply.
     */
+  /** Schema-evolving read: union the footer schemas of every file under
+    * `path` (columns added by later ingest batches come back null-filled
+    * for older files). Off by default in Spark because it costs one footer
+    * read per file — acceptable for an evolving corpus table, or flip the
+    * table to a real catalog with a declared schema at scale.
+    */
+  def loadMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // keyed on the table NAME, not "any long column called ts": only the

@@ -97,6 +97,20 @@ class TablesSpec extends SparkSpec {
       "2024-01-04" -> 40L)) // appended partition
   }
 
+  test("mergeSchema read unions evolving ingest-batch schemas") {
+    import spark.implicits._
+    val dir = s"$tmp/evolving"
+    Seq((1L, "alpha")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    // a later batch adds a lang column
+    Seq((2L, "beta", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(dir)
+    val merged = Tables.loadMerged(spark, dir)
+    assert(merged.columns.sorted.toSeq === Seq("doc_id", "lang", "text"))
+    val byId = merged.collect().map(r => r.getLong(0) -> r.getAs[String]("lang")).toMap
+    assert(byId(1L) === null && byId(2L) === "en")
+  }
+
   test("nanos ts repair applies only to the events table, not any long 'ts'") {
     import spark.implicits._
     // a future table whose long ts is ALREADY micros must come back verbatim
