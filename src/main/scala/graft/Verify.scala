@@ -22,6 +22,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // correctness runs are untimed: release operator-internal caches per
+      // query so 88 dumps never accumulate sketch tables in one JVM
+      graft.operators.OperatorCaches.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -44,6 +44,36 @@ class TablesSpec extends SparkSpec {
     assert(n === 10L)
   }
 
+  test("ANALYZE TABLE feeds row/column stats to the planner (CBO input)") {
+    // the stats side of DESCRIBE DETAIL (SURVEY.md §2a): table + column
+    // statistics are what let the cost-based optimizer choose broadcast
+    // sides and join orders at scale without runtime sampling
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_test")
+    spark.sql("DROP TABLE IF EXISTS graft_test.stats_demo")
+    // external-style location under the per-run temp dir: the in-memory
+    // catalog resets per JVM, so a managed table's warehouse dir would
+    // survive a crashed run and block the next CREATE
+    spark.range(0, 1000).selectExpr("id", "id % 7 AS grp")
+      .write.mode("overwrite").option("path", s"$tmp/stats_demo")
+      .saveAsTable("graft_test.stats_demo")
+    spark.sql("ANALYZE TABLE graft_test.stats_demo COMPUTE STATISTICS FOR COLUMNS id, grp")
+    val detail = spark.sql("DESCRIBE EXTENDED graft_test.stats_demo")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(detail("Statistics").contains("1000 rows"), detail("Statistics"))
+    val colStats = spark.sql("DESCRIBE EXTENDED graft_test.stats_demo grp")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(colStats("distinct_count") === "7")
+    // planner consumes the stats once CBO is on (engine default stays off:
+    // AQE's runtime statistics don't go stale, catalog stats do — CBO is
+    // for clusters that maintain ANALYZE as part of ingest)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val rel = spark.table("graft_test.stats_demo")
+        .queryExecution.optimizedPlan.stats
+      assert(rel.rowCount.contains(BigInt(1000)))
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("compaction bin-packs to the requested file count (cell 131 OPTIMIZE)") {
     val path = s"$tmp/compact"
     val df = spark.range(0, 1000).toDF("id").repartition(8)
