@@ -489,13 +489,25 @@ object Dedup {
       .filter(col("n_hits") >= minHits)
   }
 
-  /** Exact n-gram Jaccard similarity ≥ threshold via an inverted-index
-    * join — the scalable exact method: explode shingles, equi-join on the
-    * shingle, count shared shingles per pair, then J = |∩| / (|A|+|B|-|∩|).
-    * `maxDf` drops ubiquitous shingles from candidate generation (prefix
-    * filtering) to bound the pair blowup; pairs whose every shared shingle
-    * is ubiquitous are the only misses, so set maxDf ≫ expected dup-group
-    * size. No cartesian product anywhere.
+  /** Exact n-gram Jaccard similarity ≥ threshold via a PREFIX-FILTERED
+    * inverted-index join (All-Pairs / PPJoin family, Bayardo et al.
+    * WWW'07): two docs with J ≥ t must share a shingle within their
+    * rare-first prefixes of length ⌈sz − t·sz⌉ + 1 — if the prefixes were
+    * disjoint, the leftover suffixes are too short to reach the required
+    * overlap t·max(|A|,|B|). So only prefix shingles become join keys:
+    * at threshold 0.6 that is ~40% of the posting list, and because
+    * prefixes keep the RAREST shingles, the quadratic per-key pair blowup
+    * concentrates on keys with the shortest posting lists — this, not the
+    * posting-list size, is what makes the self-join survive a 100× corpus.
+    * A size-ratio guard (t·sz_b ≤ sz_a) prunes candidates whose length
+    * difference alone rules out J ≥ t. Verification computes the EXACT
+    * intersection from the full shingle arrays, so the prefix/ratio
+    * filters affect cost only, never results.
+    *
+    * Shingles ride as 8-byte xxhash64 values end-to-end (64-bit collisions
+    * are negligible for |∩|); `maxDf` additionally drops ubiquitous
+    * shingles from candidacy — an escape hatch for adversarial corpora,
+    * off by default at 10000.
     */
   def ngramJaccard(
       df: DataFrame,
@@ -504,24 +516,36 @@ object Dedup {
       k: Int = 3,
       threshold: Double = 0.6,
       maxDf: Int = 10000): DataFrame = {
-    // posting list carries 8-byte shingle hashes, not shingle strings: the
-    // self-join shuffles longs (64-bit collisions are negligible for |∩|)
     val sh = OperatorCaches.persistTracked(df.select(col(idCol).cast("long").as("id"),
-        hashedShingles(col(textCol), k).as("sh")))
-    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
-    val posting = sh.select(col("id"), explode(col("sh")).as("s"))
-    val filtered = OperatorCaches.persistTracked(posting.join(
-        posting.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
-        Seq("s")))
-    val common = filtered.as("a").join(filtered.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+        hashedShingles(col(textCol), k).as("sh"))
+      .withColumn("sz", size(col("sh"))))
+    val posting = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    val gramDf = posting.groupBy("s").agg(count(lit(1)).as("df"))
+    // rare-first consistent total order (df, then hash value as tiebreak);
+    // prefix length ⌈sz·(1−t)⌉ + 1, clamped to sz
+    val prefix = OperatorCaches.persistTracked(posting
+      .join(gramDf.filter(col("df") <= maxDf), Seq("s"))
+      .groupBy("id").agg(first("sz").as("sz"),
+        sort_array(collect_list(struct(col("df"), col("s")))).as("ranked"))
+      .select(col("id"), col("sz"),
+        explode(slice(col("ranked"), lit(1),
+          least(ceil(col("sz") * lit(1.0 - threshold)).cast("int") + 1, col("sz"))))
+          .as("r"))
+      .select(col("id"), col("sz"), col("r.s").as("s")))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          // size-ratio guard, both directions (either side may be larger)
+          col("a.sz") >= lit(threshold) * col("b.sz") &&
+          col("b.sz") >= lit(threshold) * col("a.sz"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val shTbl = sh.select(col("id"), col("sh"), col("sz"))
+    cand
+      .join(shTbl.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(shTbl.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
