@@ -36,6 +36,39 @@ class DedupPropertySpec extends SparkSpec {
       assert(reported.get((i, i + 1000L)).contains(1.0), s"missing dup pair $i")
   }
 
+  test("prefix-filtered ngram jaccard equals brute-force all-pairs exactly") {
+    import spark.implicits._
+    // random docs plus mutated copies (0–60% of tokens replaced) → pairs
+    // spread across every similarity band, including both threshold sides
+    for (seed <- Seq(11L, 23L)) {
+      val rnd = new scala.util.Random(seed * 31)
+      val base = randomDocs(seed, 40)
+      val mutated = base.map { case (i, t) =>
+        val toks = t.split(" ")
+        val m = toks.map(w =>
+          if (rnd.nextDouble() < 0.6 * rnd.nextDouble())
+            words(rnd.nextInt(words.size))
+          else w)
+        (i + 1000L, m.mkString(" "))
+      }
+      val docs = (base ++ mutated).toDF("doc_id", "text")
+      val sh = docs.select(col("doc_id").as("id"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      val truth = sh.as("a").crossJoin(sh.as("b"))
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+            (size(col("a.sh")) + size(col("b.sh")) -
+              size(array_intersect(col("a.sh"), col("b.sh")))), 4).as("j"))
+        .filter(col("j") >= 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val got = Dedup.ngramJaccard(docs, threshold = 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got === truth, s"seed $seed")
+      assert(truth.nonEmpty, s"seed $seed produced no pairs — weak test")
+    }
+  }
+
   test("simhash of identical text is identical; hamming bounded by 64") {
     import spark.implicits._
     val docs = randomDocs(11L, 80).toDF("doc_id", "text")
