@@ -33,6 +33,30 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted === direct)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    import spark.implicits._
+    // one key owns ~100k rows, the rest are singletons — with the skew
+    // thresholds forced low, AQE must mark and split the hot partition
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = (0 until 100000).map(i => (if (i % 10 == 0) 0L else i.toLong, i))
+        .toDF("k", "v")
+      val right = (0L until 1000L).map(k => (k, s"r$k")).toDF("k", "name")
+      val joined = left.join(right, "k")
+      // collect() drives THIS dataset's queryExecution (count() would spawn
+      // a separate execution and leave this plan unfinalized)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("bucketed tables join without any exchange") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     Tables.writeBucketed(lineitem, "li_bucketed", Seq("l_orderkey"), numBuckets = 4)
