@@ -404,6 +404,16 @@ object Dedup {
     var prevFp = fingerprint(edges)
     var converged = prevFp._1 == 0L
     var iter = 0
+    // lag-adaptive parallelism: star contraction shrinks the edge set
+    // geometrically, and the fingerprint already counts it — size the NEXT
+    // round's materialized partitions from this round's count (~1M edges
+    // per partition) instead of scheduling full-width near-empty tasks
+    // every round. coalesce() is narrow, so no extra shuffle; AQE can't do
+    // this across rounds because the checkpoint pins the partitioning.
+    def partsFor(edgeCount: Long): Int =
+      math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+        edgeCount / 1000000L + 1L)).toInt
+    lazy val spark = pairs.sparkSession
     while (!converged && iter < maxIter) {
       // large-star(u): m = min(N(u) ∪ {u}); link every LARGER neighbor to m
       val adj = edges.select(col("lo").as("u"), col("hi").as("v"))
@@ -419,7 +429,8 @@ object Dedup {
       val ss = truncated(canon(
         adj2.join(mins2, Seq("u"))
           .select(col("v").as("src"), col("m").as("dst"))
-          .union(mins2.select(col("u").as("src"), col("m").as("dst")))))
+          .union(mins2.select(col("u").as("src"), col("m").as("dst"))))
+        .coalesce(partsFor(prevFp._1)))
       val fp = fingerprint(ss)
       converged = fp == prevFp
       prevFp = fp
