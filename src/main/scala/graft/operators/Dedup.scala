@@ -63,17 +63,50 @@ object Dedup {
     * string hash per token plus k-long hashes per gram. Same set
     * semantics modulo 64-bit collisions (irrelevant for sketching).
     */
-  def hashedShingles(text: Column, k: Int = 3): Column = {
+  def hashedShingles(text: Column, k: Int = 3): Column =
+    array_distinct(positionalGramHashes(text, k))
+
+  /** k-shingle hashes in token order, position-preserving (element i =
+    * hash of the gram starting at token i; no dedup): the building block
+    * for span-level operations. Chain-combines k shifted slices with
+    * zip_with — gram_i = xxhash64(…xxhash64(h_i, h_i+1)…, h_i+k-1);
+    * nulls from short-doc padding are skipped by the hash, so < k-token
+    * docs still contribute exactly one gram.
+    */
+  def positionalGramHashes(text: Column, k: Int): Column = {
     val hs = transform(toks(text), t => xxhash64(t))
     val gramLen = greatest(size(hs) - lit(k - 1), lit(1))
-    // chain-combine k shifted copies (zip_with, same rationale as in
-    // [[shingles]]): gram_i = xxhash64(…xxhash64(h_i, h_i+1)…, h_i+k-1);
-    // nulls from short-doc padding are skipped by the hash, so < k-token
-    // docs still contribute exactly one gram
-    val grams = (1 until k).foldLeft(slice(hs, lit(1), gramLen)) { (acc, j) =>
+    (1 until k).foldLeft(slice(hs, lit(1), gramLen)) { (acc, j) =>
       zip_with(acc, slice(hs, lit(j + 1), gramLen), (a, b) => xxhash64(a, b))
     }
-    array_distinct(grams)
+  }
+
+  /** Exact repeated-span detection (the primitive behind exact SUBSTRING
+    * dedup, Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22): return every (doc, token position) whose n-token
+    * window occurs more than once in the corpus — within the same document
+    * or across documents — so a caller can cut the duplicated spans rather
+    * than drop whole near-duplicate documents. The published pipelines use
+    * n ≈ 50 tokens; smaller n flags more aggressively.
+    *
+    * Plan shape: positional gram hashes (narrow) → posexplode → one
+    * groupBy(gram) count (map-side combined longs) → semi-join back.
+    * Nothing but 8-byte hashes and positions ever shuffles; at 100 TB the
+    * gram-count table is the only wide state and it shrinks with `n`.
+    */
+  def repeatedSpans(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 50): DataFrame = {
+    val grams = OperatorCaches.persistTracked(df.select(
+        col(idCol).cast("long").as("id"),
+        posexplode(positionalGramHashes(col(textCol), n)).as(Seq("pos", "g"))))
+    val repeated = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    grams.join(repeated, Seq("g"), "left_semi")
+      .select(col("id").as(idCol), col("pos"))
+      .orderBy(idCol, "pos")
   }
 
   /** Exact dedup: hash-groupBy on the full text (md5 keeps the shuffle key

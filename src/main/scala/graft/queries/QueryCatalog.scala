@@ -927,6 +927,22 @@ object QueryCatalog {
               WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.15
               ORDER BY id_a, id_b""")),
 
+    // exact repeated-span detection (substring-dedup primitive): oracle
+    // rebuilds positional 5-gram strings with a lateral range unnest
+    // (DuckDB slices are 1-based → pos - 1 aligns with posexplode)
+    Q("q_repeated_spans",
+      (s, dir) => Dedup.repeatedSpans(t(s, dir, "documents"), n = 5),
+      Some("""WITH tk AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                FROM documents),
+              g AS (
+                SELECT doc_id, r.pos, array_to_string(t[r.pos:r.pos+4], ' ') AS gram
+                FROM tk, LATERAL unnest(range(1, len(t) - 3)) AS r(pos)),
+              dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1)
+              SELECT doc_id, CAST(g.pos - 1 AS INT) AS pos
+              FROM g JOIN dup USING (gram)
+              ORDER BY doc_id, pos""")),
+
     Q("q_dedup_clusters",
       (s, dir) => Dedup.fuzzyDedupClusters(t(s, dir, "documents"), threshold = 0.5),
       None),

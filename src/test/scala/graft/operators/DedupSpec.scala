@@ -83,6 +83,25 @@ class DedupSpec extends SparkSpec {
     assert(j13 === 0.4)
   }
 
+  test("repeated spans flags exactly the positions of shared n-token windows") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "one two three four five unique tail here"),
+      (2L, "prefix words one two three four five other"),  // shares a 5-window with 1
+      (3L, "totally different content with no overlap at all"),
+      (4L, "loop loop loop loop loop loop loop")            // self-repeating
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.repeatedSpans(corpus, n = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // doc1 pos 0 = "one two three four five" == doc2 pos 2
+    assert(flagged.contains((1L, 0)) && flagged.contains((2L, 2)))
+    // doc4: all three 5-windows are "loop"*5 → every position flagged
+    assert(Set((4L, 0), (4L, 1), (4L, 2)).subsetOf(flagged))
+    // no other doc1/doc2 window repeats; doc3 entirely clean
+    assert(!flagged.exists(_._1 == 3L))
+    assert(flagged === Set((1L, 0), (2L, 2), (4L, 0), (4L, 1), (4L, 2)))
+  }
+
   test("incremental dedup keeps only texts unseen in the base corpus") {
     import spark.implicits._
     val base = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
