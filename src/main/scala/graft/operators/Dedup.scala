@@ -109,6 +109,45 @@ object Dedup {
       .orderBy(idCol, "pos")
   }
 
+  /** Span surgery companion to [[repeatedSpans]]: remove every token
+    * covered by a repeated n-window EXCEPT the window's canonical (first
+    * by (doc, pos)) occurrence — cut the duplicated text, keep the rest of
+    * the document (Lee et al. ACL'22 cut semantics). Returns the input
+    * plus `text_cut` (tokens surviving the cut, space-joined) and
+    * `n_cut_tokens`.
+    *
+    * Same shuffle profile as repeatedSpans (hashes + positions only) plus
+    * one broadcast-sized per-doc cut-index set joined back to the corpus —
+    * the document bodies never shuffle.
+    */
+  def cutRepeatedSpans(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 50): DataFrame = {
+    val grams = OperatorCaches.persistTracked(df.select(
+        col(idCol).cast("long").as("id"),
+        posexplode(positionalGramHashes(col(textCol), n)).as(Seq("pos", "g"))))
+    // per repeated gram: canonical keeper = lexicographic min (id, pos)
+    val keepers = grams.groupBy("g")
+      .agg(count(lit(1)).as("c"), min(struct(col("id"), col("pos"))).as("keep"))
+      .filter(col("c") > 1)
+    // token indices covered by any non-keeper occurrence
+    val cutIdx = grams.join(keepers, Seq("g"))
+      .filter(struct(col("id"), col("pos")) =!= col("keep"))
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("ti"))
+      .groupBy("id").agg(collect_set(col("ti")).as("cut"))
+    val toks0 = toks(col(textCol))
+    df.join(cutIdx.withColumnRenamed("id", "__cut_id"),
+        col(idCol).cast("long") === col("__cut_id"), "left")
+      .withColumn("__kept", filter(toks0, (tok, i) =>
+        col("cut").isNull || !array_contains(col("cut"), i)))
+      .withColumn("text_cut", concat_ws(" ", col("__kept")))
+      .withColumn("n_cut_tokens",
+        (size(toks0) - size(col("__kept"))).cast("long"))
+      .drop("__cut_id", "cut", "__kept")
+  }
+
   /** Exact dedup: hash-groupBy on the full text (md5 keeps the shuffle key
     * 16 bytes instead of the document body — at 100 TB you shuffle digests,
     * not documents). Keeps the lowest id per group.

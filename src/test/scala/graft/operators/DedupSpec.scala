@@ -102,6 +102,26 @@ class DedupSpec extends SparkSpec {
     assert(flagged === Set((1L, 0), (2L, 2), (4L, 0), (4L, 1), (4L, 2)))
   }
 
+  test("cutting repeated spans keeps the canonical occurrence, cuts the rest") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "one two three four five unique tail here"),
+      (2L, "prefix words one two three four five other"),
+      (3L, "totally different content with no overlap at all"),
+      (4L, "loop loop loop loop loop loop loop")
+    ).toDF("doc_id", "text")
+    val cut = Dedup.cutRepeatedSpans(corpus, n = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_cut"), r.getAs[Long]("n_cut_tokens"))).toMap
+    // doc1 holds the canonical occurrence → untouched
+    assert(cut(1L) === ("one two three four five unique tail here", 0L))
+    // doc2's copy of the window (tokens 2..6) is cut
+    assert(cut(2L) === ("prefix words other", 5L))
+    assert(cut(3L)._2 === 0L)
+    // doc4: windows at pos 1,2 are non-canonical → tokens 1..6 cut
+    assert(cut(4L) === ("loop", 6L))
+  }
+
   test("incremental dedup keeps only texts unseen in the base corpus") {
     import spark.implicits._
     val base = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
