@@ -48,17 +48,24 @@ object Bench {
     // round lost its bench numbers), so the whole line must stay < ~1.9 KB:
     // 2-decimal times, the "q_" prefix stripped from keys (every catalog
     // name carries it), and sf reported as its basename.
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
     def short(k: String): String = k.stripPrefix("q_")
-    val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     val ok = results.values.filter(_ >= 0)
     val total = BigDecimal(if (ok.nonEmpty) ok.sum else 0.0)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val failed = results.collect { case (k, v) if v < 0 => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
     val sfName = sfDir.split('/').last
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfName"}""")
+    def line(decimals: Int): String = {
+      val qs = results.map { case (k, v) =>
+        "\"" + short(k) + "\":" + (if (v < 0) "-1"
+          else String.format(s"%.${decimals}f", Double.box(v)))
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfName"}"""
+    }
+    // adaptive precision: prefer 2 decimals, degrade rather than let the
+    // line outgrow the driver's 2000-char tail capture — which also has to
+    // hold sbt's ~75-char [success] trailer after this line
+    println(Seq(line(2), line(1)).find(_.length <= 1920).getOrElse(line(0)))
     spark.stop()
   }
 }

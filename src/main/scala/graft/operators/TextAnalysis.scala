@@ -166,6 +166,30 @@ object TextAnalysis {
       .drop("__n")
   }
 
+  /** Perplexity-style LM quality score from a corpus-trained unigram
+    * model: surprisal(doc) = −mean log2 P(token), P(token) = corpus
+    * frequency / corpus token count. The degenerate-but-exact member of
+    * the CCNet/Gopher LM-filtering family — swap the unigram table for
+    * imported KenLM n-gram scores and nothing else changes. High scores =
+    * rare-token-heavy docs (gibberish, boilerplate-stripped residue); the
+    * usual policy keeps a middle band.
+    *
+    * Shuffles carry (token, count) pairs and per-doc partial sums only;
+    * the corpus token total rides in as a 1-row broadcast, so the plan is
+    * one job at any scale.
+    */
+  def unigramSurprisal(
+      df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = df.select(col(idCol), explode(wsTokens(col(textCol))).as("w"))
+    val freq = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt").as("__total"))
+    tok.join(freq, Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(round(avg(-log2(col("cnt").cast("double") / col("__total"))), 4)
+        .as("surprisal"))
+  }
+
   def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("fingerprint",
       aggregate(

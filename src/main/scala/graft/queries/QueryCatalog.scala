@@ -889,6 +889,22 @@ object QueryCatalog {
         .orderBy("doc_id"),
       None),
 
+    // unigram-LM surprisal (perplexity-filter family); DuckDB replays the
+    // model exactly — same tokenizer, same corpus totals, log2 both sides
+    Q("q_unigram_ppl",
+      (s, dir) => TextAnalysis.unigramSurprisal(t(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                FROM documents),
+              freq AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+              total AS (SELECT sum(cnt) AS t FROM freq)
+              SELECT doc_id,
+                round(avg(-log2(CAST(cnt AS DOUBLE) / (SELECT t FROM total))), 4)
+                  AS surprisal
+              FROM tok JOIN freq USING (w)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
     // 0.5 is the realistic fuzzy-dedup operating point: auto-banding keeps
     // ≥95% band-collision recall at the threshold (0.2 would need the
     // degenerate r<2 banding — see Dedup.minHashLsh scaladoc)

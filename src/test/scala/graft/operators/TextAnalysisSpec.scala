@@ -46,6 +46,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(langs(3L) === "und") // no stopword evidence
   }
 
+  test("unigram surprisal: repeated-token docs score low, rare-token docs high") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "common common common common common common common common"),
+      (2L, "rareword1 rareword2 rareword3 rareword4"),
+      (3L, "common common common rareword5")
+    ).toDF("doc_id", "text")
+    val s = TextAnalysis.unigramSurprisal(corpus)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 16 corpus tokens: "common" has P = 11/16; each rareword P = 1/16
+    assert(s(1L) < s(3L) && s(3L) < s(2L))
+    assert(math.abs(s(2L) - 4.0) < 1e-3) // -log2(1/16) = 4
+  }
+
   test("fingerprint is order-sensitive and content-deterministic") {
     import spark.implicits._
     val d = Seq(
