@@ -190,6 +190,47 @@ object TextAnalysis {
         .as("surprisal"))
   }
 
+  /** Bigram collocation mining by pointwise mutual information:
+    * PMI(a,b) = log2(P(ab) / (P(a)·P(b))) over adjacent token pairs, with
+    * a minimum pair count to keep the estimate stable (rare pairs have
+    * unboundedly noisy PMI). The classic corpus-analysis op for finding
+    * multiword units ("new york", "machine learning") worth protecting
+    * from tokenizers and dedup shingling.
+    *
+    * One narrow zip_with builds the bigram stream; the shuffles carry
+    * (token, count) / (bigram, count) pairs only. Unigram totals join back
+    * by token — two broadcast-friendly frequency tables at any corpus
+    * size (vocab-bounded, not corpus-bounded).
+    */
+  def collocations(
+      df: DataFrame,
+      textCol: String = "text",
+      minCount: Long = 5L): DataFrame = {
+    val t = wsTokens(lower(col(textCol)))
+    val n = size(t)
+    val pairs = df.select(explode(zip_with(
+        slice(t, lit(1), greatest(n - 1, lit(0))),
+        slice(t, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = df.select(explode(wsTokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val totalUni = uni.agg(sum("wc").as("__tu"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+      .filter(col("bc") >= minCount)
+    val totalBig = big.agg(sum("bc").as("__tb"))
+    big
+      .join(uni.select(col("w").as("w1"), col("wc").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("wc").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totalUni)).crossJoin(broadcast(totalBig))
+      .withColumn("pmi", round(log2(
+        (col("bc").cast("double") / col("__tb")) /
+          ((col("c1").cast("double") / col("__tu")) *
+            (col("c2").cast("double") / col("__tu")))), 4))
+      .select("w1", "w2", "bc", "pmi")
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+  }
+
   def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("fingerprint",
       aggregate(

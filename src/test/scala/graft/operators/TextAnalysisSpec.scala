@@ -60,6 +60,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(s(2L) - 4.0) < 1e-3) // -log2(1/16) = 4
   }
 
+  test("collocations: a fixed phrase outranks incidental co-occurrence") {
+    import spark.implicits._
+    // "machine learning" always adjacent; "data" appears more often than
+    // "learning", so even a perfect predictor of "data" scores lower
+    // (PMI of a perfect pair = -log2 P(second word))
+    val corpus = (0 until 10).map(i =>
+      (i.toLong, s"machine learning is data w$i and data v$i uses machine learning also data here"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.collocations(corpus, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    assert(top.nonEmpty)
+    val ml = top.find(t => t._1 == "machine" && t._2 == "learning").get
+    // every "machine" is followed by "learning" → maximal association:
+    // ml attains the top PMI (other perfect predictors may tie — PMI of a
+    // perfect pair is -log2 P(second), identical when counts match)
+    assert(ml._3 === top.head._3 && ml._3 > 0.0)
+    // every pair landing on the commoner "data" scores strictly lower
+    val inc = top.filter(_._2 == "data")
+    assert(inc.nonEmpty && inc.forall(_._3 < ml._3))
+  }
+
   test("fingerprint is order-sensitive and content-deterministic") {
     import spark.implicits._
     val d = Seq(
