@@ -57,8 +57,9 @@ object Bench {
     val sfName = sfDir.split('/').last
     def line(decimals: Int): String = {
       val qs = results.map { case (k, v) =>
+        // Locale.ROOT: a comma-decimal default locale would emit broken JSON
         "\"" + short(k) + "\":" + (if (v < 0) "-1"
-          else String.format(s"%.${decimals}f", Double.box(v)))
+          else String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v)))
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfName"}"""
     }

@@ -23,7 +23,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // correctness runs are untimed: release operator-internal caches per
-      // query so 88 dumps never accumulate sketch tables in one JVM
+      // query so the ~90 dumps never accumulate sketch tables in one JVM
       graft.operators.OperatorCaches.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

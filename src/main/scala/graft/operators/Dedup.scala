@@ -99,7 +99,12 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 50): DataFrame = {
-    val grams = OperatorCaches.persistTracked(df.select(
+    // docs shorter than n tokens have NO n-token window: without the size
+    // guard the gram builder's short-doc floor (whole-doc gram) would flag
+    // them, and surgery would erase entire short duplicates
+    val grams = OperatorCaches.persistTracked(df
+      .filter(size(split(lower(trim(col(textCol))), "\\s+")) >= n)
+      .select(
         col(idCol).cast("long").as("id"),
         posexplode(positionalGramHashes(col(textCol), n)).as(Seq("pos", "g"))))
     val repeated = grams.groupBy("g").agg(count(lit(1)).as("c"))
@@ -125,7 +130,9 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 50): DataFrame = {
-    val grams = OperatorCaches.persistTracked(df.select(
+    val grams = OperatorCaches.persistTracked(df
+      .filter(size(split(lower(trim(col(textCol))), "\\s+")) >= n)
+      .select(
         col(idCol).cast("long").as("id"),
         posexplode(positionalGramHashes(col(textCol), n)).as(Seq("pos", "g"))))
     // per repeated gram: canonical keeper = lexicographic min (id, pos)

@@ -83,7 +83,9 @@ object Sampling {
       weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be positive")
-    val counts = df.groupBy(stratumCol).count().collect()
+    // cast: the stratum column need not be StringType (int domain ids)
+    val stratum = col(stratumCol).cast("string")
+    val counts = df.groupBy(stratum.as("__s")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
     require(present.nonEmpty, "no stratum from weights present in the data")
@@ -92,7 +94,7 @@ object Sampling {
       s -> math.min(256L, math.ceil(256.0 * w * feasibleN / counts(s)).toLong)
     }
     val thr = thresholds.foldLeft(lit(null).cast("long")) { case (acc, (s, t)) =>
-      when(col(stratumCol) === s, lit(t)).otherwise(acc)
+      when(stratum === s, lit(t)).otherwise(acc)
     }
     df.filter(hashBucket256(col(keyCol)) < thr)
   }

@@ -180,7 +180,10 @@ object TextAnalysis {
     */
   def unigramSurprisal(
       df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tok = df.select(col(idCol), explode(wsTokens(col(textCol))).as("w"))
+    // the token stream feeds the model, its total, AND the scoring join —
+    // materialize once or the corpus re-tokenizes per subtree
+    val tok = OperatorCaches.persistTracked(
+      df.select(col(idCol), explode(wsTokens(col(textCol))).as("w")))
     val freq = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
     val total = freq.agg(sum("cnt").as("__total"))
     tok.join(freq, Seq("w"))
@@ -207,18 +210,22 @@ object TextAnalysis {
       textCol: String = "text",
       minCount: Long = 5L): DataFrame = {
     val t = wsTokens(lower(col(textCol)))
-    val n = size(t)
-    val pairs = df.select(explode(zip_with(
-        slice(t, lit(1), greatest(n - 1, lit(0))),
-        slice(t, lit(2), greatest(n - 1, lit(0))),
+    // tokenized arrays materialize once; pairs and unigrams both read them
+    val arrs = OperatorCaches.persistTracked(df.select(t.as("t")))
+    val pairs = arrs.select(explode(zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val uni = df.select(explode(wsTokens(lower(col(textCol)))).as("w"))
+    val uni = arrs.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
     val totalUni = uni.agg(sum("wc").as("__tu"))
-    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
-      .filter(col("bc") >= minCount)
-    val totalBig = big.agg(sum("bc").as("__tb"))
+    // bigram total is over ALL adjacent pairs — normalizing by the
+    // post-minCount total would shift every PMI up by a constant
+    val bigAll = OperatorCaches.persistTracked(
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("bc")))
+    val totalBig = bigAll.agg(sum("bc").as("__tb"))
+    val big = bigAll.filter(col("bc") >= minCount)
     big
       .join(uni.select(col("w").as("w1"), col("wc").as("c1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("wc").as("c2")), Seq("w2"))

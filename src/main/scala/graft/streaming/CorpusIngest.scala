@@ -42,16 +42,24 @@ object CorpusIngest {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        // within-batch exact dedup (keep lowest id per text)
-        val fresh = Dedup.exact(batch, idCol, textCol)
-        val fs = new Path(basePath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val novel =
-          if (fs.exists(new Path(basePath)))
-            Dedup.incrementalExact(fresh, spark.read.parquet(basePath), textCol)
-          else fresh
-        novel.write.mode("append").partitionBy(partitionCols: _*).parquet(basePath)
+        // an empty batch must not touch the sink: writing it would create
+        // basePath with only _SUCCESS, and a schema-less parquet dir kills
+        // every later batch's base read ("Unable to infer schema")
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          // within-batch exact dedup (keep lowest id per text)
+          val fresh = Dedup.exact(batch, idCol, textCol)
+          val fs = new Path(basePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val novel =
+            if (fs.exists(new Path(basePath)))
+              // pin the schema: tolerant of a base dir a crashed attempt
+              // left behind with no data files
+              Dedup.incrementalExact(fresh,
+                spark.read.schema(batch.schema).parquet(basePath), textCol)
+            else fresh
+          novel.write.mode("append").partitionBy(partitionCols: _*).parquet(basePath)
+        }
       }
       .start()
 }

@@ -102,6 +102,16 @@ class DedupSpec extends SparkSpec {
     assert(flagged === Set((1L, 0), (2L, 2), (4L, 0), (4L, 1), (4L, 2)))
   }
 
+  test("docs shorter than the window are never flagged or cut") {
+    import spark.implicits._
+    // identical 2-token docs, window 5: no 5-token window exists
+    val shorts = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(shorts, n = 5).isEmpty)
+    val cut = Dedup.cutRepeatedSpans(shorts, n = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_cut")).toMap
+    assert(cut(1L) === "tiny doc" && cut(2L) === "tiny doc")
+  }
+
   test("cutting repeated spans keeps the canonical occurrence, cuts the rest") {
     import spark.implicits._
     val corpus = Seq(

@@ -51,6 +51,15 @@ class SamplingSpec extends SparkSpec {
       s"de kept ${byLang("de")}, expected ~250")
   }
 
+  test("mixture sample accepts non-string stratum columns") {
+    import spark.implicits._
+    val intStrata = (0L until 100L).map(i => (i, (i % 2).toInt)).toDF("doc_id", "grp")
+    val kept = Sampling.mixtureSample(intStrata, "grp", "doc_id",
+      Map("0" -> 0.5, "1" -> 0.5))
+    // both strata have 50 rows → balanced target keeps everything
+    assert(kept.count() === 100L)
+  }
+
   test("mixture sample depends only on relative weights") {
     val a = Sampling.mixtureSample(docs, "lang", "doc_id",
       Map("en" -> 0.5, "de" -> 0.5)).select("doc_id").collect().map(_.getLong(0)).sorted

@@ -18,6 +18,10 @@ class CorpusIngestSpec extends SparkSpec {
 
     val q = CorpusIngest.incrementalCorpusIngest(docs, s"$dir/corpus", ckpt)
 
+    // batch 0 is EMPTY: must not create a schema-less sink dir that would
+    // poison every later base read
+    q.processAllAvailable()
+
     // batch 1: a within-batch duplicate (ids 1,2 same text) + one unique
     in.addData((1L, "alpha beta", "web"), (2L, "alpha beta", "web"),
       (3L, "gamma delta", "books"))
