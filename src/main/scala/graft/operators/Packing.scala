@@ -38,7 +38,9 @@ object Packing {
         substring(key, 1, 1).as("shard"),
         key.as("pack_key"))
       .withColumn("start_off", coalesce(sum(col("len")).over(w), lit(0L)))
-      .withColumn("pack_no", floor(col("start_off") / capacity.toDouble).cast("int"))
+      // integer DIV, kept long: double division would lose exactness for
+      // offsets past 2^53 and an int cast overflows past 2^31 packs
+      .withColumn("pack_no", expr(s"start_off DIV ${capacity}L"))
   }
 
   /** Per-pack summary (docs per pack, filled length) — the layout manifest

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
-  private def aggAll(df: DataFrame, aggs: Seq[Column]): DataFrame =
+  private def aggAll(df: DataFrame, aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty, "profiling needs at least one column")
     df.groupBy().agg(aggs.head, aggs.tail: _*)
+  }
 
   /** sum(when(c < 0, 1).otherwise(0)) per column, one scan (reference cell 9). */
   def negativeCounts(df: DataFrame, cols: Seq[String]): DataFrame =
@@ -56,5 +58,7 @@ object Profiling {
     */
   def percentiles(df: DataFrame, c: String, ps: Seq[Double]): DataFrame =
     aggAll(df, ps.map(p =>
-      round(expr(s"percentile($c, $p)"), 2).as("p" + (p * 1000).toInt)))
+      // backticks: column names with spaces/dots; round the label (0.95
+      // * 1000 is 949.99… as a double — toInt alone would emit p949)
+      round(expr(s"percentile(`$c`, $p)"), 2).as("p" + math.round(p * 1000))))
 }

@@ -72,6 +72,8 @@ object Similarity {
 
   /** Sign-bit bucket id (nPlanes bits packed into a long) for each vector. */
   def lshBucket(v: Column, dim: Int, nPlanes: Int = 16, seed: Long = 42L): Column = {
+    // JVM shifts are mod 64: plane 64+ would silently alias onto low bits
+    require(nPlanes > 0 && nPlanes <= 63, "nPlanes must be in [1, 63]")
     val planes = hyperplanes(dim, nPlanes, seed)
     planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
       val d = dot(v, array(p.map(lit): _*))
@@ -121,17 +123,36 @@ object Similarity {
     * xxhash64), standing in for k-means — swap in trained centroids
     * without changing the plan shape.
     */
+  /** Hash-deterministic centroid sample shared by ivfAssign and k-means
+    * init: the k vectors with the smallest xxhash64(id) — stable across
+    * runs, engines, and partitionings, unlike a head()/rand sample.
+    */
+  private def sampleCentroids(
+      df: DataFrame, k: Int, idCol: String, vecCol: String): Array[(Long, Seq[Double])] =
+    df.select(col(idCol).cast("long").as("cid"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("h", xxhash64(col("cid")))
+      .orderBy("h").limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+
+  /** Max-cosine argmax over a literal centroid set — the ONE assignment
+    * expression k-means training and IVF assignment both use (they must
+    * agree bit-for-bit: the quantizer a query probes has to be the one the
+    * trainer built). Zero-norm vectors score −2, below any real cosine, so
+    * they still land in some cluster instead of a null assignment.
+    */
+  private def assignExpr(centroids: Array[(Long, Seq[Double])], v: Column): Column =
+    array_max(array(centroids.map { case (cid, cv) =>
+      struct(coalesce(cosine(v, array(cv.map(lit): _*)), lit(-2.0)).as("sim"),
+        lit(cid).as("cid"))
+    }.toIndexedSeq: _*)).getField("cid")
+
   def ivfAssign(
       df: DataFrame,
       k: Int = 16,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): (DataFrame, Array[(Long, Seq[Double])]) = {
-    val centroids = df
-      .select(col(idCol).cast("long").as("cid"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("h", xxhash64(col("cid")))
-      .orderBy("h").limit(k)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    val centroids = sampleCentroids(df, k, idCol, vecCol)
     (ivfAssignWith(df, centroids, vecCol), centroids)
   }
 
@@ -154,25 +175,15 @@ object Similarity {
       iters: Int = 5,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Array[(Long, Seq[Double])] = {
-    var centroids: Array[(Long, Seq[Double])] = df
-      .select(col(idCol).cast("long").as("cid"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("h", xxhash64(col("cid")))
-      .orderBy("h").limit(k)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toSeq) }
+    var centroids: Array[(Long, Seq[Double])] =
+      sampleCentroids(df, k, idCol, vecCol)
+        .zipWithIndex.map { case ((_, cv), i) => (i.toLong, cv) }
     if (iters == 0) return centroids
     val vecs = OperatorCaches.persistTracked(
       df.select(toDouble(col(vecCol)).as("v")).filter(col("v").isNotNull))
     for (_ <- 1 to iters) {
-      val scored = centroids.map { case (cid, cv) =>
-        // zero-norm vectors score -2 (below any real cosine) so they still
-        // land in some cluster instead of producing a null assignment
-        struct(coalesce(cosine(col("v"), array(cv.map(lit): _*)), lit(-2.0)).as("sim"),
-          lit(cid).as("cid"))
-      }
       val means = vecs
-        .withColumn("cid", array_max(array(scored.toIndexedSeq: _*)).getField("cid"))
+        .withColumn("cid", assignExpr(centroids, col("v")))
         .select(col("cid"), posexplode(col("v")))
         .groupBy("cid", "pos").agg(avg("col").as("m"))
         .collect()
@@ -191,14 +202,8 @@ object Similarity {
   def ivfAssignWith(
       df: DataFrame,
       centroids: Array[(Long, Seq[Double])],
-      vecCol: String = "embedding"): DataFrame = {
-    val scored = centroids.map { case (cid, cv) =>
-      struct(coalesce(cosine(toDouble(col(vecCol)), array(cv.map(lit): _*)), lit(-2.0)).as("sim"),
-        lit(cid).as("cid"))
-    }
-    df.withColumn("centroid_id",
-      array_max(array(scored.toIndexedSeq: _*)).getField("cid"))
-  }
+      vecCol: String = "embedding"): DataFrame =
+    df.withColumn("centroid_id", assignExpr(centroids, toDouble(col(vecCol))))
 
   /** Query the IVF-assigned table: probe the nProbe nearest centroids, then
     * exact cosine among their members only.
@@ -234,6 +239,10 @@ object Similarity {
       bands: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // a non-dividing band count would leave the top bits un-banded (lost
+    // recall); bands > nPlanes would give zero-width masks — every row
+    // colliding with every row, the cartesian this operator exists to avoid
+    require(bands > 0 && nPlanes % bands == 0, "bands must divide nPlanes")
     val w = nPlanes / bands
     val vd = toDouble(col(vecCol))
     // persist: the bucket expression (nPlanes dot products) must evaluate

@@ -20,16 +20,25 @@ object SkewJoin {
     * replicate `salts`-fold — the classic mid-size dimension with a
     * power-law fact key.
     */
+  /** First `__graft_salt*` name unused by either frame — a fixed temp name
+    * would silently clobber a caller column (same guard as
+    * RangeJoin.intervalJoin).
+    */
+  private def saltName(frames: DataFrame*): String =
+    Iterator.from(0).map(i => if (i == 0) "__graft_salt" else s"__graft_salt$i")
+      .find(n => frames.forall(f => !f.columns.contains(n))).get
+
   def saltedEquiJoin(
       left: DataFrame,
       right: DataFrame,
       key: String,
       discriminator: Column,
       salts: Int = 8): DataFrame = {
-    val saltedLeft = left.withColumn("__salt", pmod(xxhash64(discriminator), lit(salts)))
-    val saltedRight = right.withColumn("__salt",
+    val s = saltName(left, right)
+    val saltedLeft = left.withColumn(s, pmod(xxhash64(discriminator), lit(salts)))
+    val saltedRight = right.withColumn(s,
       explode(sequence(lit(0L), lit((salts - 1).toLong))))
-    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+    saltedLeft.join(saltedRight, Seq(key, s)).drop(s)
   }
 
   /** Two-phase (salted) aggregation for skewed group keys: partial
@@ -42,10 +51,17 @@ object SkewJoin {
       df: DataFrame,
       key: String,
       valueCol: String,
-      salts: Int = 8): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(salts)))
-      .groupBy(col(key), col("__salt"))
+      salts: Int = 8): DataFrame = {
+    val s = saltName(df)
+    // salt from a row-unique id, NOT the value column: a hot key whose
+    // values are constant (all-zero amounts) would otherwise land its
+    // entire row count in one salt and the rewrite would remove no skew.
+    // Sum/count are salt-assignment-invariant, so non-determinism across
+    // retries is harmless here (unlike a join key).
+    df.withColumn(s, pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+      .groupBy(col(key), col(s))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))
       .agg(sum("__psum").as("sum"), sum("__pcnt").cast("long").as("count"))
+  }
 }

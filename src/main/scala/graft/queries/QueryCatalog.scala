@@ -1151,7 +1151,7 @@ object QueryCatalog {
                     PARTITION BY substring(pack_key, 1, 1) ORDER BY pack_key
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
                 FROM k)
-              SELECT shard, CAST(floor(start_off / 4096.0) AS INT) AS pack_no,
+              SELECT shard, CAST(start_off // 4096 AS BIGINT) AS pack_no,
                 count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_len
               FROM o GROUP BY 1, 2 ORDER BY shard, pack_no""")),
 

@@ -116,10 +116,18 @@ object EventStreams {
       for (e <- sorted) {
         val t = e.ts.getTime
         cur match {
-          case Some(s) if t - s.end <= gapMs =>
-            // min on start: a late but in-watermark event may precede it
+          // merge iff within the gap of the session INTERVAL (nearest
+          // boundary) — `t - s.end <= gapMs` alone would also merge a late
+          // event arbitrarily far BEFORE the session start
+          case Some(s) if t >= s.start - gapMs && t - s.end <= gapMs =>
             cur = Some(s.copy(start = t min s.start, end = t max s.end,
               n = s.n + 1, sum = s.sum + e.value))
+          case Some(s) if t < s.start =>
+            // late outlier predating the current session by more than the
+            // gap: it is already complete in event time (anything that
+            // could bridge it is older than the watermark) — emit directly
+            closed ::= Session(userId, new java.sql.Timestamp(t),
+              new java.sql.Timestamp(t), 1, e.value)
           case Some(s) =>
             closed ::= Session(userId, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.end), s.n, s.sum)

@@ -59,7 +59,7 @@ class CorpusOpsSpec extends SparkSpec {
       var run = 0L
       sorted.foreach { r =>
         assert(r.getAs[Long]("start_off") === run)
-        assert(r.getAs[Int]("pack_no") === (run / 300L).toInt)
+        assert(r.getAs[Long]("pack_no") === run / 300L)
         run += r.getAs[Long]("len")
       }
     }

@@ -145,4 +145,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(byUser(1L).getAs[Timestamp]("session_end") === ts("2024-01-01 10:05:00"))
     assert(byUser(2L).getAs[Long]("n_events") === 1L)
   }
+
+  test("a late event far BEFORE the open session becomes its own session, not a merge") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = sessionize(in.toDS(), gapMinutes = 30, watermark = "3 hours")
+      .writeStream.format("memory").queryName("late_sessions").outputMode("append").start()
+    in.addData(ev(1, "2024-01-01 12:00:00", v = 1.0))
+    q.processAllAvailable()
+    // 11:05 is inside the 3h watermark but 55 min before the open session's
+    // start — merging it would create a session with a 55-min internal gap
+    in.addData(ev(2, "2024-01-01 11:05:00", v = 2.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close the 12:00 session
+    in.addData(ev(9, "2024-01-01 18:00:00", user = 9L))
+    q.processAllAvailable()
+    in.addData(ev(10, "2024-01-01 23:00:00", user = 9L))
+    q.processAllAvailable()
+    val rows = spark.table("late_sessions").collect()
+      .filter(_.getAs[Long]("user_id") == 1L)
+      .map(r => (r.getAs[Timestamp]("session_start"),
+        r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events")))
+      .sortBy(_._1.getTime)
+    q.stop()
+    assert(rows.toSeq === Seq(
+      (ts("2024-01-01 11:05:00"), ts("2024-01-01 11:05:00"), 1L),
+      (ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1L)))
+  }
 }
