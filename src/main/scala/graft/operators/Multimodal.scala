@@ -54,14 +54,17 @@ object Multimodal {
     * partition, no driver involvement, no shuffle).
     */
   private[operators] def stubDecode(item: MediaItem): MediaFeatures = {
-    val h = java.util.Arrays.hashCode(item.bytes)
+    // null payload (e.g. a null source text upstream) decodes as empty
+    // rather than NPE-ing the whole task
+    val bytes = if (item.bytes == null) Array.emptyByteArray else item.bytes
+    val h = java.util.Arrays.hashCode(bytes)
     val digest = f"${h}%08x"
     val dim = 8
     val emb = Array.tabulate(dim) { i =>
       // deterministic fake embedding from payload hash — STUB
       (((h * 31 + i * 2654435761L) % 1000) / 1000.0f)
     }
-    MediaFeatures(item.media_id, item.kind, item.bytes.length.toLong, digest,
+    MediaFeatures(item.media_id, item.kind, bytes.length.toLong, digest,
       width = 16 + math.abs(h % 1024), height = 16 + math.abs((h / 7) % 1024),
       embedding = emb)
   }
@@ -89,7 +92,10 @@ object Multimodal {
       val f = stubDecode(item)
       // deterministic digest of (payload, target dims) — STUB re-encode
       val digest = f"${java.util.Arrays.hashCode(item.bytes) ^ (w * 31 + h)}%08x"
-      f.copy(width = w, height = h, digest = digest)
+      // stub contract: a resized payload cannot exceed the target area
+      // (3 bytes/pixel) — downstream packing must see post-resize sizes
+      f.copy(width = w, height = h, digest = digest,
+        n_bytes = math.min(f.n_bytes, w.toLong * h * 3))
     })
   }
 
@@ -101,7 +107,7 @@ object Multimodal {
     val spark = items.sparkSession
     import spark.implicits._
     items.filter(_.kind == "video").flatMap { item =>
-      val h = java.util.Arrays.hashCode(item.bytes)
+      val h = java.util.Arrays.hashCode(item.bytes) // null-safe: hashCode(null) = 0
       (0 until n).iterator.map { i =>
         Frame(item.media_id, i, i * 1000L, f"${h ^ i}%08x") // STUB digest
       }

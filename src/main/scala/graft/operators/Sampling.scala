@@ -14,9 +14,15 @@ object Sampling {
   /** 16-way deterministic bucket from the md5 of a key column (the first
     * hex digit). md5 is engine-portable (identical in Spark, DuckDB,
     * Python), unlike xxhash64/rand-based assignment.
+    *
+    * `purpose` salts the hash per operation: every sampler keeps a PREFIX
+    * range of the same hash space, so two unsalted samplers compose into
+    * fully correlated selections (a 4/16 stratified sample would sit
+    * entirely inside the 12/16 'train' split and leave valid/test empty).
+    * Distinct purpose strings give independent bucketings.
     */
-  def hashBucket16(key: Column): Column =
-    substring(md5(key.cast("string")), 1, 1)
+  def hashBucket16(key: Column, purpose: String): Column =
+    substring(md5(concat_ws(":", lit(purpose), key.cast("string"))), 1, 1)
 
   /** Deterministic train/validation/test split: buckets 0..b-1 of 16 by
     * md5. Default 12/2/2 → 75/12.5/12.5. Returns the frame with a `split`
@@ -33,8 +39,8 @@ object Sampling {
     val train = hexDigits.take(trainBuckets).map(_.toString)
     val valid = hexDigits.slice(trainBuckets, trainBuckets + validBuckets).map(_.toString)
     df.withColumn("split",
-      when(hashBucket16(col(keyCol)).isin(train: _*), "train")
-        .when(hashBucket16(col(keyCol)).isin(valid: _*), "valid")
+      when(hashBucket16(col(keyCol), "split").isin(train: _*), "train")
+        .when(hashBucket16(col(keyCol), "split").isin(valid: _*), "valid")
         .otherwise("test"))
   }
 
@@ -45,7 +51,10 @@ object Sampling {
     * permutation). Plans as a range-partitioned sort on a 32-char key:
     * one shuffle, no driver-side state, no RNG to snapshot. Returns the
     * frame with its `shuffle_key` so downstream writes can bucket or
-    * range-split on it.
+    * range-split on it. `keyCol` must be unique and non-null (use the
+    * primary id): rows sharing a key — including all null-key rows, which
+    * concat_ws collapses to the same hash — share a shuffle_key and stay
+    * adjacent in every epoch.
     */
   def deterministicShuffle(df: DataFrame, keyCol: String, seed: String): DataFrame =
     df.withColumn("shuffle_key",
@@ -58,8 +67,9 @@ object Sampling {
     * conv (DuckDB) gets the same value from
     * (instr(hexAlphabet, digit1)-1)*16 + (instr(hexAlphabet, digit2)-1).
     */
-  def hashBucket256(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("long")
+  def hashBucket256(key: Column, purpose: String): Column =
+    conv(substring(md5(concat_ws(":", lit(purpose), key.cast("string"))), 1, 2),
+      16, 10).cast("long")
 
   /** Mixture (domain-reweighting) sampling: downsample each stratum so the
     * kept corpus approaches the target weight distribution — the
@@ -96,7 +106,7 @@ object Sampling {
     val thr = thresholds.foldLeft(lit(null).cast("long")) { case (acc, (s, t)) =>
       when(stratum === s, lit(t)).otherwise(acc)
     }
-    df.filter(hashBucket256(col(keyCol)) < thr)
+    df.filter(hashBucket256(col(keyCol), "mix") < thr)
   }
 
   /** Deterministic per-stratum downsampling: keep each row iff its key
@@ -113,7 +123,7 @@ object Sampling {
     val hexDigits = "0123456789abcdef"
     val keep = fractions16.foldLeft(lit(false)) { case (acc, (stratum, sixteenths)) =>
       when(col(stratumCol) === stratum,
-        hashBucket16(col(keyCol)).isin(hexDigits.take(sixteenths).map(_.toString): _*))
+        hashBucket16(col(keyCol), "strat").isin(hexDigits.take(sixteenths).map(_.toString): _*))
         .otherwise(acc)
     }
     df.filter(keep)

@@ -1088,9 +1088,9 @@ object QueryCatalog {
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split"),
       Some("""SELECT CASE
-                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
                   IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
-                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
                   IN ('c','d') THEN 'valid'
                 ELSE 'test' END AS split, count(*) AS n
               FROM documents GROUP BY 1 ORDER BY split""")),
@@ -1106,7 +1106,7 @@ object QueryCatalog {
                 CASE lang WHEN 'en' THEN '0123'
                           WHEN 'de' THEN '0123456789abcdef'
                           ELSE '01234567' END,
-                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) > 0
+                substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 1)) > 0
               GROUP BY lang ORDER BY lang""")),
 
     // domain-mixture resampling to target weights (src0:src1:src2 =
@@ -1132,9 +1132,9 @@ object QueryCatalog {
               SELECT d.doc_id, d.source
               FROM documents d JOIN t ON d.source = t.source
               WHERE (strpos('0123456789abcdef',
-                       substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                       substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
                   + (strpos('0123456789abcdef',
-                       substring(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) < t.thr
+                       substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) < t.thr
               ORDER BY d.doc_id""")),
 
     // concat-and-split sequence packing: 16 md5 shards, per-shard running

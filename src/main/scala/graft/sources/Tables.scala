@@ -123,7 +123,8 @@ object Tables {
     val bak = path.stripSuffix("/") + "__compact_bak"
     df.repartition(numFiles).write.mode("overwrite").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tmp), conf)
+    // hadoop Path handles spaces/special chars; a raw java.net.URI throws
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
     val dst = new org.apache.hadoop.fs.Path(path)
     val bakPath = new org.apache.hadoop.fs.Path(bak)
     // keep the original reachable until the swap succeeds: move it aside,

@@ -13,12 +13,16 @@ object Analytics {
 
   import TaxiSchema.airportIds
 
-  /** Share of trips picking up at an airport (cell 101). */
+  /** Share of trips picking up at an airport (cell 101); 0.0 for an empty
+    * frame (sum over zero rows is null — getLong would NPE).
+    */
   def airportPickupShare(df: DataFrame): Double = {
     val agg = df.agg(
-      sum(when(col("PULocationID").isin(airportIds: _*), 1L).otherwise(0L)).as("ap"),
+      coalesce(sum(when(col("PULocationID").isin(airportIds: _*), 1L).otherwise(0L)),
+        lit(0L)).as("ap"),
       count(lit(1)).as("n")).head()
-    agg.getLong(0).toDouble / agg.getLong(1) * 100
+    if (agg.getLong(1) == 0L) 0.0
+    else agg.getLong(0).toDouble / agg.getLong(1) * 100
   }
 
   /** Q1 (cells 102-105): average tip% (tip/total·100, rounded per-row) by

@@ -22,9 +22,10 @@ object Cleaning {
         unix_timestamp(col("tpep_pickup_datetime"))) / 60.0)
 
   /** Keep average speed ≤ 50 mph (cell 26). Quirk kept verbatim: a
-    * zero-duration trip divides by zero — x/0 → Infinity (dropped),
-    * 0/0 → NaN (comparison false → dropped). Do not "fix"; golden counts
-    * depend on it.
+    * zero-duration trip makes the divisor 0, and Spark SQL's Divide (ANSI
+    * off) returns NULL for x/0 — so the predicate is NULL and the row is
+    * DROPPED. (Not Infinity/NaN: that's Java double semantics, not Spark
+    * SQL's.) Do not "fix"; golden counts depend on the drop.
     */
   def filterValidSpeed(df: DataFrame): DataFrame =
     df.filter(col("trip_distance") / (col("time_take_min") / 60) <= 50)

@@ -109,8 +109,19 @@ object CosineSimilarity {
     ExpressionUtils.column(CosineSimilarity(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Builder with an arity check: indexing exprs blind would surface a
+    * wrong-arity SQL call as IndexOutOfBounds from inside the analyzer
+    * instead of a diagnosable error naming the function.
+    */
+  def build(exprs: Seq[Expression]): CosineSimilarity = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"cosine_sim(a, b) takes exactly 2 arguments, got ${exprs.length}")
+    CosineSimilarity(exprs(0), exprs(1))
+  }
+
   /** Register the SQL name `cosine_sim` on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      "cosine_sim", build, "built-in")
 }

@@ -62,13 +62,23 @@ case class TopKPerKeyExec(
     */
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) super.requiredChildDistribution
-    else Seq(ClusteredDistribution(keys))
+    // normalized keys: the exchange must hash -0.0 and 0.0 (and all NaN
+    // bit patterns) to the same partition, like any SQL grouping exchange
+    else Seq(ClusteredDistribution(keys.map(
+      org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize)))
 
   override def nodeName: String =
     if (partial) "TopKPerKeyPartial" else "TopKPerKey"
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val localKeys = keys
+    // Normalize float/double keys (-0.0 → 0.0, canonical NaN): grouping is
+    // raw UnsafeRow bytes and the exchange hashes those bytes, so without
+    // this -0.0 and 0.0 form two groups (and may land on two partitions),
+    // diverging from SQL GROUP BY / window semantics. Spark's own
+    // NormalizeFloatingNumbers rule only rewrites known node types
+    // (Aggregate/Window/Join) — a custom node must do it itself.
+    val localKeys = keys.map(
+      org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize)
     val localOrder = sortOrder
     val localOutput = output
     val localK = k
@@ -82,7 +92,15 @@ case class TopKPerKeyExec(
       while (iter.hasNext) {
         val row = iter.next()
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(), mutable.PriorityQueue.empty)
+        // copy the key only on first insertion — getOrElseUpdate's eager
+        // argument would allocate per row
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow]
+            heaps.put(key.copy(), h)
+            h
+        }
         if (heap.size < localK) heap.enqueue(row.copy())
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue()

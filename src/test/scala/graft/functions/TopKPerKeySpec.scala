@@ -30,6 +30,19 @@ class TopKPerKeySpec extends SparkSpec {
     assert(viaOperator.size === 25 * 3)
   }
 
+  test("-0.0 and 0.0 float keys form ONE group, like SQL GROUP BY") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 4 rows under key zero (two bit patterns) + 2 under key 1.0
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (-0.0, 4L), (1.0, 5L), (1.0, 6L))
+      .toDF("fkey", "v")
+    // rows keep their original -0.0 values (as SQL does) — normalize for
+    // the comparison; the point is the GROUPING: one zero group of top-2
+    val got = TopKPerKey(df, keyCols = Seq("fkey"), orderCols = Seq(col("v")), k = 2)
+      .collect().map(r => (r.getDouble(0) + 0.0, r.getLong(1))).sorted.toSeq
+    assert(got === Seq((0.0, 1L), (0.0, 2L), (1.0, 5L), (1.0, 6L)))
+  }
+
   test("plans as TopKPerKeyExec over a hash exchange, no sort") {
     val q = TopKPerKey(lineitem, Seq("l_returnflag"),
       Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), k = 5)
