@@ -36,7 +36,8 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // The reference ran Spark 3.5 with ANSI off (Databricks default); its
-      // cleaning semantics depend on x/0 → Inf/NaN (cell 26) rather than
+      // cleaning semantics depend on x/0 → NULL (3VL drop, cell 26; Spark
+      // SQL Divide returns NULL for zero divisors with ANSI off) rather than
       // errors, so the engine pins the same dialect.
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")

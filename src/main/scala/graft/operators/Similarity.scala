@@ -54,12 +54,14 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val q = array(queryVec.map(lit): _*)
+    // rank by the ROUNDED similarity + id tiebreak: ranking on the raw
+    // float makes the top-k cut ulp-sensitive (a different accumulation
+    // order in another engine/run flips near-ties at the boundary)
     df.select(
         col(idCol).cast("long").as(idCol),
-        cosine(toDouble(col(vecCol)), q).as("sim_raw"))
-      .orderBy(col("sim_raw").desc, col(idCol))
+        round(cosine(toDouble(col(vecCol)), q), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
       .limit(k)
-      .select(col(idCol), round(col("sim_raw"), 4).as("sim"))
   }
 
   /** Deterministic random hyperplanes (seeded), as literal arrays — the

@@ -22,6 +22,29 @@ object QueryCatalog {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Shared as-of core (clicks matched to the latest preceding purchase
+    * second per user, single-shuffle union+window): q_asof_join reads it
+    * straight, q_asof_tolerance adds the horizon filter. One
+    * implementation so the two queries cannot silently diverge. Keeps
+    * (event_id, sec, purchase_sec) for click rows.
+    */
+  private def asOfClickPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("sec", date_trunc("second", col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("sec")).distinct()
+      .withColumn("kind", lit(0)).withColumn("event_id", lit(null).cast("long"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("sec"), lit(1).as("kind"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("sec"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("purchase_sec",
+        max(when(col("kind") === 0, col("sec"))).over(w))
+      .filter(col("kind") === 1)
+  }
+
   // ---------------------------------------------------------------- scans,
   // filters, projections (reference SURVEY.md §2b)
 
@@ -518,11 +541,16 @@ object QueryCatalog {
               coalesce(regexp_extract(p_name, '([a-z]+)$', 1), '') AS last_word
               FROM part WHERE p_partkey <= 50 ORDER BY p_partkey""")),
 
+    // coalesce the pivot cells: Spark yields NULL for an empty
+    // (returnflag, linestatus) combo where the oracle's count(CASE) is 0
     Q("q_pivot",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(count(lit(1)))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
               count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F,
@@ -570,24 +598,9 @@ object QueryCatalog {
     // completely different implementations, same semantics. Timestamps are
     // second-truncated in both engines (the raw column is nanos).
     Q("q_asof_join",
-      (s, dir) => {
-        val ev = t(s, dir, "events")
-          .withColumn("sec", date_trunc("second", col("ts")))
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("sec")).distinct()
-          .withColumn("kind", lit(0)).withColumn("event_id", lit(null).cast("long"))
-        val clicks = ev.filter(col("event_type") === "click")
-          .select(col("user_id"), col("sec"), lit(1).as("kind"), col("event_id"))
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("sec"), col("kind"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        purchases.unionByName(clicks)
-          .withColumn("purchase_sec",
-            max(when(col("kind") === 0, col("sec"))).over(w))
-          .filter(col("kind") === 1)
-          .select(col("event_id"), col("purchase_sec"))
-          .orderBy("event_id")
-      },
+      (s, dir) => asOfClickPurchase(s, dir)
+        .select(col("event_id"), col("purchase_sec"))
+        .orderBy("event_id"),
       Some("""WITH clicks AS (
                 SELECT event_id, user_id, date_trunc('second', ts) AS sec
                 FROM events WHERE event_type = 'click'),
@@ -604,25 +617,10 @@ object QueryCatalog {
     // time-series engine's `asof ... tolerance` knob, composed from the
     // same single-shuffle union+window plan plus one filter
     Q("q_asof_tolerance",
-      (s, dir) => {
-        val ev = t(s, dir, "events")
-          .withColumn("sec", date_trunc("second", col("ts")))
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("sec")).distinct()
-          .withColumn("kind", lit(0)).withColumn("event_id", lit(null).cast("long"))
-        val clicks = ev.filter(col("event_type") === "click")
-          .select(col("user_id"), col("sec"), lit(1).as("kind"), col("event_id"))
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("sec"), col("kind"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        purchases.unionByName(clicks)
-          .withColumn("purchase_sec",
-            max(when(col("kind") === 0, col("sec"))).over(w))
-          .filter(col("kind") === 1)
-          .filter(unix_timestamp(col("sec")) - unix_timestamp(col("purchase_sec")) <= 600)
-          .select(col("event_id"), col("purchase_sec"))
-          .orderBy("event_id")
-      },
+      (s, dir) => asOfClickPurchase(s, dir)
+        .filter(unix_timestamp(col("sec")) - unix_timestamp(col("purchase_sec")) <= 600)
+        .select(col("event_id"), col("purchase_sec"))
+        .orderBy("event_id"),
       Some("""WITH clicks AS (
                 SELECT event_id, user_id, date_trunc('second', ts) AS sec
                 FROM events WHERE event_type = 'click'),
@@ -1105,7 +1103,10 @@ object QueryCatalog {
               WHERE strpos(
                 CASE lang WHEN 'en' THEN '0123'
                           WHEN 'de' THEN '0123456789abcdef'
-                          ELSE '01234567' END,
+                          WHEN 'es' THEN '01234567'
+                          WHEN 'fr' THEN '01234567'
+                          WHEN 'zh' THEN '01234567'
+                          ELSE '' END,
                 substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 1)) > 0
               GROUP BY lang ORDER BY lang""")),
 
@@ -1195,7 +1196,7 @@ object QueryCatalog {
                   CAST(embedding AS DOUBLE[]),
                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
                 ) AS sim_raw FROM embeddings WHERE vec_id <> 0)
-              ORDER BY sim_raw DESC, vec_id LIMIT 10""")),
+              ORDER BY round(sim_raw, 4) DESC, vec_id LIMIT 10""")),
 
     Q("q_ann_lsh",
       (s, dir) => {
@@ -1233,22 +1234,23 @@ object QueryCatalog {
             Similarity.toDouble(col("embedding")).as("qv"))
         val corpus = emb.filter(col("vec_id") >= 3)
           .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("cv"))
+        // rank on the ROUNDED similarity: the raw-float cut is
+        // ulp-sensitive across engines (see bruteForceTopK)
         val scored = corpus.crossJoin(broadcast(queries))
           .select(col("q_id"), col("vec_id"),
-            Similarity.cosine(col("qv"), col("cv")).as("sim_raw"))
+            round(Similarity.cosine(col("qv"), col("cv")), 4).as("sim"))
         org.apache.spark.sql.graftnative.TopKPerKey(
             scored, keyCols = Seq("q_id"),
-            orderCols = Seq(col("sim_raw").desc, col("vec_id")), k = 3)
-          .select(col("q_id"), col("vec_id"), round(col("sim_raw"), 4).as("sim"))
+            orderCols = Seq(col("sim").desc, col("vec_id")), k = 3)
           .orderBy("q_id", "vec_id")
       },
-      Some("""SELECT q_id, vec_id, round(sim_raw, 4) AS sim FROM (
+      Some("""SELECT q_id, vec_id, sim FROM (
                 SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
-                       list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                              CAST(c.embedding AS DOUBLE[])) AS sim_raw,
+                       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                    CAST(c.embedding AS DOUBLE[])), 4) AS sim,
                        row_number() OVER (PARTITION BY q.vec_id
-                         ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                                         CAST(c.embedding AS DOUBLE[])) DESC,
+                         ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                               CAST(c.embedding AS DOUBLE[])), 4) DESC,
                                   c.vec_id) AS rn
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 3 AND c.vec_id >= 3) WHERE rn <= 3

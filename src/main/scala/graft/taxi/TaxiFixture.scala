@@ -67,10 +67,10 @@ object TaxiFixture {
     // distance violation: 51 mi at legal speed → dropped at cell 29
     trip(pickup = "2024-01-15 12:00:00", dropoff = "2024-01-15 14:00:00",
       distance = 51.0),
-    // zero duration + zero distance: 0/0 = NaN → dropped at cell 26
+    // zero duration + zero distance: 0/0 → NULL predicate (3VL) → dropped at cell 26
     trip(pickup = "2024-01-15 12:00:00", dropoff = "2024-01-15 12:00:00",
       distance = 0.0),
-    // zero duration + positive distance: Inf speed → dropped at cell 26
+    // zero duration + positive distance: x/0 → NULL predicate (3VL) → dropped at cell 26
     trip(pickup = "2024-01-15 12:00:00", dropoff = "2024-01-15 12:00:00",
       distance = 1.0),
     // triage rule 1 keep: zero-distance flag-drop ride (<2 min, fare ≥ 4.50,

@@ -9,7 +9,10 @@ import graft.{GraftSession, SparkEntry}
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val only = args.drop(1).headOption.map(_.split(",").toSet)
+    val only = args.drop(1).headOption.map(_.split(",").map(_.trim).toSet)
+    // a typo'd name silently explaining nothing defeats the tool's purpose
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[explain] no such query: $n")))
     val spark = GraftSession.local("graft-explain")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.forall(_.contains(name))) {

@@ -34,6 +34,25 @@ class TaxiPipelineSpec extends SparkSpec {
     assert(triaged.filter(col("trip_distance") === 0).count() === 1)
   }
 
+  test("triage rule 2 (2-10 min crawl keep) and the fall-through keep, branch bounds") {
+    import spark.implicits._
+    // (time_min, fare, payment) — exercises the two branches the fixture
+    // rows never reach, plus their boundary values
+    val cases = Seq(
+      (5.0, 5.0, 1L),    // 0: rule 2 keep — crawl in [2,10), fare ok, card
+      (2.0, 4.50, 2L),   // 1: rule 2 lower bounds inclusive → keep
+      (9.9, 4.49, 1L),   // 2: fare < 4.50 misses 1/2; misses drops → fall-through keep
+      (15.0, 5.0, 1L),   // 3: no rule matches → fall-through keep
+      (15.0, 0.0, 1L),   // 4: rule 4 drop — ≥10 min, fare 0
+      (3.0, 25.0, 0L))   // 5: rule 5 drop — <5 min, fare >20
+    val df = cases.zipWithIndex.map { case ((t, f, p), i) =>
+      (i.toLong, 0.0, t, f, p)
+    }.toDF("rid", "trip_distance", "time_take_min", "fare_amount", "payment_type")
+    val kept = Cleaning.triageZeroDistance(df)
+      .select("rid").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 1L, 2L, 3L))
+  }
+
   test("sign-fix flips negatives only for paid payment types (cell 55)") {
     val df = Cleaning.fixNegativeAmounts(Cleaning.withDuration(raw))
     assert(df.filter(col("fare_amount") === 14.0 && col("tip_amount") === 3.0)
