@@ -92,12 +92,27 @@ object EventStreams {
       user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
-  /** Internal running-session state (kept public for encoder codegen). */
-  final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  /** One open session interval (public for encoder codegen). */
+  final case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
+
+  /** Per-key state: ALL open session intervals, kept disjoint and more
+    * than a gap apart (public for encoder codegen).
+    */
+  final case class SessionListState(open: List[OpenSession])
 
   /** Event-time sessionization with a gap timeout: a session closes when no
-    * event arrives for `gapMinutes` (event-time, enforced via watermark +
-    * EventTimeTimeout). Emits one row per closed session.
+    * event arrives for `gapMinutes` (event-time). Emits one row per closed
+    * session.
+    *
+    * State is the LIST of open session intervals per key — the same
+    * session-merging model as Spark's session_window — because with
+    * out-of-order data a single "current session" cannot be correct:
+    * several late events must merge with EACH OTHER (not each become a
+    * singleton), one event can bridge two existing sessions into one, and
+    * a session may only be finalized by the WATERMARK passing end + gap —
+    * never by a newer event arriving, since a late bridging event can
+    * still extend it. The watermark bounds the open-list length (intervals
+    * a gap apart within the lateness horizon).
     */
   def sessionize(
       events: Dataset[Event],
@@ -109,47 +124,35 @@ object EventStreams {
     def update(
         userId: Long,
         rows: Iterator[Event],
-        state: GroupState[SessionState]): Iterator[Session] = {
-      val sorted = rows.toSeq.sortBy(_.ts.getTime)
-      var closed = List.empty[Session]
-      var cur = state.getOption
-      for (e <- sorted) {
+        state: GroupState[SessionListState]): Iterator[Session] = {
+      var open = state.getOption.map(_.open).getOrElse(Nil)
+      for (e <- rows) {
         val t = e.ts.getTime
-        cur match {
-          // merge iff within the gap of the session INTERVAL (nearest
-          // boundary) — `t - s.end <= gapMs` alone would also merge a late
-          // event arbitrarily far BEFORE the session start
-          case Some(s) if t >= s.start - gapMs && t - s.end <= gapMs =>
-            cur = Some(s.copy(start = t min s.start, end = t max s.end,
-              n = s.n + 1, sum = s.sum + e.value))
-          case Some(s) if t < s.start =>
-            // late outlier predating the current session by more than the
-            // gap: it is already complete in event time (anything that
-            // could bridge it is older than the watermark) — emit directly
-            closed ::= Session(userId, new java.sql.Timestamp(t),
-              new java.sql.Timestamp(t), 1, e.value)
-          case Some(s) =>
-            closed ::= Session(userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.end), s.n, s.sum)
-            cur = Some(SessionState(t, t, 1, e.value))
-          case None =>
-            cur = Some(SessionState(t, t, 1, e.value))
-        }
+        // merge the event with EVERY session within the gap of it — one
+        // event can bridge at most two, but partition handles any count
+        val (near, far) = open.partition(s =>
+          t >= s.start - gapMs && t <= s.end + gapMs)
+        val merged =
+          if (near.isEmpty) OpenSession(t, t, 1, e.value)
+          else OpenSession(
+            (t :: near.map(_.start)).min, (t :: near.map(_.end)).max,
+            near.map(_.n).sum + 1, near.map(_.sum).sum + e.value)
+        open = merged :: far
       }
-      if (sorted.isEmpty && state.hasTimedOut) {
-        // watermark passed the gap: close the open session
-        state.getOption.foreach { s =>
-          closed ::= Session(userId, new java.sql.Timestamp(s.start),
-            new java.sql.Timestamp(s.end), s.n, s.sum)
-        }
-        state.remove()
-      } else {
-        cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.end + gapMs)
-        }
+      // only the watermark finalizes a session: every open interval whose
+      // gap window the watermark has passed can no longer grow
+      val wm = state.getCurrentWatermarkMs()
+      val (done, stillOpen) = open.partition(_.end + gapMs <= wm)
+      if (stillOpen.isEmpty) state.remove()
+      else {
+        state.update(SessionListState(stillOpen))
+        // fire when the earliest open session becomes closable
+        state.setTimeoutTimestamp(
+          math.max(stillOpen.map(_.end).min + gapMs, wm + 1))
       }
-      closed.reverseIterator
+      done.sortBy(_.start).iterator.map(s =>
+        Session(userId, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.end), s.n, s.sum))
     }
 
     events

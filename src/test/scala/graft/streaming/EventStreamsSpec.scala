@@ -174,4 +174,39 @@ class EventStreamsSpec extends SparkSpec {
       (ts("2024-01-01 11:05:00"), ts("2024-01-01 11:05:00"), 1L),
       (ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1L)))
   }
+
+  test("late events merge with each other, and a late event bridges two sessions") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = sessionize(in.toDS(), gapMinutes = 30, watermark = "6 hours")
+      .writeStream.format("memory").queryName("merge_sessions").outputMode("append").start()
+    // user 1: two open sessions 50 min apart; user 2: a 12:00 anchor
+    in.addData(
+      ev(1, "2024-01-01 10:00:00", v = 1.0), ev(2, "2024-01-01 10:50:00", v = 1.0),
+      ev(3, "2024-01-01 12:00:00", user = 2L))
+    q.processAllAvailable()
+    // user 1: 10:25 bridges the two sessions into one; user 2: two late
+    // events 10 min apart must merge with EACH OTHER, not become singletons
+    in.addData(
+      ev(4, "2024-01-01 10:25:00", v = 1.0),
+      ev(5, "2024-01-01 11:00:00", user = 2L), ev(6, "2024-01-01 11:10:00", user = 2L))
+    q.processAllAvailable()
+    // push the watermark far past everything to close all sessions
+    in.addData(ev(9, "2024-01-02 12:00:00", user = 9L))
+    q.processAllAvailable()
+    in.addData(ev(10, "2024-01-02 23:00:00", user = 9L))
+    q.processAllAvailable()
+    val rows = spark.table("merge_sessions").collect()
+      .filter(r => r.getAs[Long]("user_id") <= 2L)
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
+        r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events")))
+      .sortBy(t => (t._1, t._2.getTime))
+    q.stop()
+    assert(rows.toSeq === Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:50:00"), 3L),
+      (2L, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:10:00"), 2L),
+      (2L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1L)))
+  }
 }
