@@ -41,4 +41,25 @@ class DedupScaleSpec extends SparkSpec {
     assert(comps.toSeq === Seq(longest))
     OperatorCaches.releaseAll()
   }
+
+  test("prefix-filtered ngram jaccard recovers a replica clique at 10.5k docs") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val reps = spark.range(21).select(col("id").as("rep"))
+    val scaled = docs.crossJoin(reps).select(
+      (col("doc_id") + col("rep") * 1000).as("doc_id"),
+      when(col("rep") === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" rep"), col("rep"))).as("text"))
+    val longest = docs.orderBy(col("n_chars").desc, col("doc_id")).head().getLong(0)
+    val cliqueIds = (0 until 21).map(r => longest + r * 1000L).toSet
+
+    // the EXACT method must find all 210 clique pairs through the prefix
+    // self-join (prefix filtering provably loses no pair at J >= t); a
+    // quadratic-candidate pathology would blow the suite budget first
+    val cliquePairs = Dedup.ngramJaccard(scaled, threshold = 0.6)
+      .filter(col("id_a").isin(cliqueIds.toSeq: _*) &&
+        col("id_b").isin(cliqueIds.toSeq: _*))
+      .count()
+    assert(cliquePairs === 21L * 20L / 2L, s"clique incomplete: $cliquePairs of 210")
+    OperatorCaches.releaseAll()
+  }
 }
