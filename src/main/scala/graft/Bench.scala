@@ -45,28 +45,30 @@ object Bench {
     }
     // The driver keeps only the LAST 2000 chars of output and JSON-parses
     // the line it finds there (round 1's 2.4 KB line outran it and the
-    // round lost its bench numbers), so the whole line must stay < ~1.9 KB:
-    // 2-decimal times, the "q_" prefix stripped from keys (every catalog
-    // name carries it), and sf reported as its basename.
+    // round lost its bench numbers), so the whole line must stay < ~1.9 KB.
+    // Per-query times are INTEGER MILLISECONDS ("unit":"ms"): 3-4 digits
+    // for everything the catalog runs, vs 4+ for 2-decimal seconds — full
+    // 1 ms resolution at fewer bytes per entry, and no adaptive-precision
+    // cliff where sub-second queries all collapse to "0.1". The "q_"
+    // prefix is stripped from keys (every catalog name carries it) and sf
+    // reported as its basename.
     def short(k: String): String = k.stripPrefix("q_")
     val ok = results.values.filter(_ >= 0)
-    val total = BigDecimal(if (ok.nonEmpty) ok.sum else 0.0)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val totalMs = math.round((if (ok.nonEmpty) ok.sum else 0.0) * 1000)
     val failed = results.collect { case (k, v) if v < 0 => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
     val sfName = sfDir.split('/').last
-    def line(decimals: Int): String = {
+    def line(abbrev: Boolean): String = {
       val qs = results.map { case (k, v) =>
-        // Locale.ROOT: a comma-decimal default locale would emit broken JSON
-        "\"" + short(k) + "\":" + (if (v < 0) "-1"
-          else String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v)))
+        // last-resort key squeeze: drop '_' separators (dedupngramjaccard)
+        val key = if (abbrev) short(k).replace("_", "") else short(k)
+        "\"" + key + "\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$totalMs,"unit":"ms","queries":$qs,"failed":$failed,"sf":"$sfName"}"""
     }
-    // adaptive precision: prefer 2 decimals, degrade rather than let the
-    // line outgrow the driver's 2000-char tail capture — which also has to
-    // hold sbt's ~75-char [success] trailer after this line
-    println(Seq(line(2), line(1)).find(_.length <= 1920).getOrElse(line(0)))
+    // the driver's 2000-char tail also has to hold sbt's ~75-char
+    // [success] trailer after this line, hence the 1920 ceiling
+    println(Seq(line(false), line(true)).find(_.length <= 1920).getOrElse(line(true)))
     spark.stop()
   }
 }

@@ -32,6 +32,12 @@ object GraftSession {
       // application side ≥ 10 GB) — exactly the 100 TB fact-to-dim shape;
       // RuntimeFilterSpec forces low thresholds to exercise it locally.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // reliable checkpoints (iterative CC/dedup rounds) are only deleted
+      // by the ContextCleaner when this flag is on (default FALSE): without
+      // it every superseded round's checkpoint files persist for the app
+      // lifetime — unbounded storage growth across dedup runs on a cluster
+      // with a durable checkpoint dir
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

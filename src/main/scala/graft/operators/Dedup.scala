@@ -109,9 +109,12 @@ object Dedup {
         posexplode(positionalGramHashes(col(textCol), n)).as(Seq("pos", "g"))))
     val repeated = grams.groupBy("g").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1)
+    // UNSORTED on purpose: a trailing global orderBy here would range-
+    // shuffle the full flagged-position set on every call — callers that
+    // need deterministic output order (the catalog entry, tests) sort the
+    // k rows they keep
     grams.join(repeated, Seq("g"), "left_semi")
       .select(col("id").as(idCol), col("pos"))
-      .orderBy(idCol, "pos")
   }
 
   /** Span surgery companion to [[repeatedSpans]]: remove every token
@@ -139,10 +142,19 @@ object Dedup {
     val keepers = grams.groupBy("g")
       .agg(count(lit(1)).as("c"), min(struct(col("id"), col("pos"))).as("keep"))
       .filter(col("c") > 1)
-    // token indices covered by any non-keeper occurrence
-    val cutIdx = grams.join(keepers, Seq("g"))
+    val occ = grams.join(keepers, Seq("g"))
+    // token indices covered by any non-keeper occurrence, MINUS indices
+    // inside a keeper window of the same doc: overlapping non-canonical
+    // windows must not erode the canonical span (a self-repeating doc keeps
+    // its first window intact — Lee et al. merge overlapping duplicate
+    // spans before cutting, which this subtraction reproduces)
+    val nonKeeperIdx = occ
       .filter(struct(col("id"), col("pos")) =!= col("keep"))
       .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("ti"))
+    val keeperIdx = occ
+      .filter(struct(col("id"), col("pos")) === col("keep"))
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("ti"))
+    val cutIdx = nonKeeperIdx.join(keeperIdx, Seq("id", "ti"), "left_anti")
       .groupBy("id").agg(collect_set(col("ti")).as("cut"))
     val toks0 = toks(col(textCol))
     df.join(cutIdx.withColumnRenamed("id", "__cut_id"),
@@ -234,9 +246,14 @@ object Dedup {
         // divisor pairs (b = n/r) from widest r down to the r=2 floor;
         // recall(t) = 1-(1-t^r)^b at t = threshold
         val rs = (numHashes to 2 by -1).filter(numHashes % _ == 0)
+        // no divisor reaches 95% recall → take the smallest divisor >= 2 so
+        // auto-banding always yields a valid (dividing) r; a bare 2 here
+        // failed the divisibility require for odd numHashes (e.g. 63). A
+        // prime numHashes degenerates to one band (rs = [numHashes]) —
+        // callers wanting real banding should pass a composite hash count.
         val rOk = rs.find { r =>
           1.0 - math.pow(1.0 - math.pow(threshold, r), numHashes / r) >= 0.95
-        }.getOrElse(2)
+        }.orElse(rs.lastOption).getOrElse(numHashes)
         numHashes / rOk
       }
     require(numHashes % b0 == 0, "bands must divide numHashes")
@@ -426,7 +443,10 @@ object Dedup {
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      labels = next // superseded checkpoints are dropped by the ContextCleaner
+      // superseded checkpoints are dropped by the ContextCleaner — ONLY
+      // under spark.cleaner.referenceTracking.cleanCheckpoints=true
+      // (default false; GraftSession pins it on)
+      labels = next
       iter += 1
     }
     // labels are materialized checkpoint blocks; the edge cache can go now
@@ -513,7 +533,10 @@ object Dedup {
       val fp = fingerprint(ss)
       converged = fp == prevFp
       prevFp = fp
-      edges = ss // superseded checkpoint blocks are dropped by the ContextCleaner
+      // superseded checkpoint blocks are dropped by the ContextCleaner —
+      // ONLY under spark.cleaner.referenceTracking.cleanCheckpoints=true
+      // (default false; GraftSession pins it on)
+      edges = ss
       iter += 1
     }
     // fixpoint is a forest of stars centered on each component's min id

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.mutable.ListBuffer
+import scala.jdk.CollectionConverters._
 
 /** Lifecycle registry for the sketch/edge DataFrames that dedup and
   * similarity operators persist internally.
@@ -12,30 +13,54 @@ import scala.collection.mutable.ListBuffer
   * operator itself can never know when the caller's action has finished
   * and the cache may be dropped. Instead every internal persist is
   * registered here, and a long-lived session releases them between
-  * pipelines with [[releaseAll]]. Unpersisting is always safe for
-  * correctness — a released cache only recomputes on the next action.
+  * pipelines. Unpersisting is always safe for correctness — a released
+  * cache only recomputes on the next action.
+  *
+  * Handles are scoped PER SparkSession: a multi-tenant JVM releasing one
+  * pipeline's caches with [[release]] cannot unpersist another session's
+  * in-flight sketches (which would silently reintroduce the CollapseProject
+  * re-evaluation pathology mid-query). [[releaseAll]] spans every session
+  * and is for single-tenant use between pipelines. The map is weak-keyed;
+  * note a registered DataFrame itself references its session, so entries
+  * are truly freed by calling release/releaseAll — the weak key only
+  * covers sessions that registered nothing after their last release.
   */
 object OperatorCaches {
-  private val handles = ListBuffer.empty[DataFrame]
+  private val bySession =
+    new java.util.WeakHashMap[SparkSession, ListBuffer[DataFrame]]
+
+  private def buf(s: SparkSession): ListBuffer[DataFrame] =
+    bySession.computeIfAbsent(s, _ => ListBuffer.empty)
 
   /** Persist `df` at MEMORY_AND_DISK and register the handle. */
   private[operators] def persistTracked(df: DataFrame): DataFrame = synchronized {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    handles += p
+    buf(df.sparkSession) += p
     p
   }
 
-  /** Register an already-persisted frame for release via [[releaseAll]]. */
+  /** Register an already-persisted frame for release. */
   private[operators] def register(df: DataFrame): Unit = synchronized {
-    handles += df
+    buf(df.sparkSession) += df
   }
 
-  /** Number of live tracked handles (for specs). */
-  def liveCount: Int = synchronized { handles.size }
+  /** Number of live tracked handles across all sessions (for specs). */
+  def liveCount: Int = synchronized { bySession.values.asScala.map(_.size).sum }
 
-  /** Release every cache any graft operator has pinned in this session. */
+  /** Release every cache graft operators have pinned in `session`, leaving
+    * other sessions' caches untouched.
+    */
+  def release(session: SparkSession): Unit = synchronized {
+    Option(bySession.remove(session))
+      .foreach(_.foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Release every cache any graft operator has pinned in this JVM. Only
+    * safe between pipelines in single-tenant JVMs — in shared JVMs use
+    * [[release]] with your own session.
+    */
   def releaseAll(): Unit = synchronized {
-    handles.foreach(df => df.unpersist(blocking = false))
-    handles.clear()
+    bySession.values.asScala.foreach(_.foreach(_.unpersist(blocking = false)))
+    bySession.clear()
   }
 }

@@ -945,7 +945,10 @@ object QueryCatalog {
     // rebuilds positional 5-gram strings with a lateral range unnest
     // (DuckDB slices are 1-based → pos - 1 aligns with posexplode)
     Q("q_repeated_spans",
-      (s, dir) => Dedup.repeatedSpans(t(s, dir, "documents"), n = 5),
+      // the operator returns unsorted (no global range shuffle inside the
+      // hot path); determinism for the compare lives here
+      (s, dir) => Dedup.repeatedSpans(t(s, dir, "documents"), n = 5)
+        .orderBy("doc_id", "pos"),
       Some("""WITH tk AS (
                 SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
                 FROM documents),

@@ -128,8 +128,10 @@ class DedupSpec extends SparkSpec {
     // doc2's copy of the window (tokens 2..6) is cut
     assert(cut(2L) === ("prefix words other", 5L))
     assert(cut(3L)._2 === 0L)
-    // doc4: windows at pos 1,2 are non-canonical → tokens 1..6 cut
-    assert(cut(4L) === ("loop", 6L))
+    // doc4 self-repeats: the canonical window (tokens 0..4) survives intact
+    // even though overlapping non-canonical windows cover tokens 1..6 —
+    // only the suffix outside the keeper window (tokens 5,6) is cut
+    assert(cut(4L) === ("loop loop loop loop loop", 2L))
   }
 
   test("incremental dedup keeps only texts unseen in the base corpus") {
