@@ -1284,26 +1284,79 @@ object QueryCatalog {
 
   // ----------------------------------------------------------- taxi parity
   // The reference's own program (SURVEY.md §2l) over the deterministic
-  // fixture (golden values asserted in TaxiPipelineSpec; rows-only here
-  // because the fixture is not one of the driver's parquet tables).
+  // fixture. The fixture is not one of the driver's parquet tables, so
+  // each oracle embeds it as a VALUES CTE and RE-DERIVES the cleaning
+  // lineage in DuckDB SQL (TaxiOracle) — the analytics are checked
+  // end-to-end against an independent engine, not just rows>0. Golden
+  // values additionally asserted in TaxiPipelineSpec.
 
   private val taxi: Seq[Q] = {
     import graft.taxi.{Analytics, Cleaning, TaxiFixture}
     def cleanedFixture(s: SparkSession): DataFrame =
       Cleaning.pipeline(TaxiFixture.raw(s))
     Seq(
+      // timestamps compared as formatted strings: the parquet dump is
+      // tz-aware UTC, DuckDB's TIMESTAMP is naive — value-identical,
+      // representation-different
       Q("q_taxi_pipeline",
-        (s, _) => cleanedFixture(s).orderBy("tpep_pickup_datetime", "PULocationID"),
-        None),
-      Q("q_taxi_q5_congestion", (s, _) => Analytics.q5Congestion(cleanedFixture(s)), None),
+        (s, _) => cleanedFixture(s)
+          .withColumn("tpep_pickup_datetime",
+            date_format(col("tpep_pickup_datetime"), "yyyy-MM-dd HH:mm:ss"))
+          .withColumn("tpep_dropoff_datetime",
+            date_format(col("tpep_dropoff_datetime"), "yyyy-MM-dd HH:mm:ss"))
+          .orderBy("tpep_pickup_datetime", "PULocationID"),
+        Some(TaxiOracle.pipeline)),
+      Q("q_taxi_q1_tip_pct",
+        (s, _) => Analytics.q1TipPctByAirportPickup(cleanedFixture(s))
+          .withColumn("average_tip_percentage",
+            round(col("average_tip_percentage"), 4))
+          .orderBy("is_airport_pickup"),
+        Some(TaxiOracle.q1TipPct)),
+      Q("q_taxi_q2_route_duration",
+        (s, _) => Analytics.q2AvgDurationByRoute(cleanedFixture(s))
+          .withColumn("avg_duration_min", round(col("avg_duration_min"), 4))
+          .orderBy("PULocationID", "DOLocationID"),
+        Some(TaxiOracle.q2RouteDuration)),
+      Q("q_taxi_q3_payment_count",
+        (s, _) => Analytics.q3CountByPaymentType(cleanedFixture(s)),
+        Some(TaxiOracle.q3PaymentCount)),
       Q("q_taxi_q4_payment_rank",
         (s, _) => Analytics.q4PaymentRankByRateCode(cleanedFixture(s))
           .orderBy("RatecodeID", "rank", "payment_type"),
-        None),
+        Some(TaxiOracle.q4PaymentRank)),
+      Q("q_taxi_q5_congestion",
+        (s, _) => Analytics.q5Congestion(cleanedFixture(s))
+          .withColumn("avg_speed_mph", round(col("avg_speed_mph"), 4))
+          .withColumn("avg_duration_min", round(col("avg_duration_min"), 4))
+          .orderBy("time_of_day_slot"),
+        Some(TaxiOracle.q5Congestion)),
+      Q("q_taxi_q6_fare_slot_dow",
+        (s, _) => Analytics.q6FareBySlotAndDow(cleanedFixture(s)),
+        Some(TaxiOracle.q6FareSlotDow)),
+      // re-sorted with a (PU, DO) tiebreak: the reference's bare
+      // count-desc ordering is nondeterministic across engines on ties
       Q("q_taxi_q7_top_routes",
-        (s, _) => Analytics.q7TopRoutes(cleanedFixture(s)), None),
+        (s, _) => Analytics.q7TopRoutes(cleanedFixture(s))
+          .orderBy(col("trip_count").desc, col("PULocationID"), col("DOLocationID")),
+        Some(TaxiOracle.q7TopRoutes)),
       Q("q_taxi_q8_airport_stats",
-        (s, _) => Analytics.q8AirportVsNonAirport(cleanedFixture(s)), None),
+        (s, _) => Analytics.q8AirportVsNonAirport(cleanedFixture(s)),
+        Some(TaxiOracle.q8AirportStats)),
+      Q("q_taxi_corr_duration_tip",
+        (s, _) => Analytics.corrDurationTipByPayment(cleanedFixture(s))
+          .withColumn("corr_duration_tip", round(col("corr_duration_tip"), 4))
+          .orderBy(col("corr_duration_tip").desc_nulls_last, col("payment_type")),
+        Some(TaxiOracle.corrDurationTip)),
+      // the one scalar-returning reference query (cell 101), exposed as a
+      // 1-row frame; rounding matches the oracle's round(…, 4)
+      Q("q_taxi_airport_share",
+        (s, _) => {
+          import s.implicits._
+          Seq(BigDecimal(Analytics.airportPickupShare(cleanedFixture(s)))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            .toDF("airport_pickup_share_pct")
+        },
+        Some(TaxiOracle.airportShare)),
       // the broadcast zone-dimension join the reference implies but never
       // ships (SURVEY.md §2c) — replaces the hardcoded airport-ID list
       Q("q_taxi_zone_join",
@@ -1322,7 +1375,7 @@ object QueryCatalog {
             .agg(count(lit(1)).as("trips"), round(avg("fare_amount"), 2).as("avg_fare"))
             .orderBy("Borough")
         },
-        None))
+        Some(TaxiOracle.zoneJoin)))
   }
 
   val all: Seq[Q] =

@@ -149,4 +149,46 @@ class TaxiPipelineSpec extends SparkSpec {
     val share = Analytics.airportPickupShare(cleaned)
     assert(math.abs(share - 100.0 / 11) < 1e-9) // 1 of 11 trips
   }
+
+  test("Q2 route durations (cell 107)") {
+    val rows = Analytics.q2AvgDurationByRoute(cleaned).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // JFK→UES 40 min; UES→Newark 40 min; UES→UES (15·7 + 25 + 1)/9
+    assert(rows.keySet === Set((132, 237), (236, 1), (236, 237)))
+    assert(math.abs(rows((132, 237)) - 40.0) < 1e-9)
+    assert(math.abs(rows((236, 1)) - 40.0) < 1e-9)
+    assert(math.abs(rows((236, 237)) - 131.0 / 9) < 1e-9)
+  }
+
+  test("Q3 counts via count(RatecodeID) per payment type (cell 109)") {
+    val rows = Analytics.q3CountByPaymentType(cleaned).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows === Map(1 -> 9L, 2 -> 2L))
+  }
+
+  test("Q6 fare by slot and day-of-week (cell 138)") {
+    val rows = Analytics.q6FareBySlotAndDow(cleaned).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(rows.size === 10)
+    // Sunday Evening = the Newark flat-rate trip; Saturday Morning = JFK
+    assert(rows(("Evening", 1)) === ((51.0, 1L)))
+    assert(rows(("Morning", 7)) === ((70.0, 1L)))
+    // Thursday Morning = the slower-route cash trip
+    assert(rows(("Morning", 5)) === ((20.0, 1L)))
+    // Monday Morning = clean keeper (14) + zero-distance rule-1 keeper (10)
+    assert(rows(("Morning", 2)) === ((12.0, 2L)))
+  }
+
+  test("corr(duration, tip) per payment type (cell 146)") {
+    val rows = Analytics.corrDurationTipByPayment(cleaned).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // cash: two points (40 min, 3.0) and (25 min, 0.0) → perfectly linear
+    val (c2, d2, t2) = rows(2)
+    assert(math.abs(c2 - 1.0) < 1e-9 && d2 === 32.5 && t2 === 1.5)
+    // card: 9 points, strongly but not perfectly correlated (JFK outlier)
+    val (c1, d1, t1) = rows(1)
+    assert(c1 > 0.95 && c1 < 0.96 && d1 === 16.22 && t1 === 4.0)
+  }
 }

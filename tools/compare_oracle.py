@@ -16,11 +16,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf: str, out: str) -> int:
+def main(sf: str, out: str, only: str = "") -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    if only:  # comma list or prefix filter for local iteration
+        names = set(only.split(","))
+        oracle = {k: v for k, v in oracle.items()
+                  if k in names or any(k.startswith(n) for n in names)}
     ok, bad = [], []
     for name, sql in sorted(oracle.items()):
         try:
@@ -59,4 +63,4 @@ def main(sf: str, out: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else ""))
