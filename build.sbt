@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally passes through sbt's logger, which stamps an
+// "[info] " prefix on every line — that prefix is the prime suspect for the
+// driver's bench-line JSON parse failing three rounds running. StdoutOutput
+// lets the child process write to sbt's stdout directly, so the bench JSON
+// line reaches the log byte-identical.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

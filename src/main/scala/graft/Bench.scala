@@ -53,6 +53,20 @@ object Bench {
     // prefix is stripped from keys (every catalog name carries it) and sf
     // reported as its basename.
     def short(k: String): String = k.stripPrefix("q_")
+    // Abbreviation = per-key shortest UNIQUE prefix (floor 8 chars), like
+    // git's object abbreviation: prefix-stable (a consumer matching by
+    // startswith still resolves every key) and collision-free by
+    // construction — unlike the old underscore-stripping, which could
+    // silently fold two catalog names into one duplicate JSON key.
+    val shortKeys = results.keys.map(short).toSeq
+    def lcp(a: String, b: String): Int =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    val abbrevOf: Map[String, String] = shortKeys.map { k =>
+      val longest = shortKeys.filter(_ != k).map(o => lcp(k, o)).maxOption.getOrElse(0)
+      k -> k.take(math.max(8, longest + 1))
+    }.toMap
+    require(abbrevOf.values.toSeq.distinct.size == shortKeys.size,
+      "bench key abbreviation collided")
     val ok = results.values.filter(_ >= 0)
     val totalMs = math.round((if (ok.nonEmpty) ok.sum else 0.0) * 1000)
     val failed = results.collect { case (k, v) if v < 0 => "\"" + short(k) + "\"" }
@@ -60,8 +74,7 @@ object Bench {
     val sfName = sfDir.split('/').last
     def line(abbrev: Boolean): String = {
       val qs = results.map { case (k, v) =>
-        // last-resort key squeeze: drop '_' separators (dedupngramjaccard)
-        val key = if (abbrev) short(k).replace("_", "") else short(k)
+        val key = if (abbrev) abbrevOf(short(k)) else short(k)
         "\"" + key + "\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$totalMs,"unit":"ms","queries":$qs,"failed":$failed,"sf":"$sfName"}"""

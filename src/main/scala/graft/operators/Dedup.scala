@@ -127,6 +127,16 @@ object Dedup {
     * Same shuffle profile as repeatedSpans (hashes + positions only) plus
     * one broadcast-sized per-doc cut-index set joined back to the corpus —
     * the document bodies never shuffle.
+    *
+    * Known residual (deliberate): keeper protection is CROSS-GRAM within a
+    * document — a token of a non-keeper occurrence of gram Y survives if
+    * it falls inside a keeper window of a DIFFERENT gram X in the same
+    * doc. This mirrors Lee et al.'s merge-overlapping-spans-then-cut
+    * behavior (a keeper span never gets partially eroded by overlapping
+    * duplicates), but it means a fragment whose canonical copy lives in
+    * another document can survive inside a locally-kept window; strict
+    * every-non-canonical-span removal would join the keeper subtraction on
+    * the gram as well, at the cost of re-cutting keeper overlaps.
     */
   def cutRepeatedSpans(
       df: DataFrame,
@@ -197,6 +207,22 @@ object Dedup {
       baseDf: DataFrame,
       textCol: String = "text"): DataFrame = {
     val seen = baseDf.select(md5(col(textCol)).as("__graft_seen_h")).distinct()
+    newDf.join(seen, md5(newDf(textCol)) === seen("__graft_seen_h"), "left_anti")
+  }
+
+  /** Digest-table variant of [[incrementalExact]]: the base side is a
+    * PRE-COMPUTED digest column (e.g. the table [[graft.streaming
+    * .CorpusIngest]] maintains alongside the corpus), so the every-ingest
+    * anti-join never rescans base document bodies at all — the build side
+    * is a bare 16-byte-per-doc key table, and the only text ever hashed is
+    * the incoming batch's.
+    */
+  def incrementalExactByDigest(
+      newDf: DataFrame,
+      baseDigests: DataFrame,
+      textCol: String = "text",
+      digestCol: String = "digest"): DataFrame = {
+    val seen = baseDigests.select(col(digestCol).as("__graft_seen_h")).distinct()
     newDf.join(seen, md5(newDf(textCol)) === seen("__graft_seen_h"), "left_anti")
   }
 

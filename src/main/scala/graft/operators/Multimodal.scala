@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * transforms. New scope beyond the reference.
   *
   * The Spark-side shape is real and tested — schema, partition-preserving
-  * mapPartitions with Encoders, per-row fan-out for frame sampling — while
-  * the codec step is a clearly marked deterministic STUB (image/audio
-  * libraries are not in this container). Swapping `stubDecode` for a real
-  * decoder (e.g. javax.imageio / ffmpeg via mapPartitions) changes no plan
-  * shape: decode stays a narrow per-partition pass, so at 100 TB it scales
-  * with input splits and never shuffles the payload bytes.
+  * mapPartitions with Encoders, per-row fan-out for frame sampling. The
+  * IMAGE codec path is real: `javax.imageio` (ships in the JDK) decodes
+  * the payload to true dimensions and a luma-histogram feature, and
+  * `resize` rescales + re-encodes through `java.awt`. Audio/video payloads
+  * (codecs not in this container) fall back to a clearly marked
+  * deterministic pseudo-decode with the same signature and batch shape, so
+  * a real codec (e.g. ffmpeg via mapPartitions) slots in without changing
+  * any plan: decode stays a narrow per-partition pass, scales with input
+  * splits at 100 TB, and never shuffles the payload bytes.
   */
 object Multimodal {
 
@@ -48,15 +51,55 @@ object Multimodal {
       col("source")).as[MediaItem]
   }
 
-  /** STUB decode: deterministic pseudo-decode of the payload. A real
-    * implementation would parse the container header and run the codec
-    * here — same signature, same batch shape (iterator-to-iterator per
-    * partition, no driver involvement, no shuffle).
+  /** Decode one item. Images go through the REAL codec (`javax.imageio`):
+    * true width/height plus an 8-bin luma-histogram embedding computed
+    * from the decoded pixels. Non-image kinds — and payloads ImageIO
+    * cannot parse — take the deterministic pseudo-decode fallback. Either
+    * way the call is pure and per-row: iterator-to-iterator per partition,
+    * no driver involvement, no shuffle.
     */
-  private[operators] def stubDecode(item: MediaItem): MediaFeatures = {
+  private[operators] def decode(item: MediaItem): MediaFeatures = {
     // null payload (e.g. a null source text upstream) decodes as empty
     // rather than NPE-ing the whole task
     val bytes = if (item.bytes == null) Array.emptyByteArray else item.bytes
+    decodeImage(bytes) match {
+      case Some(img) =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Float](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(luma >> 5) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        MediaFeatures(item.media_id, item.kind, bytes.length.toLong,
+          f"${java.util.Arrays.hashCode(bytes)}%08x", w, h, hist.map(_ / n))
+      case None => pseudoDecode(item, bytes)
+    }
+  }
+
+  /** ImageIO parse, None for non-image/undecodable payloads (ImageIO
+    * returns null rather than throwing for unknown containers).
+    */
+  private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes.isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+
+  /** STUB pseudo-decode for the codecs this container does not ship
+    * (audio/video): deterministic fake dims + embedding from the payload
+    * hash. A real codec replaces exactly this function.
+    */
+  private def pseudoDecode(item: MediaItem, bytes: Array[Byte]): MediaFeatures = {
     val h = java.util.Arrays.hashCode(bytes)
     val digest = f"${h}%08x"
     val dim = 8
@@ -75,27 +118,46 @@ object Multimodal {
   def decodeFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     val spark = items.sparkSession
     import spark.implicits._
-    items.mapPartitions(_.map(stubDecode))
+    items.mapPartitions(_.map(decode))
   }
 
-  /** STUB resize: a real implementation decodes, scales to (w, h), and
-    * re-encodes here. The stub keeps the contract a resizer must have —
-    * deterministic output bytes, output dims = target dims, payload size
-    * bounded by the target area — so downstream code (feature extraction,
-    * packing) is exercised against realistic shapes.
+  /** Resize to (w, h). Image payloads are REALLY rescaled — decode via
+    * ImageIO, bilinear draw onto a w×h canvas, re-encode as PNG — so
+    * n_bytes/digest reflect the actual re-encoded payload. Non-image
+    * payloads keep the stub contract (deterministic digest, dims = target,
+    * size bounded by the target area) so downstream packing sees
+    * realistic post-resize shapes either way.
     */
   def resize(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaFeatures] = {
     val spark = items.sparkSession
     import spark.implicits._
     require(w > 0 && h > 0, "target dims must be positive")
     items.mapPartitions(_.map { item =>
-      val f = stubDecode(item)
-      // deterministic digest of (payload, target dims) — STUB re-encode
-      val digest = f"${java.util.Arrays.hashCode(item.bytes) ^ (w * 31 + h)}%08x"
-      // stub contract: a resized payload cannot exceed the target area
-      // (3 bytes/pixel) — downstream packing must see post-resize sizes
-      f.copy(width = w, height = h, digest = digest,
-        n_bytes = math.min(f.n_bytes, w.toLong * h * 3))
+      val bytes = if (item.bytes == null) Array.emptyByteArray else item.bytes
+      decodeImage(bytes) match {
+        case Some(img) =>
+          val canvas = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = canvas.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(canvas, "png", out)
+          val encoded = out.toByteArray
+          decode(item.copy(bytes = encoded)).copy(media_id = item.media_id)
+        case None =>
+          val f = pseudoDecode(item, bytes)
+          // deterministic digest of (payload, target dims) — STUB re-encode
+          val digest = f"${java.util.Arrays.hashCode(item.bytes) ^ (w * 31 + h)}%08x"
+          // stub contract: a resized payload cannot exceed the target area
+          // (3 bytes/pixel) — downstream packing must see post-resize sizes
+          f.copy(width = w, height = h, digest = digest,
+            n_bytes = math.min(f.n_bytes, w.toLong * h * 3))
+      }
     })
   }
 

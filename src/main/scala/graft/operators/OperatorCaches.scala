@@ -20,10 +20,12 @@ import scala.jdk.CollectionConverters._
   * pipeline's caches with [[release]] cannot unpersist another session's
   * in-flight sketches (which would silently reintroduce the CollapseProject
   * re-evaluation pathology mid-query). [[releaseAll]] spans every session
-  * and is for single-tenant use between pipelines. The map is weak-keyed;
-  * note a registered DataFrame itself references its session, so entries
-  * are truly freed by calling release/releaseAll — the weak key only
-  * covers sessions that registered nothing after their last release.
+  * and is for single-tenant use between pipelines. The map is weak-keyed,
+  * and because a registered DataFrame itself references its session (so
+  * the weak key alone never fires for non-empty entries), every mutation
+  * also prunes entries whose SparkContext has stopped — a session
+  * abandoned without release() is reclaimed on the next register/release
+  * anywhere in the JVM.
   */
 object OperatorCaches {
   private val bySession =
@@ -32,8 +34,22 @@ object OperatorCaches {
   private def buf(s: SparkSession): ListBuffer[DataFrame] =
     bySession.computeIfAbsent(s, _ => ListBuffer.empty)
 
+  /** Drop entries whose SparkContext has stopped: their cached blocks died
+    * with the executors, and the buffered DataFrames otherwise strongly
+    * reference the dead session through `df.sparkSession` — exactly the
+    * abandoned-session leak the weak keying alone cannot cover. Called on
+    * every mutation, so a stopped session's entry lives at most until the
+    * next operator registers or releases anywhere in the JVM.
+    */
+  private def pruneStopped(): Unit = {
+    val dead = bySession.keySet.asScala
+      .filter(s => s.sparkContext.isStopped).toList
+    dead.foreach(bySession.remove)
+  }
+
   /** Persist `df` at MEMORY_AND_DISK and register the handle. */
   private[operators] def persistTracked(df: DataFrame): DataFrame = synchronized {
+    pruneStopped()
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     buf(df.sparkSession) += p
     p
@@ -41,16 +57,21 @@ object OperatorCaches {
 
   /** Register an already-persisted frame for release. */
   private[operators] def register(df: DataFrame): Unit = synchronized {
+    pruneStopped()
     buf(df.sparkSession) += df
   }
 
   /** Number of live tracked handles across all sessions (for specs). */
-  def liveCount: Int = synchronized { bySession.values.asScala.map(_.size).sum }
+  def liveCount: Int = synchronized {
+    pruneStopped()
+    bySession.values.asScala.map(_.size).sum
+  }
 
   /** Release every cache graft operators have pinned in `session`, leaving
     * other sessions' caches untouched.
     */
   def release(session: SparkSession): Unit = synchronized {
+    pruneStopped()
     Option(bySession.remove(session))
       .foreach(_.foreach(_.unpersist(blocking = false)))
   }

@@ -52,6 +52,32 @@ object Profiling {
       min(col(c)).as("min"),
       max(col(c)).as("max")))
 
+  /** describe()-shaped stats for SEVERAL numeric columns in ONE
+    * aggregation pass (the reference's cells 6/27/44/94 describe multiple
+    * columns per call): a single agg computes count/mean/stddev/min/max
+    * for every column — one scan, one 5-values-per-column reduce, no
+    * per-column jobs — then `stack` unpivots the one aggregated row into
+    * the tidy (col_name, n, mean, stddev, min, max) shape without touching
+    * the driver.
+    */
+  def summaryStatsMulti(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "summaryStatsMulti needs at least one column")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        count(col(c)).as(s"__n$i"),
+        avg(col(c)).as(s"__mean$i"),
+        stddev(col(c)).as(s"__sd$i"),
+        min(col(c)).cast("double").as(s"__min$i"),
+        max(col(c)).cast("double").as(s"__max$i"))
+    }
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"'$c', __n$i, __mean$i, __sd$i, __min$i, __max$i"
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n, mean, stddev, min, max)")
+  }
+
   /** Exact interpolated percentiles (reference cell 21 uses
     * approxQuantile(relativeError=0) ⇒ exact). `percentile` is the exact
     * aggregate; swap to percentile_approx (GK sketch) at 100 TB.

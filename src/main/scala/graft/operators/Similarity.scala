@@ -66,10 +66,19 @@ object Similarity {
 
   /** Deterministic random hyperplanes (seeded), as literal arrays — the
     * bucketing projection is a pure narrow map.
+    *
+    * Components are rounded to 4 decimals so every plane is exactly
+    * replayable as a SQL literal in an independent engine (the DuckDB
+    * oracle for q_ann_lsh splices these values verbatim): a 4-dp decimal
+    * parses to the identical double in any IEEE engine, whereas a raw
+    * nextGaussian would round-trip through text. Rounding a hyperplane
+    * DIRECTION this coarsely is harmless — buckets only depend on dot-
+    * product signs.
     */
-  private def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+  private[graft] def hyperplanes(
+      dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    Seq.fill(nPlanes)(Seq.fill(dim)(math.round(rnd.nextGaussian() * 1e4) / 1e4))
   }
 
   /** Sign-bit bucket id (nPlanes bits packed into a long) for each vector. */
@@ -104,13 +113,14 @@ object Similarity {
       if (d >= 0) acc | (1L << i) else acc
     }
     val vd = toDouble(col(vecCol))
+    // rank on the ROUNDED similarity + id tiebreak, same as bruteForceTopK:
+    // a raw-float cut is ulp-sensitive across engines/summation orders
     df.select(col(idCol).cast("long").as(idCol), vd.as("v"),
         lshBucket(vd, dim, nPlanes).as("bucket"))
       .filter(bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming)
-      .select(col(idCol), cosine(col("v"), q).as("sim_raw"))
-      .orderBy(col("sim_raw").desc, col(idCol))
+      .select(col(idCol), round(cosine(col("v"), q), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
       .limit(k)
-      .select(col(idCol), round(col("sim_raw"), 4).as("sim"))
   }
 
   /** IVF-style ANN: a coarse quantizer (k deterministic sample centroids)

@@ -10,16 +10,6 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Salted equi-join: the skewed (large) left side spreads each hot key
-    * over `salts` sub-keys by hashing a discriminator column; the small
-    * right side is replicated `salts` times via a literal explode. The
-    * shuffle then distributes each hot key across `salts` reducers.
-    * Semantics identical to `left.join(right, key)` (inner).
-    *
-    * Use when the right side is too big to broadcast but small enough to
-    * replicate `salts`-fold — the classic mid-size dimension with a
-    * power-law fact key.
-    */
   /** First `__graft_salt*` name unused by either frame — a fixed temp name
     * would silently clobber a caller column (same guard as
     * RangeJoin.intervalJoin).
@@ -28,17 +18,57 @@ object SkewJoin {
     Iterator.from(0).map(i => if (i == 0) "__graft_salt" else s"__graft_salt$i")
       .find(n => frames.forall(f => !f.columns.contains(n))).get
 
+  /** Two-path salted equi-join, semantics identical to
+    * `left.join(right, key)` (inner).
+    *
+    * Salting every key replicates the ENTIRE right side `salts`-fold — at
+    * 100 TB with a mid-size dimension that replication, not the skew, is
+    * the bottleneck. Instead: one map-side-combined aggregate over the
+    * left keys finds the keys actually above `hotThreshold` rows (the ones
+    * that would overflow a single reducer); only those are salted — the
+    * hot left slice spreads over `salts` sub-keys by hashing a
+    * discriminator column, and only the MATCHING right rows (a broadcast
+    * semi-join against the hot-key list, which is small by construction:
+    * at most |left| / hotThreshold keys) are replicated. Everything else
+    * takes the plain join, where AQE remains free to pick broadcast /
+    * skew-split as usual. Callers that already know their hot keys (e.g.
+    * from table stats) can skip the pre-pass via the `hotKeys` overload.
+    */
   def saltedEquiJoin(
       left: DataFrame,
       right: DataFrame,
       key: String,
       discriminator: Column,
-      salts: Int = 8): DataFrame = {
+      salts: Int = 8,
+      hotThreshold: Long = 1000000L): DataFrame = {
+    val n = saltName(left, right)
+    val hotKeys = left.groupBy(col(key)).agg(count(lit(1)).as(n + "_cnt"))
+      .filter(col(n + "_cnt") > hotThreshold)
+      .select(col(key))
+    saltedEquiJoin(left, right, key, discriminator, hotKeys, salts)
+  }
+
+  /** Two-path salted join against a caller-supplied hot-key list (must be
+    * broadcast-small; it is by construction ≤ |left| / threshold keys).
+    */
+  def saltedEquiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      discriminator: Column,
+      hotKeys: DataFrame,
+      salts: Int): DataFrame = {
     val s = saltName(left, right)
-    val saltedLeft = left.withColumn(s, pmod(xxhash64(discriminator), lit(salts)))
-    val saltedRight = right.withColumn(s,
+    val leftHot = left.join(broadcast(hotKeys), Seq(key), "left_semi")
+    val leftCold = left.join(broadcast(hotKeys), Seq(key), "left_anti")
+    val rightHot = right.join(broadcast(hotKeys), Seq(key), "left_semi")
+    val rightCold = right.join(broadcast(hotKeys), Seq(key), "left_anti")
+    val saltedLeft = leftHot
+      .withColumn(s, pmod(xxhash64(discriminator), lit(salts)))
+    val saltedRight = rightHot.withColumn(s,
       explode(sequence(lit(0L), lit((salts - 1).toLong))))
     saltedLeft.join(saltedRight, Seq(key, s)).drop(s)
+      .unionByName(leftCold.join(rightCold, Seq(key)))
   }
 
   /** Two-phase (salted) aggregation for skewed group keys: partial

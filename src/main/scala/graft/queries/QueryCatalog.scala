@@ -136,6 +136,24 @@ object QueryCatalog {
               min(l_extendedprice) AS min, max(l_extendedprice) AS max
               FROM lineitem""")),
 
+    // multi-column describe() in ONE aggregation pass (reference cells
+    // 6/27/44/94 profile several columns per call)
+    Q("q_summary_multi",
+      (s, dir) => Profiling.summaryStatsMulti(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .withColumn("mean", round(col("mean"), 4))
+        .withColumn("stddev", round(col("stddev"), 4))
+        .orderBy("col_name"),
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS col_name, count($c) AS n,
+              round(avg($c), 4) AS mean, round(stddev($c), 4) AS stddev,
+              CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max
+              FROM lineitem"""
+        Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
+          .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+      }),
+
     Q("q_percentiles",
       (s, dir) => Profiling.percentiles(t(s, dir, "lineitem"), "l_extendedprice",
         Seq(0.5, 0.9, 0.999)),
@@ -250,7 +268,11 @@ object QueryCatalog {
           .select(col("l_orderkey").as("okey"), col("l_quantity"), col("l_extendedprice"))
         val ord = t(s, dir, "orders")
           .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
-        SkewJoin.saltedEquiJoin(li, ord, "okey", discriminator = col("l_extendedprice"))
+        // threshold 5 on a ≤7-rows-per-key fact: some keys salt, the rest
+        // take the plain path — both halves of the two-path rewrite stay
+        // exercised (and benched) on TPC-H-shaped data
+        SkewJoin.saltedEquiJoin(li, ord, "okey",
+          discriminator = col("l_extendedprice"), salts = 8, hotThreshold = 5L)
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"),
             round(sum("l_extendedprice"), 2).as("revenue"))
@@ -971,6 +993,43 @@ object QueryCatalog {
         useStar = true),
       None),
 
+    // the clustering path made oracle-able end-to-end: exact ngram-Jaccard
+    // pairs (deterministic, no sketch seeds) fed through the same
+    // large-star/small-star CC the fuzzy path uses, checked against a
+    // DuckDB recursive-CTE transitive closure with min-label reduction
+    Q("q_dedup_clusters_exact",
+      (s, dir) => Dedup.connectedComponentsStar(
+          Dedup.ngramJaccard(t(s, dir, "documents"), threshold = 0.15))
+        .orderBy("id"),
+      Some("""WITH RECURSIVE tk AS (
+                SELECT doc_id AS id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                FROM documents),
+              sh AS (SELECT id, list_distinct(
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]
+                  END) AS s
+                FROM tk),
+              sz AS (SELECT id, len(s) AS sz FROM sh),
+              p AS (SELECT id, unnest(s) AS g FROM sh),
+              common AS (
+                SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS DOUBLE) AS inter
+                FROM p a JOIN p b ON a.g = b.g AND a.id < b.id
+                GROUP BY 1, 2),
+              pairs AS (
+                SELECT id_a, id_b
+                FROM common JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+                WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.15),
+              edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+              reach(node, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+              SELECT node AS id, min(lbl) AS component
+              FROM reach GROUP BY node ORDER BY id""")),
+
     // incremental ingest dedup: a simulated re-crawl batch (ids shifted by
     // 1000; every 3rd doc edited) anti-joined against the existing corpus
     // on text digest — only the edited docs survive
@@ -1201,6 +1260,9 @@ object QueryCatalog {
                 ) AS sim_raw FROM embeddings WHERE vec_id <> 0)
               ORDER BY round(sim_raw, 4) DESC, vec_id LIMIT 10""")),
 
+    // the oracle replays the hyperplanes verbatim (they are deterministic
+    // 4-dp literals — Similarity.hyperplanes) and independently re-derives
+    // sign-bit buckets, the hamming multiprobe cut, and the cosine top-k
     Q("q_ann_lsh",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -1208,7 +1270,30 @@ object QueryCatalog {
         Similarity.annTopK(emb.filter(col("vec_id") =!= 0), q, dim = 64,
           k = 10, nPlanes = 8, probeHamming = 3)
       },
-      None),
+      Some {
+        val planeValues = graft.operators.Similarity.hyperplanes(dim = 64, nPlanes = 8)
+          .zipWithIndex
+          .map { case (p, i) => s"($i, ${p.mkString("[", ", ", "]")}::DOUBLE[])" }
+          .mkString(",\n                  ")
+        s"""WITH planes(p, pv) AS (VALUES
+                  $planeValues),
+              emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings),
+              b AS (SELECT vec_id,
+                  CAST(sum(CASE WHEN list_dot_product(e, pv) >= 0
+                    THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+                FROM emb, planes GROUP BY vec_id),
+              cand AS (
+                SELECT m.vec_id,
+                  list_cosine_similarity(m.e,
+                    (SELECT e FROM emb WHERE vec_id = 0)) AS sim_raw
+                FROM emb m JOIN b USING (vec_id)
+                WHERE m.vec_id <> 0 AND
+                  bit_count(xor(b.bucket,
+                    (SELECT bucket FROM b WHERE vec_id = 0))) <= 3)
+              SELECT vec_id, round(sim_raw, 4) AS sim FROM cand
+              ORDER BY round(sim_raw, 4) DESC, vec_id LIMIT 10"""
+      }),
 
     Q("q_embed_neardup",
       (s, dir) => Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, md5}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Dedup
@@ -31,6 +32,17 @@ object CorpusIngest {
 
   /** Start the ingest stream: `docs` must contain `idCol`, `textCol`, and
     * `partitionCols`. Returns the StreamingQuery handle.
+    *
+    * With `digestPath` set, a digest TABLE (one 16-byte md5 per kept doc)
+    * is maintained next to the corpus and the anti-join runs against it —
+    * the base corpus text is never rescanned on ingest
+    * ([[Dedup.incrementalExactByDigest]]); without it, the base read
+    * projects just the text column for hashing. Write order is corpus
+    * first, digests second: a crash between the two re-admits a duplicate
+    * on the next batch (benign — it gets filtered against the corpus
+    * content it duplicates downstream), instead of a digest existing for a
+    * body that was never committed (which would silently drop that
+    * document forever).
     */
   def incrementalCorpusIngest(
       docs: DataFrame,
@@ -38,7 +50,8 @@ object CorpusIngest {
       checkpointDir: String,
       partitionCols: Seq[String] = Seq("source"),
       idCol: String = "doc_id",
-      textCol: String = "text"): StreamingQuery =
+      textCol: String = "text",
+      digestPath: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -51,14 +64,31 @@ object CorpusIngest {
           val fresh = Dedup.exact(batch, idCol, textCol)
           val fs = new Path(basePath)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val novel =
-            if (fs.exists(new Path(basePath)))
+          val novel = digestPath match {
+            case Some(dp) if fs.exists(new Path(dp)) =>
+              Dedup.incrementalExactByDigest(fresh,
+                spark.read.parquet(dp), textCol)
+            case None if fs.exists(new Path(basePath)) =>
               // pin the schema: tolerant of a base dir a crashed attempt
               // left behind with no data files
               Dedup.incrementalExact(fresh,
                 spark.read.schema(batch.schema).parquet(basePath), textCol)
-            else fresh
-          novel.write.mode("append").partitionBy(partitionCols: _*).parquet(basePath)
+            case _ => fresh // first non-empty batch: nothing seen yet
+          }
+          // novel feeds two writes (corpus + digests): persist so the
+          // anti-join doesn't run twice per batch
+          novel.persist()
+          try {
+            // same all-empty guard for both sinks, same reason as above
+            if (!novel.isEmpty) {
+              novel.write.mode("append")
+                .partitionBy(partitionCols: _*).parquet(basePath)
+              digestPath.foreach { dp =>
+                novel.select(md5(col(textCol)).as("digest"))
+                  .write.mode("append").parquet(dp)
+              }
+            }
+          } finally novel.unpersist(blocking = false)
         }
       }
       .start()

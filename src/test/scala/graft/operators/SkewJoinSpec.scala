@@ -11,17 +11,31 @@ class SkewJoinSpec extends SparkSpec {
   private lazy val orders =
     Tables.load(spark, "/root/testdata/sf0.001", "orders")
 
-  test("salted equi-join returns exactly the plain join result") {
+  test("two-path salted equi-join returns exactly the plain join result") {
     val plain = lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
       .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // threshold 3 on a ≤7-rows-per-key fact: hot AND cold paths both carry
+    // rows, so the union seam itself is under test
     val salted = SkewJoin.saltedEquiJoin(
         lineitem.withColumnRenamed("l_orderkey", "k"),
         orders.withColumnRenamed("o_orderkey", "k"),
-        key = "k", discriminator = col("l_linenumber"), salts = 4)
+        key = "k", discriminator = col("l_linenumber"), salts = 4,
+        hotThreshold = 3L)
       .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted === plain)
+  }
+
+  test("salted join with no hot keys degrades to the plain join path") {
+    val plain = lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .count()
+    val salted = SkewJoin.saltedEquiJoin(
+        lineitem.withColumnRenamed("l_orderkey", "k"),
+        orders.withColumnRenamed("o_orderkey", "k"),
+        key = "k", discriminator = col("l_linenumber"), salts = 4,
+        hotThreshold = 1000000L)
+    assert(salted.count() === plain)
   }
 
   test("salted two-phase aggregation equals the direct aggregation") {

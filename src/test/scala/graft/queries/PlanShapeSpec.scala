@@ -72,6 +72,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("aggregate(lambda"), p)
   }
 
+  test("multi-column describe is ONE scan + one aggregate, not per-column jobs") {
+    val p = planOf("q_summary_multi")
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_avg"), p)
+  }
+
+  test("IVF table at rest: probe scan is partition-pruned to the probed centroids") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (assigned, centroids) = Similarity.ivfAssign(emb, k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    val allDirs = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("centroid_id="))
+    assert(allDirs > 2, s"fixture degenerate: only $allDirs centroid dirs")
+    // probe 2 of the k centroids, the IVF query path's at-rest shape
+    val probes = centroids.map(_._1).sorted.take(2)
+    val probed = spark.read.parquet(dir)
+      .filter(col("centroid_id").isin(probes: _*))
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    // the centroid predicate is a PARTITION filter (directory pruning),
+    // not a data filter evaluated after reading everything
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"), plan)
+    assert(!plan.contains("PushedFilters: [In(centroid_id"), plan)
+    // and the scan's file set really shrank to the probed directories
+    val scanned = probed.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.get
+    val filesPerDir = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+      .toMap
+    val expected = probes.map(p => filesPerDir(s"centroid_id=$p")).sum.toLong
+    assert(scanned === expected,
+      s"scan read $scanned files, probed dirs hold $expected of ${filesPerDir.values.sum}")
+  }
+
   test("partition-pruned scan skips non-matching hive partitions") {
     // writePartitioned layout verified in TablesSpec; here the catalog's
     // time-bucketed events query must keep its filter at the scan

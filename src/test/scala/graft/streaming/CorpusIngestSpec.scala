@@ -44,4 +44,62 @@ class CorpusIngestSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/corpus/source=web").exists())
     assert(new java.io.File(s"$dir/corpus/source=books").exists())
   }
+
+  test("digest-table ingest: same dedup, base text never rescanned") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("corpus-dg").toString
+    val ckpt = Files.createTempDirectory("ckpt-dg").toString
+    val in = MemoryStream[(Long, String, String)]
+    val docs = in.toDF.toDF("doc_id", "text", "source")
+
+    val q = CorpusIngest.incrementalCorpusIngest(docs, s"$dir/corpus", ckpt,
+      digestPath = Some(s"$dir/digests"))
+    in.addData((1L, "alpha beta", "web"), (3L, "gamma delta", "books"))
+    q.processAllAvailable()
+    in.addData((10L, "alpha beta", "web"), (12L, "epsilon zeta", "web"))
+    q.processAllAvailable()
+    q.stop()
+
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    assert(corpus.select("text").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("alpha beta", "epsilon zeta", "gamma delta"))
+    // one digest per kept doc, nothing for the filtered duplicate
+    assert(spark.read.parquet(s"$dir/digests").distinct().count() === 3L)
+
+    // the decisive part: a fresh ingest round can dedup against the corpus
+    // with the corpus BODIES gone — only the digest table is consulted
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$dir/corpus"), true)
+    val ckpt2 = Files.createTempDirectory("ckpt-dg2").toString
+    val in2 = MemoryStream[(Long, String, String)]
+    val q2 = CorpusIngest.incrementalCorpusIngest(
+      in2.toDF.toDF("doc_id", "text", "source"), s"$dir/corpus", ckpt2,
+      digestPath = Some(s"$dir/digests"))
+    in2.addData((20L, "alpha beta", "web"), (21L, "theta iota", "web"))
+    q2.processAllAvailable()
+    q2.stop()
+    // the cross-batch duplicate was filtered purely via digests
+    assert(spark.read.parquet(s"$dir/corpus").select("text").collect()
+      .map(_.getString(0)).toSeq === Seq("theta iota"))
+  }
+
+  test("incrementalExactByDigest plans one scan: the digest table, not the corpus") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("dg-plan").toString
+    Seq((1L, "alpha beta", "web")).toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/corpus")
+    Seq("0cc175b9c0f1b6a831c399e269772661").toDF("digest")
+      .write.parquet(s"$dir/digests")
+    val batch = Seq((2L, "new text", "web")).toDF("doc_id", "text", "source")
+    val novel = graft.operators.Dedup.incrementalExactByDigest(
+      batch, spark.read.parquet(s"$dir/digests"))
+    novel.collect()
+    val plan = novel.queryExecution.executedPlan.toString
+    assert(plan.contains("digests"), plan)   // the digest table is scanned…
+    assert(!plan.contains("corpus"), plan)   // …the corpus text never is
+  }
 }
