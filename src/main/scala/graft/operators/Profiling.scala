@@ -41,6 +41,31 @@ object Profiling {
   def approxDistinctCounts(df: DataFrame, cols: Seq[String], rsd: Double = 0.01): DataFrame =
     aggAll(df, cols.map(c => approx_count_distinct(col(c), rsd).as(s"dist_$c")))
 
+  /** Sketch-accuracy audit of [[approxDistinctCounts]]: one row per column
+    * with the EXACT distinct count and whether the HLL++ estimate lands
+    * within `tol` relative error of it. The HLL estimate itself is
+    * order-independent and hash-deterministic, so the booleans are
+    * deterministic — which makes this auditable by an independent engine
+    * (the oracle recomputes the exact counts and asserts the bound holds),
+    * the standard way to put a sketch under a correctness gate. At 100 TB
+    * you run the sketch alone; this audit shape is for sampled QA slices.
+    * `tol` = 5× the requested rsd (a z=5 band: rsd is one standard error).
+    */
+  def approxDistinctAudit(
+      df: DataFrame, cols: Seq[String], rsd: Double = 0.01): DataFrame = {
+    val tol = 5 * rsd
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(countDistinct(col(c)).as(s"__exact$i"),
+        approx_count_distinct(col(c), rsd).as(s"__est$i"))
+    }
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"'$c', __exact$i, CAST(abs(__est$i - __exact$i) <= $tol * __exact$i AS BOOLEAN)"
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, exact_distinct, hll_within_tol)")
+  }
+
   /** describe()-shaped stats as a deterministic single-row frame
     * (reference cells 6/27/44/94 use df.describe()).
     */

@@ -280,9 +280,12 @@ object Similarity {
     pairs
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("sim_raw"))
-      .filter(col("sim_raw") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("sim_raw"), 4).as("sim"))
+      .select(col("id_a"), col("id_b"),
+        // cut on the ROUNDED similarity (same rationale as bruteForceTopK):
+        // a raw-float threshold is ulp-sensitive to accumulation order, so
+        // an independent engine replaying the math could flip boundary pairs
+        round(cosine(col("v_a"), col("v_b")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
       .orderBy("id_a", "id_b")
   }
 }

@@ -238,7 +238,32 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
   }
 
+  /** Order-sensitive rolling document fingerprint (token-stream identity —
+    * unlike md5(text), two docs differing only in whitespace runs agree).
+    *
+    * The chain step is the PORTABLE 60-bit hash
+    * `parse_hex(md5(acc ":" tok)[0,15))` rather than xxhash64: a content
+    * fingerprint's whole job is to be a stable identity AT REST — written
+    * next to the corpus, joined against by later ingests, possibly read by
+    * a different engine — so it must be reproducible outside Spark (the
+    * DuckDB oracle replays this chain verbatim via list_reduce). md5 is
+    * ~4x the per-token cost of xxhash64; one narrow map, no shuffle, so
+    * scan-dominated at 100 TB either way. [[fingerprintXx]] keeps the
+    * cheaper chain for fingerprints that never leave the job.
+    */
   def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("fingerprint",
+      aggregate(
+        wsTokens(col(textCol)),
+        lit(1125899906842597L),
+        (acc, tok) => conv(
+          substring(md5(concat(acc.cast("string"), lit(":"), tok)), 1, 15),
+          16, 10).cast("long")))
+
+  /** xxhash64 variant of [[fingerprint]] — fastest chain when the
+    * fingerprint is job-internal (not persisted for other engines).
+    */
+  def fingerprintXx(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("fingerprint",
       aggregate(
         wsTokens(col(textCol)),

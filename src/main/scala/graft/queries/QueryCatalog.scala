@@ -744,12 +744,24 @@ object QueryCatalog {
               round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
-    // HLL++ sketch profiling — the 100 TB path for exact countDistinct
-    // (rows-only: DuckDB's approx sketch differs by construction)
+    // HLL++ sketch profiling — the 100 TB path for exact countDistinct.
+    // DuckDB's approx sketch differs by construction, so the raw estimate
+    // can't hash-match; the catalog entry is the AUDIT shape instead:
+    // exact counts + a deterministic bounded-error assertion on the HLL
+    // estimate, which an independent engine CAN verify (it recomputes the
+    // exact side and the bound must hold — Spark's HLL at rsd=0.01 with a
+    // 5-sigma band).
     Q("q_approx_distinct",
-      (s, dir) => Profiling.approxDistinctCounts(t(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")),
-      None),
+      (s, dir) => Profiling.approxDistinctAudit(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"))
+        .orderBy("col_name"),
+      Some("""SELECT col_name, exact_distinct, TRUE AS hll_within_tol FROM (
+                SELECT 'l_orderkey' AS col_name,
+                  count(DISTINCT l_orderkey) AS exact_distinct FROM lineitem
+                UNION ALL SELECT 'l_partkey', count(DISTINCT l_partkey) FROM lineitem
+                UNION ALL SELECT 'l_suppkey', count(DISTINCT l_suppkey) FROM lineitem
+                UNION ALL SELECT 'l_quantity', count(DISTINCT l_quantity) FROM lineitem)
+              ORDER BY col_name""")),
 
     // Custom physical operator (graftnative.TopKPerKeyExec): bounded-heap
     // grouped top-k, oracled against the window row_number formulation
@@ -903,11 +915,20 @@ object QueryCatalog {
                 )/4.0, 4) AS quality_score
               FROM m ORDER BY doc_id""")),
 
+    // the rolling chain is the portable md5-60bit hash, so the oracle
+    // replays it exactly: seed prepended as the list_reduce accumulator,
+    // each step re-hashing "acc:token" (see TextAnalysis.fingerprint)
     Q("q_fingerprint",
       (s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))
         .select("doc_id", "fingerprint")
         .orderBy("doc_id"),
-      None),
+      Some("""SELECT doc_id,
+                CAST(list_reduce(
+                  list_prepend('1125899906842597',
+                    regexp_split_to_array(trim(text), '\s+')),
+                  (acc, t) -> CAST(CAST(('0x' || substr(md5(acc || ':' || t), 1, 15))
+                    AS BIGINT) AS VARCHAR)) AS BIGINT) AS fingerprint
+              FROM documents ORDER BY doc_id""")),
 
     // unigram-LM surprisal (perplexity-filter family); DuckDB replays the
     // model exactly — same tokenizer, same corpus totals, log2 both sides
@@ -1295,10 +1316,39 @@ object QueryCatalog {
               ORDER BY round(sim_raw, 4) DESC, vec_id LIMIT 10"""
       }),
 
+    // oracle replays the 16 literal hyperplanes (Similarity.hyperplanes,
+    // 4-dp — same splice pattern as q_ann_lsh), re-derives the 4×4-bit
+    // band keys from the sign-bit bucket, the band-collision candidate
+    // pairs, and the rounded-cosine threshold cut
     Q("q_embed_neardup",
       (s, dir) => Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
         dim = 64, threshold = 0.25, nPlanes = 16, bands = 4),
-      None),
+      Some {
+        val planeValues = graft.operators.Similarity.hyperplanes(dim = 64, nPlanes = 16)
+          .zipWithIndex
+          .map { case (p, i) => s"($i, ${p.mkString("[", ", ", "]")}::DOUBLE[])" }
+          .mkString(",\n                  ")
+        s"""WITH planes(p, pv) AS (VALUES
+                  $planeValues),
+              emb AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              b AS (SELECT id,
+                  CAST(sum(CASE WHEN list_dot_product(e, pv) >= 0
+                    THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+                FROM emb, planes GROUP BY id),
+              bd AS (SELECT id, band, (bucket >> (band * 4)) & 15 AS bv
+                FROM b, (SELECT unnest(range(0, 4)) AS band) bands),
+              cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+                FROM bd a JOIN bd c
+                  ON a.band = c.band AND a.bv = c.bv AND a.id < c.id),
+              sc AS (SELECT id_a, id_b,
+                  round(list_cosine_similarity(ea.e, eb.e), 4) AS sim
+                FROM cand
+                JOIN emb ea ON ea.id = id_a
+                JOIN emb eb ON eb.id = id_b)
+              SELECT id_a, id_b, sim FROM sc WHERE sim >= 0.25
+              ORDER BY id_a, id_b"""
+      }),
 
     Q("q_ann_ivf",
       (s, dir) => {
@@ -1346,12 +1396,17 @@ object QueryCatalog {
 
     // single-pass frequent-items sketch (Karp et al. misra-gries style via
     // df.stat.freqItems): the approximate heavy-hitters pass a pipeline
-    // runs before exact counting; array_sort makes the output stable
+    // runs before exact counting. Oracle-able HERE because support=0.1
+    // allocates ceil(1/0.1)=10 counters and events has 5 distinct types —
+    // Misra-Gries with more counters than distinct keys never evicts, so
+    // the sketch output is EXACTLY the distinct set (deterministic, not
+    // approximate). Exploded to scalar rows for the driver compare.
     Q("q_freq_items",
       (s, dir) => t(s, dir, "events").stat
         .freqItems(Seq("event_type"), 0.1)
-        .select(array_sort(col("event_type_freqItems")).as("event_types")),
-      None),
+        .select(explode(col("event_type_freqItems")).as("item"))
+        .orderBy("item"),
+      Some("SELECT DISTINCT event_type AS item FROM events ORDER BY item")),
 
     // IVF with Lloyd-trained (spherical k-means) centroids instead of the
     // hash sample — better cell balance, same partition-prunable plan
