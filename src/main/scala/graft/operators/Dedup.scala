@@ -238,6 +238,67 @@ object Dedup {
       array_min(transform(shingleHashes, h => xxhash64(h, lit(i))))
     }: _*)
 
+  // ------------------------------------------------------ portable MinHash
+  // An engine-replayable variant of the sketch: base shingle hash =
+  // PortableHash.portable60 of the gram STRING reduced mod 2^31-1, families
+  // = literal affine permutations (a_i·h + b_i) mod p, band key = a modular
+  // chain over the band's signature values. Every step is plain md5 +
+  // 64-bit-safe integer arithmetic, so an independent engine (the DuckDB
+  // oracle for q_dedup_minhash) reproduces signatures, band collisions, and
+  // the verified pair set EXACTLY. Cost vs the xxhash64 path: one md5 per
+  // gram instead of one long-hash (~4x that step); the 64-family sweep is
+  // multiplies+mods, comparable to re-seeded hashing. Use the xxhash64
+  // path when sketches never leave the job; this one when signatures are
+  // persisted for other engines or must be independently auditable.
+
+  /** 2^31−1 (Mersenne prime): affine products stay ≤ ~2^62 — no ANSI
+    * overflow — and the modulus is cheap in any engine.
+    */
+  private[graft] val MinHashP = 2147483647L
+
+  /** Literal (a_i, b_i) affine params, fixed seed — spliced verbatim into
+    * both the Spark expression tree and the oracle SQL.
+    */
+  private[graft] def affineParams(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(20240612L)
+    Seq.fill(numHashes)((
+      1L + rnd.nextInt((MinHashP - 1).toInt).toLong,
+      rnd.nextInt(MinHashP.toInt).toLong))
+  }
+
+  /** Distinct portable shingle hashes (mod-p collisions are re-distincted
+    * so both engines hold the identical set).
+    */
+  def portableShingleHashes(text: Column, k: Int = 3): Column =
+    array_distinct(transform(shingles(text, k),
+      g => PortableHash.portable60(g) % MinHashP))
+
+  /** Portable signature: min over shingles of each affine family. */
+  def minHashSignaturePortable(shingleHashes: Column, numHashes: Int): Column =
+    array(affineParams(numHashes).map { case (a, b) =>
+      array_min(transform(shingleHashes, h => (lit(a) * h + lit(b)) % MinHashP))
+    }: _*)
+
+  /** Deterministic modular chain over a band's signature slice — the
+    * portable stand-in for hashing the slice array. Band-bucket collisions
+    * between different slices are possible (~2^-31) but harmless AND
+    * replayed identically by the oracle: the exact-Jaccard verify filters
+    * them the same way in both engines.
+    */
+  private def portableBandChain(slice: Column): Column =
+    aggregate(slice, lit(0L), (acc, v) => (acc * lit(1000003L) + v) % lit(MinHashP))
+
+  /** Auto-banding: fewest bands whose collision probability at `threshold`
+    * is ≥ 95% (see [[minHashLsh]] scaladoc for the full rationale).
+    */
+  private[graft] def autoBands(numHashes: Int, threshold: Double): Int = {
+    val rs = (numHashes to 2 by -1).filter(numHashes % _ == 0)
+    val rOk = rs.find { r =>
+      1.0 - math.pow(1.0 - math.pow(threshold, r), numHashes / r) >= 0.95
+    }.orElse(rs.lastOption).getOrElse(numHashes)
+    numHashes / rOk
+  }
+
   /** MinHash + LSH banding near-dup pairs.
     *
     * Plan shape: per-doc signature (narrow) → explode `bands` band keys →
@@ -265,23 +326,14 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 0,
       shingleK: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val b0 =
-      if (bands > 0) bands
-      else {
-        // divisor pairs (b = n/r) from widest r down to the r=2 floor;
-        // recall(t) = 1-(1-t^r)^b at t = threshold
-        val rs = (numHashes to 2 by -1).filter(numHashes % _ == 0)
-        // no divisor reaches 95% recall → take the smallest divisor >= 2 so
-        // auto-banding always yields a valid (dividing) r; a bare 2 here
-        // failed the divisibility require for odd numHashes (e.g. 63). A
-        // prime numHashes degenerates to one band (rs = [numHashes]) —
-        // callers wanting real banding should pass a composite hash count.
-        val rOk = rs.find { r =>
-          1.0 - math.pow(1.0 - math.pow(threshold, r), numHashes / r) >= 0.95
-        }.orElse(rs.lastOption).getOrElse(numHashes)
-        numHashes / rOk
-      }
+      threshold: Double = 0.5,
+      portable: Boolean = false): DataFrame = {
+    // auto = divisor pairs (b = n/r) from widest r down to the r=2 floor
+    // (recall(t) = 1-(1-t^r)^b at t = threshold, 95% target); no divisor
+    // reaching it → smallest divisor >= 2 so banding stays valid for odd
+    // numHashes; prime numHashes degenerates to one band — callers wanting
+    // real banding should pass a composite hash count. See autoBands.
+    val b0 = if (bands > 0) bands else autoBands(numHashes, threshold)
     require(numHashes % b0 == 0, "bands must divide numHashes")
     val r = numHashes / b0
 
@@ -293,14 +345,19 @@ object Dedup {
     // Tracked in OperatorCaches: callers release via releaseAll().
     val sketched = OperatorCaches.persistTracked(df.select(
         col(idCol).cast("long").as("id"),
-        hashedShingles(col(textCol), shingleK).as("sh"))
-      .select(col("id"), col("sh"), minHashSignature(col("sh"), numHashes).as("sig")))
+        (if (portable) portableShingleHashes(col(textCol), shingleK)
+         else hashedShingles(col(textCol), shingleK)).as("sh"))
+      .select(col("id"), col("sh"),
+        (if (portable) minHashSignaturePortable(col("sh"), numHashes)
+         else minHashSignature(col("sh"), numHashes)).as("sig")))
 
     val banded = sketched.select(
       col("id"),
-      explode(transform(sequence(lit(0), lit(b0 - 1)), i =>
-        struct(i.as("band"), xxhash64(slice(col("sig"), i * lit(r) + 1, lit(r)), i).as("bh"))))
-        .as("bk"))
+      explode(transform(sequence(lit(0), lit(b0 - 1)), i => {
+        val sl = slice(col("sig"), i * lit(r) + 1, lit(r))
+        struct(i.as("band"),
+          (if (portable) portableBandChain(sl) else xxhash64(sl, i)).as("bh"))
+      })).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bh"))
 
     // candidate ids only through the band shuffle; shingle arrays join back
@@ -358,9 +415,11 @@ object Dedup {
     * indistinguishable downstream, since null never equi-joins.
     */
   private[operators] def simHashSketch(
-      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame = {
     val tokens = df.select(col(idCol).cast("long").as("id"),
-      explode(transform(toks(col(textCol)), t => xxhash64(t))).as("h"))
+      explode(transform(toks(col(textCol)),
+        t => if (portable) PortableHash.portable64(t) else xxhash64(t))).as("h"))
     val bitSums = (63 to 0 by -1).map(b =>
       sum(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L))).as(s"s$b"))
     val counted = tokens.groupBy("id")
@@ -383,7 +442,8 @@ object Dedup {
       df: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      portable: Boolean = false): DataFrame = {
     // recall guarantee needs maxHamming+1 blocks (pigeonhole): any pair
     // within maxHamming agrees exactly on >=1 block. Blocks split the 64
     // bits as evenly as possible (the first `rem` blocks get width+1).
@@ -393,7 +453,7 @@ object Dedup {
     val offsets = (0 until chunks).scanLeft(0)((off, i) =>
       off + base + (if (i < rem) 1 else 0))
     val sketched = OperatorCaches.persistTracked(
-      simHashSketch(df, idCol, textCol))
+      simHashSketch(df, idCol, textCol, portable))
     val banded = sketched.select(
       col("id"), col("sh"),
       explode(array((0 until chunks).map { i =>
@@ -582,8 +642,10 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       threshold: Double = 0.5,
-      useStar: Boolean = false): DataFrame = {
-    val pairs = minHashLsh(df, idCol, textCol, threshold = threshold)
+      useStar: Boolean = false,
+      portable: Boolean = false): DataFrame = {
+    val pairs = minHashLsh(df, idCol, textCol, threshold = threshold,
+      portable = portable)
     // iterate ONLY over nodes that have edges (dup-group members — usually
     // a small fraction of the corpus); the singleton majority joins back
     // afterwards as its own component, so no per-round shuffle carries it

@@ -136,14 +136,17 @@ object Similarity {
     * without changing the plan shape.
     */
   /** Hash-deterministic centroid sample shared by ivfAssign and k-means
-    * init: the k vectors with the smallest xxhash64(id) — stable across
-    * runs, engines, and partitionings, unlike a head()/rand sample.
+    * init: the k vectors with the smallest PORTABLE hash of their id —
+    * stable across runs, partitionings, AND engines (the q_ann_ivf oracle
+    * re-derives the same sample in DuckDB), unlike a head()/rand sample.
+    * id tie-break is unreachable (distinct ids hash distinctly w.h.p.) but
+    * makes determinism unconditional.
     */
   private def sampleCentroids(
       df: DataFrame, k: Int, idCol: String, vecCol: String): Array[(Long, Seq[Double])] =
     df.select(col(idCol).cast("long").as("cid"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("h", xxhash64(col("cid")))
-      .orderBy("h").limit(k)
+      .withColumn("h", PortableHash.portable60(col("cid").cast("string")))
+      .orderBy("h", "cid").limit(k)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
 
@@ -152,10 +155,18 @@ object Similarity {
     * agree bit-for-bit: the quantizer a query probes has to be the one the
     * trainer built). Zero-norm vectors score −2, below any real cosine, so
     * they still land in some cluster instead of a null assignment.
+    *
+    * The argmax compares the cosine ROUNDED to 6 dp (ties then break on
+    * the larger cid via the struct's lexicographic max): a raw-float
+    * argmax is ulp-sensitive to accumulation order, so an independent
+    * engine replaying the assignment (the q_ann_ivf oracle) could flip
+    * vectors whose two best centroids differ below float noise. 6 dp is
+    * far under any meaningful centroid separation.
     */
   private def assignExpr(centroids: Array[(Long, Seq[Double])], v: Column): Column =
     array_max(array(centroids.map { case (cid, cv) =>
-      struct(coalesce(cosine(v, array(cv.map(lit): _*)), lit(-2.0)).as("sim"),
+      struct(
+        coalesce(round(cosine(v, array(cv.map(lit): _*)), 6), lit(-2.0)).as("sim"),
         lit(cid).as("cid"))
     }.toIndexedSeq: _*)).getField("cid")
 
@@ -232,7 +243,10 @@ object Similarity {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
-    val probes = centroids.sortBy { case (_, cv) => -cos(cv, queryVec) }
+    // probe choice mirrors assignExpr's determinism: rounded similarity,
+    // cid tie-break — replayable by the oracle's independent engine
+    val probes = centroids
+      .sortBy { case (cid, cv) => (-math.rint(cos(cv, queryVec) * 1e6), cid) }
       .take(nProbe).map(_._1)
     bruteForceTopK(
       assigned.filter(col("centroid_id").isin(probes.toIndexedSeq: _*)),

@@ -256,9 +256,8 @@ object TextAnalysis {
       aggregate(
         wsTokens(col(textCol)),
         lit(1125899906842597L),
-        (acc, tok) => conv(
-          substring(md5(concat(acc.cast("string"), lit(":"), tok)), 1, 15),
-          16, 10).cast("long")))
+        (acc, tok) => PortableHash.portable60(
+          concat(acc.cast("string"), lit(":"), tok))))
 
   /** xxhash64 variant of [[fingerprint]] — fastest chain when the
     * fingerprint is job-internal (not persisted for other engines).

@@ -45,6 +45,78 @@ object QueryCatalog {
       .filter(col("kind") === 1)
   }
 
+  /** DuckDB CTE chain replaying the PORTABLE MinHash+LSH path end-to-end
+    * (Dedup.minHashLsh(portable = true), shingleK = 3): md5-60bit shingle
+    * hashes mod 2^31−1, the literal affine families (spliced from
+    * Dedup.affineParams — same constants as the Spark expression tree),
+    * min-per-family signatures, banding at the auto-derived (b, r), the
+    * modular band chain, distinct band-collision candidates, and the
+    * exact-Jaccard verify. Ends with a `mh_pairs(id_a, id_b, jaccard)`
+    * CTE (already threshold-filtered) for callers to select from.
+    */
+  private def minhashPairCtes(numHashes: Int, threshold: Double): String = {
+    val b = Dedup.autoBands(numHashes, threshold)
+    val r = numHashes / b
+    val fam = Dedup.affineParams(numHashes).zipWithIndex
+      .map { case ((a, bb), i) => s"($i, $a, $bb)" }
+      .grouped(8).map(_.mkString(", ")).mkString(",\n                  ")
+    s"""tk AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                  regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents),
+              shi AS (SELECT id, list_distinct(
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]
+                  END) AS s FROM tk),
+              hs AS (SELECT id, list_distinct(list_transform(s,
+                  g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 2147483647))
+                  AS hv FROM shi),
+              fam(i, a, b) AS (VALUES
+                  $fam),
+              sigs AS (SELECT id, i, min((a * h + b) % 2147483647) AS sig
+                FROM (SELECT id, unnest(hv) AS h FROM hs) ph, fam GROUP BY id, i),
+              bnd AS (SELECT id, i // $r AS band, list(sig ORDER BY i) AS sl
+                FROM sigs GROUP BY id, i // $r),
+              bh AS (SELECT id, band, list_reduce(list_prepend(CAST(0 AS BIGINT), sl),
+                  (acc, v) -> (acc * 1000003 + v) % 2147483647) AS bh FROM bnd),
+              cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+                FROM bh a JOIN bh c
+                ON a.band = c.band AND a.bh = c.bh AND a.id < c.id),
+              mh_pairs AS (SELECT id_a, id_b,
+                  round(CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE)
+                    / (len(ha.hv) + len(hb.hv)
+                       - len(list_intersect(ha.hv, hb.hv))), 4) AS jaccard
+                FROM cand JOIN hs ha ON ha.id = id_a JOIN hs hb ON hb.id = id_b
+                WHERE round(CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE)
+                    / (len(ha.hv) + len(hb.hv)
+                       - len(list_intersect(ha.hv, hb.hv))), 4) >= $threshold)"""
+  }
+
+  private def minhashOracleSql(numHashes: Int, threshold: Double): String =
+    s"""WITH ${minhashPairCtes(numHashes, threshold)}
+              SELECT id_a, id_b, jaccard FROM mh_pairs ORDER BY id_a, id_b"""
+
+  /** Oracle for the fuzzy cluster entries: the portable minhash pairs fed
+    * through a recursive-CTE transitive closure with min-label reduction,
+    * singletons joined back as their own component (mirrors
+    * Dedup.fuzzyDedupClusters' left-join + coalesce).
+    */
+  private def minhashClustersOracleSql(numHashes: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${minhashPairCtes(numHashes, threshold)},
+              edges AS (
+                SELECT id_a AS src, id_b AS dst FROM mh_pairs
+                UNION SELECT id_b, id_a FROM mh_pairs),
+              reach(node, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+              comp AS (SELECT node AS id, min(lbl) AS component
+                FROM reach GROUP BY node)
+              SELECT d.id AS id, coalesce(c.component, d.id) AS component,
+                d.id = coalesce(c.component, d.id) AS keep
+              FROM (SELECT CAST(doc_id AS BIGINT) AS id FROM documents) d
+              LEFT JOIN comp c ON c.id = d.id
+              ORDER BY component, d.id"""
+
   // ---------------------------------------------------------------- scans,
   // filters, projections (reference SURVEY.md §2b)
 
@@ -948,14 +1020,70 @@ object QueryCatalog {
 
     // 0.5 is the realistic fuzzy-dedup operating point: auto-banding keeps
     // ≥95% band-collision recall at the threshold (0.2 would need the
-    // degenerate r<2 banding — see Dedup.minHashLsh scaladoc)
+    // degenerate r<2 banding — see Dedup.minHashLsh scaladoc). Portable
+    // hash families, so the oracle replays the ENTIRE sketch path in
+    // DuckDB: base md5-60bit shingle hashes, the literal affine
+    // permutations, banding, the modular band chain, candidate collisions,
+    // and the exact-Jaccard verify.
     Q("q_dedup_minhash",
-      (s, dir) => Dedup.minHashLsh(t(s, dir, "documents"), threshold = 0.5),
-      None),
+      (s, dir) => Dedup.minHashLsh(t(s, dir, "documents"), threshold = 0.5,
+        portable = true),
+      Some(minhashOracleSql(numHashes = 64, threshold = 0.5))),
 
+    // portable token hashes (md5 top-64, two 32-bit halves) make the whole
+    // path engine-replayable: the oracle recomputes per-bit majority votes,
+    // packs the fingerprint with explicit two's-complement arithmetic
+    // (DuckDB's << overflow-checks the sign bit), re-derives the pigeonhole
+    // blocks, and verifies bit_count(xor) — identical pair set by
+    // construction, not by luck
     Q("q_dedup_simhash",
-      (s, dir) => Dedup.simHashPairs(t(s, dir, "documents"), maxHamming = 4),
-      None),
+      (s, dir) => Dedup.simHashPairs(t(s, dir, "documents"), maxHamming = 4,
+        portable = true),
+      Some {
+        // same block derivation as simHashPairs: chunks = maxHamming+1
+        val chunks = 5
+        val base = 64 / chunks
+        val rem = 64 % chunks
+        val offsets = (0 until chunks).scanLeft(0)((off, i) =>
+          off + base + (if (i < rem) 1 else 0))
+        val chunkRows = (0 until chunks).map { i =>
+          val w = base + (if (i < rem) 1 else 0)
+          s"(${offsets(i)}, ${(1L << w) - 1})"
+        }.mkString(", ")
+        s"""WITH tok AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+                FROM documents),
+              th AS (SELECT id,
+                  CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hi,
+                  CAST(('0x' || substr(md5(w), 9, 8)) AS BIGINT) AS lo
+                FROM tok),
+              bits AS (SELECT id, bb.b,
+                  CASE WHEN bb.b < 32 THEN (lo >> bb.b) & 1
+                       ELSE (hi >> (bb.b - 32)) & 1 END AS bit
+                FROM th, (SELECT unnest(range(0, 64)) AS b) bb),
+              agg AS (SELECT id, b, sum(bit) AS s1, count(*) AS n
+                FROM bits GROUP BY id, b),
+              halves AS (SELECT id,
+                  sum(CASE WHEN 2 * s1 > n AND b >= 32
+                    THEN CAST(1 AS BIGINT) << (b - 32) ELSE 0 END) AS vhi,
+                  sum(CASE WHEN 2 * s1 > n AND b < 32
+                    THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS vlo
+                FROM agg GROUP BY id),
+              fp AS (SELECT id,
+                  -- sum() yields HUGEINT: cast back to BIGINT or xor/
+                  -- bit_count would count 64 sign-extension bits
+                  CAST((vhi - CASE WHEN vhi >= 2147483648 THEN 4294967296 ELSE 0 END)
+                    * 4294967296 + vlo AS BIGINT) AS sh
+                FROM halves),
+              ck AS (SELECT id, sh, c.off AS chunk, (sh >> c.off) & c.mask AS cv
+                FROM fp, (SELECT * FROM (VALUES $chunkRows) v(off, mask)) c),
+              cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+                FROM ck a JOIN ck b
+                ON a.chunk = b.chunk AND a.cv = b.cv AND a.id < b.id)
+              SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 4
+              ORDER BY id_a, id_b"""
+      }),
 
     // exact-similarity dedup IS oracle-able (unlike the sketch-based ops):
     // DuckDB rebuilds the 3-gram shingle sets from strings and replays the
@@ -1003,16 +1131,19 @@ object QueryCatalog {
               FROM g JOIN dup USING (gram)
               ORDER BY doc_id, pos""")),
 
+    // portable sketch → oracle replays minhash pairs AND the connected-
+    // components reduction (recursive-CTE transitive closure, min label)
     Q("q_dedup_clusters",
-      (s, dir) => Dedup.fuzzyDedupClusters(t(s, dir, "documents"), threshold = 0.5),
-      None),
+      (s, dir) => Dedup.fuzzyDedupClusters(t(s, dir, "documents"), threshold = 0.5,
+        portable = true),
+      Some(minhashClustersOracleSql(numHashes = 64, threshold = 0.5))),
 
     // same clustering via large-star/small-star (O(log n) rounds) — labels
-    // must equal q_dedup_clusters exactly; driver sees both row counts agree
+    // must equal q_dedup_clusters exactly (same independent oracle)
     Q("q_dedup_clusters_star",
       (s, dir) => Dedup.fuzzyDedupClusters(t(s, dir, "documents"), threshold = 0.5,
-        useStar = true),
-      None),
+        useStar = true, portable = true),
+      Some(minhashClustersOracleSql(numHashes = 64, threshold = 0.5))),
 
     // the clustering path made oracle-able end-to-end: exact ngram-Jaccard
     // pairs (deterministic, no sketch seeds) fed through the same
@@ -1350,6 +1481,11 @@ object QueryCatalog {
               ORDER BY id_a, id_b"""
       }),
 
+    // fully replayed in DuckDB: the 16 centroids are the smallest
+    // portable-md5-hashed ids (PortableHash), assignment is the rounded-
+    // cosine argmax with cid tie-break (Similarity.assignExpr), probes are
+    // the 4 centroids nearest the query under the same rounding, and the
+    // final cut is bruteForceTopK's rounded rank
     Q("q_ann_ivf",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -1357,7 +1493,29 @@ object QueryCatalog {
         val (assigned, centroids) = Similarity.ivfAssign(emb.filter(col("vec_id") =!= 0))
         Similarity.ivfTopK(assigned, centroids, q, k = 10, nProbe = 4)
       },
-      None),
+      Some(s"""WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              rest AS (SELECT * FROM emb WHERE id <> 0),
+              cent AS (SELECT id AS cid, e AS ce FROM rest
+                ORDER BY ${graft.operators.PortableHash.duckSql("CAST(id AS VARCHAR)")}, id
+                LIMIT 16),
+              scored AS (SELECT r.id, c.cid,
+                  COALESCE(round(list_cosine_similarity(r.e, c.ce), 6), -2.0) AS sim
+                FROM rest r, cent c),
+              assign AS (SELECT id, cid FROM (
+                  SELECT id, cid, row_number() OVER (PARTITION BY id
+                    ORDER BY sim DESC, cid DESC) AS rn
+                  FROM scored) WHERE rn = 1),
+              probes AS (SELECT cid FROM (
+                  SELECT cid, round(list_cosine_similarity(ce,
+                    (SELECT e FROM emb WHERE id = 0)), 6) AS sim
+                  FROM cent) ORDER BY sim DESC, cid LIMIT 4)
+              SELECT id AS vec_id,
+                round(list_cosine_similarity(r.e,
+                  (SELECT e FROM emb WHERE id = 0)), 4) AS sim
+              FROM rest r JOIN assign USING (id)
+              WHERE assign.cid IN (SELECT cid FROM probes)
+              ORDER BY sim DESC, vec_id LIMIT 10""")),
 
     // top-k similarity JOIN (every query vector against the corpus at
     // once): broadcast the 3-row query side through a nested-loop cross
