@@ -191,6 +191,15 @@ object Similarity {
     * doubles. Cosine assignment + mean update = spherical k-means; the
     * mean objective is monotone, so a handful of rounds suffice for a
     * coarse quantizer. Empty clusters keep their previous centroid.
+    *
+    * Each round's means are ROUNDED to 7 dp before becoming the next
+    * round's literals: a raw float mean is summation-order-dependent at
+    * ~1e-15 relative, so no independent engine (or even a differently
+    * partitioned Spark run) could reproduce the trained quantizer
+    * bit-for-bit. On the 1e-7 grid both engines land on the same value
+    * (noise is 8 orders of magnitude below the grid), which is what lets
+    * the q_ann_ivf_kmeans oracle unroll Lloyd's in SQL. 1e-7 precision is
+    * far below any meaningful centroid separation.
     */
   def kmeansCentroids(
       df: DataFrame,
@@ -208,7 +217,7 @@ object Similarity {
       val means = vecs
         .withColumn("cid", assignExpr(centroids, col("v")))
         .select(col("cid"), posexplode(col("v")))
-        .groupBy("cid", "pos").agg(avg("col").as("m"))
+        .groupBy("cid", "pos").agg(round(avg("col"), 7).as("m"))
         .collect()
         .groupBy(_.getLong(0))
         .map { case (cid, rows) =>

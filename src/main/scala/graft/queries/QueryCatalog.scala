@@ -117,6 +117,51 @@ object QueryCatalog {
               LEFT JOIN comp c ON c.id = d.id
               ORDER BY component, d.id"""
 
+  /** Oracle for the k-means IVF entry: Lloyd's unrolled as `iters` chained
+    * CTE blocks. Replayable because every cross-engine float boundary is
+    * pinned — init = portable-hash sample (same as ivfAssign), assignment
+    * = rounded-cosine argmax with cid tie-break (Similarity.assignExpr),
+    * and each round's means round to 7 dp before becoming the next
+    * round's centroids (see kmeansCentroids scaladoc).
+    */
+  private def ivfKmeansOracleSql(
+      k: Int, iters: Int, nProbe: Int, topK: Int, dim: Int): String = {
+    val hash = graft.operators.PortableHash.duckSql("CAST(id AS VARCHAR)")
+    def assign(name: String, cents: String) =
+      s"""$name AS (SELECT id, cid FROM (
+                  SELECT r.id, c.cid, row_number() OVER (PARTITION BY r.id
+                    ORDER BY COALESCE(round(list_cosine_similarity(r.e, c.ce), 6),
+                      -2.0) DESC, c.cid DESC) AS rn
+                  FROM rest r, $cents c) WHERE rn = 1)"""
+    val iterCtes = (1 to iters).map { n =>
+      s"""${assign(s"a$n", s"c${n - 1}")},
+              m$n AS (SELECT a.cid, i.i AS pos, round(avg(r.e[i.i]), 7) AS m
+                FROM a$n a, rest r, (SELECT unnest(range(1, ${dim + 1})) AS i) i
+                WHERE r.id = a.id GROUP BY a.cid, i.i),
+              c$n AS (SELECT p.cid, COALESCE(nm.ml, p.ce) AS ce FROM c${n - 1} p
+                LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS ml
+                  FROM m$n GROUP BY cid) nm USING (cid))"""
+    }.mkString(",\n              ")
+    s"""WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              rest AS (SELECT * FROM emb WHERE id <> 0),
+              c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, id) - 1 AS BIGINT)
+                  AS cid, ce FROM (
+                  SELECT id, e AS ce, $hash AS h FROM rest ORDER BY h, id LIMIT $k)),
+              $iterCtes,
+              ${assign("af", s"c$iters")},
+              probes AS (SELECT cid FROM (
+                  SELECT cid, round(list_cosine_similarity(ce,
+                    (SELECT e FROM emb WHERE id = 0)), 6) AS sim
+                  FROM c$iters) ORDER BY sim DESC, cid LIMIT $nProbe)
+              SELECT id AS vec_id,
+                round(list_cosine_similarity(r.e,
+                  (SELECT e FROM emb WHERE id = 0)), 4) AS sim
+              FROM rest r JOIN af USING (id)
+              WHERE af.cid IN (SELECT cid FROM probes)
+              ORDER BY sim DESC, vec_id LIMIT $topK"""
+  }
+
   // ---------------------------------------------------------------- scans,
   // filters, projections (reference SURVEY.md §2b)
 
@@ -1567,7 +1612,10 @@ object QueryCatalog {
       Some("SELECT DISTINCT event_type AS item FROM events ORDER BY item")),
 
     // IVF with Lloyd-trained (spherical k-means) centroids instead of the
-    // hash sample — better cell balance, same partition-prunable plan
+    // hash sample — better cell balance, same partition-prunable plan. The
+    // oracle unrolls the 3 Lloyd iterations in SQL (possible because init,
+    // assignment, and per-round means are all pinned to engine-portable
+    // values — see ivfKmeansOracleSql / kmeansCentroids)
     Q("q_ann_ivf_kmeans",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -1577,7 +1625,7 @@ object QueryCatalog {
         Similarity.ivfTopK(Similarity.ivfAssignWith(rest, centroids), centroids,
           q, k = 10, nProbe = 4)
       },
-      None)
+      Some(ivfKmeansOracleSql(k = 16, iters = 3, nProbe = 4, topK = 10, dim = 64)))
   )
 
   // ----------------------------------------------------------- taxi parity

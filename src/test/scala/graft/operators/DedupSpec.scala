@@ -40,6 +40,27 @@ class DedupSpec extends SparkSpec {
     assert(j === 1.0)
   }
 
+  test("portable minhash finds the same dup structure as the xxhash64 path") {
+    // different hash families ⇒ different band collisions are possible, but
+    // the verified output (true-Jaccard ≥ t pairs) must agree on clear
+    // duplicates and clear non-pairs
+    val p = Dedup.minHashLsh(docs, threshold = 0.3, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p.contains((1L, 2L)) && p.contains((1L, 3L)) && p.contains((2L, 3L)))
+    assert(!p.exists(q => q._1 == 6L || q._2 == 6L))
+    val j = Dedup.minHashLsh(docs, threshold = 0.5, portable = true)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("jaccard").head().getDouble(0)
+    assert(j === 1.0)
+  }
+
+  test("portable simhash: identical docs collide at hamming 0, unrelated don't") {
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 3, portable = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) === 0)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
   test("simHashSketch (aggregate path) is bit-identical to the simHash column") {
     val viaCol = docs.select(col("doc_id").cast("long").as("id"),
       Dedup.simHash(col("text")).as("sh"))

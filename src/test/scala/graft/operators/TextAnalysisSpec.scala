@@ -92,4 +92,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) === fps(2L))
     assert(fps(1L) !== fps(3L))
   }
+
+  test("fingerprint is whitespace-normalizing (token identity, not bytes)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "  alpha   beta\tgamma "),
+      (3L, "alphabeta gamma")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fingerprint")).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
 }
