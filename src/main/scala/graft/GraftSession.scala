@@ -36,7 +36,11 @@ object GraftSession {
       // by the ContextCleaner when this flag is on (default FALSE): without
       // it every superseded round's checkpoint files persist for the app
       // lifetime — unbounded storage growth across dedup runs on a cluster
-      // with a durable checkpoint dir
+      // with a durable checkpoint dir. Measured cost of the interleaved
+      // deletion I/O: ~20-25% on the checkpoint-heavy CC queries at sf0.1
+      // (15.5 s vs 11.8 s over the three cluster queries, flag on vs off)
+      // — accepted; a latency-critical job with ephemeral storage can
+      // flip it off per session
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
