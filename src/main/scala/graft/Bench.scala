@@ -33,16 +33,18 @@ object Bench {
     }
     // explicit GC before each timed pass: leftover garbage from the
     // previous pass (or warmup) otherwise lands as collection pauses in
-    // whichever queries run first, adding run-to-run noise
-    System.gc()
-    val p1 = timedPass()
-    System.gc()
-    val p2 = timedPass()
-    val results = p1.map { case (k, v1) =>
-      val v2 = p2.getOrElse(k, v1)
-      // a failure in either pass stays a failure
-      k -> (if (v1 < 0 || v2 < 0) -1.0 else math.min(v1, v2))
-    }
+    // whichever queries run first, adding run-to-run noise.
+    // min over THREE passes by default: with ~100 queries sharing one JVM,
+    // cache-eviction and GC ordering gave the 2-pass min 2x+ per-query
+    // swings between runs (e.g. 3.6 s vs 9.2 s for the same unchanged
+    // query); a third sample tightens the min estimator at ~2 min cost
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val all = (1 to passes).map { _ => System.gc(); timedPass() }
+    val results = all.head.keys.map { k =>
+      val vs = all.map(_(k))
+      // a failure in any pass stays a failure
+      k -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
+    }.toMap
     // The driver keeps only the LAST 2000 chars of output and JSON-parses
     // the line it finds there (round 1's 2.4 KB line outran it and the
     // round lost its bench numbers), so the whole line must stay < ~1.9 KB.

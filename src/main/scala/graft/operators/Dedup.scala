@@ -128,21 +128,29 @@ object Dedup {
     * one broadcast-sized per-doc cut-index set joined back to the corpus —
     * the document bodies never shuffle.
     *
-    * Known residual (deliberate): keeper protection is CROSS-GRAM within a
-    * document — a token of a non-keeper occurrence of gram Y survives if
-    * it falls inside a keeper window of a DIFFERENT gram X in the same
-    * doc. This mirrors Lee et al.'s merge-overlapping-spans-then-cut
-    * behavior (a keeper span never gets partially eroded by overlapping
-    * duplicates), but it means a fragment whose canonical copy lives in
-    * another document can survive inside a locally-kept window; strict
-    * every-non-canonical-span removal would join the keeper subtraction on
-    * the gram as well, at the cost of re-cutting keeper overlaps.
+    * Known residual (deliberate, default mode): keeper protection is
+    * CROSS-GRAM within a document — a token of a non-keeper occurrence of
+    * gram Y survives if it falls inside a keeper window of a DIFFERENT
+    * gram X in the same doc. This mirrors Lee et al.'s
+    * merge-overlapping-spans-then-cut behavior (a keeper span never gets
+    * partially eroded by overlapping duplicates), but it means a fragment
+    * whose canonical copy lives in another document can survive inside a
+    * locally-kept window.
+    *
+    * `strict = true` switches to every-non-canonical-span removal: the
+    * keeper subtraction joins on the GRAM as well, so only the canonical
+    * occurrence of each specific window is protected — a keeper window CAN
+    * be eroded by an overlapping non-canonical span of a different gram.
+    * Pick per goal: default preserves locally-canonical context (training
+    *-data quality), strict guarantees no duplicated window text survives
+    * anywhere but its one canonical site (leak/contamination removal).
     */
   def cutRepeatedSpans(
       df: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      n: Int = 50): DataFrame = {
+      n: Int = 50,
+      strict: Boolean = false): DataFrame = {
     val grams = OperatorCaches.persistTracked(df
       .filter(size(split(lower(trim(col(textCol))), "\\s+")) >= n)
       .select(
@@ -160,11 +168,17 @@ object Dedup {
     // spans before cutting, which this subtraction reproduces)
     val nonKeeperIdx = occ
       .filter(struct(col("id"), col("pos")) =!= col("keep"))
-      .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("ti"))
+      .select(col("id"), col("g"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("ti"))
     val keeperIdx = occ
       .filter(struct(col("id"), col("pos")) === col("keep"))
-      .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("ti"))
-    val cutIdx = nonKeeperIdx.join(keeperIdx, Seq("id", "ti"), "left_anti")
+      .select(col("id"), col("g"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("ti"))
+    // strict: protection is per-gram (only the window's own canonical
+    // occurrence shields its tokens); default: any keeper window in the
+    // doc shields the token (cross-gram, see scaladoc)
+    val antiKeys = if (strict) Seq("id", "ti", "g") else Seq("id", "ti")
+    val cutIdx = nonKeeperIdx.join(keeperIdx, antiKeys, "left_anti")
       .groupBy("id").agg(collect_set(col("ti")).as("cut"))
     val toks0 = toks(col(textCol))
     df.join(cutIdx.withColumnRenamed("id", "__cut_id"),

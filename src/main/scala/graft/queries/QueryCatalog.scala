@@ -639,6 +639,59 @@ object QueryCatalog {
               GROUP BY ROLLUP(l_returnflag, l_linestatus)
               ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
+    // explicit GROUPING SETS with grouping() markers (the general form
+    // rollup/cube specialize; via SQL text — the DSL path is exercised by
+    // q_rollup/q_cube, and GROUPING SETS is SQL-first in both engines)
+    Q("q_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                 round(sum(l_quantity), 2) AS qty,
+                 CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                 CAST(grouping(l_linestatus) AS INT) AS g_ls
+                 FROM li_gs
+                 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                   (l_returnflag), ())
+                 ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              round(sum(l_quantity), 2) AS qty,
+              CAST(grouping(l_returnflag) AS INT) AS g_rf,
+              CAST(grouping(l_linestatus) AS INT) AS g_ls
+              FROM lineitem
+              GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                (l_returnflag), ())
+              ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
+                l_linestatus NULLS FIRST""")),
+
+    // distribution-window family (complements q_window_funcs' ranking
+    // family): ntile bucketing, percent_rank, cume_dist — the quantile-
+    // assignment shapes a training-mixture pipeline uses for per-group
+    // banding; filter applied AFTER the window so ranks see full groups
+    Q("q_window_dist",
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_custkey"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 4).as("pr"),
+            round(cume_dist().over(w), 4).as("cd"))
+          .filter(col("c_custkey") % 7 === 0)
+          .orderBy("c_nationkey", "c_custkey")
+      },
+      Some("""SELECT c_nationkey, c_custkey, CAST(quartile AS INT) AS quartile,
+              pr, cd FROM (
+                SELECT c_nationkey, c_custkey,
+                ntile(4) OVER w AS quartile,
+                round(percent_rank() OVER w, 4) AS pr,
+                round(cume_dist() OVER w, 4) AS cd
+                FROM customer
+                WINDOW w AS (PARTITION BY c_nationkey
+                             ORDER BY c_acctbal DESC, c_custkey))
+              WHERE c_custkey % 7 = 0
+              ORDER BY c_nationkey, c_custkey""")),
+
     Q("q_cube",
       (s, dir) => t(s, dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")

@@ -155,6 +155,34 @@ class DedupSpec extends SparkSpec {
     assert(cut(4L) === ("loop loop loop loop loop", 2L))
   }
 
+  test("strict span cut removes cross-gram fragments the default mode keeps") {
+    import spark.implicits._
+    // docC(id=2) "a b c d e": window X="a b c" is canonical IN docC
+    // ((2,0) < docB's (3,0)); window Y="b c d" is canonical in docA
+    // ((1,0) < (2,1)), so docC's copy of Y (tokens 1..3) is non-canonical
+    // but overlaps docC's keeper X window (tokens 0..2)
+    val corpus = Seq(
+      (1L, "b c d x y"),
+      (2L, "a b c d e"),
+      (3L, "a b c q r")
+    ).toDF("doc_id", "text")
+    def run(strict: Boolean): Map[Long, (String, Long)] =
+      Dedup.cutRepeatedSpans(corpus, n = 3, strict = strict)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("text_cut"), r.getAs[Long]("n_cut_tokens"))).toMap
+    val default = run(strict = false)
+    val strictM = run(strict = true)
+    // canonical homes untouched in both modes
+    assert(default(1L)._2 === 0L && strictM(1L)._2 === 0L)
+    assert(default(3L) === ("q r", 3L) && strictM(3L) === ("q r", 3L))
+    // docC default: Y's tokens {1,2,3} minus keeper-X cover {0,1,2} → cut
+    // only token 3 (the 'd' fragment survives... inside X's kept window)
+    assert(default(2L) === ("a b c e", 1L))
+    // docC strict: X's keeper cover no longer shields Y's span → tokens
+    // {1,2,3} all cut; keeper X is eroded, but no copy of Y survives
+    assert(strictM(2L) === ("a e", 3L))
+  }
+
   test("incremental dedup keeps only texts unseen in the base corpus") {
     import spark.implicits._
     val base = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
