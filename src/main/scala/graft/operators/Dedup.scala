@@ -302,6 +302,35 @@ object Dedup {
   private def portableBandChain(slice: Column): Column =
     aggregate(slice, lit(0L), (acc, v) => (acc * lit(1000003L) + v) % lit(MinHashP))
 
+  /** (id, sig) sketch table for a corpus — the thing you PERSIST at 100 TB
+    * (partitioned/bucketed by id) so later near-dup probes
+    * ([[incrementalMinHash]]) never touch base document text again. One
+    * narrow pass over the corpus; 8·numHashes bytes per doc at rest.
+    */
+  def minHashSketchTable(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      shingleK: Int = 3,
+      portable: Boolean = false): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      (if (portable) minHashSignaturePortable(portableShingleHashes(col(textCol), shingleK), numHashes)
+       else minHashSignature(hashedShingles(col(textCol), shingleK), numHashes)).as("sig"))
+
+  /** Band-key structs (band, bh) for a signature — ONE derivation shared by
+    * [[minHashLsh]]'s self-join and [[incrementalMinHash]]'s probe join, so
+    * a probe against a persisted sketch table can never band differently
+    * than the job that built it.
+    */
+  private def bandStructs(sig: Column, b0: Int, r: Int, portable: Boolean): Column =
+    transform(sequence(lit(0), lit(b0 - 1)), i => {
+      val sl = slice(sig, i * lit(r) + 1, lit(r))
+      struct(i.as("band"),
+        (if (portable) portableBandChain(sl) else xxhash64(sl, i)).as("bh"))
+    })
+
   /** Auto-banding: fewest bands whose collision probability at `threshold`
     * is ≥ 95% (see [[minHashLsh]] scaladoc for the full rationale).
     */
@@ -367,11 +396,7 @@ object Dedup {
 
     val banded = sketched.select(
       col("id"),
-      explode(transform(sequence(lit(0), lit(b0 - 1)), i => {
-        val sl = slice(col("sig"), i * lit(r) + 1, lit(r))
-        struct(i.as("band"),
-          (if (portable) portableBandChain(sl) else xxhash64(sl, i)).as("bh"))
-      })).as("bk"))
+      explode(bandStructs(col("sig"), b0, r, portable)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bh"))
 
     // candidate ids only through the band shuffle; shingle arrays join back
@@ -392,6 +417,69 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
+  }
+
+  /** Incremental NEAR-dup dedup: drop rows of `newDf` whose estimated
+    * Jaccard against ANY base document reaches `threshold`, probing a
+    * PRE-COMPUTED base sketch table ([[minHashSketchTable]] output —
+    * (id, sig) only, no text) instead of the base corpus.
+    *
+    * The fuzzy counterpart of [[incrementalExactByDigest]], and the shape
+    * that scales: at 100 TB the base side of every ingest is a persisted
+    * 8·numHashes-bytes-per-doc signature table; base document text is
+    * never rescanned (the probe side's schema makes that structural — it
+    * has no text column to read). Banding is [[bandStructs]], shared with
+    * [[minHashLsh]], so probes band exactly like the build job.
+    *
+    * Verification uses the SIGNATURE estimate (matching components /
+    * numHashes ≥ threshold) — the true-Jaccard verify of minHashLsh needs
+    * shingle sets, which a sketch-at-rest deliberately does not keep. The
+    * estimate is unbiased with sd ≈ sqrt(t(1-t)/numHashes) (~6% at t=0.5,
+    * numHashes=64); callers needing exact cuts re-verify survivors against
+    * the flagged base docs only.
+    *
+    * Plan shape: sketch the batch (narrow) → explode band keys both sides
+    * → equi-join on (band, bh) — candidate ids only through the shuffle →
+    * distinct → join signatures back → component-match estimate →
+    * left_anti. The base band/sig tables are batch-size-independent
+    * reusable state.
+    */
+  def incrementalMinHash(
+      newDf: DataFrame,
+      baseSketches: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 0,
+      shingleK: Int = 3,
+      threshold: Double = 0.5,
+      portable: Boolean = false): DataFrame = {
+    val b0 = if (bands > 0) bands else autoBands(numHashes, threshold)
+    require(numHashes % b0 == 0, "bands must divide numHashes")
+    val r = numHashes / b0
+    val newSk = OperatorCaches.persistTracked(
+      minHashSketchTable(newDf, idCol, textCol, numHashes, shingleK, portable))
+    def banded(sk: DataFrame): DataFrame = sk.select(
+      col("id"),
+      explode(bandStructs(col("sig"), b0, r, portable)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
+    val cand = banded(newSk).as("n")
+      .join(banded(baseSketches).as("b"),
+        col("n.band") === col("b.band") && col("n.bh") === col("b.bh"))
+      .select(col("n.id").as("new_id"), col("b.id").as("base_id"))
+      .dropDuplicates("new_id", "base_id")
+    val matched = cand
+      .join(newSk.select(col("id").as("new_id"), col("sig").as("sig_n")), Seq("new_id"))
+      .join(baseSketches.select(col("id").as("base_id"), col("sig").as("sig_b")),
+        Seq("base_id"))
+      .withColumn("est", aggregate(
+          zip_with(col("sig_n"), col("sig_b"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .filter(col("est") >= threshold)
+      .select(col("new_id").as("__graft_dup_id")).distinct()
+    newDf.join(matched,
+      newDf(idCol).cast("long") === col("__graft_dup_id"), "left_anti")
   }
 
   /** 64-bit SimHash of the token stream, packed into a long. Per-token

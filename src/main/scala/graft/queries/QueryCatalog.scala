@@ -91,6 +91,59 @@ object QueryCatalog {
                        - len(list_intersect(ha.hv, hb.hv))), 4) >= $threshold)"""
   }
 
+  /** Oracle for incremental near-dup dedup: base signatures from
+    * `documents`, a derived re-crawl batch (ids +1000, every 3rd doc
+    * truncated to its first half — Jaccard ~1/3, below the 0.5 cut),
+    * band-chain probe join, component-match estimate, anti-join. All in
+    * the portable hash family so every step replays exactly.
+    */
+  private def incrMinhashOracleSql(numHashes: Int, threshold: Double): String = {
+    val b = Dedup.autoBands(numHashes, threshold)
+    val r = numHashes / b
+    val fam = Dedup.affineParams(numHashes).zipWithIndex
+      .map { case ((a, bb), i) => s"($i, $a, $bb)" }
+      .grouped(8).map(_.mkString(", ")).mkString(",\n                  ")
+    def sketchCtes(src: String, p: String): String =
+      s"""tk$p AS (SELECT id,
+                  regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM $src),
+              sh$p AS (SELECT id, list_distinct(
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]
+                  END) AS s FROM tk$p),
+              hs$p AS (SELECT id, list_distinct(list_transform(s,
+                  g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 2147483647))
+                  AS hv FROM sh$p),
+              sig_$p AS (SELECT id, i, min((a * h + b) % 2147483647) AS sig
+                FROM (SELECT id, unnest(hv) AS h FROM hs$p) ph, fam GROUP BY id, i),
+              bh_$p AS (SELECT id, band, list_reduce(list_prepend(CAST(0 AS BIGINT), sl),
+                  (acc, v) -> (acc * 1000003 + v) % 2147483647) AS bh FROM (
+                  SELECT id, i // $r AS band, list(sig ORDER BY i) AS sl
+                  FROM sig_$p GROUP BY id, i // $r))"""
+    s"""WITH fam(i, a, b) AS (VALUES
+                  $fam),
+              baseq AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+              newq AS (SELECT CAST(doc_id + 1000 AS BIGINT) AS id,
+                  CASE WHEN doc_id % 3 = 0
+                    THEN substr(text, 1, CAST(floor(length(text) / 2) AS INT))
+                    ELSE text END AS text
+                FROM documents),
+              ${sketchCtes("baseq", "b")},
+              ${sketchCtes("newq", "n")},
+              cand AS (SELECT DISTINCT n.id AS new_id, b.id AS base_id
+                FROM bh_n n JOIN bh_b b ON n.band = b.band AND n.bh = b.bh),
+              est AS (SELECT c.new_id,
+                  sum(CASE WHEN sn.sig = sb.sig THEN 1 ELSE 0 END)
+                    / CAST($numHashes AS DOUBLE) AS est
+                FROM cand c
+                JOIN sig_n sn ON sn.id = c.new_id
+                JOIN sig_b sb ON sb.id = c.base_id AND sb.i = sn.i
+                GROUP BY c.new_id, c.base_id),
+              dup AS (SELECT DISTINCT new_id FROM est WHERE est >= $threshold)
+              SELECT n.id AS doc_id FROM newq n
+              ANTI JOIN dup d ON n.id = d.new_id
+              ORDER BY doc_id"""
+  }
+
   private def minhashOracleSql(numHashes: Int, threshold: Double): String =
     s"""WITH ${minhashPairCtes(numHashes, threshold)}
               SELECT id_a, id_b, jaccard FROM mh_pairs ORDER BY id_a, id_b"""
@@ -1300,6 +1353,26 @@ object QueryCatalog {
               SELECT n.doc_id FROM newb n
               ANTI JOIN documents o ON md5(n.text) = md5(o.text)
               ORDER BY doc_id""")),
+
+    // incremental NEAR-dup ingest: the re-crawl batch (ids +1000; every
+    // 3rd doc truncated to its first half, Jaccard ~1/3) probed against
+    // the base corpus's PERSISTED minhash sketch table — unchanged docs
+    // are near-dups (est 1.0, dropped), truncated ones fall under the 0.5
+    // cut and survive. Base text is never rescanned (the sketch table has
+    // no text column).
+    Q("q_dedup_incr_fuzzy",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val newBatch = docs.select(
+          (col("doc_id") + 1000).as("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            expr("substring(text, 1, CAST(floor(length(text) / 2) AS INT))"))
+            .otherwise(col("text")).as("text"))
+        val baseSketches = Dedup.minHashSketchTable(docs, portable = true)
+        Dedup.incrementalMinHash(newBatch, baseSketches, portable = true)
+          .select(col("doc_id").cast("long").as("doc_id")).orderBy("doc_id")
+      },
+      Some(incrMinhashOracleSql(numHashes = 64, threshold = 0.5))),
 
     // TF-IDF: highest-salience tokens by average tf-idf across the corpus
     // ordering is on the ROUNDED score: raw float averages differ in ulps

@@ -198,6 +198,28 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.incrementalExact(base, base).isEmpty)
   }
 
+  test("incremental near-dup dedup probes a sketch table, never base text") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "spark engines compile declarative plans into distributed physical stages"),
+      (3L, "completely unrelated base document about cooking pasta with garlic")
+    ).toDF("doc_id", "text")
+    // the persisted state: (id, sig) ONLY — no text column exists to scan
+    val sketches = Dedup.minHashSketchTable(base)
+    assert(sketches.columns.toSeq.sorted === Seq("id", "sig"))
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "spark engines compile declarative plans into distributed physical stages now"),
+      (12L, "entirely fresh content that matches nothing in the base corpus at all")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalMinHash(batch, sketches)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // 10 = exact copy (est 1.0), 11 = near dup (one appended word,
+    // est >> 0.5) -> both dropped; 12 survives
+    assert(kept === Array(12L))
+  }
+
   test("operator-internal caches are tracked and releasable") {
     OperatorCaches.releaseAll()
     assert(OperatorCaches.liveCount === 0)
