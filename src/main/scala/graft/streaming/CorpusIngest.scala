@@ -43,6 +43,17 @@ object CorpusIngest {
     * content it duplicates downstream), instead of a digest existing for a
     * body that was never committed (which would silently drop that
     * document forever).
+    *
+    * With `sketchPath` set, the stream additionally drops NEAR-duplicates
+    * (estimated Jaccard ≥ `nearDupThreshold`): within the batch via the
+    * LSH pair join (higher id of each verified pair loses), and against
+    * everything kept so far by probing the minhash sketch table
+    * ([[Dedup.minHashSketchTable]]) maintained at `sketchPath` — the fuzzy
+    * analogue of the digest table, and like it, probes read (id, sig)
+    * only, never base text. Same corpus-first write order: a crash that
+    * commits bodies but not sketches re-ADMITS a later near-dup (benign,
+    * cleanable offline); the reverse order could drop future novel
+    * documents against sketches of bodies that never committed.
     */
   def incrementalCorpusIngest(
       docs: DataFrame,
@@ -51,7 +62,9 @@ object CorpusIngest {
       partitionCols: Seq[String] = Seq("source"),
       idCol: String = "doc_id",
       textCol: String = "text",
-      digestPath: Option[String] = None): StreamingQuery =
+      digestPath: Option[String] = None,
+      sketchPath: Option[String] = None,
+      nearDupThreshold: Double = 0.5): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -64,7 +77,7 @@ object CorpusIngest {
           val fresh = Dedup.exact(batch, idCol, textCol)
           val fs = new Path(basePath)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val novel = digestPath match {
+          val exactNovel = digestPath match {
             case Some(dp) if fs.exists(new Path(dp)) =>
               Dedup.incrementalExactByDigest(fresh,
                 spark.read.parquet(dp), textCol)
@@ -75,11 +88,36 @@ object CorpusIngest {
                 spark.read.schema(batch.schema).parquet(basePath), textCol)
             case _ => fresh // first non-empty batch: nothing seen yet
           }
-          // novel feeds two writes (corpus + digests): persist so the
-          // anti-join doesn't run twice per batch
-          novel.persist()
+          val novel0 = sketchPath match {
+            case Some(sp) =>
+              // within-batch near-dup prune: the higher id of each verified
+              // LSH pair loses (chains collapse conservatively round by
+              // round — every id_b is someone's duplicate)
+              val pairs = Dedup.minHashLsh(exactNovel, idCol, textCol,
+                threshold = nearDupThreshold)
+              val inBatch = exactNovel.join(
+                pairs.select(col("id_b").as("__graft_nd")),
+                exactNovel(idCol).cast("long") === col("__graft_nd"),
+                "left_anti")
+              if (fs.exists(new Path(sp)))
+                Dedup.incrementalMinHash(inBatch, spark.read.parquet(sp),
+                  idCol, textCol, threshold = nearDupThreshold)
+              else inBatch
+            case None => exactNovel
+          }
+          // EAGER lineage cut before any sink append — load-bearing, not a
+          // cache nicety: novel0's plan READS the digest/sketch paths this
+          // batch also APPENDS to, and DataFrameWriter append triggers
+          // recacheByPath on the target, which re-materializes every cached
+          // plan reading it against the NEW file list. A merely persisted
+          // kept-set would be recomputed after the first append and
+          // anti-join itself against its own just-written digests — later
+          // sinks would then see it EMPTY (the sketch table silently lost
+          // every batch's rows). The localCheckpoint pins the batch's rows
+          // as concrete blocks whose plan references no path at all.
+          val novel = novel0.localCheckpoint()
           try {
-            // same all-empty guard for both sinks, same reason as above
+            // same all-empty guard for all sinks, same reason as above
             if (!novel.isEmpty) {
               novel.write.mode("append")
                 .partitionBy(partitionCols: _*).parquet(basePath)
@@ -87,8 +125,16 @@ object CorpusIngest {
                 novel.select(md5(col(textCol)).as("digest"))
                   .write.mode("append").parquet(dp)
               }
+              sketchPath.foreach { sp =>
+                Dedup.minHashSketchTable(novel, idCol, textCol)
+                  .write.mode("append").parquet(sp)
+              }
             }
-          } finally novel.unpersist(blocking = false)
+          } finally {
+            novel.unpersist(blocking = false)
+            // the LSH pair join persists its own sketch table per batch
+            graft.operators.OperatorCaches.release(spark)
+          }
         }
       }
       .start()

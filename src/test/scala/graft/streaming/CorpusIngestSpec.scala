@@ -86,6 +86,42 @@ class CorpusIngestSpec extends SparkSpec {
       .map(_.getString(0)).toSeq === Seq("theta iota"))
   }
 
+  test("near-dup ingest: sketch table drops fuzzy repeats within and across batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("corpus-nd").toString
+    val ckpt = Files.createTempDirectory("ckpt-nd").toString
+    val in = MemoryStream[(Long, String, String)]
+    val docs = in.toDF.toDF("doc_id", "text", "source")
+    val q = CorpusIngest.incrementalCorpusIngest(docs, s"$dir/corpus", ckpt,
+      digestPath = Some(s"$dir/digests"), sketchPath = Some(s"$dir/sketches"))
+
+    val baseText = "the quick brown fox jumps over the lazy dog near the river bank"
+    // batch 1: base doc + a WITHIN-batch near-dup (one appended word,
+    // higher id loses) + an unrelated doc
+    in.addData(
+      (1L, baseText, "web"),
+      (2L, baseText + " today", "web"),
+      (3L, "spark engines compile declarative plans into distributed stages", "web"))
+    q.processAllAvailable()
+    // batch 2: a CROSS-batch near-dup of doc 1 (filtered via the sketch
+    // table) + a genuinely fresh doc
+    in.addData(
+      (10L, baseText + " again", "web"),
+      (11L, "entirely fresh content that matches nothing at all anywhere", "web"))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(1L, 3L, 11L))
+    // one sketch row per kept doc — the probe state tracks the corpus
+    val sk = spark.read.parquet(s"$dir/sketches")
+    assert(sk.columns.toSeq.sorted === Seq("id", "sig"))
+    assert(sk.select("id").collect().map(_.getLong(0)).sorted === Array(1L, 3L, 11L))
+  }
+
   test("incrementalExactByDigest plans one scan: the digest table, not the corpus") {
     val spark0 = spark
     import spark0.implicits._
