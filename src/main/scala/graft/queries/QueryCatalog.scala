@@ -1284,6 +1284,48 @@ object QueryCatalog {
 
     // portable sketch → oracle replays minhash pairs AND the connected-
     // components reduction (recursive-CTE transitive closure, min label)
+    // span SURGERY made driver-visible (q_repeated_spans covers detection):
+    // the oracle re-derives keepers (first occurrence per repeated gram),
+    // the keeper-protected cut set, and REBUILDS the cut text per doc —
+    // compared by md5 so document bodies stay out of the dump
+    Q("q_repeated_cut",
+      (s, dir) => Dedup.cutRepeatedSpans(t(s, dir, "documents"), n = 5)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_cut_tokens"), md5(col("text_cut")).as("digest"))
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                FROM documents),
+              g AS (SELECT id, r.pos,
+                  array_to_string(t[r.pos:r.pos+4], ' ') AS gram
+                FROM tk, LATERAL unnest(range(1, len(t) - 3)) AS r(pos)
+                WHERE len(t) >= 5),
+              occ AS (SELECT id, pos, gram,
+                  count(*) OVER (PARTITION BY gram) AS c,
+                  row_number() OVER (PARTITION BY gram ORDER BY id, pos) AS rn
+                FROM g),
+              rep AS (SELECT * FROM occ WHERE c > 1),
+              nk AS (SELECT id, unnest(range(pos - 1, pos + 4)) AS ti
+                FROM rep WHERE rn > 1),
+              kp AS (SELECT id, unnest(range(pos - 1, pos + 4)) AS ti
+                FROM rep WHERE rn = 1),
+              cut AS (SELECT DISTINCT n.id, n.ti FROM nk n
+                ANTI JOIN kp k ON k.id = n.id AND k.ti = n.ti),
+              tokpos AS (SELECT id, p.pos, t[p.pos] AS tok
+                FROM tk, LATERAL unnest(range(1, len(t) + 1)) AS p(pos)),
+              kept AS (SELECT tp.id,
+                  string_agg(tp.tok, ' ' ORDER BY tp.pos) AS text_cut
+                FROM tokpos tp
+                ANTI JOIN cut c ON c.id = tp.id AND c.ti = tp.pos - 1
+                GROUP BY tp.id),
+              ncut AS (SELECT id, count(*) AS n FROM cut GROUP BY id)
+              SELECT t.id AS doc_id, coalesce(ncut.n, 0) AS n_cut_tokens,
+                md5(coalesce(k.text_cut, '')) AS digest
+              FROM tk t
+              LEFT JOIN kept k ON k.id = t.id
+              LEFT JOIN ncut ON ncut.id = t.id
+              ORDER BY doc_id""")),
+
     Q("q_dedup_clusters",
       (s, dir) => Dedup.fuzzyDedupClusters(t(s, dir, "documents"), threshold = 0.5,
         portable = true),
