@@ -459,18 +459,22 @@ object Dedup {
     val r = numHashes / b0
     val newSk = OperatorCaches.persistTracked(
       minHashSketchTable(newDf, idCol, textCol, numHashes, shingleK, portable))
+    // the base side is consumed twice (band join + signature join): persist
+    // so a computed sketch frame isn't sketched twice — for the production
+    // parquet-backed table this just pins the (id, sig) columns once
+    val baseSk = OperatorCaches.persistTracked(baseSketches)
     def banded(sk: DataFrame): DataFrame = sk.select(
       col("id"),
       explode(bandStructs(col("sig"), b0, r, portable)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bh"))
     val cand = banded(newSk).as("n")
-      .join(banded(baseSketches).as("b"),
+      .join(banded(baseSk).as("b"),
         col("n.band") === col("b.band") && col("n.bh") === col("b.bh"))
       .select(col("n.id").as("new_id"), col("b.id").as("base_id"))
       .dropDuplicates("new_id", "base_id")
     val matched = cand
       .join(newSk.select(col("id").as("new_id"), col("sig").as("sig_n")), Seq("new_id"))
-      .join(baseSketches.select(col("id").as("base_id"), col("sig").as("sig_b")),
+      .join(baseSk.select(col("id").as("base_id"), col("sig").as("sig_b")),
         Seq("base_id"))
       .withColumn("est", aggregate(
           zip_with(col("sig_n"), col("sig_b"),
