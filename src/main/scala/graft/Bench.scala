@@ -10,9 +10,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // warmup pass: JIT + codegen compile once so the timed pass measures
-    // steady-state plan execution, not first-run compilation
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1")
+    // optional separate warmup pass (JIT + codegen compile). Default OFF
+    // since the move to min-of-3: pass 1 absorbs compilation and the min
+    // discards it, so a dedicated warmup would only add ~2.5 min of wall
+    // clock for the same steady-state numbers
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "0") == "1")
       selected.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
