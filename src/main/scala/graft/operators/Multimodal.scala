@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * mapPartitions with Encoders, per-row fan-out for frame sampling. The
   * IMAGE codec path is real: `javax.imageio` (ships in the JDK) decodes
   * the payload to true dimensions and a luma-histogram feature, and
-  * `resize` rescales + re-encodes through `java.awt`. Audio/video payloads
-  * (codecs not in this container) fall back to a clearly marked
-  * deterministic pseudo-decode with the same signature and batch shape, so
-  * a real codec (e.g. ffmpeg via mapPartitions) slots in without changing
-  * any plan: decode stays a narrow per-partition pass, scales with input
-  * splits at 100 TB, and never shuffles the payload bytes.
+  * `resize` rescales + re-encodes through `java.awt`. The AUDIO path is
+  * real too: `javax.sound.sampled` (also JDK-shipped) parses WAV/AIFF/AU
+  * to true sample rate / channels and a temporal RMS embedding over the
+  * PCM stream. VIDEO payloads (no codec in the JDK or this container)
+  * fall back to a clearly marked deterministic pseudo-decode with the same
+  * signature and batch shape, so a real codec (e.g. ffmpeg via
+  * mapPartitions) slots in without changing any plan: decode stays a
+  * narrow per-partition pass, scales with input splits at 100 TB, and
+  * never shuffles the payload bytes.
   */
 object Multimodal {
 
@@ -53,10 +56,14 @@ object Multimodal {
 
   /** Decode one item. Images go through the REAL codec (`javax.imageio`):
     * true width/height plus an 8-bin luma-histogram embedding computed
-    * from the decoded pixels. Non-image kinds — and payloads ImageIO
-    * cannot parse — take the deterministic pseudo-decode fallback. Either
-    * way the call is pure and per-row: iterator-to-iterator per partition,
-    * no driver involvement, no shuffle.
+    * from the decoded pixels. Audio goes through the REAL JavaSound codec
+    * (`javax.sound.sampled`, WAV/AIFF/AU in every JDK): width carries the
+    * true sample rate, height the channel count, and the embedding is an
+    * 8-bin temporal RMS profile of the PCM stream. Remaining kinds — and
+    * payloads neither codec can parse — take the deterministic
+    * pseudo-decode fallback. Either way the call is pure and per-row:
+    * iterator-to-iterator per partition, no driver involvement, no
+    * shuffle.
     */
   private[operators] def decode(item: MediaItem): MediaFeatures = {
     // null payload (e.g. a null source text upstream) decodes as empty
@@ -82,7 +89,62 @@ object Multimodal {
         val n = (w.toLong * h).toFloat
         MediaFeatures(item.media_id, item.kind, bytes.length.toLong,
           f"${java.util.Arrays.hashCode(bytes)}%08x", w, h, hist.map(_ / n))
-      case None => pseudoDecode(item, bytes)
+      case None => decodeAudioFeatures(item, bytes)
+        .getOrElse(pseudoDecode(item, bytes))
+    }
+  }
+
+  /** Real audio decode via JavaSound: parse the container, stream the PCM,
+    * and compute an 8-bin temporal RMS profile (per-eighth of the stream,
+    * normalized to [0, 1]). Handles the 16-bit signed PCM that WAV files
+    * overwhelmingly carry sample-accurately; other widths fall back to
+    * byte-level energy (still real signal, coarser quantization). None for
+    * payloads JavaSound cannot parse.
+    */
+  private def decodeAudioFeatures(
+      item: MediaItem, bytes: Array[Byte]): Option[MediaFeatures] = {
+    if (bytes.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val pcm = ais.readAllBytes()
+        val sixteenBit = fmt.getSampleSizeInBits == 16 &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val nSamples = if (sixteenBit) pcm.length / 2 else pcm.length
+        val emb = new Array[Float](8)
+        if (nSamples > 0) {
+          val acc = new Array[Double](8)
+          val cnt = new Array[Long](8)
+          var i = 0
+          while (i < nSamples) {
+            val s =
+              if (sixteenBit) {
+                val lo = pcm(2 * i) & 0xff
+                val hi = pcm(2 * i + 1).toInt // signed high byte
+                val v = if (fmt.isBigEndian) (pcm(2 * i).toInt << 8) | (pcm(2 * i + 1) & 0xff)
+                        else (hi << 8) | lo
+                v / 32768.0
+              } else (pcm(i) & 0xff) / 255.0
+            val bin = (i.toLong * 8 / nSamples).toInt
+            acc(bin) += s * s
+            cnt(bin) += 1
+            i += 1
+          }
+          var b = 0
+          while (b < 8) {
+            if (cnt(b) > 0) emb(b) = math.sqrt(acc(b) / cnt(b)).toFloat
+            b += 1
+          }
+        }
+        Some(MediaFeatures(item.media_id, item.kind, bytes.length.toLong,
+          f"${java.util.Arrays.hashCode(bytes)}%08x",
+          width = fmt.getSampleRate.toInt, height = fmt.getChannels, emb))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
     }
   }
 
@@ -95,9 +157,10 @@ object Multimodal {
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       catch { case _: java.io.IOException => None }
 
-  /** STUB pseudo-decode for the codecs this container does not ship
-    * (audio/video): deterministic fake dims + embedding from the payload
-    * hash. A real codec replaces exactly this function.
+  /** STUB pseudo-decode for the codecs the JDK does not ship (video) and
+    * for payloads no real codec can parse: deterministic fake dims +
+    * embedding from the payload hash. A real codec replaces exactly this
+    * function.
     */
   private def pseudoDecode(item: MediaItem, bytes: Array[Byte]): MediaFeatures = {
     val h = java.util.Arrays.hashCode(bytes)

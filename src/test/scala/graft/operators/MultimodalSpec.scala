@@ -88,6 +88,47 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2).n_bytes === "not a png".getBytes("UTF-8").length.toLong)
   }
 
+  /** A real 16-bit PCM WAV of a sine at `amp` (relative full scale). */
+  private def wavBytes(sampleRate: Float, seconds: Double, amp: Double): Array[Byte] = {
+    val n = (sampleRate * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (math.sin(2 * math.Pi * 440 * i / sampleRate) * amp * 32767).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audio payloads decode through the real codec: sample rate, channels, RMS") {
+    import spark.implicits._
+    val items = Seq(
+      Multimodal.MediaItem(0L, "audio", wavBytes(8000f, 0.25, amp = 0.5), "gen"),
+      // non-audio payload under the audio kind → labeled pseudo-decode
+      Multimodal.MediaItem(1L, "audio", "not a wav".getBytes("UTF-8"), "gen"))
+      .toDS()
+    val rows = Multimodal.decodeFeatures(items).collect().sortBy(_.media_id)
+    // true container metadata, not hash-derived fakes
+    assert(rows(0).width === 8000)  // sample rate
+    assert(rows(0).height === 1)    // channels
+    // a constant-amplitude sine has RMS amp/sqrt(2) in EVERY temporal bin
+    val expected = 0.5 / math.sqrt(2)
+    assert(rows(0).embedding.length === 8)
+    rows(0).embedding.foreach(b => assert(math.abs(b - expected) < 0.01, b))
+    // decode is sample-accurate and deterministic
+    val again = Multimodal.decodeFeatures(items).collect().sortBy(_.media_id)
+    assert(again(0).embedding.toSeq === rows(0).embedding.toSeq)
+    assert(rows(1).n_bytes === "not a wav".getBytes("UTF-8").length.toLong)
+  }
+
   test("resize really rescales images: decoded dims of the re-encoded payload") {
     import spark.implicits._
     val items = Seq(Multimodal.MediaItem(0L, "image", pngBytes(32, 16), "gen")).toDS()
