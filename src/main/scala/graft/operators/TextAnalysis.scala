@@ -230,10 +230,12 @@ object TextAnalysis {
       .join(uni.select(col("w").as("w1"), col("wc").as("c1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("wc").as("c2")), Seq("w2"))
       .crossJoin(broadcast(totalUni)).crossJoin(broadcast(totalBig))
+      // + 0.0 canonicalizes IEEE -0.0 (a PMI an ulp below zero rounds to
+      // negative zero, which stringifies differently across engines)
       .withColumn("pmi", round(log2(
         (col("bc").cast("double") / col("__tb")) /
           ((col("c1").cast("double") / col("__tu")) *
-            (col("c2").cast("double") / col("__tu")))), 4))
+            (col("c2").cast("double") / col("__tu")))), 4) + lit(0.0))
       .select("w1", "w2", "bc", "pmi")
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
   }

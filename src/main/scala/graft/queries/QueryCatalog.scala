@@ -1416,6 +1416,33 @@ object QueryCatalog {
       },
       Some(incrMinhashOracleSql(numHashes = 64, threshold = 0.5))),
 
+    // bigram PMI collocations (multiword-unit mining): oracle rebuilds the
+    // adjacent-pair stream, both frequency tables, and the log2 ratio —
+    // count rationals divide to identical doubles in both engines, and the
+    // rank ties on the ROUNDED pmi break on the words
+    Q("q_pmi_collocations",
+      (s, dir) => TextAnalysis.collocations(t(s, dir, "documents"), minCount = 5L),
+      Some("""WITH tk AS (SELECT
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                FROM documents),
+              uni AS (SELECT w, count(*) AS wc
+                FROM (SELECT unnest(t) AS w FROM tk) u GROUP BY w),
+              tu AS (SELECT CAST(sum(wc) AS DOUBLE) AS tu FROM uni),
+              bg AS (SELECT t[r.i] AS w1, t[r.i + 1] AS w2
+                FROM tk, LATERAL unnest(range(1, len(t))) AS r(i)),
+              ba AS (SELECT w1, w2, count(*) AS bc FROM bg GROUP BY w1, w2),
+              tb AS (SELECT CAST(sum(bc) AS DOUBLE) AS tb FROM ba),
+              big AS (SELECT * FROM ba WHERE bc >= 5)
+              SELECT w1, w2, bc,
+                -- + 0.0 canonicalizes IEEE negative zero (round of a tiny
+                -- negative PMI yields -0.0 here but 0.0 in Spark)
+                round(log2((bc / tb.tb) /
+                  ((u1.wc / tu.tu) * (u2.wc / tu.tu))), 4) + 0.0 AS pmi
+              FROM big
+              JOIN uni u1 ON u1.w = big.w1
+              JOIN uni u2 ON u2.w = big.w2, tu, tb
+              ORDER BY pmi DESC, w1, w2""")),
+
     // TF-IDF: highest-salience tokens by average tf-idf across the corpus
     // ordering is on the ROUNDED score: raw float averages differ in ulps
     // between engines (summation order), which would flip near-equal ranks
