@@ -618,7 +618,7 @@ object Dedup {
       .withColumn("component", col("id")))
     def labelSum(df: DataFrame): java.math.BigDecimal = df
       .agg(sum(col("component").cast("decimal(38,0)")).as("s"))
-      .head.getDecimal(0)
+      .head().getDecimal(0)
     var prevSum = labelSum(labels)
 
     var converged = false
@@ -689,7 +689,7 @@ object Dedup {
 
     def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("lo"), col("hi")).cast("decimal(38,0)"))).head
+        sum(xxhash64(col("lo"), col("hi")).cast("decimal(38,0)"))).head()
       (r.getLong(0), r.getDecimal(1))
     }
     var prevFp = fingerprint(edges)

@@ -36,6 +36,61 @@ class DedupPropertySpec extends SparkSpec {
       assert(reported.get((i, i + 1000L)).contains(1.0), s"missing dup pair $i")
   }
 
+  test("span cut equals a brute-force reference in BOTH modes on random corpora") {
+    import spark.implicits._
+    // straight-line reimplementation of the cut semantics over string
+    // grams — quadratic, driver-side, obviously-correct
+    def refCut(docs: Seq[(Long, String)], n: Int, strict: Boolean)
+        : Map[Long, (String, Long)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").toSeq }.toMap
+      val wins = for {
+        (id, ts) <- toks.toSeq; if ts.size >= n
+        p <- 0 to ts.size - n
+      } yield (id, p, ts.slice(p, p + n).mkString(" "))
+      val byGram = wins.groupBy(_._3).filter(_._2.size > 1)
+      val keeper = byGram.map { case (g, occ) =>
+        g -> occ.map(w => (w._1, w._2)).min }
+      val nk = for {
+        (g, occ) <- byGram.toSeq; (id, p, _) <- occ
+        if (id, p) != keeper(g); i <- p until p + n
+      } yield (id, i, g)
+      val kp = for {
+        (g, occ) <- byGram.toSeq; (id, p, _) <- occ
+        if (id, p) == keeper(g); i <- p until p + n
+      } yield (id, i, g)
+      val kpAny = kp.map(t => (t._1, t._2)).toSet
+      val kpByGram = kp.toSet
+      val cut = nk.filter(t =>
+          if (strict) !kpByGram.contains(t)
+          else !kpAny.contains((t._1, t._2)))
+        .map(t => (t._1, t._2)).toSet
+      docs.map { case (id, _) =>
+        val ts = toks(id)
+        val kept = ts.zipWithIndex.collect {
+          case (t, i) if !cut.contains((id, i)) => t }
+        id -> (kept.mkString(" "), (ts.size - kept.size).toLong)
+      }.toMap
+    }
+    // tiny vocab + long docs force heavy window repetition (within and
+    // across docs), hitting keeper overlap, chains, and self-repeats
+    val tiny = Vector("a", "b", "c", "d")
+    for (seed <- Seq(3L, 17L, 41L); strict <- Seq(false, true)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (0L until 12L).map { i =>
+        val len = rnd.nextInt(16) // includes docs below the n=3 floor
+        i -> Seq.fill(len)(tiny(rnd.nextInt(tiny.size))).mkString(" ")
+      }
+      val got = Dedup.cutRepeatedSpans(corpus.toDF("doc_id", "text"),
+          n = 3, strict = strict)
+        .select("doc_id", "text_cut", "n_cut_tokens")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(got === refCut(corpus, n = 3, strict = strict),
+        s"seed=$seed strict=$strict")
+    }
+  }
+
   test("prefix-filtered ngram jaccard equals brute-force all-pairs exactly") {
     import spark.implicits._
     // random docs plus mutated copies (0–60% of tokens replaced) → pairs
