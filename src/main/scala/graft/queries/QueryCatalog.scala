@@ -144,6 +144,49 @@ object QueryCatalog {
               ORDER BY doc_id"""
   }
 
+  /** Oracle for the span-surgery entries: first-occurrence keepers per
+    * repeated 5-gram, the keeper-protected cut-index subtraction (strict =
+    * keeper join carries the gram, see Dedup.cutRepeatedSpans), and the
+    * per-doc post-cut text rebuild compared by md5.
+    */
+  private def repeatedCutOracleSql(strict: Boolean): String = {
+    val keeperJoin =
+      if (strict) "k.id = n.id AND k.ti = n.ti AND k.gram = n.gram"
+      else "k.id = n.id AND k.ti = n.ti"
+    s"""WITH tk AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                  regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents),
+              g AS (SELECT id, r.pos,
+                  array_to_string(t[r.pos:r.pos+4], ' ') AS gram
+                FROM tk, LATERAL unnest(range(1, len(t) - 3)) AS r(pos)
+                WHERE len(t) >= 5),
+              occ AS (SELECT id, pos, gram,
+                  count(*) OVER (PARTITION BY gram) AS c,
+                  row_number() OVER (PARTITION BY gram ORDER BY id, pos) AS rn
+                FROM g),
+              rep AS (SELECT * FROM occ WHERE c > 1),
+              nk AS (SELECT id, gram, unnest(range(pos - 1, pos + 4)) AS ti
+                FROM rep WHERE rn > 1),
+              kp AS (SELECT id, gram, unnest(range(pos - 1, pos + 4)) AS ti
+                FROM rep WHERE rn = 1),
+              cut AS (SELECT DISTINCT n.id, n.ti FROM nk n
+                ANTI JOIN kp k ON $keeperJoin),
+              tokpos AS (SELECT id, p.pos, t[p.pos] AS tok
+                FROM tk, LATERAL unnest(range(1, len(t) + 1)) AS p(pos)),
+              kept AS (SELECT tp.id,
+                  string_agg(tp.tok, ' ' ORDER BY tp.pos) AS text_cut
+                FROM tokpos tp
+                ANTI JOIN cut c ON c.id = tp.id AND c.ti = tp.pos - 1
+                GROUP BY tp.id),
+              ncut AS (SELECT id, count(*) AS n FROM cut GROUP BY id)
+              SELECT t.id AS doc_id, coalesce(ncut.n, 0) AS n_cut_tokens,
+                md5(coalesce(k.text_cut, '')) AS digest
+              FROM tk t
+              LEFT JOIN kept k ON k.id = t.id
+              LEFT JOIN ncut ON ncut.id = t.id
+              ORDER BY doc_id"""
+  }
+
   private def minhashOracleSql(numHashes: Int, threshold: Double): String =
     s"""WITH ${minhashPairCtes(numHashes, threshold)}
               SELECT id_a, id_b, jaccard FROM mh_pairs ORDER BY id_a, id_b"""
@@ -1293,38 +1336,17 @@ object QueryCatalog {
         .select(col("doc_id").cast("long").as("doc_id"),
           col("n_cut_tokens"), md5(col("text_cut")).as("digest"))
         .orderBy("doc_id"),
-      Some("""WITH tk AS (SELECT CAST(doc_id AS BIGINT) AS id,
-                  regexp_split_to_array(lower(trim(text)), '\s+') AS t
-                FROM documents),
-              g AS (SELECT id, r.pos,
-                  array_to_string(t[r.pos:r.pos+4], ' ') AS gram
-                FROM tk, LATERAL unnest(range(1, len(t) - 3)) AS r(pos)
-                WHERE len(t) >= 5),
-              occ AS (SELECT id, pos, gram,
-                  count(*) OVER (PARTITION BY gram) AS c,
-                  row_number() OVER (PARTITION BY gram ORDER BY id, pos) AS rn
-                FROM g),
-              rep AS (SELECT * FROM occ WHERE c > 1),
-              nk AS (SELECT id, unnest(range(pos - 1, pos + 4)) AS ti
-                FROM rep WHERE rn > 1),
-              kp AS (SELECT id, unnest(range(pos - 1, pos + 4)) AS ti
-                FROM rep WHERE rn = 1),
-              cut AS (SELECT DISTINCT n.id, n.ti FROM nk n
-                ANTI JOIN kp k ON k.id = n.id AND k.ti = n.ti),
-              tokpos AS (SELECT id, p.pos, t[p.pos] AS tok
-                FROM tk, LATERAL unnest(range(1, len(t) + 1)) AS p(pos)),
-              kept AS (SELECT tp.id,
-                  string_agg(tp.tok, ' ' ORDER BY tp.pos) AS text_cut
-                FROM tokpos tp
-                ANTI JOIN cut c ON c.id = tp.id AND c.ti = tp.pos - 1
-                GROUP BY tp.id),
-              ncut AS (SELECT id, count(*) AS n FROM cut GROUP BY id)
-              SELECT t.id AS doc_id, coalesce(ncut.n, 0) AS n_cut_tokens,
-                md5(coalesce(k.text_cut, '')) AS digest
-              FROM tk t
-              LEFT JOIN kept k ON k.id = t.id
-              LEFT JOIN ncut ON ncut.id = t.id
-              ORDER BY doc_id""")),
+      Some(repeatedCutOracleSql(strict = false))),
+
+    // strict mode driver-visible too: only a window's own canonical
+    // occurrence shields its tokens (oracle keeper join adds the gram key)
+    Q("q_repeated_cut_strict",
+      (s, dir) => Dedup.cutRepeatedSpans(t(s, dir, "documents"), n = 5,
+          strict = true)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_cut_tokens"), md5(col("text_cut")).as("digest"))
+        .orderBy("doc_id"),
+      Some(repeatedCutOracleSql(strict = true))),
 
     Q("q_dedup_clusters",
       (s, dir) => Dedup.fuzzyDedupClusters(t(s, dir, "documents"), threshold = 0.5,
