@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import graft.operators.OperatorCaches
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -8,45 +10,49 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated query filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries
+    // catalog order (stable), so family grouping below is contiguous
+    val selected = queries.QueryCatalog.all
+      .map(q => q.name -> q.fn)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // optional separate warmup pass (JIT + codegen compile). Default OFF
-    // since the move to min-of-3: pass 1 absorbs compilation and the min
-    // discards it, so a dedicated warmup would only add ~2.5 min of wall
-    // clock for the same steady-state numbers
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "0") == "1")
-      selected.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // Loop shape: per-QUERY min-of-N with operator caches released at query-
+    // FAMILY boundaries — NOT per-pass sweeps over the whole catalog. The
+    // r4 per-pass sweep kept 104 queries' sketch caches resident at once;
+    // they evicted each other ("already cached" churn) and full-run times
+    // ran 2-4x the same query measured alone (6.5 s vs 2.3 s ngram_jaccard,
+    // 5.4 s vs 1.6 s join_salted). Back-to-back samples reproduce isolated-
+    // run semantics: sample 1 builds the family's sketch caches, samples
+    // 2..N measure warm steady state, and the min is the same number
+    // SPARK_GRAFT_ONLY reports. Within a family (shared name prefix:
+    // dedup_*, ann_*, taxi_*...) caches stay warm on purpose — those
+    // queries share sketch-table plans, and warm reuse is the realistic
+    // pipeline steady state; between families the working set is released
+    // (correctness-neutral: a released cache just recomputes).
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
+    def family(name: String): String = name.stripPrefix("q_").takeWhile(_ != '_')
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var prevFamily = ""
+    for ((name, fn) <- selected) {
+      val fam = family(name)
+      if (fam != prevFamily) {
+        // drop the previous family's sketch caches and let the pause land
+        // HERE, between timed regions, not inside the next query
+        OperatorCaches.release(spark)
+        System.gc()
+        prevFamily = fam
       }
-    // NOTE: sketch tables persisted by dedup/similarity operators stay
-    // cached across the run on purpose — clearing the cache per query
-    // was measured 6x slower overall (unpersist churn + GC pressure) and
-    // warm sketch reuse is the realistic pipeline steady state
-    // two timed passes, min per query: a single pass is hostage to GC /
-    // ContextCleaner churn from whatever ran just before (measured 2x
-    // total-time swings run-to-run); the min is the steady-state number
-    def timedPass(): Map[String, Double] = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query records -1.0, never its elapsed wall time
-      val sec =
+      val samples = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        // a failed query records -1.0 and its exception CLASS — never its
+        // elapsed time, and never silence that lets an executor OOM
+        // masquerade as a slow neighbor
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      name -> sec
+        catch { case t: Throwable =>
+          failures(name) = t.getClass.getSimpleName.stripSuffix("$"); -1.0 }
+      }
+      results(name) = if (samples.exists(_ < 0)) -1.0 else samples.min
     }
-    // explicit GC before each timed pass: leftover garbage from the
-    // previous pass (or warmup) otherwise lands as collection pauses in
-    // whichever queries run first, adding run-to-run noise.
-    // min over THREE passes by default: with ~100 queries sharing one JVM,
-    // cache-eviction and GC ordering gave the 2-pass min 2x+ per-query
-    // swings between runs (e.g. 3.6 s vs 9.2 s for the same unchanged
-    // query); a third sample tightens the min estimator at ~2 min cost
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
-    val all = (1 to passes).map { _ => System.gc(); timedPass() }
-    val results = all.head.keys.map { k =>
-      val vs = all.map(_(k))
-      // a failure in any pass stays a failure
-      k -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
-    }.toMap
+    OperatorCaches.release(spark)
     // The driver keeps only the LAST 2000 chars of output and JSON-parses
     // the line it finds there (round 1's 2.4 KB line outran it and the
     // round lost its bench numbers), so the whole line must stay < ~1.9 KB.
@@ -73,8 +79,10 @@ object Bench {
       "bench key abbreviation collided")
     val ok = results.values.filter(_ >= 0)
     val totalMs = math.round((if (ok.nonEmpty) ok.sum else 0.0) * 1000)
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + short(k) + "\"" }
-      .mkString("[", ",", "]")
+    // failures carry the exception class: {"q":"ann_lsh","err":"OutOfMemoryError"}
+    val failed = failures.map { case (k, err) =>
+      s"""{"q":"${short(k)}","err":"$err"}"""
+    }.mkString("[", ",", "]")
     val sfName = sfDir.split('/').last
     def line(abbrev: Boolean): String = {
       val qs = results.map { case (k, v) =>

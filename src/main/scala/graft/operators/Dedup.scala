@@ -415,8 +415,12 @@ object Dedup {
       .withColumn("jaccard", round(
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
+      // UNSORTED on purpose (like repeatedSpans): a trailing orderBy here
+      // would range-shuffle the full pair set on every call, and the
+      // composed consumers (fuzzyDedupClusters' CC rounds, CorpusIngest's
+      // anti-join) re-shuffle immediately anyway. Callers needing
+      // deterministic order (the catalog entries) sort the rows they keep.
       .select("id_a", "id_b", "jaccard")
-      .orderBy("id_a", "id_b")
   }
 
   /** Incremental NEAR-dup dedup: drop rows of `newDf` whose estimated
@@ -577,8 +581,8 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int").as("hamming"))
       .dropDuplicates("id_a", "id_b")
+      // UNSORTED on purpose — see minHashLsh; catalog entries sort
       .filter(col("hamming") <= maxHamming)
-      .orderBy("id_a", "id_b")
   }
 
   /** Connected components over near-duplicate pairs → dedup clusters, so a
@@ -616,12 +620,15 @@ object Dedup {
     var labels = truncated(edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
       .withColumn("component", col("id")))
+    // coalesce: sum over an EMPTY label set is null (no edges at all, e.g.
+    // a dup-free ingest micro-batch) and must read as converged, not NPE
     def labelSum(df: DataFrame): java.math.BigDecimal = df
-      .agg(sum(col("component").cast("decimal(38,0)")).as("s"))
+      .agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("s"))
       .head().getDecimal(0)
     var prevSum = labelSum(labels)
 
-    var converged = false
+    var converged = prevSum.signum == 0 && labels.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
       val viaNbr = edges
@@ -854,7 +861,7 @@ object Dedup {
       .withColumn("jaccard", round(
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
+      // UNSORTED on purpose — see minHashLsh; catalog entries sort
       .select("id_a", "id_b", "jaccard")
-      .orderBy("id_a", "id_b")
   }
 }

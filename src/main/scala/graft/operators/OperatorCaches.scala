@@ -47,12 +47,25 @@ object OperatorCaches {
     dead.foreach(bySession.remove)
   }
 
-  /** Persist `df` at MEMORY_AND_DISK and register the handle. */
+  /** Persist `df` at MEMORY_AND_DISK and register the handle.
+    *
+    * If an EQUIVALENT plan is already cached (Dataset.storageLevel resolves
+    * through the CacheManager's normalized-plan lookup), the frame is
+    * returned as-is: actions hit the existing cache either way, a second
+    * persist would only log CacheManager "already cached" warnings (the r4
+    * bench tail was full of them — 104 queries × 3 passes rebuilding the
+    * same sketch plans), and the original handle is already registered for
+    * release. After a release the lookup misses and the next call persists
+    * fresh, so the guard never leaves a consumer uncached.
+    */
   private[operators] def persistTracked(df: DataFrame): DataFrame = synchronized {
     pruneStopped()
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    buf(df.sparkSession) += p
-    p
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      buf(df.sparkSession) += p
+      p
+    }
   }
 
   /** Register an already-persisted frame for release. */

@@ -253,9 +253,14 @@ object Similarity {
       dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
     // probe choice mirrors assignExpr's determinism: rounded similarity,
-    // cid tie-break — replayable by the oracle's independent engine
+    // cid tie-break — replayable by the oracle's independent engine. The
+    // rounding mode must be HALF_UP (half away from zero) to match both
+    // Spark's round(,6) and DuckDB's round(): math.rint is half-to-even
+    // and would pick a different probe on an exact 5e-7 boundary.
     val probes = centroids
-      .sortBy { case (cid, cv) => (-math.rint(cos(cv, queryVec) * 1e6), cid) }
+      .sortBy { case (cid, cv) =>
+        (-BigDecimal(cos(cv, queryVec))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, cid) }
       .take(nProbe).map(_._1)
     bruteForceTopK(
       assigned.filter(col("centroid_id").isin(probes.toIndexedSeq: _*)),

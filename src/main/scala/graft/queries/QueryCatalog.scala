@@ -97,14 +97,23 @@ object QueryCatalog {
     * band-chain probe join, component-match estimate, anti-join. All in
     * the portable hash family so every step replays exactly.
     */
-  private def incrMinhashOracleSql(numHashes: Int, threshold: Double): String = {
-    val b = Dedup.autoBands(numHashes, threshold)
-    val r = numHashes / b
-    val fam = Dedup.affineParams(numHashes).zipWithIndex
+  /** The literal affine-family VALUES rows shared by every portable-minhash
+    * oracle (spliced from Dedup.affineParams — same constants as the Spark
+    * expression tree).
+    */
+  private def affineFamValues(numHashes: Int): String =
+    Dedup.affineParams(numHashes).zipWithIndex
       .map { case ((a, bb), i) => s"($i, $a, $bb)" }
       .grouped(8).map(_.mkString(", ")).mkString(",\n                  ")
-    def sketchCtes(src: String, p: String): String =
-      s"""tk$p AS (SELECT id,
+
+  /** Portable minhash sketch CTE chain for a `(id, text)` source CTE named
+    * `src`, suffixed `p`: tokenize → 3-gram shingles → md5-60bit hashes mod
+    * 2^31−1 (hs$p.hv) → per-family min signatures (sig_$p) → modular band
+    * chain keys (bh_$p). Callers must emit the `fam(i, a, b)` CTE
+    * ([[affineFamValues]]) first.
+    */
+  private def sketchCtes(src: String, p: String, r: Int): String =
+    s"""tk$p AS (SELECT id,
                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM $src),
               sh$p AS (SELECT id, list_distinct(
                   CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
@@ -119,6 +128,11 @@ object QueryCatalog {
                   (acc, v) -> (acc * 1000003 + v) % 2147483647) AS bh FROM (
                   SELECT id, i // $r AS band, list(sig ORDER BY i) AS sl
                   FROM sig_$p GROUP BY id, i // $r))"""
+
+  private def incrMinhashOracleSql(numHashes: Int, threshold: Double): String = {
+    val b = Dedup.autoBands(numHashes, threshold)
+    val r = numHashes / b
+    val fam = affineFamValues(numHashes)
     s"""WITH fam(i, a, b) AS (VALUES
                   $fam),
               baseq AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
@@ -127,8 +141,8 @@ object QueryCatalog {
                     THEN substr(text, 1, CAST(floor(length(text) / 2) AS INT))
                     ELSE text END AS text
                 FROM documents),
-              ${sketchCtes("baseq", "b")},
-              ${sketchCtes("newq", "n")},
+              ${sketchCtes("baseq", "b", r)},
+              ${sketchCtes("newq", "n", r)},
               cand AS (SELECT DISTINCT n.id AS new_id, b.id AS base_id
                 FROM bh_n n JOIN bh_b b ON n.band = b.band AND n.bh = b.bh),
               est AS (SELECT c.new_id,
@@ -141,6 +155,75 @@ object QueryCatalog {
               dup AS (SELECT DISTINCT new_id FROM est WHERE est >= $threshold)
               SELECT n.id AS doc_id FROM newq n
               ANTI JOIN dup d ON n.id = d.new_id
+              ORDER BY doc_id"""
+  }
+
+  /** Oracle for q_ingest_neardup: replays ONE streaming-ingest foreachBatch
+    * round stage by stage in DuckDB — batch construction, within-batch
+    * exact dedup (min id per md5), the digest-table probe against the base
+    * corpus, the within-batch near-dup prune (portable minhash pairs →
+    * recursive-CTE connected components → keep the min-id representative,
+    * CorpusIngest's policy), and the minhash sketch-table probe with the
+    * component-match estimate (incrementalMinHash's arithmetic).
+    */
+  private def ingestNeardupOracleSql(numHashes: Int, threshold: Double): String = {
+    val b = Dedup.autoBands(numHashes, threshold)
+    val r = numHashes / b
+    s"""WITH RECURSIVE fam(i, a, b) AS (VALUES
+                  ${affineFamValues(numHashes)}),
+              baseq AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+              newa AS (SELECT CAST(doc_id + 1000 AS BIGINT) AS id,
+                  CASE WHEN doc_id % 3 = 0
+                    THEN substr(text, 1, CAST(floor(length(text) / 2) AS INT))
+                    ELSE text END AS text
+                FROM documents),
+              newq AS (
+                SELECT id, text FROM newa
+                UNION ALL
+                SELECT id + 1000, text || ' nearvar' FROM newa WHERE (id - 1000) % 3 = 0
+                UNION ALL
+                SELECT id + 2000, text FROM newa WHERE (id - 1000) % 5 = 0),
+              exd AS (SELECT id, text FROM (
+                  SELECT id, text, min(id) OVER (PARTITION BY md5(text)) AS mn
+                  FROM newq)
+                WHERE id = mn),
+              exn AS (SELECT e.id, e.text FROM exd e
+                ANTI JOIN (SELECT DISTINCT md5(text) AS d FROM baseq) s
+                ON md5(e.text) = s.d),
+              ${sketchCtes("exn", "n", r)},
+              ibc AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+                FROM bh_n a JOIN bh_n c
+                ON a.band = c.band AND a.bh = c.bh AND a.id < c.id),
+              ibp AS (SELECT id_a, id_b FROM ibc
+                JOIN hsn ha ON ha.id = id_a JOIN hsn hb ON hb.id = id_b
+                WHERE round(CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE)
+                    / (len(ha.hv) + len(hb.hv)
+                       - len(list_intersect(ha.hv, hb.hv))), 4) >= $threshold),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM ibp
+                UNION SELECT id_b, id_a FROM ibp),
+              reach(node, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, rc.lbl FROM reach rc JOIN edges e ON e.src = rc.node),
+              comp AS (SELECT node AS id, min(lbl) AS component
+                FROM reach GROUP BY node),
+              surv AS (SELECT e.id, e.text FROM exn e
+                ANTI JOIN (SELECT id FROM comp WHERE component < id) l
+                ON e.id = l.id),
+              ${sketchCtes("baseq", "b", r)},
+              cand AS (SELECT DISTINCT n.id AS new_id, bb.id AS base_id
+                FROM bh_n n JOIN surv s ON s.id = n.id
+                JOIN bh_b bb ON n.band = bb.band AND n.bh = bb.bh),
+              est AS (SELECT c.new_id,
+                  sum(CASE WHEN sn.sig = sb.sig THEN 1 ELSE 0 END)
+                    / CAST($numHashes AS DOUBLE) AS est
+                FROM cand c
+                JOIN sig_n sn ON sn.id = c.new_id
+                JOIN sig_b sb ON sb.id = c.base_id AND sb.i = sn.i
+                GROUP BY c.new_id, c.base_id),
+              dup AS (SELECT DISTINCT new_id FROM est WHERE est >= $threshold)
+              SELECT s.id AS doc_id FROM surv s
+              ANTI JOIN dup d ON s.id = d.new_id
               ORDER BY doc_id"""
   }
 
@@ -1015,8 +1098,8 @@ object QueryCatalog {
     // can't hash-match; the catalog entry is the AUDIT shape instead:
     // exact counts + a deterministic bounded-error assertion on the HLL
     // estimate, which an independent engine CAN verify (it recomputes the
-    // exact side and the bound must hold — Spark's HLL at rsd=0.01 with a
-    // 5-sigma band).
+    // exact side and the bound must hold — Spark's HLL at the default
+    // rsd=0.05 with a 3·rsd (15%) band; see approxDistinctAudit).
     Q("q_approx_distinct",
       (s, dir) => Profiling.approxDistinctAudit(t(s, dir, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"))
@@ -1221,7 +1304,7 @@ object QueryCatalog {
     // and the exact-Jaccard verify.
     Q("q_dedup_minhash",
       (s, dir) => Dedup.minHashLsh(t(s, dir, "documents"), threshold = 0.5,
-        portable = true),
+        portable = true).orderBy("id_a", "id_b"),
       Some(minhashOracleSql(numHashes = 64, threshold = 0.5))),
 
     // portable token hashes (md5 top-64, two 32-bit halves) make the whole
@@ -1232,7 +1315,7 @@ object QueryCatalog {
     // construction, not by luck
     Q("q_dedup_simhash",
       (s, dir) => Dedup.simHashPairs(t(s, dir, "documents"), maxHamming = 4,
-        portable = true),
+        portable = true).orderBy("id_a", "id_b"),
       Some {
         // same block derivation as simHashPairs: chunks = maxHamming+1
         val chunks = 5
@@ -1284,7 +1367,8 @@ object QueryCatalog {
     // posting-list self-join; Spark's 64-bit shingle hashing collides with
     // probability ~1e-8 at this corpus size, so |∩| matches exactly
     Q("q_dedup_ngram_jaccard",
-      (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), threshold = 0.15),
+      (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), threshold = 0.15)
+        .orderBy("id_a", "id_b"),
       Some("""WITH tk AS (
                 SELECT doc_id AS id,
                   regexp_split_to_array(lower(trim(text)), '\s+') AS t
@@ -1437,6 +1521,44 @@ object QueryCatalog {
           .select(col("doc_id").cast("long").as("doc_id")).orderBy("doc_id")
       },
       Some(incrMinhashOracleSql(numHashes = 64, threshold = 0.5))),
+
+    // ONE streaming-ingest foreachBatch round, batch-shaped so the driver's
+    // oracle covers the streaming dedup path's arithmetic end-to-end
+    // (CorpusIngest composes exactly these operators per micro-batch; the
+    // MemoryStream e2e is spec'd in CorpusIngestSpec). The batch: every doc
+    // re-crawled (ids +1000, every 3rd truncated to its first half), plus
+    // an in-batch NEAR-dup of each truncated doc (ids +2000, one appended
+    // token), plus an in-batch EXACT dup of every 5th (ids +3000). Stages:
+    // within-batch exact dedup → digest probe vs base (drops unchanged
+    // re-crawls) → within-batch near-dup prune (LSH pairs → CC → min-id
+    // representative) → sketch-table probe vs base (truncated docs at
+    // J≈1/3 survive the 0.5 cut).
+    Q("q_ingest_neardup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val half = expr("substring(text, 1, CAST(floor(length(text) / 2) AS INT))")
+        val a = docs.select((col("doc_id") + 1000).as("doc_id"),
+          when(col("doc_id") % 3 === 0, half).otherwise(col("text")).as("text"))
+        val batch = a
+          .unionByName(a.filter((col("doc_id") - 1000) % 3 === 0)
+            .select((col("doc_id") + 1000).as("doc_id"),
+              concat(col("text"), lit(" nearvar")).as("text")))
+          .unionByName(a.filter((col("doc_id") - 1000) % 5 === 0)
+            .select((col("doc_id") + 2000).as("doc_id"), col("text")))
+        val fresh = Dedup.exact(batch)
+        val exactNovel = Dedup.incrementalExactByDigest(fresh,
+          docs.select(md5(col("text")).as("digest")))
+        val pairs = Dedup.minHashLsh(exactNovel, threshold = 0.5, portable = true)
+        val losers = Dedup.connectedComponents(pairs)
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("__graft_nd"))
+        val inBatch = exactNovel.join(losers,
+          exactNovel("doc_id").cast("long") === col("__graft_nd"), "left_anti")
+        val baseSk = Dedup.minHashSketchTable(docs, portable = true)
+        Dedup.incrementalMinHash(inBatch, baseSk, portable = true)
+          .select(col("doc_id").cast("long").as("doc_id")).orderBy("doc_id")
+      },
+      Some(ingestNeardupOracleSql(numHashes = 64, threshold = 0.5))),
 
     // bigram PMI collocations (multiword-unit mining): oracle rebuilds the
     // adjacent-pair stream, both frequency tables, and the log2 ratio —

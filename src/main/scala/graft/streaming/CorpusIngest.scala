@@ -90,13 +90,19 @@ object CorpusIngest {
           }
           val novel0 = sketchPath match {
             case Some(sp) =>
-              // within-batch near-dup prune: the higher id of each verified
-              // LSH pair loses (chains collapse conservatively round by
-              // round — every id_b is someone's duplicate)
+              // within-batch near-dup prune with the same representative
+              // policy as fuzzyDedupClusters: collapse verified LSH pairs
+              // to connected components and keep the min-id per component.
+              // (Dropping every id_b instead over-deletes on chains A~B~C
+              // with A≁C: C's only near-dup B was itself removed, yet C
+              // would be dropped too.) Dup groups are near-cliques, so the
+              // min-label CC converges in 1-2 rounds on a micro-batch.
               val pairs = Dedup.minHashLsh(exactNovel, idCol, textCol,
                 threshold = nearDupThreshold)
-              val inBatch = exactNovel.join(
-                pairs.select(col("id_b").as("__graft_nd")),
+              val losers = Dedup.connectedComponents(pairs)
+                .filter(col("id") =!= col("component"))
+                .select(col("id").as("__graft_nd"))
+              val inBatch = exactNovel.join(losers,
                 exactNovel(idCol).cast("long") === col("__graft_nd"),
                 "left_anti")
               if (fs.exists(new Path(sp)))

@@ -39,6 +39,10 @@ class DedupClusterSpec extends SparkSpec {
     // empty edge list degenerates cleanly
     assert(Dedup.connectedComponentsStar(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
       .isEmpty)
+    // min-label too: a dup-free ingest micro-batch produces zero pairs, and
+    // sum() over the empty label set is null — must converge, not NPE
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .isEmpty)
   }
 
   test("iterative rounds use RELIABLE checkpoints when a checkpoint dir is set") {

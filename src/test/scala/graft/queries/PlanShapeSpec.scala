@@ -78,6 +78,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_avg"), p)
   }
 
+  test("pair operators plan no global sort: determinism orderBy lives in the catalog") {
+    // minHashLsh / simHashPairs / ngramJaccard feed CC rounds and ingest
+    // anti-joins that re-shuffle immediately — a global range-shuffle sort
+    // inside the operator would be pure waste there. The catalog entries
+    // (which the oracle compares row-by-row) add their own orderBy.
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val docs = Tables.load(spark, sf, "documents")
+    // a GLOBAL sort prints as `Sort [...], true, 0`; SortMergeJoin's local
+    // per-partition sorts print `false` and are fine
+    val globalSort = """Sort \[[^\]]*\], true""".r
+    for ((name, df) <- Seq(
+        "minHashLsh" -> Dedup.minHashLsh(docs, threshold = 0.5),
+        "simHashPairs" -> Dedup.simHashPairs(docs, maxHamming = 4),
+        "ngramJaccard" -> Dedup.ngramJaccard(docs, threshold = 0.15))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(globalSort.findFirstIn(plan).isEmpty,
+        s"$name plans a global sort:\n$plan")
+    }
+    // and the composed cluster entry's pair-generation prefix stays unsorted
+    // (the CC rounds materialize eagerly; the pairs frame is their input)
+    val exactPairs = Dedup.ngramJaccard(docs, threshold = 0.15)
+    assert(globalSort.findFirstIn(
+      exactPairs.queryExecution.executedPlan.toString).isEmpty)
+  }
+
   test("IVF table at rest: probe scan is partition-pruned to the probed centroids") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Similarity

@@ -14,7 +14,7 @@ class CorpusIngestSpec extends SparkSpec {
     val dir = Files.createTempDirectory("corpus").toString
     val ckpt = Files.createTempDirectory("ckpt").toString
     val in = MemoryStream[(Long, String, String)]
-    val docs = in.toDF.toDF("doc_id", "text", "source")
+    val docs = in.toDF().toDF("doc_id", "text", "source")
 
     val q = CorpusIngest.incrementalCorpusIngest(docs, s"$dir/corpus", ckpt)
 
@@ -52,7 +52,7 @@ class CorpusIngestSpec extends SparkSpec {
     val dir = Files.createTempDirectory("corpus-dg").toString
     val ckpt = Files.createTempDirectory("ckpt-dg").toString
     val in = MemoryStream[(Long, String, String)]
-    val docs = in.toDF.toDF("doc_id", "text", "source")
+    val docs = in.toDF().toDF("doc_id", "text", "source")
 
     val q = CorpusIngest.incrementalCorpusIngest(docs, s"$dir/corpus", ckpt,
       digestPath = Some(s"$dir/digests"))
@@ -76,7 +76,7 @@ class CorpusIngestSpec extends SparkSpec {
     val ckpt2 = Files.createTempDirectory("ckpt-dg2").toString
     val in2 = MemoryStream[(Long, String, String)]
     val q2 = CorpusIngest.incrementalCorpusIngest(
-      in2.toDF.toDF("doc_id", "text", "source"), s"$dir/corpus", ckpt2,
+      in2.toDF().toDF("doc_id", "text", "source"), s"$dir/corpus", ckpt2,
       digestPath = Some(s"$dir/digests"))
     in2.addData((20L, "alpha beta", "web"), (21L, "theta iota", "web"))
     q2.processAllAvailable()
@@ -93,7 +93,7 @@ class CorpusIngestSpec extends SparkSpec {
     val dir = Files.createTempDirectory("corpus-nd").toString
     val ckpt = Files.createTempDirectory("ckpt-nd").toString
     val in = MemoryStream[(Long, String, String)]
-    val docs = in.toDF.toDF("doc_id", "text", "source")
+    val docs = in.toDF().toDF("doc_id", "text", "source")
     val q = CorpusIngest.incrementalCorpusIngest(docs, s"$dir/corpus", ckpt,
       digestPath = Some(s"$dir/digests"), sketchPath = Some(s"$dir/sketches"))
 
