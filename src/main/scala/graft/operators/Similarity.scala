@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   * Scale path: brute force is one narrow pass — O(N·d) FLOPs, embarrassingly
   * parallel, fine when the scan is the bottleneck anyway. The LSH variants
   * cut candidates by bucketing on random-hyperplane sign bits; at cluster
-  * scale you would additionally bucket-partition the table at rest so a
-  * query touches only matching partitions (partition pruning on `bucket`).
+  * scale you additionally bucket-partition the table at rest so a query
+  * touches only matching partitions. Both at-rest layouts are demonstrated
+  * with file-count-verified partition pruning in PlanShapeSpec: the IVF
+  * table partitioned by centroid_id, and the LSH table partitioned by
+  * bucket with the multiprobe bit_count(bucket XOR q) <= h predicate
+  * evaluated against directory values at planning time.
   */
 object Similarity {
 

@@ -140,6 +140,56 @@ class PlanShapeSpec extends SparkSpec {
       s"scan read $scanned files, probed dirs hold $expected of ${filesPerDir.values.sum}")
   }
 
+  test("LSH table at rest: multiprobe scan is partition-pruned to matching buckets") {
+    // the at-rest scale path Similarity's scaladoc describes: bucket-
+    // partition the table so a multiprobe query touches only partitions
+    // within probeHamming bits of the query bucket. The probe predicate
+    // bit_count(bucket XOR q) <= h references ONLY the partition column,
+    // so Catalyst evaluates it against directory values at planning time —
+    // directory pruning, not a data filter.
+    import org.apache.spark.sql.functions.{bit_count, col, lit}
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val dim = 64; val nPlanes = 6; val probeHamming = 1
+    val emb = Tables.load(spark, sf, "embeddings")
+    val bucketed = emb.select(col("vec_id"),
+      Similarity.lshBucket(Similarity.toDouble(col("embedding")), dim, nPlanes)
+        .as("bucket"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh").toString
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(d =>
+        d.getName.stripPrefix("bucket=").toLong ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(bucketDirs.size > 4, s"fixture degenerate: ${bucketDirs.size} buckets")
+    // query bucket = the same plane-sign fold annTopK computes driver-side
+    val queryVec = Similarity.collectQueryVec(emb, 1)
+    val qBucket = Similarity.hyperplanes(dim, nPlanes).zipWithIndex
+      .foldLeft(0L) { case (acc, (p, i)) =>
+        if (p.zip(queryVec).map { case (a, b) => a * b }.sum >= 0)
+          acc | (1L << i) else acc
+      }
+    val probed = spark.read.parquet(dir)
+      .filter(bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming)
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    assert(!plan.contains("PushedFilters: [") ||
+      !plan.contains("PushedFilters: [bucket"), plan)
+    val scanned = probed.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.get
+    val matching = bucketDirs.filter { case (b, _) =>
+      java.lang.Long.bitCount(b ^ qBucket) <= probeHamming }
+    val expected = matching.values.sum.toLong
+    assert(matching.size < bucketDirs.size,
+      "probe matched every bucket — pruning not exercised")
+    assert(scanned === expected,
+      s"scan read $scanned files, probed buckets hold $expected of ${bucketDirs.values.sum}")
+  }
+
   test("partition-pruned scan skips non-matching hive partitions") {
     // writePartitioned layout verified in TablesSpec; here the catalog's
     // time-bucketed events query must keep its filter at the scan
