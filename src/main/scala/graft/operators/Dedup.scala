@@ -243,11 +243,22 @@ object Dedup {
   /** MinHash signature from a column of pre-hashed shingles (array<long>):
     * numHashes independent families realized as xxhash64(h, seed_i) —
     * re-seeding the hash beats (a*x+b) mod p both for speed (no modulo) and
-    * for ANSI-safety (no overflowing multiply). Hashing shingle strings to
-    * longs once and re-hashing longs per family keeps the 64-family sweep
-    * O(numHashes) long-hashes instead of O(numHashes) string walks.
+    * for ANSI-safety (no overflowing multiply).
+    *
+    * Computed by the NATIVE one-pass expression
+    * (graftnative.MinHashSignature, codegen'd): the HOF formulation
+    * ([[minHashSignatureHof]], kept as the lockstep oracle) walks the
+    * shingle array once per family through interpreted lambdas and was the
+    * dedup family's measured cost center — 29 s for a 5,000-doc sf0.1
+    * sketch vs ~1.5 s for the shingle hashing feeding it.
     */
   def minHashSignature(shingleHashes: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graftnative.MinHashSignature.xxhash(shingleHashes, numHashes)
+
+  /** Reference HOF formulation of [[minHashSignature]] — the correctness
+    * oracle for the native expression (MinHashSignatureSpec lockstep).
+    */
+  private[graft] def minHashSignatureHof(shingleHashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(shingleHashes, h => xxhash64(h, lit(i))))
     }: _*)
@@ -287,8 +298,20 @@ object Dedup {
     array_distinct(transform(shingles(text, k),
       g => PortableHash.portable60(g) % MinHashP))
 
-  /** Portable signature: min over shingles of each affine family. */
+  /** Portable signature: min over shingles of each affine family. Same
+    * native one-pass expression as [[minHashSignature]] (52 s → sub-second
+    * for the sf0.1 sketch); the affine constants are embedded as plan
+    * references, so the values — and the DuckDB oracles replaying them —
+    * are unchanged.
+    */
   def minHashSignaturePortable(shingleHashes: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graftnative.MinHashSignature.portable(
+      shingleHashes, numHashes, affineParams(numHashes), MinHashP)
+
+  /** Reference HOF formulation of [[minHashSignaturePortable]] — the
+    * correctness oracle for the native expression.
+    */
+  private[graft] def minHashSignaturePortableHof(shingleHashes: Column, numHashes: Int): Column =
     array(affineParams(numHashes).map { case (a, b) =>
       array_min(transform(shingleHashes, h => (lit(a) * h + lit(b)) % MinHashP))
     }: _*)
@@ -324,7 +347,7 @@ object Dedup {
     * a probe against a persisted sketch table can never band differently
     * than the job that built it.
     */
-  private def bandStructs(sig: Column, b0: Int, r: Int, portable: Boolean): Column =
+  private[operators] def bandStructs(sig: Column, b0: Int, r: Int, portable: Boolean): Column =
     transform(sequence(lit(0), lit(b0 - 1)), i => {
       val sl = slice(sig, i * lit(r) + 1, lit(r))
       struct(i.as("band"),

@@ -60,12 +60,9 @@ object OperatorCaches {
     */
   private[operators] def persistTracked(df: DataFrame): DataFrame = synchronized {
     pruneStopped()
-    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
-    else {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      buf(df.sparkSession) += p
-      p
-    }
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    buf(df.sparkSession) += p
+    p
   }
 
   /** Register an already-persisted frame for release. */

@@ -1546,14 +1546,22 @@ object QueryCatalog {
           .unionByName(a.filter((col("doc_id") - 1000) % 5 === 0)
             .select((col("doc_id") + 2000).as("doc_id"), col("text")))
         val fresh = Dedup.exact(batch)
+        // lineage cut after the exact stages, exactly like the real
+        // foreachBatch round (whose batch arrives as concrete blocks): the
+        // synthesized union+dedup+anti plan otherwise rides into every
+        // downstream consumer — the in-batch LSH, the CC rounds, the
+        // sketch probe, the final anti-join — and Catalyst re-analysis of
+        // the fanned-out tree dominates wall time (driver-side, data-
+        // independent: measured ~18 s at sf0.1 AND sf1 before the cut)
         val exactNovel = Dedup.incrementalExactByDigest(fresh,
-          docs.select(md5(col("text")).as("digest")))
+          docs.select(md5(col("text")).as("digest"))).localCheckpoint()
         val pairs = Dedup.minHashLsh(exactNovel, threshold = 0.5, portable = true)
         val losers = Dedup.connectedComponents(pairs)
           .filter(col("id") =!= col("component"))
           .select(col("id").as("__graft_nd"))
         val inBatch = exactNovel.join(losers,
           exactNovel("doc_id").cast("long") === col("__graft_nd"), "left_anti")
+          .localCheckpoint()
         val baseSk = Dedup.minHashSketchTable(docs, portable = true)
         Dedup.incrementalMinHash(inBatch, baseSk, portable = true)
           .select(col("doc_id").cast("long").as("doc_id")).orderBy("doc_id")

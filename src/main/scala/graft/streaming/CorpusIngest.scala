@@ -92,11 +92,16 @@ object CorpusIngest {
             case Some(sp) =>
               // within-batch near-dup prune with the same representative
               // policy as fuzzyDedupClusters: collapse verified LSH pairs
-              // to connected components and keep the min-id per component.
-              // (Dropping every id_b instead over-deletes on chains A~B~C
-              // with A≁C: C's only near-dup B was itself removed, yet C
-              // would be dropped too.) Dup groups are near-cliques, so the
-              // min-label CC converges in 1-2 rounds on a micro-batch.
+              // to connected components and keep the min-id per component —
+              // the streaming path now deduplicates by the SAME transitive-
+              // cluster semantics as the batch path (standard fuzzy-dedup
+              // policy: one keeper per dup group, members linked only
+              // transitively still collapse). The previous drop-every-id_b
+              // heuristic also never kept a near pair, but kept non-minimal
+              // cluster members the batch path would drop, so a corpus
+              // ingested via streaming could diverge from one deduped in
+              // batch. Dup groups are near-cliques, so the min-label CC
+              // converges in 1-2 rounds on a micro-batch.
               val pairs = Dedup.minHashLsh(exactNovel, idCol, textCol,
                 threshold = nearDupThreshold)
               val losers = Dedup.connectedComponents(pairs)

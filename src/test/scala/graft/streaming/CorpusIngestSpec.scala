@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 class CorpusIngestSpec extends SparkSpec {
 
@@ -120,6 +121,40 @@ class CorpusIngestSpec extends SparkSpec {
     val sk = spark.read.parquet(s"$dir/sketches")
     assert(sk.columns.toSeq.sorted === Seq("id", "sig"))
     assert(sk.select("id").collect().map(_.getLong(0)).sorted === Array(1L, 3L, 11L))
+  }
+
+  test("within-batch near-dup prune matches fuzzyDedupClusters' transitive policy") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("corpus-cc").toString
+    val ckpt = Files.createTempDirectory("ckpt-cc").toString
+    val in = MemoryStream[(Long, String, String)]
+    val docs = in.toDF().toDF("doc_id", "text", "source")
+    val q = CorpusIngest.incrementalCorpusIngest(docs, s"$dir/corpus", ckpt,
+      digestPath = Some(s"$dir/digests"), sketchPath = Some(s"$dir/sketches"))
+    // a transitive chain in ONE batch: 1~2 and 2~3 near-match (one word
+    // swapped at different ends), 1~3 may not pair directly — the whole
+    // component still collapses to the min-id representative, exactly the
+    // batch-path (fuzzyDedupClusters) policy, so a streamed corpus can't
+    // diverge from a batch-deduped one
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val batch = Seq(
+      (1L, base, "web"),
+      (2L, base.replace("alpha", "zulu"), "web"),
+      (3L, base.replace("alpha", "zulu").replace("lima", "mike"), "web"),
+      (7L, "completely different text about distributed query execution engines", "web"))
+    in.addData(batch: _*)
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // same docs through the batch-path operator
+    val viaBatch = graft.operators.Dedup
+      .fuzzyDedupClusters(batch.toDF("doc_id", "text", "source"))
+      .filter(col("keep")).select("id").collect().map(_.getLong(0)).sorted
+    assert(kept === viaBatch)
+    assert(kept === Array(1L, 7L))
   }
 
   test("incrementalExactByDigest plans one scan: the digest table, not the corpus") {
