@@ -274,6 +274,15 @@ object Similarity {
   /** Embedding near-duplicate pairs: bucket-join on band signatures of the
     * hyperplane bits (several narrow bands so near pairs collide in ≥1
     * band), verify exact cosine ≥ threshold. id_a < id_b; no cartesian.
+    *
+    * Scale note: the bucket space is FIXED at `bands · 2^(nPlanes/bands)`
+    * keys, so candidate volume grows with per-bucket occupancy SQUARED —
+    * measured 16.5× cost for 10× vectors at the default 16 planes / 4
+    * bands (BENCH_SF1.md's one super-linear entry). Grow `nPlanes`
+    * (and/or bands) with corpus size to hold occupancy roughly constant —
+    * ~log2(N) extra plane bits per 2× growth — exactly the knob a
+    * production near-dup pass tunes; the catalog entry pins small literal
+    * params only because its DuckDB oracle splices the planes verbatim.
     */
   def cosineNearDupPairs(
       df: DataFrame,
