@@ -283,7 +283,43 @@ object Similarity {
     * ~log2(N) extra plane bits per 2× growth — exactly the knob a
     * production near-dup pass tunes; the catalog entry pins small literal
     * params only because its DuckDB oracle splices the planes verbatim.
+    * `nPlanes = 0` turns the knob automatically: [[autoCosineBanding]]
+    * derives the band width from corpus density (one count() over the
+    * input) and the band count from a 95% recall target at `threshold` —
+    * the cosine analogue of minHashLsh's auto-banding.
     */
+  /** Density- and recall-derived (nPlanes, bands) for [[cosineNearDupPairs]].
+    *
+    * Width first, from density: per-band bucket occupancy is ~n/2^w, so
+    * w = max(4, ⌈log2(n / targetOccupancy)⌉) holds candidate volume per
+    * bucket roughly constant as the corpus grows (the 10× run measured 20×
+    * cost at a FIXED 4-bit width — BENCH_SF1.md). Then bands for recall:
+    * a ≥-threshold pair agrees on one hyperplane bit with probability
+    * p = 1 − arccos(t)/π (Goemans–Williamson), so per-band collision is
+    * p^w and b = ⌈ln(0.05)/ln(1−p^w)⌉ gives ≥95% band-collision recall.
+    * The bucket packs into one long, so w·b ≤ 63: low thresholds (small p)
+    * shrink w to afford the bands recall demands — the
+    * candidates-for-recall trade every LSH makes far from its design
+    * point (compare minHashLsh's r ≥ 2 floor note) — and if even w = 2
+    * can't reach 95%, the band count caps at 63/w best-effort.
+    */
+  private[graft] def autoCosineBanding(
+      threshold: Double, n: Long, targetOccupancy: Long = 256L): (Int, Int) = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    def bandsFor(w: Int): Int = {
+      val pw = math.pow(p, w)
+      if (pw >= 1.0) 1
+      else math.max(1, math.ceil(math.log(0.05) / math.log1p(-pw)).toInt)
+    }
+    val ratio = math.max(1L, n / targetOccupancy)
+    val w0 = math.max(4,
+      if (ratio <= 1L) 4 else 64 - java.lang.Long.numberOfLeadingZeros(ratio - 1))
+    var w = w0
+    while (w > 2 && w.toLong * bandsFor(w) > 63L) w -= 1
+    val b = math.min(bandsFor(w), 63 / w)
+    (w * b, b)
+  }
+
   def cosineNearDupPairs(
       df: DataFrame,
       dim: Int,
@@ -292,20 +328,23 @@ object Similarity {
       bands: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val (np, nb) =
+      if (nPlanes > 0) (nPlanes, bands)
+      else autoCosineBanding(threshold, df.count())
     // a non-dividing band count would leave the top bits un-banded (lost
     // recall); bands > nPlanes would give zero-width masks — every row
     // colliding with every row, the cartesian this operator exists to avoid
-    require(bands > 0 && nPlanes % bands == 0, "bands must divide nPlanes")
-    val w = nPlanes / bands
+    require(nb > 0 && np % nb == 0, "bands must divide nPlanes")
+    val w = np / nb
     val vd = toDouble(col(vecCol))
     // persist: the bucket expression (nPlanes dot products) must evaluate
     // once per vector, not once per band per join side
     val sketched = OperatorCaches.persistTracked(df.select(
         col(idCol).cast("long").as("id"), vd.as("v"),
-        lshBucket(vd, dim, nPlanes).as("bucket")))
+        lshBucket(vd, dim, np).as("bucket")))
     val banded = sketched.select(
       col("id"), col("v"),
-      explode(array((0 until bands).map(i =>
+      explode(array((0 until nb).map(i =>
         struct(lit(i).as("band"),
           shiftrightunsigned(col("bucket"), i * w).bitwiseAND(lit((1L << w) - 1)).as("bv"))): _*))
         .as("bk"))

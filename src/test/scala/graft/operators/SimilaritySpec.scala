@@ -40,4 +40,32 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
     assert(!pairs.exists(p => p._2 == 4L)) // opposite vector never matches
   }
+
+  test("auto banding: width tracks density, bands hit the recall target, bucket fits a long") {
+    def recall(t: Double, w: Int, b: Int): Double = {
+      val p = 1.0 - math.acos(t) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, w), b)
+    }
+    // width grows ~log2 with corpus size at fixed threshold
+    val widths = Seq(1000L, 100000L, 10000000L).map { n =>
+      val (np, b) = Similarity.autoCosineBanding(0.95, n)
+      assert(np % b == 0 && np <= 63, s"n=$n -> ($np, $b)")
+      assert(recall(0.95, np / b, b) >= 0.95, s"recall miss at n=$n: ($np, $b)")
+      np / b
+    }
+    assert(widths == widths.sorted && widths.distinct.size > 1, widths.toString)
+    // low threshold: recall demands many bands, width shrinks to afford
+    // them, total stays within the 63-bit bucket (best-effort regime)
+    val (npLow, bLow) = Similarity.autoCosineBanding(0.25, 5000L)
+    assert(npLow <= 63 && npLow % bLow == 0)
+    assert(npLow / bLow < 5, s"low threshold kept a wide band: ($npLow, $bLow)")
+  }
+
+  test("near-dup pairs in auto mode finds the same clear dups") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, dim = 4, threshold = 0.95,
+      nPlanes = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    assert(!pairs.exists(p => p._2 == 4L))
+  }
 }
