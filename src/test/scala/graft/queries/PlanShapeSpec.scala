@@ -78,6 +78,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_avg"), p)
   }
 
+  test("minhash sketch computes through the native one-pass signature expression") {
+    // the 45x cold-path win (MinHashSignature, one codegen pass for all 64
+    // family minima) must not silently regress to the interpreted HOF fold
+    val p = planOf("q_dedup_minhash")
+    assert(p.contains("minhash_signature"), p)
+    assert(!p.contains("array_min(transform("), p)
+  }
+
   test("pair operators plan no global sort: determinism orderBy lives in the catalog") {
     // minHashLsh / simHashPairs / ngramJaccard feed CC rounds and ingest
     // anti-joins that re-shuffle immediately — a global range-shuffle sort
