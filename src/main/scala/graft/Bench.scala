@@ -43,7 +43,7 @@ object Bench {
       }
       val samples = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        // a failed query records -1.0 and its exception CLASS — never its
+        // a failed query records -1.0 and its exception class — never its
         // elapsed time, and never silence that lets an executor OOM
         // masquerade as a slow neighbor
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -79,10 +79,12 @@ object Bench {
       "bench key abbreviation collided")
     val ok = results.values.filter(_ >= 0)
     val totalMs = math.round((if (ok.nonEmpty) ok.sum else 0.0) * 1000)
-    // failures carry the exception class: {"q":"ann_lsh","err":"OutOfMemoryError"}
-    val failed = failures.map { case (k, err) =>
-      s"""{"q":"${short(k)}","err":"$err"}"""
-    }.mkString("[", ",", "]")
+    // failures carry the exception class AFTER a colon ("ann_lsh:
+    // OutOfMemoryError") — the array stays an array of STRINGS, so a
+    // consumer of the r4 line shape ("failed":["ann_lsh"]) still parses;
+    // prefix-matching consumers still resolve the query name
+    val failed = failures.map { case (k, err) => "\"" + short(k) + ":" + err + "\"" }
+      .mkString("[", ",", "]")
     val sfName = sfDir.split('/').last
     def line(abbrev: Boolean): String = {
       val qs = results.map { case (k, v) =>

@@ -38,13 +38,18 @@ object ScaleData {
   private def shifted(c: String, r: Int): Column =
     (col(c) + lit(r * Stride)).as(c)
 
-  /** Per-replica caesar rotation over letters (digits/punct untouched). */
+  /** Per-replica caesar rotation over letters (digits/punct untouched).
+    * Rotation keys repeat with period 26, so distinct replicas are only
+    * guaranteed distinct text for factor ≤ 26 — enforced in main (a repeat
+    * would make replica r+26 an exact cross-replica duplicate of replica r
+    * and quietly break the linear-dup-growth invariant).
+    */
   private def relettered(c: String, r: Int): Column =
     if (r == 0) col(c)
     else {
       val lower = "abcdefghijklmnopqrstuvwxyz"
       val upper = lower.toUpperCase
-      val k = r % 25 + 1
+      val k = (r - 1) % 25 + 1
       translate(col(c), lower + upper,
         lower.drop(k) + lower.take(k) + upper.drop(k) + upper.take(k)).as(c)
     }
@@ -60,6 +65,10 @@ object ScaleData {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft-sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // caesar keys repeat past 26 replicas → exact cross-replica text dups
+    // → quadratic dup-pair growth the amplifier exists to avoid
+    require(factor >= 1 && factor <= 26,
+      s"factor must be in [1, 26] (got $factor): re-lettering keys repeat past 26")
     val spark = GraftSession.builder("graft-scaledata",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

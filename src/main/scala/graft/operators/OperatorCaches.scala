@@ -49,14 +49,14 @@ object OperatorCaches {
 
   /** Persist `df` at MEMORY_AND_DISK and register the handle.
     *
-    * If an EQUIVALENT plan is already cached (Dataset.storageLevel resolves
-    * through the CacheManager's normalized-plan lookup), the frame is
-    * returned as-is: actions hit the existing cache either way, a second
-    * persist would only log CacheManager "already cached" warnings (the r4
-    * bench tail was full of them — 104 queries × 3 passes rebuilding the
-    * same sketch plans), and the original handle is already registered for
-    * release. After a release the lookup misses and the next call persists
-    * fresh, so the guard never leaves a consumer uncached.
+    * Persisting is UNCONDITIONAL, even when the CacheManager already holds
+    * an equivalent plan: the lookup-and-skip variant was measured to give
+    * no wall-time benefit (actions hit the existing cache either way), and
+    * skipping would leave this call's handle unregistered — releasing the
+    * ORIGINAL handle would then silently strip caching from a frame a
+    * later operator still relies on. A repeat persist costs one
+    * CacheManager "already cached" log line; release() unpersists each
+    * registered handle idempotently.
     */
   private[operators] def persistTracked(df: DataFrame): DataFrame = synchronized {
     pruneStopped()

@@ -286,7 +286,10 @@ object Similarity {
     * `nPlanes = 0` turns the knob automatically: [[autoCosineBanding]]
     * derives the band width from corpus density (one count() over the
     * input) and the band count from a 95% recall target at `threshold` —
-    * the cosine analogue of minHashLsh's auto-banding.
+    * the cosine analogue of minHashLsh's auto-banding. In auto mode the
+    * `bands` argument is IGNORED (both dimensions are derived together;
+    * a pinned band count with a derived width could not hold the recall
+    * target).
     */
   /** Density- and recall-derived (nPlanes, bands) for [[cosineNearDupPairs]].
     *

@@ -46,8 +46,10 @@ object CorpusIngest {
     *
     * With `sketchPath` set, the stream additionally drops NEAR-duplicates
     * (estimated Jaccard ≥ `nearDupThreshold`): within the batch via the
-    * LSH pair join (higher id of each verified pair loses), and against
-    * everything kept so far by probing the minhash sketch table
+    * LSH pair join collapsed to connected components (one min-id
+    * representative per transitive dup group — the same policy as batch
+    * [[Dedup.fuzzyDedupClusters]]), and against everything kept so far by
+    * probing the minhash sketch table
     * ([[Dedup.minHashSketchTable]]) maintained at `sketchPath` — the fuzzy
     * analogue of the digest table, and like it, probes read (id, sig)
     * only, never base text. Same corpus-first write order: a crash that

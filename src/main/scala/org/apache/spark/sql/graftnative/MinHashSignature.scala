@@ -6,6 +6,7 @@ package org.apache.spark.sql.graftnative
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
@@ -55,6 +56,14 @@ case class MinHashSignature(
   require(numHashes > 0, "numHashes must be positive")
   require(affine.forall(_.length == numHashes),
     "affine params must have one (a, b) pair per hash family")
+
+  // fail at ANALYSIS, not execution: getLong over a non-long array would
+  // read garbage (array<int> slots are 4 bytes) or throw deep in a stage
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${other.simpleString}")
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
 

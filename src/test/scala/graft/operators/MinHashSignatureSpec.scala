@@ -79,6 +79,16 @@ class MinHashSignatureSpec extends SparkSpec {
     }
   }
 
+  test("non-long array input fails at analysis, not execution") {
+    import spark.implicits._
+    val ints = Seq((1L, Seq(1, 2, 3))).toDF("id", "sh")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(org.apache.spark.sql.graftnative.MinHashSignature
+        .xxhash(col("sh"), 8)).collect()
+    }
+    assert(e.getMessage.contains("array<bigint>"), e.getMessage)
+  }
+
   test("degenerate inputs: HOF-matching null/empty arrays; saner null elements") {
     import spark.implicits._
     val weird = Seq(

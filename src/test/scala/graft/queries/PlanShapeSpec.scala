@@ -105,11 +105,6 @@ class PlanShapeSpec extends SparkSpec {
       assert(globalSort.findFirstIn(plan).isEmpty,
         s"$name plans a global sort:\n$plan")
     }
-    // and the composed cluster entry's pair-generation prefix stays unsorted
-    // (the CC rounds materialize eagerly; the pairs frame is their input)
-    val exactPairs = Dedup.ngramJaccard(docs, threshold = 0.15)
-    assert(globalSort.findFirstIn(
-      exactPairs.queryExecution.executedPlan.toString).isEmpty)
   }
 
   test("IVF table at rest: probe scan is partition-pruned to the probed centroids") {
