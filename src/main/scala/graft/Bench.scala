@@ -53,22 +53,37 @@ object Bench {
       results(name) = if (samples.exists(_ < 0)) -1.0 else samples.min
     }
     OperatorCaches.release(spark)
-    // The driver keeps only the LAST 2000 chars of output and JSON-parses
-    // the line it finds there (round 1's 2.4 KB line outran it and the
-    // round lost its bench numbers), so the whole line must stay < ~1.9 KB.
-    // Per-query times are INTEGER MILLISECONDS ("unit":"ms"): 3-4 digits
-    // for everything the catalog runs, vs 4+ for 2-decimal seconds — full
-    // 1 ms resolution at fewer bytes per entry, and no adaptive-precision
-    // cliff where sub-second queries all collapse to "0.1". The "q_"
-    // prefix is stripped from keys (every catalog name carries it) and sf
-    // reported as its basename.
+    println(renderLine(results.toSeq, failures.toMap, sfDir.split('/').last))
+    spark.stop()
+  }
+
+  /** Render the one-line JSON result the driver parses. Pure — unit-tested
+    * with forced failures in BenchLineSpec so a format drift (the contract
+    * with the external driver) fails a test, not a round.
+    *
+    * The driver keeps only the LAST 2000 chars of output and JSON-parses
+    * the line it finds there (round 1's 2.4 KB line outran it and the
+    * round lost its bench numbers), so the whole line must stay < ~1.9 KB
+    * (the 2000-char tail also holds sbt's ~75-char [success] trailer,
+    * hence the 1920 ceiling). Per-query times are INTEGER MILLISECONDS
+    * ("unit":"ms"): 3-4 digits for everything the catalog runs, vs 4+ for
+    * 2-decimal seconds — full 1 ms resolution at fewer bytes per entry,
+    * and no adaptive-precision cliff where sub-second queries all collapse
+    * to "0.1". The "q_" prefix is stripped from keys (every catalog name
+    * carries it) and sf reported as its basename. Failures record -1 in
+    * queries plus "name:ExceptionClass" in failed — an array of STRINGS,
+    * so a consumer of the r4 shape ("failed":["ann_lsh"]) still parses and
+    * prefix-matching still resolves the query name. If the full-name line
+    * exceeds the ceiling, keys abbreviate to their shortest UNIQUE prefix
+    * (floor 8 chars), like git object abbreviation: prefix-stable and
+    * collision-free by construction.
+    */
+  private[graft] def renderLine(
+      results: Seq[(String, Double)],
+      failures: Map[String, String],
+      sfName: String): String = {
     def short(k: String): String = k.stripPrefix("q_")
-    // Abbreviation = per-key shortest UNIQUE prefix (floor 8 chars), like
-    // git's object abbreviation: prefix-stable (a consumer matching by
-    // startswith still resolves every key) and collision-free by
-    // construction — unlike the old underscore-stripping, which could
-    // silently fold two catalog names into one duplicate JSON key.
-    val shortKeys = results.keys.map(short).toSeq
+    val shortKeys = results.map { case (k, _) => short(k) }
     def lcp(a: String, b: String): Int =
       a.zip(b).takeWhile { case (x, y) => x == y }.size
     val abbrevOf: Map[String, String] = shortKeys.map { k =>
@@ -77,15 +92,10 @@ object Bench {
     }.toMap
     require(abbrevOf.values.toSeq.distinct.size == shortKeys.size,
       "bench key abbreviation collided")
-    val ok = results.values.filter(_ >= 0)
+    val ok = results.map(_._2).filter(_ >= 0)
     val totalMs = math.round((if (ok.nonEmpty) ok.sum else 0.0) * 1000)
-    // failures carry the exception class AFTER a colon ("ann_lsh:
-    // OutOfMemoryError") — the array stays an array of STRINGS, so a
-    // consumer of the r4 line shape ("failed":["ann_lsh"]) still parses;
-    // prefix-matching consumers still resolve the query name
     val failed = failures.map { case (k, err) => "\"" + short(k) + ":" + err + "\"" }
       .mkString("[", ",", "]")
-    val sfName = sfDir.split('/').last
     def line(abbrev: Boolean): String = {
       val qs = results.map { case (k, v) =>
         val key = if (abbrev) abbrevOf(short(k)) else short(k)
@@ -93,9 +103,6 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$totalMs,"unit":"ms","queries":$qs,"failed":$failed,"sf":"$sfName"}"""
     }
-    // the driver's 2000-char tail also has to hold sbt's ~75-char
-    // [success] trailer after this line, hence the 1920 ceiling
-    println(Seq(line(false), line(true)).find(_.length <= 1920).getOrElse(line(true)))
-    spark.stop()
+    Seq(line(false), line(true)).find(_.length <= 1920).getOrElse(line(true))
   }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench stdout line is the contract with the external driver (it
+  * keeps the last 2000 output chars and JSON-parses what it finds there) —
+  * pin the format with forced failures so drift fails a test, not a round.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  test("failures render -1 plus a name:ExceptionClass STRING entry") {
+    val line = Bench.renderLine(
+      Seq("q_fast" -> 0.1234, "q_boom" -> -1.0, "q_slow" -> 2.0),
+      Map("q_boom" -> "OutOfMemoryError"),
+      "sf0.1")
+    assert(line.contains("\"boom\":-1") || line.contains("\"q_boom\":-1"), line)
+    assert(line.contains("\"failed\":[\"boom:OutOfMemoryError\"]"), line)
+    // the total excludes the failed query's wall time
+    assert(line.contains("\"value\":2123"), line)
+    assert(line.contains("\"sf\":\"sf0.1\""), line)
+  }
+
+  test("the REAL catalog's line stays under the driver's tail budget at worst-case widths") {
+    // actual catalog names (static — no session needed to build them),
+    // every query at a 5-digit-ms time: wider than anything the bench has
+    // ever recorded, so growth headroom is part of the pin
+    val names = queries.QueryCatalog.all.map(_.name)
+    assert(names.size >= 105, s"catalog shrank? ${names.size}")
+    val results = names.map(_ -> 99.999)
+    val line = Bench.renderLine(results, Map.empty, "sf0.1")
+    assert(line.length <= 1920, s"line ${line.length} chars for ${names.size} queries")
+    // shape: one object, queries object with one entry per result, empty failed
+    assert(line.startsWith("{\"metric\":\"total\",\"value\":"), line.take(60))
+    assert(line.contains("\"failed\":[]"), line.takeRight(60))
+    assert("\"[a-z0-9_]+\":[0-9-]".r.findAllIn(line).size >= names.size, "missing entries")
+  }
+
+  test("abbreviated keys stay unique prefixes of the full names") {
+    val results = Seq("q_dedup_clusters" -> 1.0, "q_dedup_clusters_star" -> 1.0,
+      "q_dedup_clusters_exact" -> 1.0) ++
+      (1 to 102).map(i => f"q_filler_query_with_a_rather_long_name_$i%03d" -> 0.001)
+    val line = Bench.renderLine(results, Map.empty, "sf1")
+    val keys = "\"([a-z0-9_]+)\":[0-9-]".r.findAllMatchIn(line).map(_.group(1)).toSeq
+    assert(keys.distinct.size == keys.size, "duplicate keys in line")
+    // the three cluster variants must remain distinguishable prefixes
+    val clusterKeys = keys.filter(_.startsWith("dedup_clusters"))
+    assert(clusterKeys.size == 3, clusterKeys.toString)
+  }
+}
