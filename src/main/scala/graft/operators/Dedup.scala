@@ -68,12 +68,26 @@ object Dedup {
 
   /** k-shingle hashes in token order, position-preserving (element i =
     * hash of the gram starting at token i; no dedup): the building block
-    * for span-level operations. Chain-combines k shifted slices with
-    * zip_with — gram_i = xxhash64(…xxhash64(h_i, h_i+1)…, h_i+k-1);
-    * nulls from short-doc padding are skipped by the hash, so < k-token
-    * docs still contribute exactly one gram.
+    * for span-level operations. gram_i = xxhash64(…xxhash64(h_i, h_i+1)…,
+    * h_i+k-1); < k-token docs still contribute exactly one gram.
+    *
+    * Computed by the NATIVE one-pass expression
+    * (graftnative.GramChainHashes, codegen'd): the chained-zip_with
+    * formulation ([[positionalGramHashesHof]], kept as the lockstep
+    * oracle) is k−1 interpreted array walks — 6.5 s for the sf0.1 corpus
+    * at the repeated-span window k = 50, same HOF-fold cost class the
+    * MinHash signature had before its native expression.
     */
-  def positionalGramHashes(text: Column, k: Int): Column = {
+  def positionalGramHashes(text: Column, k: Int): Column =
+    org.apache.spark.sql.graftnative.GramChainHashes(
+      transform(toks(text), t => xxhash64(t)), k)
+
+  /** Reference chained-zip_with formulation of [[positionalGramHashes]] —
+    * the correctness oracle for the native expression (nulls from
+    * short-doc padding are skipped by the hash but still advance its seed
+    * chain, which the native expression replicates).
+    */
+  private[graft] def positionalGramHashesHof(text: Column, k: Int): Column = {
     val hs = transform(toks(text), t => xxhash64(t))
     val gramLen = greatest(size(hs) - lit(k - 1), lit(1))
     (1 until k).foldLeft(slice(hs, lit(1), gramLen)) { (acc, j) =>
