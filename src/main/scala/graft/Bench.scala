@@ -53,7 +53,7 @@ object Bench {
       results(name) = if (samples.exists(_ < 0)) -1.0 else samples.min
     }
     OperatorCaches.release(spark)
-    println(renderLine(results.toSeq, failures.toMap, sfDir.split('/').last))
+    println(renderLine(results.toSeq, failures.toSeq, sfDir.split('/').last))
     spark.stop()
   }
 
@@ -71,16 +71,22 @@ object Bench {
     * and no adaptive-precision cliff where sub-second queries all collapse
     * to "0.1". The "q_" prefix is stripped from keys (every catalog name
     * carries it) and sf reported as its basename. Failures record -1 in
-    * queries plus "name:ExceptionClass" in failed — an array of STRINGS,
-    * so a consumer of the r4 shape ("failed":["ann_lsh"]) still parses and
-    * prefix-matching still resolves the query name. If the full-name line
-    * exceeds the ceiling, keys abbreviate to their shortest UNIQUE prefix
-    * (floor 8 chars), like git object abbreviation: prefix-stable and
-    * collision-free by construction.
+    * queries plus "name:ExceptionClass" in failed, IN OCCURRENCE ORDER —
+    * an array of STRINGS, so a consumer of the r4 shape
+    * ("failed":["ann_lsh"]) still parses and prefix-matching still
+    * resolves the query name. If the full-name line exceeds the ceiling,
+    * keys (including failed names) abbreviate to their shortest UNIQUE
+    * prefix (floor 8 chars), like git object abbreviation: prefix-stable
+    * and collision-free by construction. A failure-heavy round can blow
+    * the budget through the failed array alone (each entry carries an
+    * exception class), so as a last resort the failed list truncates from
+    * the tail with a "+k more" marker until the line fits — better k
+    * unnamed failures than a mid-JSON driver truncation losing the whole
+    * round's numbers.
     */
   private[graft] def renderLine(
       results: Seq[(String, Double)],
-      failures: Map[String, String],
+      failures: Seq[(String, String)],
       sfName: String): String = {
     def short(k: String): String = k.stripPrefix("q_")
     val shortKeys = results.map { case (k, _) => short(k) }
@@ -94,15 +100,21 @@ object Bench {
       "bench key abbreviation collided")
     val ok = results.map(_._2).filter(_ >= 0)
     val totalMs = math.round((if (ok.nonEmpty) ok.sum else 0.0) * 1000)
-    val failed = failures.map { case (k, err) => "\"" + short(k) + ":" + err + "\"" }
-      .mkString("[", ",", "]")
-    def line(abbrev: Boolean): String = {
+    def line(abbrev: Boolean, keepFailed: Int): String = {
+      def key(k: String): String = if (abbrev) abbrevOf(short(k)) else short(k)
+      val kept = failures.take(keepFailed)
+        .map { case (k, err) => "\"" + key(k) + ":" + err + "\"" }
+      val marker =
+        if (failures.size > keepFailed) Seq("\"+" + (failures.size - keepFailed) + " more\"")
+        else Nil
+      val failed = (kept ++ marker).mkString("[", ",", "]")
       val qs = results.map { case (k, v) =>
-        val key = if (abbrev) abbrevOf(short(k)) else short(k)
-        "\"" + key + "\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
+        "\"" + key(k) + "\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$totalMs,"unit":"ms","queries":$qs,"failed":$failed,"sf":"$sfName"}"""
     }
-    Seq(line(false), line(true)).find(_.length <= 1920).getOrElse(line(true))
+    val attempts = Iterator(line(false, failures.size), line(true, failures.size)) ++
+      (failures.size - 1 to 0 by -1).iterator.map(line(true, _))
+    attempts.find(_.length <= 1920).getOrElse(line(true, 0))
   }
 }

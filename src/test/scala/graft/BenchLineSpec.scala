@@ -11,13 +11,28 @@ class BenchLineSpec extends AnyFunSuite {
   test("failures render -1 plus a name:ExceptionClass STRING entry") {
     val line = Bench.renderLine(
       Seq("q_fast" -> 0.1234, "q_boom" -> -1.0, "q_slow" -> 2.0),
-      Map("q_boom" -> "OutOfMemoryError"),
+      Seq("q_boom" -> "OutOfMemoryError"),
       "sf0.1")
     assert(line.contains("\"boom\":-1") || line.contains("\"q_boom\":-1"), line)
     assert(line.contains("\"failed\":[\"boom:OutOfMemoryError\"]"), line)
     // the total excludes the failed query's wall time
     assert(line.contains("\"value\":2123"), line)
     assert(line.contains("\"sf\":\"sf0.1\""), line)
+  }
+
+  test("a failure-heavy round truncates the failed list instead of blowing the tail budget") {
+    // every catalog query failing with a long exception class — the
+    // sf-dir-misconfiguration incident shape
+    val names = queries.QueryCatalog.all.map(_.name)
+    val results = names.map(_ -> -1.0)
+    val failures = names.map(_ -> "QueryExecutionAnalysisException")
+    val line = Bench.renderLine(results, failures, "sf0.1")
+    assert(line.length <= 1920, s"line ${line.length} chars")
+    // failures are reported in occurrence order, truncated with a marker
+    assert(line.contains(":QueryExecutionAnalysisException"), line.take(200))
+    assert(line.contains(" more\""), line.takeRight(120))
+    val firstFailed = names.head.stripPrefix("q_")
+    assert(line.contains(firstFailed.take(8)), "first failure dropped")
   }
 
   test("the REAL catalog's line stays under the driver's tail budget at worst-case widths") {
@@ -27,7 +42,7 @@ class BenchLineSpec extends AnyFunSuite {
     val names = queries.QueryCatalog.all.map(_.name)
     assert(names.size >= 105, s"catalog shrank? ${names.size}")
     val results = names.map(_ -> 99.999)
-    val line = Bench.renderLine(results, Map.empty, "sf0.1")
+    val line = Bench.renderLine(results, Seq.empty, "sf0.1")
     assert(line.length <= 1920, s"line ${line.length} chars for ${names.size} queries")
     // shape: one object, queries object with one entry per result, empty failed
     assert(line.startsWith("{\"metric\":\"total\",\"value\":"), line.take(60))
@@ -39,7 +54,7 @@ class BenchLineSpec extends AnyFunSuite {
     val results = Seq("q_dedup_clusters" -> 1.0, "q_dedup_clusters_star" -> 1.0,
       "q_dedup_clusters_exact" -> 1.0) ++
       (1 to 102).map(i => f"q_filler_query_with_a_rather_long_name_$i%03d" -> 0.001)
-    val line = Bench.renderLine(results, Map.empty, "sf1")
+    val line = Bench.renderLine(results, Seq.empty, "sf1")
     val keys = "\"([a-z0-9_]+)\":[0-9-]".r.findAllMatchIn(line).map(_.group(1)).toSeq
     assert(keys.distinct.size == keys.size, "duplicate keys in line")
     // the three cluster variants must remain distinguishable prefixes

@@ -21,12 +21,14 @@ class GramChainHashesSpec extends SparkSpec {
       3L -> "a b",        // m == k-1 (one padded fold step)
       4L -> "single",     // m == 1 (all steps padded)
       5L -> "",           // tokenizes to one empty token
-      6L -> ("tok " * 80).trim)
+      6L -> ("tok " * 80).trim,
+      7L -> (null: String)) // null text → null token hashes → null output
       .toDF("doc_id", "text")
   }
 
-  private def collect(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
-    df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+  private def collect(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Seq[Long]]] =
+    df.collect().map(r =>
+      r.getLong(0) -> Option(r.getSeq[Long](1)).map(_.toSeq)).toMap
 
   test("native gram chain is bit-identical to the chained zip_with fold") {
     for (k <- Seq(1, 2, 3, 5, 50)) {
@@ -37,7 +39,8 @@ class GramChainHashesSpec extends SparkSpec {
       assert(native === hof, s"k=$k")
       // position count: max(m - k + 1, 1)
       val m = 10 // doc 1 has 10 tokens
-      assert(native(1L).size == math.max(m - k + 1, 1), s"k=$k size")
+      assert(native(1L).get.size == math.max(m - k + 1, 1), s"k=$k size")
+      assert(native(7L).isEmpty, "null text must stay null") // None = null output
     }
   }
 
