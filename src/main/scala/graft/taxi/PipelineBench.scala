@@ -25,24 +25,28 @@ import graft.sources.Tables
   * (2023 scenario rows re-time within Dec 2023 so the strict-branch
   * semantics stay reachable too.)
   *
-  * Usage: runMain graft.taxi.PipelineBench [copies]  (default 140000 ⇒
-  * 3.08M rows — the scale of the reference's single-node January run,
-  * BASELINE.md: 2.96M raw).
+  * Usage: runMain graft.taxi.PipelineBench [copies] [--strict]  (default
+  * 140000 ⇒ 3.08M rows — the scale of the reference's single-node January
+  * run, BASELINE.md: 2.96M raw; --strict inserts the strict-branch
+  * year/type gate and checks its stage count too).
   */
 object PipelineBench {
 
-  /** The shipped-mode cleaning chain, stage-named — same composition as
-    * RunPipeline (which logs counts but not times).
+  /** The cleaning chain, stage-named — same composition as RunPipeline
+    * (which logs counts but not times); `strict` inserts the strict-branch
+    * year/type gate exactly where RunPipeline does.
     */
-  private def stages(raw: DataFrame): Seq[(String, DataFrame)] = {
+  private def stages(raw: DataFrame, strict: Boolean): Seq[(String, DataFrame)] = {
     val valid = Cleaning.filterValidDistance(Cleaning.filterValidSpeed(
       Cleaning.withDuration(raw)))
+    val base = if (strict) Cleaning.strictBranch(valid) else valid
     val cleaned = Cleaning.filterPassengers(Cleaning.filterFareBand(
-      Cleaning.fixNegativeAmounts(Cleaning.triageZeroDistance(valid))))
+      Cleaning.fixNegativeAmounts(Cleaning.triageZeroDistance(base))))
     val featured = Features.withTimeFeatures(Features.withAverageSpeed(
       Cleaning.castTypes(cleaned)))
-    Seq("raw" -> raw, "valid_speed_distance" -> valid,
-      "cleaned" -> cleaned, "featured" -> featured)
+    Seq("raw" -> raw, "valid_speed_distance" -> valid) ++
+      (if (strict) Seq("strict_branch" -> base) else Nil) ++
+      Seq("cleaned" -> cleaned, "featured" -> featured)
   }
 
   /** `copies` re-timed replicas of every fixture scenario. */
@@ -69,7 +73,9 @@ object PipelineBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val copies = args.headOption.map(_.toLong).getOrElse(140000L)
+    val strict = args.contains("--strict")
+    val copies = args.filterNot(_ == "--strict")
+      .headOption.map(_.toLong).getOrElse(140000L)
     val scratch = java.nio.file.Files.createTempDirectory("graft-taxi-bench").toString
     val spark = GraftSession.builder("graft-taxi-pipeline-bench",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
@@ -77,7 +83,7 @@ object PipelineBench {
     def secsSince(t0: Long): Double = (System.nanoTime() - t0) / 1e9
 
     // fixture goldens at 1 copy — the proportionality denominators
-    val goldens = stages(TaxiFixture.raw(spark)).map { case (n, df) => n -> df.count() }
+    val goldens = stages(TaxiFixture.raw(spark), strict).map { case (n, df) => n -> df.count() }
 
     // materialize the synthetic month as real parquet so the timed read is
     // a genuine scan, not a re-derivation (generation excluded from timing)
@@ -86,7 +92,7 @@ object PipelineBench {
     println(f"[gen]   ${copies * goldens.head._2} rows in ${secsSince(tGen)}%.1f s")
 
     val t0 = System.nanoTime()
-    val staged = stages(spark.read.parquet(s"$scratch/raw"))
+    val staged = stages(spark.read.parquet(s"$scratch/raw"), strict)
     val counts = staged.map { case (name, df) =>
       val t = System.nanoTime()
       val c = df.count()
@@ -98,7 +104,8 @@ object PipelineBench {
     }
     require(mismatches.isEmpty,
       s"stage counts NOT proportional to fixture goldens: ${mismatches.mkString("; ")}")
-    println(s"[check] all ${counts.size} stage counts = fixture golden x $copies")
+    println(s"[check] all ${counts.size} stage counts = fixture golden x $copies" +
+      (if (strict) " (strict mode)" else ""))
 
     val tSink = System.nanoTime()
     val dated = Features.withDateParts(staged.last._2)
