@@ -45,10 +45,12 @@ object Bench {
         val t0 = System.nanoTime()
         // a failed query records -1.0 and its exception class — never its
         // elapsed time, and never silence that lets an executor OOM
-        // masquerade as a slow neighbor
+        // masquerade as a slow neighbor. The FIRST failing class is kept:
+        // a later sample often fails differently (cache poisoned by the
+        // first crash) and would mask the root cause
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case t: Throwable =>
-          failures(name) = t.getClass.getSimpleName.stripSuffix("$"); -1.0 }
+          failures.getOrElseUpdate(name, t.getClass.getSimpleName.stripSuffix("$")); -1.0 }
       }
       results(name) = if (samples.exists(_ < 0)) -1.0 else samples.min
     }
@@ -76,8 +78,9 @@ object Bench {
     * ("failed":["ann_lsh"]) still parses and prefix-matching still
     * resolves the query name. If the full-name line exceeds the ceiling,
     * keys (including failed names) abbreviate to their shortest UNIQUE
-    * prefix (floor 8 chars), like git object abbreviation: prefix-stable
-    * and collision-free by construction. A failure-heavy round can blow
+    * prefix (floor 6 chars — uniqueness comes from lcp+1, the floor only
+    * buys prefix stability; 8 stopped fitting at 106 queries), like git
+    * object abbreviation: prefix-stable and collision-free by construction. A failure-heavy round can blow
     * the budget through the failed array alone (each entry carries an
     * exception class), so as a last resort the failed list truncates from
     * the tail with a "+k more" marker until the line fits — better k
@@ -94,14 +97,18 @@ object Bench {
       a.zip(b).takeWhile { case (x, y) => x == y }.size
     val abbrevOf: Map[String, String] = shortKeys.map { k =>
       val longest = shortKeys.filter(_ != k).map(o => lcp(k, o)).maxOption.getOrElse(0)
-      k -> k.take(math.max(8, longest + 1))
+      k -> k.take(math.max(6, longest + 1))
     }.toMap
     require(abbrevOf.values.toSeq.distinct.size == shortKeys.size,
       "bench key abbreviation collided")
     val ok = results.map(_._2).filter(_ >= 0)
     val totalMs = math.round((if (ok.nonEmpty) ok.sum else 0.0) * 1000)
     def line(abbrev: Boolean, keepFailed: Int): String = {
-      def key(k: String): String = if (abbrev) abbrevOf(short(k)) else short(k)
+      // a failures key absent from results (can't happen today, but the
+      // map is built from results only) falls back to the un-abbreviated
+      // short name rather than throwing away the whole line
+      def key(k: String): String =
+        if (abbrev) abbrevOf.getOrElse(short(k), short(k)) else short(k)
       val kept = failures.take(keepFailed)
         .map { case (k, err) => "\"" + key(k) + ":" + err + "\"" }
       val marker =

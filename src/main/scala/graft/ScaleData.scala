@@ -84,12 +84,12 @@ object ScaleData {
       "documents" -> Seq("doc_id"),
       "embeddings" -> Seq("vec_id"))
 
-    def replica(df: DataFrame, table: String, r: Int): DataFrame = {
+    def replica(df: DataFrame, table: String, r: Int, embDim: Int): DataFrame = {
       val keys = keyCols(table)
       df.select(df.columns.map {
         case c if keys.contains(c) => shifted(c, r)
         case "text" if table == "documents" => relettered("text", r)
-        case "embedding" if table == "embeddings" => rotated("embedding", r, 64)
+        case "embedding" if table == "embeddings" => rotated("embedding", r, embDim)
         case c => col(c)
       }.toIndexedSeq: _*)
     }
@@ -97,7 +97,13 @@ object ScaleData {
     for (table <- keyCols.keys.toSeq.sorted) {
       // raw read (no ts repair) so the scaled files keep the source schema
       val base = spark.read.parquet(s"$src/$table.parquet")
-      val scaledUp = (0 until factor).map(replica(base, table, _))
+      // rotation dim comes from the DATA, not a constant: a hardcoded 64
+      // against a different-width embedding column would silently slice
+      // short/misrotated vectors into every replica
+      val embDim =
+        if (table == "embeddings") base.select(size(col("embedding"))).head().getInt(0)
+        else 0
+      val scaledUp = (0 until factor).map(replica(base, table, _, embDim))
         .reduce(_ unionByName _)
       scaledUp.write.mode("overwrite").parquet(s"$out/$table.parquet")
       println(s"[scale] $table x$factor")

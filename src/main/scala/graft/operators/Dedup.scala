@@ -786,6 +786,10 @@ object Dedup {
     * per-cluster representative (min id). Returns (id, component, keep).
     * `useStar` switches the clustering to [[connectedComponentsStar]]; the
     * labels are identical either way (component = min reachable id).
+    * Output is UNSORTED — a determinism orderBy here would be a global
+    * range shuffle over a corpus-cardinality table on every call (one row
+    * per document); the catalog entries the oracle compares row-by-row add
+    * their own ordering, same policy as [[minHashLsh]]/[[simHashPairs]].
     */
   def fuzzyDedupClusters(
       df: DataFrame,
@@ -806,7 +810,6 @@ object Dedup {
       .join(comps, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
       .withColumn("keep", col("id") === col("component"))
-      .orderBy("component", "id")
   }
 
   /** Benchmark decontamination: flag corpus documents sharing ≥ minHits

@@ -260,66 +260,125 @@ object Similarity {
     // cid tie-break — replayable by the oracle's independent engine. The
     // rounding mode must be HALF_UP (half away from zero) to match both
     // Spark's round(,6) and DuckDB's round(): math.rint is half-to-even
-    // and would pick a different probe on an exact 5e-7 boundary.
+    // and would pick a different probe on an exact 5e-7 boundary. A NaN
+    // cosine (zero-norm centroid or query) would throw in BigDecimal, so
+    // it scores -2 — below any real cosine, mirroring assignExpr's
+    // coalesce — and is probed last, deterministically by cid.
     val probes = centroids
       .sortBy { case (cid, cv) =>
-        (-BigDecimal(cos(cv, queryVec))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, cid) }
+        val c = cos(cv, queryVec)
+        val r = if (c.isNaN) -2.0
+          else BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (-r, cid) }
       .take(nProbe).map(_._1)
     bruteForceTopK(
       assigned.filter(col("centroid_id").isin(probes.toIndexedSeq: _*)),
       queryVec, k, idCol, vecCol)
   }
 
+  /** Per-band LSH keys through the native [[org.apache.spark.sql.graftnative.HyperplaneBands]]
+    * expression: `b` keys of `w` sign bits each, band i over planes
+    * [i·w, (i+1)·w) of the same deterministic 4-dp hyperplane sequence
+    * [[lshBucket]] packs. Identical key VALUES to slicing the single-long
+    * bucket (lockstep-spec'd) — but with no w·b ≤ 63 ceiling, and one
+    * fused codegen loop instead of w·b interpreted HOF dot products.
+    */
+  private[graft] def lshBandKeys(
+      v: Column, dim: Int, w: Int, b: Int, seed: Long = 42L): Column =
+    org.apache.spark.sql.graftnative.HyperplaneBands(
+      v, hyperplanes(dim, w * b, seed).flatten, dim, w, b)
+
+  /** Reference HOF formulation of [[lshBandKeys]] (interpreted lambda
+    * dispatch per plane) — the correctness oracle for the native
+    * expression's lockstep spec, never the hot path.
+    */
+  private[graft] def lshBandKeysHof(
+      v: Column, dim: Int, w: Int, b: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(dim, w * b, seed)
+    array((0 until b).map { i =>
+      (0 until w).foldLeft(lit(0L)) { case (acc, j) =>
+        val d = dot(v, array(planes(i * w + j).map(lit): _*))
+        acc.bitwiseOR(when(d >= 0, lit(1L << j)).otherwise(lit(0L)))
+      }
+    }: _*)
+  }
+
   /** Embedding near-duplicate pairs: bucket-join on band signatures of the
     * hyperplane bits (several narrow bands so near pairs collide in ≥1
     * band), verify exact cosine ≥ threshold. id_a < id_b; no cartesian.
+    * Output is UNSORTED — determinism ordering belongs to the caller (the
+    * catalog entries add it), not a pair-cardinality range shuffle inside
+    * every composed pipeline.
     *
-    * Scale note: the bucket space is FIXED at `bands · 2^(nPlanes/bands)`
-    * keys, so candidate volume grows with per-bucket occupancy SQUARED —
-    * measured 16.5× cost for 10× vectors at the default 16 planes / 4
-    * bands (BENCH_SF1.md's one super-linear entry). Grow `nPlanes`
-    * (and/or bands) with corpus size to hold occupancy roughly constant —
-    * ~log2(N) extra plane bits per 2× growth — exactly the knob a
-    * production near-dup pass tunes; the catalog entry pins small literal
-    * params only because its DuckDB oracle splices the planes verbatim.
-    * `nPlanes = 0` turns the knob automatically: [[autoCosineBanding]]
-    * derives the band width from corpus density (one count() over the
-    * input) and the band count from a 95% recall target at `threshold` —
-    * the cosine analogue of minHashLsh's auto-banding. In auto mode the
-    * `bands` argument is IGNORED (both dimensions are derived together;
-    * a pinned band count with a derived width could not hold the recall
-    * target).
+    * Scale note: a FIXED `nPlanes`/`bands` fixes the bucket space, so
+    * candidate volume grows with per-bucket occupancy SQUARED — measured
+    * 16.5× cost for 10× vectors at 16 planes / 4 bands (BENCH_SF1.md's one
+    * super-linear entry). Band width must grow ~log2(n) to hold occupancy
+    * constant — exactly the knob a production near-dup pass tunes; the
+    * fixed catalog entry pins small literal params only because its DuckDB
+    * oracle splices the planes verbatim. `nPlanes = 0` turns the knob
+    * automatically: [[autoCosineBanding]] picks (width, bands) from
+    * (threshold, corpus size, dim), and the band keys come from the native
+    * [[lshBandKeys]] — per-band longs with no 63-bit pack ceiling. In auto
+    * mode the `bands` argument is IGNORED (both dimensions are derived
+    * together), and the corpus size comes from `n` when the caller knows
+    * it (ingest pipelines know their batch size) — construction then runs
+    * no Spark job at all. With `n = None` the operator counts the
+    * projected (id, vector) frame AFTER persisting it, so the count
+    * doubles as the cache materialization and the raw input is still
+    * scanned exactly once.
     */
-  /** Density- and recall-derived (nPlanes, bands) for [[cosineNearDupPairs]].
+  /** Cost-model-derived (nPlanes, bands) for [[cosineNearDupPairs]] auto
+    * mode: returns (w·b, b).
     *
-    * Width first, from density: per-band bucket occupancy is ~n/2^w, so
-    * w = max(4, ⌈log2(n / targetOccupancy)⌉) holds candidate volume per
-    * bucket roughly constant as the corpus grows (the 10× run measured 20×
-    * cost at a FIXED 4-bit width — BENCH_SF1.md). Then bands for recall:
-    * a ≥-threshold pair agrees on one hyperplane bit with probability
-    * p = 1 − arccos(t)/π (Goemans–Williamson), so per-band collision is
-    * p^w and b = ⌈ln(0.05)/ln(1−p^w)⌉ gives ≥95% band-collision recall.
-    * The bucket packs into one long, so w·b ≤ 63: low thresholds (small p)
-    * shrink w to afford the bands recall demands — the
-    * candidates-for-recall trade every LSH makes far from its design
-    * point (compare minHashLsh's r ≥ 2 floor note) — and if even w = 2
-    * can't reach 95%, the band count caps at 63/w best-effort.
+    * A ≥-threshold pair agrees with a random hyperplane's sign with
+    * probability p = 1 − arccos(t)/π (Goemans–Williamson), so a w-bit band
+    * collides with probability p^w and b = ⌈ln(0.05)/ln(1−p^w)⌉ bands give
+    * ≥95% band-collision recall. Among the widths that can still reach the
+    * recall target within `bandCap` bands, pick the one minimizing the
+    * modeled per-vector cost
+    *
+    *   signature work  w·b·dim          (one multiply-add per plane component)
+    * + candidate work  b·(n/2^w)/2·C    (expected same-bucket partners per
+    *                                     band; C ≈ 400 FLOP-equivalents per
+    *                                     candidate row — shuffle + hash
+    *                                     probe + dedup + verify amortized)
+    *
+    * — the standard LSH trade: wider bands cost more signature FLOPs and
+    * more bands (recall decays as p^w), but shrink per-bucket occupancy
+    * n/2^w geometrically, so the optimum width tracks ~log2(n) and the
+    * candidate volume stays near-linear in n (the residual n^ρ band growth
+    * is LSH physics, not a tuning miss). The curve is flat near its
+    * minimum, so C's order of magnitude is all that matters. If NO width
+    * reaches 95% within `bandCap` (low threshold at huge n — far from
+    * LSH's design point), fall back to the narrowest band (w = 2, the
+    * highest per-band recall) with capped bands, best-effort.
+    *
+    * Earlier rounds derived width from a fixed occupancy target and capped
+    * w·b ≤ 63 to fit one packed long ([[lshBucket]]); the cap was itself a
+    * scale ceiling (at n ≈ 10^5, t = 0.9 the recall-feasible widths no
+    * longer fit), removed by the per-band [[lshBandKeys]] keys.
+    *
+    * Pure function of (threshold, n, dim) — the catalog oracle replays the
+    * same derivation to splice the planes, so any change here must keep
+    * the q_embed_neardup_auto entry's Spark and DuckDB sides in lockstep.
     */
   private[graft] def autoCosineBanding(
-      threshold: Double, n: Long, targetOccupancy: Long = 256L): (Int, Int) = {
+      threshold: Double, n: Long, dim: Int, bandCap: Int = 64): (Int, Int) = {
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
     def bandsFor(w: Int): Int = {
       val pw = math.pow(p, w)
       if (pw >= 1.0) 1
       else math.max(1, math.ceil(math.log(0.05) / math.log1p(-pw)).toInt)
     }
-    val ratio = math.max(1L, n / targetOccupancy)
-    val w0 = math.max(4,
-      if (ratio <= 1L) 4 else 64 - java.lang.Long.numberOfLeadingZeros(ratio - 1))
-    var w = w0
-    while (w > 2 && w.toLong * bandsFor(w) > 63L) w -= 1
-    val b = math.min(bandsFor(w), 63 / w)
+    val CandidateCost = 400.0
+    def cost(w: Int): Double = {
+      val b = math.min(bandsFor(w), bandCap)
+      w.toDouble * b * dim + b * (n.toDouble / math.pow(2.0, w)) / 2.0 * CandidateCost
+    }
+    val feasible = (2 to 62).filter(w => bandsFor(w) <= bandCap)
+    val w = if (feasible.nonEmpty) feasible.minBy(cost) else 2
+    val b = math.min(bandsFor(w), bandCap)
     (w * b, b)
   }
 
@@ -330,28 +389,49 @@ object Similarity {
       nPlanes: Int = 16,
       bands: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val (np, nb) =
-      if (nPlanes > 0) (nPlanes, bands)
-      else autoCosineBanding(threshold, df.count())
-    // a non-dividing band count would leave the top bits un-banded (lost
-    // recall); bands > nPlanes would give zero-width masks — every row
-    // colliding with every row, the cartesian this operator exists to avoid
-    require(nb > 0 && np % nb == 0, "bands must divide nPlanes")
-    val w = np / nb
+      vecCol: String = "embedding",
+      n: Option[Long] = None): DataFrame = {
     val vd = toDouble(col(vecCol))
-    // persist: the bucket expression (nPlanes dot products) must evaluate
-    // once per vector, not once per band per join side
-    val sketched = OperatorCaches.persistTracked(df.select(
-        col(idCol).cast("long").as("id"), vd.as("v"),
-        lshBucket(vd, dim, np).as("bucket")))
-    val banded = sketched.select(
-      col("id"), col("v"),
-      explode(array((0 until nb).map(i =>
-        struct(lit(i).as("band"),
-          shiftrightunsigned(col("bucket"), i * w).bitwiseAND(lit((1L << w) - 1)).as("bv"))): _*))
-        .as("bk"))
-      .select(col("id"), col("v"), col("bk.band"), col("bk.bv"))
+    val projected = df.select(col(idCol).cast("long").as("id"), vd.as("v"))
+    // persist the sketch either way: the band-key expression (many dot
+    // products) must evaluate once per vector, not once per band per join
+    // side. banded(id, v, band, bv) is the mode-independent contract.
+    val (sketched, banded) =
+      if (nPlanes > 0) {
+        // fixed mode: caller-pinned params, single-long pack (≤ 63 bits),
+        // band values sliced with shifts — the oracle-spliceable shape.
+        // A non-dividing band count would leave the top bits un-banded
+        // (lost recall); bands > nPlanes would give zero-width masks —
+        // every row colliding with every row, the cartesian this operator
+        // exists to avoid
+        require(bands > 0 && nPlanes % bands == 0, "bands must divide nPlanes")
+        val w = nPlanes / bands
+        val s = OperatorCaches.persistTracked(
+          projected.withColumn("bucket", lshBucket(col("v"), dim, nPlanes)))
+        val bd = s.select(
+          col("id"), col("v"),
+          explode(array((0 until bands).map(i =>
+            struct(lit(i).as("band"),
+              shiftrightunsigned(col("bucket"), i * w).bitwiseAND(lit((1L << w) - 1)).as("bv"))): _*))
+            .as("bk"))
+          .select(col("id"), col("v"), col("bk.band"), col("bk.bv"))
+        (s, bd)
+      } else {
+        // auto mode: banding params need the corpus size, but the sketch
+        // expression needs the banding params — so when the caller can't
+        // supply `n`, persist the (id, v) projection FIRST and let the
+        // count() double as its cache materialization: the raw input is
+        // scanned exactly once either way
+        val base =
+          if (n.isDefined) projected
+          else OperatorCaches.persistTracked(projected)
+        val (np, nb) = autoCosineBanding(threshold, n.getOrElse(base.count()), dim)
+        val s = OperatorCaches.persistTracked(
+          base.withColumn("bands", lshBandKeys(col("v"), dim, np / nb, nb)))
+        val bd = s.select(col("id"), col("v"),
+            posexplode(col("bands")).as(Seq("band", "bv")))
+        (s, bd)
+      }
     // candidate ids first (cheap longs through the shuffle + dedup), then
     // join vectors back and compute cosine once per UNIQUE candidate pair
     val pairs = banded.as("a").join(banded.as("b"),
@@ -369,6 +449,5 @@ object Similarity {
         // an independent engine replaying the math could flip boundary pairs
         round(cosine(col("v_a"), col("v_b")), 4).as("sim"))
       .filter(col("sim") >= threshold)
-      .orderBy("id_a", "id_b")
   }
 }

@@ -1432,16 +1432,19 @@ object QueryCatalog {
         .orderBy("doc_id"),
       Some(repeatedCutOracleSql(strict = true))),
 
+    // the operator returns unsorted (a determinism sort inside it would be
+    // a corpus-cardinality range shuffle on every composed call); the
+    // row-by-row oracle compare gets its ordering HERE
     Q("q_dedup_clusters",
       (s, dir) => Dedup.fuzzyDedupClusters(t(s, dir, "documents"), threshold = 0.5,
-        portable = true),
+        portable = true).orderBy("component", "id"),
       Some(minhashClustersOracleSql(numHashes = 64, threshold = 0.5))),
 
     // same clustering via large-star/small-star (O(log n) rounds) — labels
     // must equal q_dedup_clusters exactly (same independent oracle)
     Q("q_dedup_clusters_star",
       (s, dir) => Dedup.fuzzyDedupClusters(t(s, dir, "documents"), threshold = 0.5,
-        useStar = true, portable = true),
+        useStar = true, portable = true).orderBy("component", "id"),
       Some(minhashClustersOracleSql(numHashes = 64, threshold = 0.5))),
 
     // the clustering path made oracle-able end-to-end: exact ngram-Jaccard
@@ -1844,8 +1847,11 @@ object QueryCatalog {
     // band keys from the sign-bit bucket, the band-collision candidate
     // pairs, and the rounded-cosine threshold cut
     Q("q_embed_neardup",
+      // the operator returns unsorted (no pair-cardinality range shuffle
+      // inside composed pipelines); the oracle compare orders HERE
       (s, dir) => Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
-        dim = 64, threshold = 0.25, nPlanes = 16, bands = 4),
+        dim = 64, threshold = 0.25, nPlanes = 16, bands = 4)
+        .orderBy("id_a", "id_b"),
       Some {
         val planeValues = graft.operators.Similarity.hyperplanes(dim = 64, nPlanes = 16)
           .zipWithIndex
@@ -1861,6 +1867,49 @@ object QueryCatalog {
                 FROM emb, planes GROUP BY id),
               bd AS (SELECT id, band, (bucket >> (band * 4)) & 15 AS bv
                 FROM b, (SELECT unnest(range(0, 4)) AS band) bands),
+              cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+                FROM bd a JOIN bd c
+                  ON a.band = c.band AND a.bv = c.bv AND a.id < c.id),
+              sc AS (SELECT id_a, id_b,
+                  round(list_cosine_similarity(ea.e, eb.e), 4) AS sim
+                FROM cand
+                JOIN emb ea ON ea.id = id_a
+                JOIN emb eb ON eb.id = id_b)
+              SELECT id_a, id_b, sim FROM sc WHERE sim >= 0.25
+              ORDER BY id_a, id_b"""
+      }),
+
+    // the SCALE-SAFE mode behind a driver gate: nPlanes = 0 lets
+    // autoCosineBanding derive (width, bands) from (threshold, corpus
+    // size, dim) — the configuration BENCH_SF1 proved necessary (the fixed
+    // 16/4 entry above is the one measured super-linear shape, kept for
+    // continuity). The derivation is a pure function, so the oracle
+    // replays it at catalog-build time for the verify tier's corpus size
+    // (500 embeddings at sf0.01 — a fixture regeneration that changes the
+    // count fails this row loudly, by construction) and splices the
+    // derived per-band hyperplanes verbatim: band p/w's key accumulates
+    // bit p%w per plane p, exactly lshBandKeys' native loop. The Spark
+    // side passes n = None, exercising the count-materializes-the-cache
+    // auto path end-to-end.
+    Q("q_embed_neardup_auto",
+      (s, dir) => Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
+        dim = 64, threshold = 0.25, nPlanes = 0)
+        .orderBy("id_a", "id_b"),
+      Some {
+        val (np, nb) = Similarity.autoCosineBanding(0.25, n = 500L, dim = 64)
+        val w = np / nb
+        val planeValues = graft.operators.Similarity.hyperplanes(dim = 64, nPlanes = np)
+          .zipWithIndex
+          .map { case (p, i) => s"($i, ${p.mkString("[", ", ", "]")}::DOUBLE[])" }
+          .mkString(",\n                  ")
+        s"""WITH planes(p, pv) AS (VALUES
+                  $planeValues),
+              emb AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              bd AS (SELECT id, p // $w AS band,
+                  CAST(sum(CASE WHEN list_dot_product(e, pv) >= 0
+                    THEN 1 << (p % $w) ELSE 0 END) AS BIGINT) AS bv
+                FROM emb, planes GROUP BY id, p // $w),
               cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
                 FROM bd a JOIN bd c
                   ON a.band = c.band AND a.bv = c.bv AND a.id < c.id),

@@ -32,7 +32,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains(":QueryExecutionAnalysisException"), line.take(200))
     assert(line.contains(" more\""), line.takeRight(120))
     val firstFailed = names.head.stripPrefix("q_")
-    assert(line.contains(firstFailed.take(8)), "first failure dropped")
+    assert(line.contains(firstFailed.take(6)), "first failure dropped")
   }
 
   test("the REAL catalog's line stays under the driver's tail budget at worst-case widths") {
@@ -48,6 +48,18 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.startsWith("{\"metric\":\"total\",\"value\":"), line.take(60))
     assert(line.contains("\"failed\":[]"), line.takeRight(60))
     assert("\"[a-z0-9_]+\":[0-9-]".r.findAllIn(line).size >= names.size, "missing entries")
+  }
+
+  test("a failed name absent from results falls back to its short name, not a throw") {
+    // abbrevOf is built from results keys only; a failures entry outside
+    // that set must degrade to the un-abbreviated name. The filler names
+    // share only short prefixes, so abbreviation fires (the full-name line
+    // overflows) and compresses enough for the abbreviated line to fit —
+    // which is exactly the attempt that used to throw on the ghost key.
+    val results = (1 to 90).map(i => f"q_z$i%02d_quite_long_query_name_padding_wide" -> 99.999)
+    val line = Bench.renderLine(results, Seq("q_ghost_query" -> "IOException"), "sf0.1")
+    assert(line.length <= 1920, s"line ${line.length} chars")
+    assert(line.contains("ghost_query:IOException"), line.takeRight(200))
   }
 
   test("abbreviated keys stay unique prefixes of the full names") {

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck sweep over autoCosineBanding's input space: the derivation
+  * has hand-derived edge guards (the pw >= 1 clamp at threshold 1, the
+  * recall-infeasible fallback to w = 2, the band cap) that only a sweep
+  * pins — and the q_embed_neardup_auto oracle splices the derived params,
+  * so any drift here is a silent cross-engine mismatch waiting to happen.
+  */
+class AutoBandingPropertySpec extends AnyFunSuite {
+
+  private def recall(t: Double, w: Int, b: Int): Double = {
+    val p = 1.0 - math.acos(t) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, w), b)
+  }
+
+  test("banding invariants hold across (threshold, n, dim)") {
+    val genT = Gen.choose(0.1, 0.999)
+    val genN = Gen.choose(1L, 1000000000L)
+    val genDim = Gen.oneOf(8, 64, 256, 1024)
+    val prop = Prop.forAll(genT, genN, genDim) { (t, n, dim) =>
+      val (np, b) = Similarity.autoCosineBanding(t, n, dim)
+      val w = np / b
+      val shape = b >= 1 && b <= 64 && np % b == 0 && w >= 2 && w <= 62
+      // the 95% GW recall target holds whenever the band count is not
+      // capped; at the cap (low threshold far from LSH's design point)
+      // recall is best-effort by design
+      val recallOk = recall(t, w, b) >= 0.95 || b == 64
+      // pure function: the oracle replays this at catalog-build time
+      val deterministic = Similarity.autoCosineBanding(t, n, dim) == ((np, b))
+      shape && recallOk && deterministic
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(800), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("width is monotone in corpus size at a fixed threshold") {
+    // the candidate term b·n/2^w pushes the cost-optimal width up with n;
+    // a width that SHRANK with corpus growth would re-create the
+    // super-linear occupancy blowup BENCH_SF1 measured
+    for (t <- Seq(0.5, 0.8, 0.9, 0.95)) {
+      val widths = Seq(1000L, 10000L, 100000L, 1000000L, 10000000L).map { n =>
+        val (np, b) = Similarity.autoCosineBanding(t, n, dim = 64)
+        np / b
+      }
+      assert(widths == widths.sorted, s"t=$t widths=$widths")
+    }
+  }
+
+  test("threshold-1 and tiny-n degenerate corners stay sane") {
+    val (np1, b1) = Similarity.autoCosineBanding(1.0, 1000000L, dim = 64)
+    assert(b1 >= 1 && np1 % b1 == 0) // pw >= 1 clamp: one band suffices
+    val (npTiny, bTiny) = Similarity.autoCosineBanding(0.9, 1L, dim = 8)
+    assert(bTiny >= 1 && npTiny % bTiny == 0 && npTiny / bTiny >= 2)
+  }
+}

@@ -41,24 +41,27 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L)) // opposite vector never matches
   }
 
-  test("auto banding: width tracks density, bands hit the recall target, bucket fits a long") {
+  test("auto banding: width tracks corpus size, bands hit the recall target") {
     def recall(t: Double, w: Int, b: Int): Double = {
       val p = 1.0 - math.acos(t) / math.Pi
       1.0 - math.pow(1.0 - math.pow(p, w), b)
     }
-    // width grows ~log2 with corpus size at fixed threshold
+    // cost-optimal width grows with corpus size at fixed threshold (the
+    // candidate term b·n/2^w pushes w up ~log2(n)); no 63-bit pack
+    // ceiling anymore — per-band keys (lshBandKeys) lift it
     val widths = Seq(1000L, 100000L, 10000000L).map { n =>
-      val (np, b) = Similarity.autoCosineBanding(0.95, n)
-      assert(np % b == 0 && np <= 63, s"n=$n -> ($np, $b)")
+      val (np, b) = Similarity.autoCosineBanding(0.95, n, dim = 64)
+      assert(np % b == 0, s"n=$n -> ($np, $b)")
       assert(recall(0.95, np / b, b) >= 0.95, s"recall miss at n=$n: ($np, $b)")
       np / b
     }
     assert(widths == widths.sorted && widths.distinct.size > 1, widths.toString)
-    // low threshold: recall demands many bands, width shrinks to afford
-    // them, total stays within the 63-bit bucket (best-effort regime)
-    val (npLow, bLow) = Similarity.autoCosineBanding(0.25, 5000L)
-    assert(npLow <= 63 && npLow % bLow == 0)
-    assert(npLow / bLow < 5, s"low threshold kept a wide band: ($npLow, $bLow)")
+    // low threshold: recall demands many bands; among the widths that can
+    // still hit 95% within the band cap, modeled cost picks the widest
+    // (fewest candidates) — and the recall target still holds
+    val (npLow, bLow) = Similarity.autoCosineBanding(0.25, 5000L, dim = 64)
+    assert(npLow % bLow == 0 && bLow <= 64)
+    assert(recall(0.25, npLow / bLow, bLow) >= 0.95, s"($npLow, $bLow)")
   }
 
   test("near-dup pairs in auto mode finds the same clear dups") {

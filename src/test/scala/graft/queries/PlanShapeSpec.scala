@@ -87,24 +87,60 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("pair operators plan no global sort: determinism orderBy lives in the catalog") {
-    // minHashLsh / simHashPairs / ngramJaccard feed CC rounds and ingest
-    // anti-joins that re-shuffle immediately — a global range-shuffle sort
+    // minHashLsh / simHashPairs / ngramJaccard / fuzzyDedupClusters /
+    // cosineNearDupPairs feed CC rounds, ingest anti-joins, and keep-list
+    // joins that re-shuffle immediately — a global range-shuffle sort
     // inside the operator would be pure waste there. The catalog entries
     // (which the oracle compares row-by-row) add their own orderBy.
-    import graft.operators.Dedup
+    import graft.operators.{Dedup, Similarity}
     import graft.sources.Tables
     val docs = Tables.load(spark, sf, "documents")
+    val emb = Tables.load(spark, sf, "embeddings")
     // a GLOBAL sort prints as `Sort [...], true, 0`; SortMergeJoin's local
     // per-partition sorts print `false` and are fine
     val globalSort = """Sort \[[^\]]*\], true""".r
     for ((name, df) <- Seq(
         "minHashLsh" -> Dedup.minHashLsh(docs, threshold = 0.5),
         "simHashPairs" -> Dedup.simHashPairs(docs, maxHamming = 4),
-        "ngramJaccard" -> Dedup.ngramJaccard(docs, threshold = 0.15))) {
+        "ngramJaccard" -> Dedup.ngramJaccard(docs, threshold = 0.15),
+        "fuzzyDedupClusters" -> Dedup.fuzzyDedupClusters(docs, threshold = 0.5),
+        "cosineNearDupPairs" -> Similarity.cosineNearDupPairs(emb, dim = 64,
+          threshold = 0.25, nPlanes = 16, bands = 4))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(globalSort.findFirstIn(plan).isEmpty,
         s"$name plans a global sort:\n$plan")
     }
+  }
+
+  test("auto-mode near-dup with caller-supplied n constructs without any Spark job") {
+    // the scale contract behind cosineNearDupPairs(nPlanes = 0, n = Some):
+    // banding params come from the caller's count (ingest pipelines know
+    // their batch size), so building the frame must not scan the corpus —
+    // the round-5 shape ran an unconditional df.count() per invocation
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val emb = Tables.load(spark, sf, "embeddings")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val auto = Similarity.cosineNearDupPairs(emb, dim = 64, threshold = 0.25,
+        nPlanes = 0, n = Some(500L))
+      org.apache.spark.graft.TestListenerBus.waitUntilEmpty(spark.sparkContext)
+      assert(jobs.get() === 0, "construction ran Spark jobs despite caller-supplied n")
+      // and the n = None path derives the same frame (its count() is the
+      // cache materialization of the same projection, not extra work)
+      val counted = Similarity.cosineNearDupPairs(emb, dim = 64, threshold = 0.25,
+        nPlanes = 0)
+      assert(counted.exceptAll(auto).count() === 0 &&
+        auto.exceptAll(counted).count() === 0,
+        "caller-supplied n and counted n derived different pairs")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("IVF table at rest: probe scan is partition-pruned to the probed centroids") {
