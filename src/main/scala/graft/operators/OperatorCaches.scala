@@ -49,20 +49,21 @@ object OperatorCaches {
 
   /** Persist `df` at MEMORY_AND_DISK and register the handle.
     *
-    * Persisting is UNCONDITIONAL, even when the CacheManager already holds
-    * an equivalent plan: the lookup-and-skip variant was measured to give
-    * no wall-time benefit (actions hit the existing cache either way), and
-    * skipping would leave this call's handle unregistered — releasing the
-    * ORIGINAL handle would then silently strip caching from a frame a
-    * later operator still relies on. A repeat persist costs one
-    * CacheManager "already cached" log line; release() unpersists each
-    * registered handle idempotently.
+    * REGISTRATION is unconditional — every caller's handle must be
+    * releasable — but the persist() call itself is skipped when the
+    * CacheManager already holds an equivalent plan (df.storageLevel
+    * consults it by plan equality): unpersist() uncaches BY PLAN, not by
+    * handle, so releasing either handle drops the one shared cache entry
+    * regardless of which call persisted it, and the repeat persist bought
+    * nothing but a CacheManager "already cached" warning per overlapping
+    * sketch in a long bench run. Actions hit the existing cache either way.
     */
   private[operators] def persistTracked(df: DataFrame): DataFrame = synchronized {
     pruneStopped()
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    buf(df.sparkSession) += p
-    p
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    buf(df.sparkSession) += df
+    df
   }
 
   /** Register an already-persisted frame for release. */
