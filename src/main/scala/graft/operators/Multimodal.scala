@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * `resize` rescales + re-encodes through `java.awt`. The AUDIO path is
   * real too: `javax.sound.sampled` (also JDK-shipped) parses WAV/AIFF/AU
   * to true sample rate / channels and a temporal RMS embedding over the
-  * PCM stream. VIDEO payloads (no codec in the JDK or this container)
-  * fall back to a clearly marked deterministic pseudo-decode with the same
-  * signature and batch shape, so a real codec (e.g. ffmpeg via
+  * PCM stream. VIDEO frame extraction is real for the one container the
+  * JDK ships a codec for — animated GIF, via ImageIO's sequence reader
+  * (true frame count, per-frame delays, decoded-pixel digests); other
+  * containers (mp4 & co — no JDK codec, none in this environment) fall
+  * back to a clearly marked deterministic pseudo-decode with the same
+  * signature and batch shape, so a native codec (e.g. ffmpeg via
   * mapPartitions) slots in without changing any plan: decode stays a
   * narrow per-partition pass, scales with input splits at 100 TB, and
   * never shuffles the payload bytes.
@@ -224,17 +227,94 @@ object Multimodal {
     })
   }
 
-  /** Frame sampling for video rows: fan out N evenly spaced pseudo-frames
-    * per item (flatMap — a narrow 1→N expansion; real frame extraction
-    * plugs into the same spot).
+  /** REAL multi-frame decode for the one video container the JDK ships a
+    * codec for: animated GIF, via ImageIO's sequence reader. Returns every
+    * frame's (index, cumulative offset in ms from the per-frame
+    * GraphicControlExtension delays, pixel digest), or None when the
+    * payload is not a multi-frame GIF (single-frame GIFs are images, not
+    * video). The digest hashes the DECODED pixels (not the container
+    * bytes), so two encodings of the same frames digest equal.
+    */
+  private[operators] def gifFrames(
+      bytes: Array[Byte]): Option[Vector[(Int, Long, String)]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      if (!reader.getFormatName.equalsIgnoreCase("gif")) return None
+      try {
+        reader.setInput(iis, false, false) // keep metadata: frame delays
+        val nFrames = reader.getNumImages(true)
+        if (nFrames <= 1) return None
+        var offsetMs = 0L
+        val out = Vector.newBuilder[(Int, Long, String)]
+        for (i <- 0 until nFrames) {
+          val img = reader.read(i)
+          out += ((i, offsetMs, frameDigest(img)))
+          offsetMs += gifDelayCs(reader.getImageMetadata(i)) * 10L
+        }
+        Some(out.result())
+      } finally reader.dispose()
+    } catch {
+      case _: java.io.IOException => None
+      case _: RuntimeException => None // truncated/corrupt GIF streams
+    } finally iis.close()
+  }
+
+  /** Per-frame delay in centiseconds from the GIF GraphicControlExtension
+    * (0 when absent — the format's own default).
+    */
+  private def gifDelayCs(meta: javax.imageio.metadata.IIOMetadata): Long = {
+    val tree = meta.getAsTree("javax_imageio_gif_image_1.0")
+    val kids = tree.getChildNodes
+    var i = 0
+    while (i < kids.getLength) {
+      val node = kids.item(i)
+      if (node.getNodeName == "GraphicControlExtension") {
+        val attr = node.getAttributes.getNamedItem("delayTime")
+        if (attr != null) return attr.getNodeValue.toLong
+      }
+      i += 1
+    }
+    0L
+  }
+
+  /** Digest of a decoded frame's pixel raster (row-major ARGB). */
+  private[operators] def frameDigest(img: java.awt.image.BufferedImage): String = {
+    val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+    f"${java.util.Arrays.hashCode(px)}%08x"
+  }
+
+  /** Frame sampling for video rows: up to N evenly spaced frames per item
+    * (flatMap — a narrow 1→N expansion, payload bytes never shuffle).
+    * Animated-GIF payloads go through the REAL codec ([[gifFrames]]):
+    * true frame indices, true cumulative offsets from the per-frame GIF
+    * delays, digests of the decoded pixels. Other containers (mp4 & co —
+    * no JDK codec, none in this environment) keep the clearly-marked
+    * deterministic pseudo-frames with the same shape, so a native decoder
+    * slots into exactly this spot.
     */
   def sampleFrames(items: Dataset[MediaItem], n: Int = 4): Dataset[Frame] = {
     val spark = items.sparkSession
     import spark.implicits._
     items.filter(_.kind == "video").flatMap { item =>
-      val h = java.util.Arrays.hashCode(item.bytes) // null-safe: hashCode(null) = 0
-      (0 until n).iterator.map { i =>
-        Frame(item.media_id, i, i * 1000L, f"${h ^ i}%08x") // STUB digest
+      gifFrames(item.bytes) match {
+        case Some(frames) =>
+          // evenly spaced real frames: all of them when there are <= n
+          val picks =
+            if (frames.size <= n) frames
+            else (0 until n).map(j => frames((j * frames.size) / n))
+          picks.iterator.map { case (idx, off, digest) =>
+            Frame(item.media_id, idx, off, digest)
+          }
+        case None =>
+          val h = java.util.Arrays.hashCode(item.bytes) // null-safe: hashCode(null) = 0
+          (0 until n).iterator.map { i =>
+            Frame(item.media_id, i, i * 1000L, f"${h ^ i}%08x") // STUB digest
+          }
       }
     }
   }
