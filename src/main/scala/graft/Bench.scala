@@ -1,8 +1,70 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
 import graft.operators.OperatorCaches
 
 object Bench {
+
+  /** Run-health canary: a fixed, tiny, CPU-bound job (4M xxhash64 over a
+    * generated range — no I/O, no cache dependence, overhead+compute in
+    * fixed proportion) timed at run start / middle / end. The round-6
+    * driver bench posted a 2.4× uniformly-inflated total that only an
+    * out-of-band re-run could falsify: the family-median outlier
+    * re-measure compares entries against an equally-degraded median, so a
+    * contended HOST is invisible to it. The canary is the absolute
+    * yardstick that survives uniform degradation — its nominal cost is
+    * pinned here, measured warm on the round-6 judge hardware (local[32]
+    * and the local[4] spec session both land 15–45 ms; fresh-JVM spread
+    * stays under 2×). Two untimed warmups precede the first sample so JIT
+    * cold-start doesn't masquerade as contention.
+    *
+    * Calibration (this hardware, warm): local[32] observations 101–151 ms
+    * across repeated fresh-JVM runs, local[4] spec session 95–122 ms —
+    * per-core work sizing is what puts both in one envelope. Nominal is
+    * the rough center; the ceiling at 2.5× nominal clears the observed
+    * noise band by 2× while still firing on the kind of sustained
+    * contention that produced BENCH_r06 (its sbt wall ran 5× normal).
+    * A mild 1.5× squeeze is indistinguishable from JVM noise at this
+    * floor and intentionally does not fire.
+    */
+  private[graft] val CanaryNominalMs = 120.0
+  /** Absolute arm: any canary median above this ⇒ host degraded. 2.5× the
+    * pinned nominal — the r6 incident ran 1.5–17× inflated, and honest
+    * fresh-JVM variance of the fixed job stays well under this.
+    */
+  private[graft] val CanaryCeilingMs = 2.5 * CanaryNominalMs
+  /** Spread arm: max/min across the run's canaries ⇒ contention that came
+    * and went mid-run (uniform inflation is caught by the absolute arm).
+    * 3.0, not lower: a full-catalog run measured start 219 / end 80 ms on
+    * a clean host — the canary itself keeps getting faster as C2 warms
+    * Spark's scheduler over 100+ queries, so start-vs-end legitimately
+    * spans ~2.7×. Mid-run contention below 3× that also stays under the
+    * absolute ceiling is accepted as undetectable at this noise floor.
+    */
+  private[graft] val CanarySpreadCeiling = 3.0
+
+  /** One canary observation: median of 3 back-to-back runs of the fixed
+    * job (median, not min — min would hide exactly the contention this
+    * exists to detect; median still sheds one-off GC pauses). Work is
+    * 1M hashes PER CORE, not a fixed total: per-core work makes the
+    * nominal portable across session widths (the bench runs local[32],
+    * the spec session local[4] — both must sit inside one envelope), and
+    * host contention shows up as per-core throughput loss either way.
+    */
+  private[graft] def canarySampleMs(spark: SparkSession): Double = {
+    val rows = spark.sparkContext.defaultParallelism.toLong << 20
+    val t = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(rows).select(sum(xxhash64(col("id")))).head()
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    t(2)
+  }
+
+  private[graft] def canaryDegraded(canaries: Seq[Double]): Boolean =
+    canaries.nonEmpty &&
+      (canaries.max > CanaryCeilingMs ||
+        canaries.max / canaries.min > CanarySpreadCeiling)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -31,8 +93,17 @@ object Bench {
     def family(name: String): String = name.stripPrefix("q_").takeWhile(_ != '_')
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // run-health canary: warm once untimed, then sample at start / middle /
+    // end of the query loop — the timestamps bracketing the timed region
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // two untimed warmups: one is not enough — C2 tier-up still inflates
+    // the next observation ~1.4× (measured 151/105/101 with a single one)
+    canarySampleMs(spark); canarySampleMs(spark)
+    canaries += canarySampleMs(spark)
+    val midpoint = selected.size / 2
     var prevFamily = ""
-    for ((name, fn) <- selected) {
+    for (((name, fn), qIdx) <- selected.zipWithIndex) {
+      if (qIdx == midpoint && qIdx > 0) canaries += canarySampleMs(spark)
       val fam = family(name)
       if (fam != prevFamily) {
         // drop the previous family's sketch caches and let the pause land
@@ -54,21 +125,25 @@ object Bench {
       }
       results(name) = if (samples.exists(_ < 0)) -1.0 else samples.min
     }
+    canaries += canarySampleMs(spark)
     // Within-family warm reuse is deliberate (those queries share sketch-
     // table plans, and warm steady state is what a pipeline sees), but it
     // can also leave one entry paying its neighbors' cache-eviction churn:
     // r5 posted dedup_simhash at 3.60 s full-run vs 0.69 s isolated. Any
-    // entry whose min exceeds 2x its family median gets ONE isolated
-    // re-measure — caches released first, exactly SPARK_GRAFT_ONLY's
-    // semantics — and reports the better of the two: the number a user
-    // running that query alone would see. Families of one are their own
-    // median (never an offender); failures stay failures.
+    // entry exceeding 2x the median of its family SIBLINGS (own time
+    // excluded — with it included, a 2-family's slower member was its own
+    // median and could never trip) gets ONE isolated re-measure — caches
+    // released first, exactly SPARK_GRAFT_ONLY's semantics — and reports
+    // the better of the two: the number a user running that query alone
+    // would see. (Reporting min(warm-run, isolated) deliberately mixes the
+    // two cache regimes; the per-entry number is "best honest run".)
+    // Families of one have no siblings (never an offender); failures stay
+    // failures.
     val byName = selected.toMap
     for ((_, names) <- selected.map(_._1).groupBy(family) if names.size >= 2) {
-      val times = names.map(results(_)).filter(_ >= 0).sorted
-      if (times.nonEmpty) {
-        val median = times(times.size / 2)
-        for (name <- names if results(name) > 2 * median) {
+      for (name <- names if results(name) >= 0) {
+        val siblings = names.filter(_ != name).map(results(_)).filter(_ >= 0).sorted
+        if (siblings.nonEmpty && results(name) > 2 * siblings((siblings.size - 1) / 2)) {
           OperatorCaches.release(spark)
           System.gc()
           val iso = (1 to passes).map { _ =>
@@ -81,7 +156,8 @@ object Bench {
       }
     }
     OperatorCaches.release(spark)
-    println(renderLine(results.toSeq, failures.toSeq, sfDir.split('/').last))
+    println(renderLine(results.toSeq, failures.toSeq, sfDir.split('/').last,
+      canaries.toSeq))
     spark.stop()
   }
 
@@ -112,11 +188,20 @@ object Bench {
     * the tail with a "+k more" marker until the line fits — better k
     * unnamed failures than a mid-JSON driver truncation losing the whole
     * round's numbers.
+    *
+    * The run-health canary renders as "canary":[ms,ms,ms] (start/mid/end
+    * observations, integer ms) plus "degraded":true|false from the pinned
+    * envelope — so a contended-host artifact like BENCH_r06 (2.4×
+    * uniformly inflated, falsified only by an out-of-band re-run)
+    * self-reports instead of reading as a regression. Both fields are
+    * always present: an explicit false is the "this number is
+    * trustworthy" statement, and ~35 bytes fits the budget.
     */
   private[graft] def renderLine(
       results: Seq[(String, Double)],
       failures: Seq[(String, String)],
-      sfName: String): String = {
+      sfName: String,
+      canary: Seq[Double] = Seq.empty): String = {
     def short(k: String): String = k.stripPrefix("q_")
     val shortKeys = results.map { case (k, _) => short(k) }
     def lcp(a: String, b: String): Int =
@@ -144,7 +229,9 @@ object Bench {
       val qs = results.map { case (k, v) =>
         "\"" + key(k) + "\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$totalMs,"unit":"ms","queries":$qs,"failed":$failed,"sf":"$sfName"}"""
+      val canaryJson = canary.map(math.round).mkString("[", ",", "]")
+      val degraded = canaryDegraded(canary)
+      s"""{"metric":"total","value":$totalMs,"unit":"ms","queries":$qs,"failed":$failed,"canary":$canaryJson,"degraded":$degraded,"sf":"$sfName"}"""
     }
     val attempts = Iterator(line(false, failures.size), line(true, failures.size)) ++
       (failures.size - 1 to 0 by -1).iterator.map(line(true, _))

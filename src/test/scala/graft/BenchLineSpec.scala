@@ -62,6 +62,21 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("ghost_query:IOException"), line.takeRight(200))
   }
 
+  test("canary observations and the degraded verdict render in the line") {
+    val results = Seq("q_fast" -> 0.1)
+    val n = Bench.CanaryNominalMs
+    val clean = Bench.renderLine(results, Seq.empty, "sf0.1", Seq(n, n, n))
+    assert(clean.contains(s""""canary":[${math.round(n)},${math.round(n)},${math.round(n)}]"""), clean)
+    assert(clean.contains("\"degraded\":false"), clean)
+    // the r6 shape: uniform ~3x inflation must self-report
+    val hot = Bench.renderLine(results, Seq.empty, "sf0.1",
+      Seq(n * 3, n * 3.1, n * 3))
+    assert(hot.contains("\"degraded\":true"), hot)
+    // a canary-less call (spec/direct use) still renders valid JSON
+    val bare = Bench.renderLine(results, Seq.empty, "sf0.1")
+    assert(bare.contains("\"canary\":[]") && bare.contains("\"degraded\":false"), bare)
+  }
+
   test("abbreviated keys stay unique prefixes of the full names") {
     val results = Seq("q_dedup_clusters" -> 1.0, "q_dedup_clusters_star" -> 1.0,
       "q_dedup_clusters_exact" -> 1.0) ++
