@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   * `resize` rescales + re-encodes through `java.awt`. The AUDIO path is
   * real too: `javax.sound.sampled` (also JDK-shipped) parses WAV/AIFF/AU
   * to true sample rate / channels and a temporal RMS embedding over the
-  * PCM stream. VIDEO frame extraction is real for the one container the
-  * JDK ships a codec for — animated GIF, via ImageIO's sequence reader
-  * (true frame count, per-frame delays, decoded-pixel digests); other
-  * containers (mp4 & co — no JDK codec, none in this environment) fall
-  * back to a clearly marked deterministic pseudo-decode with the same
+  * PCM stream. VIDEO frame extraction is real for the two containers
+  * walkable in pure JVM — animated GIF via ImageIO's sequence reader
+  * (true frame count, per-frame delays, decoded-pixel digests) and
+  * MJPEG-in-AVI via a RIFF chunk walk (each '00dc' chunk is a JPEG that
+  * ImageIO decodes); other containers (mp4 & co — no JDK codec, none in
+  * this environment) fall back to a clearly marked deterministic
+  * pseudo-decode with the same
   * signature and batch shape, so a native codec (e.g. ffmpeg via
   * mapPartitions) slots in without changing any plan: decode stays a
   * narrow per-partition pass, scales with input splits at 100 TB, and
@@ -259,9 +261,66 @@ object Multimodal {
         Some(out.result())
       } finally reader.dispose()
     } catch {
+      // only the types ImageIO actually throws for truncated/corrupt GIF
+      // streams — a blanket RuntimeException catch would mask a genuine
+      // decode-path bug as "not a GIF" (round-6 advice)
       case _: java.io.IOException => None
-      case _: RuntimeException => None // truncated/corrupt GIF streams
+      case _: IndexOutOfBoundsException => None
     } finally iis.close()
+  }
+
+  /** REAL multi-frame decode for MJPEG-in-AVI — the second video container
+    * walkable in pure JVM: AVI is RIFF framing (public spec: 'RIFF' size
+    * 'AVI ' then fourcc-size-data chunks, LISTs nesting), and locating the
+    * stream-0 video chunks ('00dc'/'00db' inside the 'movi' LIST) needs no
+    * codec at all; in an MJPEG file each such chunk IS a JPEG, which
+    * ImageIO already decodes. Frame offsets come from the main AVI
+    * header's ('avih', first dword) microseconds-per-frame. Returns None
+    * for non-AVI payloads, AVIs with fewer than 2 decodable frames
+    * (single frames are images, not video), or truncated RIFF structure —
+    * same contract as [[gifFrames]]. Digests hash the DECODED pixels, so
+    * the same frames digest equal across re-muxed containers.
+    */
+  private[operators] def aviFrames(
+      bytes: Array[Byte]): Option[Vector[(Int, Long, String)]] = {
+    if (bytes == null || bytes.length < 12) return None
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32le(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var usPerFrame = 0L
+    val frames = Vector.newBuilder[Array[Byte]]
+    // iterative chunk walk (explicit stack — a crafted deep nesting must
+    // not overflow the JVM stack); bounds-checked so truncation returns
+    // what was walkable instead of throwing
+    var stack = List((12, math.min(bytes.length, 8 + u32le(4).toInt)))
+    while (stack.nonEmpty) {
+      var (off, end) = stack.head
+      stack = stack.tail
+      while (off + 8 <= end) {
+        val id = fourcc(off)
+        val size = u32le(off + 4).toInt
+        val dataOff = off + 8
+        if (size < 0 || dataOff + size > end) { off = end } // truncated
+        else {
+          if (id == "RIFF" || id == "LIST") {
+            // list payload = 4-byte list type + sub-chunks
+            if (size >= 4) stack ::= (dataOff + 4, dataOff + size)
+          } else if (id == "avih" && size >= 4) {
+            usPerFrame = u32le(dataOff)
+          } else if (id == "00dc" || id == "00db") {
+            frames += java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + size)
+          }
+          off = dataOff + size + (size & 1) // chunks pad to even
+        }
+      }
+    }
+    val decoded = frames.result().zipWithIndex.flatMap { case (payload, i) =>
+      decodeImage(payload).map(img => (i, i * usPerFrame / 1000L, frameDigest(img)))
+    }
+    if (decoded.size >= 2) Some(decoded) else None
   }
 
   /** Per-frame delay in centiseconds from the GIF GraphicControlExtension
@@ -275,7 +334,9 @@ object Multimodal {
       val node = kids.item(i)
       if (node.getNodeName == "GraphicControlExtension") {
         val attr = node.getAttributes.getNamedItem("delayTime")
-        if (attr != null) return attr.getNodeValue.toLong
+        // corrupt metadata (non-numeric delay) degrades to the format's
+        // default rather than aborting the whole frame walk
+        if (attr != null) return attr.getNodeValue.toLongOption.getOrElse(0L)
       }
       i += 1
     }
@@ -292,16 +353,19 @@ object Multimodal {
     * (flatMap — a narrow 1→N expansion, payload bytes never shuffle).
     * Animated-GIF payloads go through the REAL codec ([[gifFrames]]):
     * true frame indices, true cumulative offsets from the per-frame GIF
-    * delays, digests of the decoded pixels. Other containers (mp4 & co —
-    * no JDK codec, none in this environment) keep the clearly-marked
-    * deterministic pseudo-frames with the same shape, so a native decoder
-    * slots into exactly this spot.
+    * delays, digests of the decoded pixels. MJPEG-in-AVI payloads go
+    * through the REAL RIFF walk + JPEG decode ([[aviFrames]]): true frame
+    * indices, offsets from the avih frame rate, decoded-pixel digests.
+    * Remaining containers (mp4 & co — no JDK codec, none in this
+    * environment) keep the clearly-marked deterministic pseudo-frames
+    * with the same shape, so a native decoder slots into exactly this
+    * spot.
     */
   def sampleFrames(items: Dataset[MediaItem], n: Int = 4): Dataset[Frame] = {
     val spark = items.sparkSession
     import spark.implicits._
     items.filter(_.kind == "video").flatMap { item =>
-      gifFrames(item.bytes) match {
+      gifFrames(item.bytes).orElse(aviFrames(item.bytes)) match {
         case Some(frames) =>
           // evenly spaced real frames: all of them when there are <= n
           val picks =

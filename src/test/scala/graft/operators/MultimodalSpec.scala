@@ -141,6 +141,46 @@ class MultimodalSpec extends SparkSpec {
     assert(roundTrip.getWidth === 8) // sanity: codec round-trips at 8×8
   }
 
+  test("sampleFrames routes real containers through the real walks, garbage through the stub") {
+    import spark.implicits._
+    // an MJPEG AVI assembled from real JPEGs (same builder as VideoFramesSpec)
+    def u32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ u32(data.length.toLong) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    def list(kind: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ payload)
+    def jpegOf(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        6, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 6) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", out)
+      out.toByteArray
+    }
+    val jpegs = Seq(jpegOf(0xff0000), jpegOf(0x00ff00), jpegOf(0x0000ff))
+    val avih = u32(40000L) ++ Array.fill(13)(u32(0L)).flatten
+    val body = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", chunk("avih", avih)) ++
+      list("movi", jpegs.flatMap(chunk("00dc", _)).toArray)
+    val avi = "RIFF".getBytes("US-ASCII") ++ u32(body.length.toLong) ++ body
+    val items = Seq(
+      Multimodal.MediaItem(0L, "video", avi, "gen"),
+      Multimodal.MediaItem(1L, "video", "mp4-ish garbage".getBytes("UTF-8"), "gen"))
+      .toDS()
+    val frames = Multimodal.sampleFrames(items, n = 2).collect()
+    val real = frames.filter(_.media_id == 0L).sortBy(_.frame_idx)
+    // 3 real frames sampled down to 2 evenly spaced: indices 0 and 1 of
+    // picks (true frame indices 0 and 1·3/2 = 1)
+    assert(real.length === 2)
+    assert(real.map(_.offset_ms).toSeq === Seq(0L, 40L), "avih-derived offsets")
+    // the non-container payload fell through to the labeled stub shape
+    val stub = frames.filter(_.media_id == 1L)
+    assert(stub.length === 2 && stub.map(_.offset_ms).toSeq.sorted === Seq(0L, 1000L))
+  }
+
   test("resize is deterministic and stamps exactly the target dims") {
     val items = Multimodal.fromDocuments(docs)
     val a = Multimodal.resize(items, 224, 224).collect().sortBy(_.media_id)
