@@ -529,9 +529,20 @@ object Dedup {
 
   /** 64-bit SimHash of the token stream, packed into a long. Per-token
     * xxhash64 votes +1/-1 on each bit position; the sign of the per-bit sum
-    * is the fingerprint bit.
+    * is the fingerprint bit. Computed by the native codegen'd
+    * [[org.apache.spark.sql.graftnative.SimHash64]] expression — one hash +
+    * 64 register adds per token inside WholeStageCodegen, replacing the
+    * interpreted HOF fold ([[simHashHof]], kept as the lockstep oracle)
+    * that allocated a 64-long vote array per token.
     */
-  def simHash(text: Column): Column = {
+  def simHash(text: Column): Column =
+    org.apache.spark.sql.graftnative.SimHash64(toks(text))
+
+  /** Reference HOF formulation of [[simHash]] (interpreted lambda dispatch
+    * per token) — the correctness oracle for the native expression's
+    * lockstep spec, never the hot path.
+    */
+  private[graft] def simHashHof(text: Column): Column = {
     val hs = transform(toks(text), t => xxhash64(t))
     val votes = aggregate(
       hs,
