@@ -127,6 +127,90 @@ object Similarity {
       .limit(k)
   }
 
+  /** Auto (nPlanes, probeHamming) for [[annTopKAuto]] — the query-side
+    * twin of [[autoCosineBanding]], closing the last fixed-bucket LSH
+    * surface (a pinned 16-plane bucket fixes the bucket space, so probed
+    * candidates grow linearly with per-bucket occupancy — fine at one
+    * tier, a silent recall/cost drift across tiers).
+    *
+    * Same Goemans–Williamson agreement probability p = 1 − arccos(t)/π,
+    * but annTopK probes ONE w-bit bucket space within Hamming radius h of
+    * the query's bucket, so:
+    *
+    *   recall(w, h)  = Σ_{i≤h} C(w,i) · (1−p)^i · p^(w−i)   ≥ 0.95
+    *   candidates(w) ≈ n · Σ_{i≤h} C(w,i) / 2^w             (random far
+    *                   vectors agree with the query w.p. ~1/2 per bit)
+    *
+    * For each width the radius is the SMALLEST h (≤ hCap) reaching 95%
+    * recall at the target similarity; among feasible widths pick the one
+    * minimizing modeled per-query work: signature FLOPs (w·dim per corpus
+    * vector, amortized over the scan that computes buckets) + exact-cosine
+    * verification (~2·dim FLOPs per candidate). Wider buckets cost more
+    * signature work and need a larger radius (per-bit agreement decays the
+    * bucket-match probability), but shrink occupancy n/2^w geometrically —
+    * the optimum width tracks ~log2(n), exactly the knob the fixed
+    * nPlanes = 16 never turned. If no width reaches 95% within hCap (low
+    * target at huge n), fall back to the widest cap-feasible probe,
+    * best-effort — same policy as autoCosineBanding.
+    *
+    * Pure function of (simTarget, n, dim): the q_ann_lsh_auto oracle
+    * replays the derivation at catalog-build time and splices the derived
+    * planes, so any change here must keep both sides in lockstep.
+    */
+  private[graft] def autoAnnParams(
+      simTarget: Double, n: Long, dim: Int, hCap: Int = 8): (Int, Int) = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, simTarget))) / math.Pi
+    def choose(w: Int, i: Int): Double =
+      (0 until i).map(j => (w - j).toDouble / (j + 1)).product
+    def recall(w: Int, h: Int): Double =
+      (0 to h).map(i => choose(w, i) * math.pow(1 - p, i) * math.pow(p, w - i)).sum
+    def hFor(w: Int): Option[Int] =
+      (0 to math.min(w, hCap)).find(recall(w, _) >= 0.95)
+    def cost(w: Int): Double = {
+      val h = hFor(w).getOrElse(hCap)
+      val probed = (0 to h).map(choose(w, _)).sum
+      w.toDouble * dim + n.toDouble * probed / math.pow(2.0, w) * 2.0 * dim
+    }
+    val feasible = (2 to 62).filter(w => hFor(w).isDefined)
+    val w = if (feasible.nonEmpty) feasible.minBy(cost) else 2
+    (w, hFor(w).getOrElse(math.min(w, hCap)))
+  }
+
+  /** [[annTopK]] with the bucket width and probe radius derived from
+    * (similarity target, corpus size, dim) instead of pinned — the
+    * scale-safe query-side configuration. `n` as in cosineNearDupPairs
+    * auto mode: supply it when known (zero Spark jobs at construction);
+    * with `n = None` the count doubles as the cache materialization of
+    * the projected frame the bucket scan then reads.
+    */
+  def annTopKAuto(
+      df: DataFrame,
+      queryVec: Seq[Double],
+      dim: Int,
+      k: Int = 10,
+      simTarget: Double = 0.9,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      n: Option[Long] = None): DataFrame = {
+    val projected = df.select(
+      col(idCol).cast("long").as(idCol), toDouble(col(vecCol)).as("v"))
+    val base =
+      if (n.isDefined) projected
+      else OperatorCaches.persistTracked(projected)
+    val (w, h) = autoAnnParams(simTarget, n.getOrElse(base.count()), dim)
+    val q = array(queryVec.map(lit): _*)
+    val planes = hyperplanes(dim, w)
+    val qBucket = planes.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+      val d = p.zip(queryVec).map { case (a, b) => a * b }.sum
+      if (d >= 0) acc | (1L << i) else acc
+    }
+    base.select(col(idCol), col("v"), lshBucket(col("v"), dim, w).as("bucket"))
+      .filter(bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= h)
+      .select(col(idCol), round(cosine(col("v"), q), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF-style ANN: a coarse quantizer (k deterministic sample centroids)
     * assigns every vector a `centroid_id`; a query scores only the vectors
     * in the `nProbe` centroids nearest to it. At rest the table would be

@@ -1842,6 +1842,48 @@ object QueryCatalog {
               ORDER BY round(sim_raw, 4) DESC, vec_id LIMIT 10"""
       }),
 
+    // the query-side AUTO twin (judge r6 item 4 — the last fixed-bucket
+    // LSH surface): bucket width and multiprobe radius derived from
+    // (simTarget, corpus size, dim) by autoAnnParams — a pure function,
+    // so the oracle replays the derivation at catalog-build time for the
+    // verify tier's corpus (499 non-query embeddings at sf0.01; a fixture
+    // regeneration that changes the count fails this row loudly, by
+    // construction) and splices the derived planes verbatim. The Spark
+    // side passes n = None, exercising the count-materializes-the-cache
+    // path end-to-end.
+    Q("q_ann_lsh_auto",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = Similarity.collectQueryVec(emb, 0)
+        Similarity.annTopKAuto(emb.filter(col("vec_id") =!= 0), q, dim = 64,
+          k = 10, simTarget = 0.9)
+      },
+      Some {
+        val (w, h) = Similarity.autoAnnParams(0.9, n = 499L, dim = 64)
+        val planeValues = graft.operators.Similarity.hyperplanes(dim = 64, nPlanes = w)
+          .zipWithIndex
+          .map { case (p, i) => s"($i, ${p.mkString("[", ", ", "]")}::DOUBLE[])" }
+          .mkString(",\n                  ")
+        s"""WITH planes(p, pv) AS (VALUES
+                  $planeValues),
+              emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings),
+              b AS (SELECT vec_id,
+                  CAST(sum(CASE WHEN list_dot_product(e, pv) >= 0
+                    THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+                FROM emb, planes GROUP BY vec_id),
+              cand AS (
+                SELECT m.vec_id,
+                  list_cosine_similarity(m.e,
+                    (SELECT e FROM emb WHERE vec_id = 0)) AS sim_raw
+                FROM emb m JOIN b USING (vec_id)
+                WHERE m.vec_id <> 0 AND
+                  bit_count(xor(b.bucket,
+                    (SELECT bucket FROM b WHERE vec_id = 0))) <= $h)
+              SELECT vec_id, round(sim_raw, 4) AS sim FROM cand
+              ORDER BY round(sim_raw, 4) DESC, vec_id LIMIT 10"""
+      }),
+
     // oracle replays the 16 literal hyperplanes (Similarity.hyperplanes,
     // 4-dp — same splice pattern as q_ann_lsh), re-derives the 4×4-bit
     // band keys from the sign-bit bucket, the band-collision candidate

@@ -56,4 +56,44 @@ class AutoBandingPropertySpec extends AnyFunSuite {
     val (npTiny, bTiny) = Similarity.autoCosineBanding(0.9, 1L, dim = 8)
     assert(bTiny >= 1 && npTiny % bTiny == 0 && npTiny / bTiny >= 2)
   }
+
+  // ---- autoAnnParams: the query-side twin (q_ann_lsh_auto splices it) ----
+
+  private def annRecall(t: Double, w: Int, h: Int): Double = {
+    val p = 1.0 - math.acos(t) / math.Pi
+    def choose(n: Int, k: Int): Double =
+      (0 until k).map(j => (n - j).toDouble / (j + 1)).product
+    (0 to h).map(i => choose(w, i) * math.pow(1 - p, i) * math.pow(p, w - i)).sum
+  }
+
+  test("ann params invariants hold across (simTarget, n, dim)") {
+    val genT = Gen.choose(0.1, 0.999)
+    val genN = Gen.choose(1L, 1000000000L)
+    val genDim = Gen.oneOf(8, 64, 256, 1024)
+    val prop = Prop.forAll(genT, genN, genDim) { (t, n, dim) =>
+      val (w, h) = Similarity.autoAnnParams(t, n, dim)
+      val shape = w >= 2 && w <= 62 && h >= 0 && h <= math.min(w, 8)
+      // 95% recall at the target similarity unless no width was feasible
+      // within the radius cap (then best-effort by design, like the cap
+      // arm of autoCosineBanding)
+      val recallOk = annRecall(t, w, h) >= 0.95 ||
+        !(2 to 62).exists(wf => (0 to math.min(wf, 8)).exists(annRecall(t, wf, _) >= 0.95))
+      val deterministic = Similarity.autoAnnParams(t, n, dim) == ((w, h))
+      shape && recallOk && deterministic
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(800), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("ann bucket width is monotone in corpus size at a fixed target") {
+    // occupancy n/2^w is the candidate driver: a width that shrank with
+    // corpus growth would be the fixed-bucket drift this closes
+    for (t <- Seq(0.8, 0.9, 0.95)) {
+      val widths = Seq(1000L, 10000L, 100000L, 1000000L, 10000000L).map { n =>
+        Similarity.autoAnnParams(t, n, dim = 64)._1
+      }
+      assert(widths == widths.sorted, s"t=$t widths=$widths")
+    }
+  }
 }
