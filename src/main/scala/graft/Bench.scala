@@ -125,7 +125,6 @@ object Bench {
       }
       results(name) = if (samples.exists(_ < 0)) -1.0 else samples.min
     }
-    canaries += canarySampleMs(spark)
     // Within-family warm reuse is deliberate (those queries share sketch-
     // table plans, and warm steady state is what a pipeline sees), but it
     // can also leave one entry paying its neighbors' cache-eviction churn:
@@ -156,6 +155,11 @@ object Bench {
       }
     }
     OperatorCaches.release(spark)
+    // end observation AFTER the release: the canary gauges HOST health, so
+    // it must not price in our own still-resident working set (at a ×100
+    // tier the last family's caches pushed the end observation to 2.5 s —
+    // self-load, not contention)
+    canaries += canarySampleMs(spark)
     println(renderLine(results.toSeq, failures.toSeq, sfDir.split('/').last,
       canaries.toSeq))
     spark.stop()

@@ -57,6 +57,17 @@ object OperatorCaches {
     * regardless of which call persisted it, and the repeat persist bought
     * nothing but a CacheManager "already cached" warning per overlapping
     * sketch in a long bench run. Actions hit the existing cache either way.
+    *
+    * Inherited-level caveat (round-6 advice): when the skip fires, the
+    * operator runs at whatever storage level the EXISTING cache was
+    * created with — a caller who pre-cached the same plan MEMORY_ONLY
+    * keeps MEMORY_ONLY eviction semantics under pressure, not this
+    * module's MEMORY_AND_DISK. Upgrading in place is not possible
+    * (persist() on an already-cached frame is exactly the warning this
+    * skip removes, and Spark has no re-level API short of unpersist —
+    * which would drop a cache the caller owns mid-use). Every in-library
+    * caller reaches caches only through this module, so the level is
+    * uniform in practice; the caveat exists for external callers.
     */
   private[operators] def persistTracked(df: DataFrame): DataFrame = synchronized {
     pruneStopped()

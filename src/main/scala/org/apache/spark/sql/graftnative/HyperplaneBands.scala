@@ -31,10 +31,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   *
   * Null semantics mirror the HOF fold they replace: a null vector yields a
   * null result; a null COMPONENT nulls every dot product in the fold
-  * (`when(null >= 0)` never fires), so any-null input yields all-zero keys;
-  * an EMPTY vector has dot 0.0 ≥ 0 for every plane, so every bit is set.
+  * (`when(null >= 0)` never fires), so any-null input yields all-zero keys.
   * No embedding source produces null components — the parity just keeps
   * the lockstep spec unconditional.
+  *
+  * A vector whose length differs from `dim` FAILS LOUDLY (runtime
+  * IllegalArgumentException naming both lengths): the HOF fold would
+  * null-pad via zip_with into all-zero keys (silent recall collapse) and
+  * the DuckDB oracle's list_dot_product would error — truncating to
+  * min(length, dim), as earlier rounds did, silently banded on partial
+  * dots no other formulation computes (round-6 advice).
   */
 case class HyperplaneBands(
     child: Expression,
@@ -64,7 +70,9 @@ case class HyperplaneBands(
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
-    val m = math.min(arr.numElements(), dim)
+    val m = arr.numElements()
+    if (m != dim) throw new IllegalArgumentException(
+      s"hyperplane_bands: vector length $m != dim $dim")
     val keys = new Array[Long](b)
     var anyNull = false
     var t = 0
@@ -107,7 +115,11 @@ case class HyperplaneBands(
       val i = ctx.freshName("i")
       val key = ctx.freshName("key")
       s"""
-         |int $m = java.lang.Math.min($c.numElements(), $dim);
+         |int $m = $c.numElements();
+         |if ($m != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "hyperplane_bands: vector length " + $m + " != dim " + $dim);
+         |}
          |long[] $keys = new long[$b];
          |boolean $anyNull = false;
          |for (int $t = 0; $t < $m && !$anyNull; $t++) {

@@ -59,14 +59,13 @@ class HyperplaneBandsSpec extends SparkSpec {
     assert(hof.filter(col("native") =!= col("hof")).count() === 0)
   }
 
-  test("null/empty/null-component semantics match the HOF fold artifacts") {
+  test("null/null-component semantics match the HOF fold artifacts") {
     val dim = 4; val w = 3; val b = 2
     val schema = StructType(Seq(
       StructField("id", LongType),
       StructField("v", ArrayType(DoubleType, containsNull = true))))
     val rows = java.util.Arrays.asList(
       Row(1L, null),                         // null vector
-      Row(2L, Seq.empty[Double]),            // empty: dot = 0.0 >= 0, all bits set
       Row(3L, Seq[Any](0.5, null, 0.25, -1.0)), // null component: all dots null
       Row(4L, Seq(0.5, 0.25, -0.5, 1.0)))    // plain
     val df = spark.createDataFrame(rows, schema)
@@ -74,14 +73,35 @@ class HyperplaneBandsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         Option(r.getSeq[Long](1)).map(_.toSeq)).toMap
     assert(got(1L).isEmpty, "null vector must yield null keys")
-    assert(got(2L).contains(Seq((1L << w) - 1, (1L << w) - 1)),
-      s"empty vector: every dot is 0.0 >= 0 -> all bits set; got ${got(2L)}")
     assert(got(3L).contains(Seq(0L, 0L)),
       s"null component nulls every dot -> no bit set; got ${got(3L)}")
     // the plain row agrees with the HOF fold
     val hof = df.filter(col("id") === 4L)
       .select(Similarity.lshBandKeysHof(col("v"), dim, w, b)).head().getSeq[Long](0)
     assert(got(4L).contains(hof.toSeq))
+  }
+
+  test("a wrong-length vector fails loudly instead of banding on partial dots") {
+    // the HOF fold would null-pad into all-zero keys (silent recall
+    // collapse) and the DuckDB oracle's list_dot_product would error; the
+    // native expression names both lengths (round-6 advice: truncating to
+    // min(len, dim) silently banded on dots no other formulation computes)
+    val dim = 4; val w = 3; val b = 2
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", ArrayType(DoubleType, containsNull = true))))
+    for (bad <- Seq(Seq(0.5, 0.25), Seq(0.5, 0.25, -0.5, 1.0, 9.0), Seq.empty[Double])) {
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(Row(1L, bad)), schema)
+      val e = intercept[Exception] {
+        df.select(Similarity.lshBandKeys(col("v"), dim, w, b)).collect()
+      }
+      def headMsg(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(5)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(headMsg(e).exists(m =>
+        m.contains("vector length") && m.contains("!= dim")), headMsg(e).toString)
+    }
   }
 
   test("the sketch plan carries the native expression, not an interpreted fold") {
