@@ -89,6 +89,25 @@ object Similarity {
   def lshBucket(v: Column, dim: Int, nPlanes: Int = 16, seed: Long = 42L): Column = {
     // JVM shifts are mod 64: plane 64+ would silently alias onto low bits
     require(nPlanes > 0 && nPlanes <= 63, "nPlanes must be in [1, 63]")
+    // one native fused loop (HyperplaneBands, b = 1: the single band IS
+    // the packed bucket) instead of nPlanes chained dot/when/or nodes —
+    // at the widths autoAnnParams derives (w tracks log2 n, up to 62)
+    // the chained form dominated the x100 ann scan. Value-identical on
+    // every in-domain vector (lockstep-spec'd vs the HOF fold); the two
+    // deliberate strictness deltas: a NULL vector now yields a NULL
+    // bucket (the row leaves candidate generation — the fold's artifact
+    // bucket 0 rode through it), and a wrong-length vector fails loudly
+    // instead of silently bucketing on null-padded dots.
+    element_at(lshBandKeys(v, dim, nPlanes, 1, seed), 1)
+  }
+
+  /** Reference HOF formulation of [[lshBucket]] (one interpreted-or-chained
+    * dot per plane) — the independent correctness oracle for the native
+    * pack's lockstep spec, never the hot path.
+    */
+  private[graft] def lshBucketHof(
+      v: Column, dim: Int, nPlanes: Int = 16, seed: Long = 42L): Column = {
+    require(nPlanes > 0 && nPlanes <= 63, "nPlanes must be in [1, 63]")
     val planes = hyperplanes(dim, nPlanes, seed)
     planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
       val d = dot(v, array(p.map(lit): _*))

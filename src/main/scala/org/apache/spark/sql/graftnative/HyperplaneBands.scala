@@ -49,7 +49,8 @@ case class HyperplaneBands(
     w: Int,
     b: Int) extends UnaryExpression {
 
-  require(w > 0 && w <= 62, "band width must be in [1, 62] bits")
+  // 63 bits max: bit 62 is the highest that keeps the key positive
+  require(w > 0 && w <= 63, "band width must be in [1, 63] bits")
   require(b > 0, "band count must be positive")
   require(planes.length == w * b * dim,
     s"planes must hold w*b*dim = ${w * b * dim} values, got ${planes.length}")

@@ -33,15 +33,29 @@ class HyperplaneBandsSpec extends SparkSpec {
   }
 
   test("for w·b <= 63 the band keys are exactly the packed-bucket slices") {
+    // sliced from the HOF pack, not lshBucket: since lshBucket delegates
+    // to HyperplaneBands itself, slicing it here would compare the native
+    // expression against itself
     val dim = 8; val w = 4; val b = 3
     val df = randomVecs(23L, 150, dim)
     val sliced = (0 until b).map(i =>
-      shiftrightunsigned(Similarity.lshBucket(col("v"), dim, w * b), i * w)
+      shiftrightunsigned(Similarity.lshBucketHof(col("v"), dim, w * b), i * w)
         .bitwiseAND(lit((1L << w) - 1)))
     val both = df.select(
       Similarity.lshBandKeys(col("v"), dim, w, b).as("native"),
       array(sliced: _*).as("packed"))
     assert(both.filter(col("native") =!= col("packed")).count() === 0)
+  }
+
+  test("lshBucket (native-backed) packs bit-identically to its HOF fold") {
+    for (nPlanes <- Seq(1, 16, 40, 63)) {
+      val df = randomVecs(101L + nPlanes, 120, 16)
+      val both = df.select(
+        Similarity.lshBucket(col("v"), 16, nPlanes).as("native"),
+        Similarity.lshBucketHof(col("v"), 16, nPlanes).as("hof"))
+      assert(both.filter(col("native") =!= col("hof")).count() === 0,
+        s"nPlanes=$nPlanes")
+    }
   }
 
   test("beyond 63 total bits the expression still produces sane keys") {
