@@ -466,6 +466,24 @@ object Similarity {
     * same derivation to splice the planes, so any change here must keep
     * the q_embed_neardup_auto entry's Spark and DuckDB sides in lockstep.
     */
+  /** Expected LSH candidate PAIRS for [[cosineNearDupPairs]] auto mode at
+    * (threshold, n, dim) — the pre-flight feasibility check for the bound
+    * BENCH_SF10.md §5 measures. Random far vectors collide in a w-bit band
+    * with probability 2^-w, so the derived (w, b) implies ≈ b · n²/2^(w+1)
+    * verification candidates. At high thresholds the derivation holds this
+    * near-linear in n (occupancy ~1); at LOW thresholds no 95%-recall
+    * banding can (candidates ~ n²/(2p)^w with 2p barely above 1 — the
+    * Goemans–Williamson agreement bound), and this estimate is how a
+    * caller finds out BEFORE paying for it: e.g. ~1.7e11 at (0.25, 5e5),
+    * vs ~3e5 at (0.9, 5e5). Per-vector ANN ([[annTopKAuto]]) or IVF are
+    * the scale paths for low-similarity discovery.
+    */
+  def expectedAutoCandidatePairs(threshold: Double, n: Long, dim: Int): Double = {
+    val (np, b) = autoCosineBanding(threshold, n, dim)
+    val w = np / b
+    b.toDouble * n.toDouble * (n.toDouble / math.pow(2.0, w)) / 2.0
+  }
+
   private[graft] def autoCosineBanding(
       threshold: Double, n: Long, dim: Int, bandCap: Int = 64): (Int, Int) = {
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi

@@ -86,6 +86,20 @@ class AutoBandingPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("candidate estimator separates the feasible and infeasible regimes") {
+    // the BENCH_SF10 §5 boundary, as numbers a caller can check up front:
+    // t=0.25 at n=5e5 is the measured SparkException (~1e11 pairs);
+    // t=0.9 at the same n is the measured 6.98 s (occupancy ~1)
+    val low = Similarity.expectedAutoCandidatePairs(0.25, 500000L, 64)
+    val high = Similarity.expectedAutoCandidatePairs(0.9, 500000L, 64)
+    assert(low > 1e10, s"low-threshold estimate should be huge, got $low")
+    assert(high < 1e8, s"high-threshold estimate should be modest, got $high")
+    // and the estimate is monotone DOWN in threshold at fixed n
+    val mids = Seq(0.25, 0.5, 0.8, 0.9, 0.95)
+      .map(Similarity.expectedAutoCandidatePairs(_, 500000L, 64))
+    assert(mids == mids.sortBy(-_), s"estimates not decreasing: $mids")
+  }
+
   test("ann bucket width is monotone in corpus size at a fixed target") {
     // occupancy n/2^w is the candidate driver: a width that shrank with
     // corpus growth would be the fixed-bucket drift this closes
