@@ -887,23 +887,41 @@ object Dedup {
     val posting = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
     val gramDf = posting.groupBy("s").agg(count(lit(1)).as("df"))
     // rare-first consistent total order (df, then hash value as tiebreak);
-    // prefix length ⌈sz·(1−t)⌉ + 1, clamped to sz
+    // prefix length ⌈sz·(1−t)⌉ + 1, clamped to sz. posexplode keeps each
+    // prefix gram's 0-based position in the FULL ranked list (the slice
+    // starts at 1), which the position filter below needs
     val prefix = OperatorCaches.persistTracked(posting
       .join(gramDf.filter(col("df") <= maxDf), Seq("s"))
       .groupBy("id").agg(first("sz").as("sz"),
         sort_array(collect_list(struct(col("df"), col("s")))).as("ranked"))
       .select(col("id"), col("sz"),
-        explode(slice(col("ranked"), lit(1),
-          least(ceil(col("sz") * lit(1.0 - threshold)).cast("int") + 1, col("sz"))))
-          .as("r"))
-      .select(col("id"), col("sz"), col("r.s").as("s")))
+        posexplode(slice(col("ranked"), lit(1),
+          least(ceil(col("sz") * lit(1.0 - threshold)).cast("int") + 1, col("sz")))))
+      .select(col("id"), col("sz"), col("pos"), col("col.s").as("s")))
+    // POSITION filter (PPJoin's second prune): J ≥ t needs overlap
+    // α = t/(1+t)·(sz_a+sz_b). Both shingle lists are sorted by the SAME
+    // global (df, hash) order, so a pair's first common gram minimizes
+    // both positions and 1 + min(remaining-after-i, remaining-after-j) is
+    // a valid overlap upper bound — aggregated as max over the pair's
+    // shared prefix occurrences, which IS the first-occurrence bound.
+    // Prunes pairs that only share deep-tail grams before their shingle
+    // arrays ever travel to verification; cost-only, never results (the
+    // 1e-9 slack keeps the integer-vs-real comparison conservative).
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
           // size-ratio guard, both directions (either side may be larger)
           col("a.sz") >= lit(threshold) * col("b.sz") &&
           col("b.sz") >= lit(threshold) * col("a.sz"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"),
+        (lit(1) + least(col("a.sz") - col("a.pos") - 1,
+          col("b.sz") - col("b.pos") - 1)).as("ub"))
+      .groupBy("id_a", "id_b").agg(
+        max(col("ub")).as("ub"),
+        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
+      .filter(col("ub") >=
+        lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b")) - lit(1e-9))
+      .select(col("id_a"), col("id_b"))
     val shTbl = sh.select(col("id"), col("sh"), col("sz"))
     cand
       .join(shTbl.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), Seq("id_a"))
