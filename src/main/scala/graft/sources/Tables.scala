@@ -37,16 +37,28 @@ object Tables {
     spark.read.option("mergeSchema", "true").parquet(path)
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // keyed on the table NAME, not "any long column called ts": only the
-    // events table is known to carry nanos-as-long; a future table whose
-    // long ts is already micros/seconds must not be silently divided
-    if (name == "events" &&
-        df.schema.exists(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else df
+    // keyed on the table NAME, not "any ts column": only the events table
+    // gets its timestamp normalized. Two writer generations exist:
+    // TIMESTAMP(NANOS), which Spark 4 only reads as long (legacy
+    // nanosAsLong, set in the session) → divide to micros; and
+    // TIMESTAMP(MICROS) with no tz annotation → TimestampNTZType, which
+    // session-TZ datetime functions (and the TimestampType contract every
+    // downstream operator assumes) don't apply to → reinterpret the same
+    // micros as UTC instants (session TZ is UTC, so wall-clock == instant;
+    // the cell-81 repair of SURVEY.md §1). A future table whose long ts
+    // is already micros/seconds must not be silently divided.
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) if name == "events" =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case Some(TimestampNTZType) if name == "events" =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** CSV dimension load with header inference (reference README.md:20). */

@@ -141,7 +141,7 @@ class TablesSpec extends SparkSpec {
     assert(byId(1L) === null && byId(2L) === "en")
   }
 
-  test("nanos ts repair applies only to the events table, not any long 'ts'") {
+  test("ts repair applies only to the events table, not any long 'ts'") {
     import spark.implicits._
     // a future table whose long ts is ALREADY micros must come back verbatim
     val micros = 1704067200000000L // 2024-01-01T00:00:00 in micros
@@ -151,8 +151,44 @@ class TablesSpec extends SparkSpec {
     val back = Tables.load(spark, dir, "ledger")
     assert(back.schema("ts").dataType.typeName === "long")
     assert(back.head().getLong(1) === micros)
-    // the events table itself still gets the nanos→micros repair
+    // whatever writer generation produced the live testdata, the events
+    // table must come back as session-TZ TimestampType
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     assert(ev.schema("ts").dataType.typeName === "timestamp")
+  }
+
+  test("events ts repair: nanos-as-long shape → TimestampType micros") {
+    import spark.implicits._
+    // the original writer generation: TIMESTAMP(NANOS), which Spark reads
+    // as long under the session's nanosAsLong flag. Synthesized as a raw
+    // long column (same thing the reader sees); 'events' name triggers the
+    // divide-to-micros repair.
+    val nanos = 1704067200000000000L // 2024-01-01T00:00:00 UTC in nanos
+    val dir = s"$tmp/tsrepair_nanos"
+    Seq((1L, nanos)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = Tables.load(spark, dir, "events")
+    assert(ev.schema("ts").dataType.typeName === "timestamp")
+    assert(ev.select(unix_timestamp(col("ts"))).head().getLong(0) === 1704067200L)
+  }
+
+  test("events ts repair: timestamp_ntz shape → TimestampType, same instant") {
+    import spark.implicits._
+    // the regenerated-testdata writer generation: TIMESTAMP(MICROS) with
+    // no tz annotation → Spark reads TimestampNTZType. The repair casts to
+    // TimestampType under the UTC session TZ, so the wall-clock value IS
+    // the instant — downstream datetime functions and window ops apply.
+    val dir = s"$tmp/tsrepair_ntz"
+    Seq((1L, "2024-01-01T00:00:00"))
+      .toDF("event_id", "raw")
+      .select(col("event_id"), to_timestamp_ntz(col("raw")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // written NTZ round-trips as NTZ from the footer…
+    assert(spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType.typeName === "timestamp_ntz")
+    // …and Tables.load normalizes it to session-TZ TimestampType
+    val ev = Tables.load(spark, dir, "events")
+    assert(ev.schema("ts").dataType.typeName === "timestamp")
+    assert(ev.select(unix_timestamp(col("ts"))).head().getLong(0) === 1704067200L)
   }
 }
