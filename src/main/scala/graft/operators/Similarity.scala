@@ -511,7 +511,8 @@ object Similarity {
       bands: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      n: Option[Long] = None): DataFrame = {
+      n: Option[Long] = None,
+      maxExpectedCandidatePairs: Double = 1e9): DataFrame = {
     val vd = toDouble(col(vecCol))
     val projected = df.select(col(idCol).cast("long").as("id"), vd.as("v"))
     // persist the sketch either way: the band-key expression (many dot
@@ -546,7 +547,27 @@ object Similarity {
         val base =
           if (n.isDefined) projected
           else OperatorCaches.persistTracked(projected)
-        val (np, nb) = autoCosineBanding(threshold, n.getOrElse(base.count()), dim)
+        val nEff = n.getOrElse(base.count())
+        // fail-fast feasibility gate: below the LSH boundary (low threshold
+        // at large n — the Goemans–Williamson agreement bound analyzed in
+        // BENCH_SF10.md §5) NO 95%-recall banding is sub-quadratic, and the
+        // band join would die 20 minutes in with an opaque executor error.
+        // Estimate the verification-candidate volume from the derived
+        // banding FIRST and refuse with a diagnosis instead: e.g.
+        // (t=0.25, n=5e5) estimates ~1.7e11 pairs. The ceiling's 1e9
+        // default is ~one node-hour of verification work (≈400 FLOP-equiv
+        // per candidate); callers who really want the quadratic override it.
+        val est = expectedAutoCandidatePairs(threshold, nEff, dim)
+        if (est > maxExpectedCandidatePairs)
+          throw new IllegalArgumentException(
+            f"cosineNearDupPairs auto mode at (threshold=$threshold%.2f, n=$nEff, " +
+              f"dim=$dim) expects ~$est%.2e LSH candidate pairs — above the " +
+              f"$maxExpectedCandidatePairs%.1e ceiling. This regime is below the " +
+              "LSH feasibility boundary (expectedAutoCandidatePairs is the " +
+              "pre-flight check); use annTopKAuto (per-vector top-k) or the IVF " +
+              "path (ivfTopK) for low-similarity discovery, or " +
+              "raise maxExpectedCandidatePairs to force the quadratic join.")
+        val (np, nb) = autoCosineBanding(threshold, nEff, dim)
         val s = OperatorCaches.persistTracked(
           base.withColumn("bands", lshBandKeys(col("v"), dim, np / nb, nb)))
         val bd = s.select(col("id"), col("v"),

@@ -71,4 +71,29 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
     assert(!pairs.exists(p => p._2 == 4L))
   }
+
+  test("auto mode fails fast in the GW-infeasible regime with a diagnosis") {
+    // (t=0.25, n=5e5): BENCH_SF10 §5's measured scale-killer — the
+    // estimate (~1.7e11 candidate pairs) must refuse BEFORE any Spark
+    // work, naming the number and the scale paths, instead of dying in a
+    // generic SparkException 20 minutes into the band join
+    val est = Similarity.expectedAutoCandidatePairs(0.25, 500000L, dim = 64)
+    assert(est > 1e10, f"regime drifted: estimate $est%.2e")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(vecs, dim = 64, threshold = 0.25,
+        nPlanes = 0, n = Some(500000L))
+    }
+    assert(err.getMessage.contains("candidate pairs"))
+    assert(err.getMessage.contains("annTopKAuto"))
+    assert(err.getMessage.contains("ivfTopK"))
+    // the ceiling is caller-overridable: forcing constructs the frame
+    // (no job runs — caller-supplied n keeps construction pure)
+    Similarity.cosineNearDupPairs(vecs, dim = 64, threshold = 0.25,
+      nPlanes = 0, n = Some(500000L), maxExpectedCandidatePairs = 1e12)
+    // and the feasible regime passes through untouched: t=0.9 at the same
+    // corpus size derives near-linear candidates, far under the ceiling
+    assert(Similarity.expectedAutoCandidatePairs(0.9, 500000L, dim = 64) < 1e9)
+    Similarity.cosineNearDupPairs(vecs, dim = 64, threshold = 0.9,
+      nPlanes = 0, n = Some(500000L))
+  }
 }
