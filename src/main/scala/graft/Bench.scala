@@ -65,6 +65,14 @@ object Bench {
     canaries.nonEmpty &&
       (canaries.max > CanaryCeilingMs ||
         canaries.max / canaries.min > CanarySpreadCeiling)
+
+  /** How many of the slowest entries get a post-sweep isolated re-measure
+    * for the line's "isolated" map. 5 covers every entry the r7
+    * adjudication found regime-divergent (the big dedup family); each
+    * costs passes× its own runtime, so the tail adds ~30-60 s to a full
+    * sweep — bounded, and only the slowest entries pay it.
+    */
+  private[graft] val IsolatedTopN = 5
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -154,14 +162,39 @@ object Bench {
         }
       }
     }
+    // Regime disambiguation (r7 adjudication finding): in-run numbers can
+    // run up to 6x the same query measured alone (dedup_simhash 5.4 s
+    // in-catalog vs 926 ms isolated — neighbor cache/GC churn, not host
+    // contention; the canary proves the host clean). Cross-round per-query
+    // comparison on in-run numbers is noise-dominated, so after the sweep
+    // the N slowest successful entries get ONE isolated re-measure each
+    // (caches released first — exactly SPARK_GRAFT_ONLY's semantics) and
+    // the line ships BOTH regimes: "queries" = in-run, "isolated" = the
+    // alone-number for the entries where the regimes can differ most.
+    // Next-round verdicts should diff isolated-to-isolated.
+    val isolated = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2)
+      .take(IsolatedTopN).map(_._1)
+    for (name <- slowest) {
+      OperatorCaches.release(spark)
+      System.gc()
+      val iso = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        try { byName(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => Double.MaxValue }
+      }.min
+      if (iso < Double.MaxValue) isolated(name) = iso
+    }
     OperatorCaches.release(spark)
     // end observation AFTER the release: the canary gauges HOST health, so
     // it must not price in our own still-resident working set (at a ×100
     // tier the last family's caches pushed the end observation to 2.5 s —
     // self-load, not contention)
     canaries += canarySampleMs(spark)
+    val counterEx = queries.QueryCatalog.all.filter(_.counterExample)
+      .map(_.name).filter(results.contains)
     println(renderLine(results.toSeq, failures.toSeq, sfDir.split('/').last,
-      canaries.toSeq))
+      canaries.toSeq, counterEx, isolated.toSeq))
     spark.stop()
   }
 
@@ -200,30 +233,54 @@ object Bench {
     * self-reports instead of reading as a regression. Both fields are
     * always present: an explicit false is the "this number is
     * trustworthy" statement, and ~35 bytes fits the budget.
+    *
+    * "counterexamples" lists the catalog entries flagged
+    * Q.counterExample — correct-on-fixture shapes retained as measured
+    * x100 scale failures (BENCH_SF10.md) — so the artifact carries their
+    * status instead of prose archaeology. "isolated" maps the slowest
+    * entries to their post-sweep alone-measured ms (same integer-ms unit):
+    * in-run vs isolated regimes were adjudicated to diverge up to 6x on
+    * cache-heavy entries, and cross-round comparison should diff
+    * isolated-to-isolated. Both keys render through the same
+    * abbreviation map as "queries", and both sit ABOVE failure
+    * truncation in the budget ladder: under pressure the line first
+    * drops isolated entries from the tail, then both extra keys
+    * entirely (they are additive diagnostics; "queries"/"failed" are
+    * the load-bearing contract), and only then truncates failures.
     */
   private[graft] def renderLine(
       results: Seq[(String, Double)],
       failures: Seq[(String, String)],
       sfName: String,
-      canary: Seq[Double] = Seq.empty): String = {
+      canary: Seq[Double] = Seq.empty,
+      counterExamples: Seq[String] = Seq.empty,
+      isolated: Seq[(String, Double)] = Seq.empty): String = {
     def short(k: String): String = k.stripPrefix("q_")
     val shortKeys = results.map { case (k, _) => short(k) }
     def lcp(a: String, b: String): Int =
       a.zip(b).takeWhile { case (x, y) => x == y }.size
-    val abbrevOf: Map[String, String] = shortKeys.map { k =>
-      val longest = shortKeys.filter(_ != k).map(o => lcp(k, o)).maxOption.getOrElse(0)
-      k -> k.take(math.max(6, longest + 1))
-    }.toMap
-    require(abbrevOf.values.toSeq.distinct.size == shortKeys.size,
-      "bench key abbreviation collided")
+    // floor 6 buys prefix stability across rounds; uniqueness comes from
+    // lcp+1 alone, so the last-resort budget rungs may drop the floor to 1
+    // (maximal compression, still collision-free by construction)
+    def abbrevMap(floor: Int): Map[String, String] = {
+      val m = shortKeys.map { k =>
+        val longest = shortKeys.filter(_ != k).map(o => lcp(k, o)).maxOption.getOrElse(0)
+        k -> k.take(math.max(floor, longest + 1))
+      }.toMap
+      require(m.values.toSeq.distinct.size == shortKeys.size,
+        "bench key abbreviation collided")
+      m
+    }
+    val abbrevOf: Map[String, String] = abbrevMap(6)
     val ok = results.map(_._2).filter(_ >= 0)
     val totalMs = math.round((if (ok.nonEmpty) ok.sum else 0.0) * 1000)
-    def line(abbrev: Boolean, keepFailed: Int): String = {
+    def line(abbrev: Boolean, keepFailed: Int, keepIso: Int, extras: Boolean,
+        keys: Map[String, String] = abbrevOf): String = {
       // a failures key absent from results (can't happen today, but the
       // map is built from results only) falls back to the un-abbreviated
       // short name rather than throwing away the whole line
       def key(k: String): String =
-        if (abbrev) abbrevOf.getOrElse(short(k), short(k)) else short(k)
+        if (abbrev) keys.getOrElse(short(k), short(k)) else short(k)
       val kept = failures.take(keepFailed)
         .map { case (k, err) => "\"" + key(k) + ":" + err + "\"" }
       val marker =
@@ -233,12 +290,30 @@ object Bench {
       val qs = results.map { case (k, v) =>
         "\"" + key(k) + "\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
       }.mkString("{", ",", "}")
+      val extraFields =
+        if (!extras) ""
+        else {
+          val cex = counterExamples.map(k => "\"" + key(k) + "\"").mkString("[", ",", "]")
+          val iso = isolated.take(keepIso).map { case (k, v) =>
+            "\"" + key(k) + "\":" + math.round(v * 1000).toString
+          }.mkString("{", ",", "}")
+          s""""counterexamples":$cex,"isolated":$iso,"""
+        }
       val canaryJson = canary.map(math.round).mkString("[", ",", "]")
       val degraded = canaryDegraded(canary)
-      s"""{"metric":"total","value":$totalMs,"unit":"ms","queries":$qs,"failed":$failed,"canary":$canaryJson,"degraded":$degraded,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$totalMs,"unit":"ms","queries":$qs,"failed":$failed,$extraFields"canary":$canaryJson,"degraded":$degraded,"sf":"$sfName"}"""
     }
-    val attempts = Iterator(line(false, failures.size), line(true, failures.size)) ++
-      (failures.size - 1 to 0 by -1).iterator.map(line(true, _))
-    attempts.find(_.length <= 1920).getOrElse(line(true, 0))
+    // floor-1 keys sacrifice round-over-round prefix stability, so they
+    // rank below dropping the extras but ABOVE truncating failures: a
+    // failure name+class is the one diagnostic the driver line exists for
+    lazy val tightKeys = abbrevMap(1)
+    val attempts =
+      Iterator(line(false, failures.size, isolated.size, true),
+        line(true, failures.size, isolated.size, true)) ++
+      (isolated.size - 1 to 0 by -1).iterator.map(line(true, failures.size, _, true)) ++
+      Iterator(line(true, failures.size, 0, false),
+        line(true, failures.size, 0, false, tightKeys)) ++
+      (failures.size - 1 to 0 by -1).iterator.map(line(true, _, 0, false, tightKeys))
+    attempts.find(_.length <= 1920).getOrElse(line(true, 0, 0, false, tightKeys))
   }
 }

@@ -12,10 +12,18 @@ import graft.operators.{Dedup, Packing, Profiling, Similarity, SkewJoin, TextAna
   * hashing). Every query ends in a deterministic ORDER BY so row order can
   * never cause a spurious mismatch.
   */
+/** @param counterExample marks an entry RETAINED AS A MEASURED SCALE
+  *   COUNTER-EXAMPLE: correct on the fixtures (its oracle row is green)
+  *   but proven non-viable at x100 in BENCH_SF10.md, kept beside its
+  *   scale-safe replacement so the failure mode stays measured, not
+  *   anecdotal. Surfaced in the bench driver line ("counterexamples")
+  *   so artifact readers see the status without archaeology.
+  */
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    counterExample: Boolean = false)
 
 object QueryCatalog {
 
@@ -1919,7 +1927,8 @@ object QueryCatalog {
                 JOIN emb eb ON eb.id = id_b)
               SELECT id_a, id_b, sim FROM sc WHERE sim >= 0.25
               ORDER BY id_a, id_b"""
-      }),
+      },
+      counterExample = true), // fixed 16/4: occupancy² candidates, measured killed at x100 (BENCH_SF10.md §4)
 
     // the SCALE-SAFE mode behind a driver gate: nPlanes = 0 lets
     // autoCosineBanding derive (width, bands) from (threshold, corpus
@@ -1962,7 +1971,12 @@ object QueryCatalog {
                 JOIN emb eb ON eb.id = id_b)
               SELECT id_a, id_b, sim FROM sc WHERE sim >= 0.25
               ORDER BY id_a, id_b"""
-      }),
+      },
+      // auto banding is scale-safe ONLY above the GW feasibility boundary;
+      // at t = 0.25 no 95%-recall banding is sub-quadratic (BENCH_SF10.md
+      // §5) — at x100 this entry now dies fast in the operator's
+      // expectedAutoCandidatePairs gate with a diagnosis
+      counterExample = true),
 
     // the same fixed/auto pair at t = 0.9 — the threshold real near-dup
     // dedup runs at, and the regime where the scale claims SEPARATE:
@@ -2010,7 +2024,8 @@ object QueryCatalog {
                 JOIN emb eb ON eb.id = id_b)
               SELECT id_a, id_b, sim FROM sc WHERE sim >= 0.9
               ORDER BY id_a, id_b"""
-      }),
+      },
+      counterExample = true), // fixed banding's candidate volume is threshold-independent: same x100 kill as q_embed_neardup
 
     Q("q_embed_neardup_auto_t90",
       (s, dir) => Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),

@@ -31,8 +31,12 @@ class BenchLineSpec extends AnyFunSuite {
     // failures are reported in occurrence order, truncated with a marker
     assert(line.contains(":QueryExecutionAnalysisException"), line.take(200))
     assert(line.contains(" more\""), line.takeRight(120))
-    val firstFailed = names.head.stripPrefix("q_")
-    assert(line.contains(firstFailed.take(6)), "first failure dropped")
+    // the first failure survives truncation, under SOME unique prefix of
+    // its name (the failure-heavy rungs may compress keys to the lcp+1
+    // floor — prefix-resolvability, not a fixed width, is the contract)
+    val firstKey = "\"failed\":\\[\"([a-z0-9_]+):".r.findFirstMatchIn(line).map(_.group(1))
+    assert(firstKey.exists(k => names.head.stripPrefix("q_").startsWith(k)),
+      s"first failure dropped or unresolvable: $firstKey")
   }
 
   test("the REAL catalog's line stays under the driver's tail budget at worst-case widths") {
@@ -87,5 +91,52 @@ class BenchLineSpec extends AnyFunSuite {
     // the three cluster variants must remain distinguishable prefixes
     val clusterKeys = keys.filter(_.startsWith("dedup_clusters"))
     assert(clusterKeys.size == 3, clusterKeys.toString)
+  }
+
+  test("counterexamples and isolated re-measures render with abbreviated keys") {
+    val line = Bench.renderLine(
+      Seq("q_embed_neardup" -> 1.5, "q_dedup_simhash" -> 5.416, "q_fast" -> 0.1),
+      Seq.empty, "sf0.1", Seq.empty,
+      counterExamples = Seq("q_embed_neardup"),
+      isolated = Seq("q_dedup_simhash" -> 0.926))
+    assert(line.contains("\"counterexamples\":[\"embed_neardup\"]"), line)
+    // isolated carries the alone-measured number; "queries" keeps in-run
+    assert(line.contains("\"isolated\":{\"dedup_simhash\":926}"), line)
+    assert(line.contains("\"dedup_simhash\":5416"), line)
+    // at uncontended sizes both fields are present — an empty map/array is
+    // the explicit "nothing flagged / nothing re-measured" statement
+    val bare = Bench.renderLine(Seq("q_fast" -> 0.1), Seq.empty, "sf0.1")
+    assert(bare.contains("\"counterexamples\":[]") &&
+      bare.contains("\"isolated\":{}"), bare)
+  }
+
+  test("the REAL catalog's flagged entries + isolated tail fit at realistic widths") {
+    // the line the actual driver run prints: real catalog names, the real
+    // counterExample flags, a full isolated tail, 3-digit-ms times (the
+    // bulk of every recorded round; the handful of 4-digit entries ride
+    // the same ~150-char headroom)
+    val qs = queries.QueryCatalog.all
+    val results = qs.map(_.name -> 0.999)
+    val cex = qs.filter(_.counterExample).map(_.name)
+    assert(cex.size >= 3, "catalog lost its counter-example flags")
+    val iso = results.take(Bench.IsolatedTopN).map { case (k, _) => k -> 0.999 }
+    val line = Bench.renderLine(results, Seq.empty, "sf0.1", Seq(120.0, 120.0, 120.0), cex, iso)
+    assert(line.length <= 1920, s"line ${line.length} chars")
+    assert(line.contains("\"counterexamples\":[\"embed_neardup\""), line.takeRight(500))
+    assert(line.contains("\"isolated\":{"), line.takeRight(500))
+  }
+
+  test("under budget pressure the extras degrade before failures do") {
+    // 5-digit-ms worst case: extras are additive diagnostics and must be
+    // the first things dropped — the line still fits and still carries
+    // the full failed list
+    val qs = queries.QueryCatalog.all
+    val results = qs.map(_.name -> 99.999)
+    val cex = qs.filter(_.counterExample).map(_.name)
+    val iso = results.take(Bench.IsolatedTopN).map { case (k, _) => k -> 99.999 }
+    val line = Bench.renderLine(results, Seq("q_dedup_simhash" -> "OutOfMemoryError"),
+      "sf0.1", Seq(120.0, 120.0, 120.0), cex, iso)
+    assert(line.length <= 1920, s"line ${line.length} chars")
+    assert(line.contains(":OutOfMemoryError"), "failure dropped before extras")
   }
 }
