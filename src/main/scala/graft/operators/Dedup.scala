@@ -870,9 +870,16 @@ object Dedup {
     * filters affect cost only, never results.
     *
     * Shingles ride as 8-byte xxhash64 values end-to-end (64-bit collisions
-    * are negligible for |∩|); `maxDf` additionally drops ubiquitous
-    * shingles from candidacy — an escape hatch for adversarial corpora,
-    * off by default at 10000.
+    * are negligible for |∩|). `maxDf` is the low-threshold scale lever
+    * (off by default): shingles whose document frequency exceeds it are
+    * REMOVED FROM THE SHINGLE SETS before similarity is computed —
+    * ubiquitous-gram removal, the shingle analog of stopwording. Jaccard
+    * is then exact over the REDUCED sets: deterministic, order-free, and
+    * independently replayable by an oracle engine (unlike gating only
+    * candidacy, whose misses depend on the prefix tiebreak order). At
+    * t = 0.15 the prefix keeps ~85% of each posting list and candidate
+    * volume is Σ df², dominated by the df head — cutting the head is the
+    * lever BENCH_SF10.md note 2 names for the candidate-bound regime.
     */
   def ngramJaccard(
       df: DataFrame,
@@ -880,18 +887,40 @@ object Dedup {
       textCol: String = "text",
       k: Int = 3,
       threshold: Double = 0.6,
-      maxDf: Int = 10000): DataFrame = {
-    val sh = OperatorCaches.persistTracked(df.select(col(idCol).cast("long").as("id"),
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh0 = df.select(col(idCol).cast("long").as("id"),
         hashedShingles(col(textCol), k).as("sh"))
-      .withColumn("sz", size(col("sh"))))
-    val posting = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
-    val gramDf = posting.groupBy("s").agg(count(lit(1)).as("df"))
+      .withColumn("sz", size(col("sh")))
+    // (sh, posting-with-df): default path explodes once and counts df from
+    // the posting; the maxDf path counts df first, drops ubiquitous grams,
+    // and REBUILDS the per-doc arrays (one extra shuffle — the escape
+    // hatch pays for itself only when the df head is the cost driver).
+    // Either way `sz` is the size of the set similarity runs over, so the
+    // prefix-length math below follows the All-Pairs theorem unchanged.
+    val (sh, withDf) =
+      if (maxDf == Int.MaxValue) {
+        val s = OperatorCaches.persistTracked(sh0)
+        val posting = s.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+        val gramDf = posting.groupBy("s").agg(count(lit(1)).as("df"))
+        (s, posting.join(gramDf, Seq("s")))
+      } else {
+        val p0 = sh0.select(col("id"), explode(col("sh")).as("s"))
+        val gramDf = p0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+        val kept = OperatorCaches.persistTracked(
+          p0.join(gramDf, Seq("s"))
+            .groupBy("id").agg(collect_list(col("s")).as("sh"))
+            .withColumn("sz", size(col("sh"))))
+        // a kept gram's df is unchanged by dropping OTHER grams, so the
+        // pre-filter counts still rank the filtered posting correctly
+        (kept, kept.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+          .join(gramDf, Seq("s")))
+      }
     // rare-first consistent total order (df, then hash value as tiebreak);
     // prefix length ⌈sz·(1−t)⌉ + 1, clamped to sz. posexplode keeps each
     // prefix gram's 0-based position in the FULL ranked list (the slice
     // starts at 1), which the position filter below needs
-    val prefix = OperatorCaches.persistTracked(posting
-      .join(gramDf.filter(col("df") <= maxDf), Seq("s"))
+    val prefix = OperatorCaches.persistTracked(withDf
       .groupBy("id").agg(first("sz").as("sz"),
         sort_array(collect_list(struct(col("df"), col("s")))).as("ranked"))
       .select(col("id"), col("sz"),

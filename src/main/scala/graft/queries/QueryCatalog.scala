@@ -1042,6 +1042,43 @@ object QueryCatalog {
               WHERE o_totalprice > 499000
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // The scale mitigation for interval-join aggregates over a FIXED time
+    // domain (BENCH_SF10.md note 3): q_range_join's TRUE output grows
+    // quadratically at x100 because both sides grow over the same
+    // calendar window (100x orders x 100x lineitems per day). When the
+    // downstream consumer is an aggregate, pre-aggregate the point side
+    // to per-day counts FIRST: the interval join then runs against a
+    // constant-size day table (the date domain, ~2.5k rows, at ANY corpus
+    // scale), the quadratic collapses into one map-side-combined groupBy,
+    // and the weighted rollup reproduces the pair counts exactly — same
+    // result, same oracle, join work linear in the interval side only.
+    Q("q_range_join_bucketed",
+      (s, dir) => {
+        val dayCounts = t(s, dir, "lineitem")
+          .select(datediff(col("l_shipdate"), lit("1970-01-01")).as("ship_day"))
+          .groupBy("ship_day").agg(count(lit(1)).as("day_n"))
+        val ord = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 499000)
+          .select(col("o_orderpriority"),
+            datediff(col("o_orderdate"), lit("1970-01-01")).as("start_day"))
+          .withColumn("end_day", col("start_day") + 90)
+        graft.operators.RangeJoin.intervalJoin(
+            dayCounts, col("ship_day"), ord, col("start_day"), col("end_day"),
+            bucketSize = 7)
+          .groupBy("o_orderpriority")
+          .agg(sum("day_n").as("n"))
+          .orderBy("o_orderpriority")
+      },
+      // the rewrite is result-identical, so the oracle is q_range_join's
+      // verbatim — the independent engine computing the UN-aggregated
+      // pair count is itself the equivalence proof
+      Some("""SELECT o_orderpriority, count(*) AS n
+              FROM orders JOIN lineitem
+                ON l_shipdate >= o_orderdate
+               AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+              WHERE o_totalprice > 499000
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // Batch sessionization via window functions (the batch analog of
     // streaming.EventStreams.sessionize): session starts where the gap to
     // the previous event of the same user exceeds 30 min.
@@ -1474,6 +1511,49 @@ object QueryCatalog {
                 FROM tk),
               sz AS (SELECT id, len(s) AS sz FROM sh),
               p AS (SELECT id, unnest(s) AS g FROM sh),
+              common AS (
+                SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS DOUBLE) AS inter
+                FROM p a JOIN p b ON a.g = b.g AND a.id < b.id
+                GROUP BY 1, 2),
+              pairs AS (
+                SELECT id_a, id_b
+                FROM common JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+                WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.15),
+              edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+              reach(node, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+              SELECT node AS id, min(lbl) AS component
+              FROM reach GROUP BY node ORDER BY id""")),
+
+    // the candidate-bound regime's documented escape hatch, driver-visible
+    // (BENCH_SF10.md note 2): at t = 0.15 the All-Pairs prefix keeps ~85%
+    // of each posting list and candidate volume is Σ df² — dominated by
+    // the df head. maxDf REMOVES ubiquitous shingles from the sets before
+    // similarity (deterministic, so the oracle replays it: df ≤ 4 keeps
+    // every planted dup pair, whose shared grams ride at df 2, while the
+    // loose transitive tail that only overlapped on common grams drops).
+    Q("q_dedup_clusters_maxdf",
+      (s, dir) => Dedup.connectedComponentsStar(
+          Dedup.ngramJaccard(t(s, dir, "documents"), threshold = 0.15, maxDf = 4))
+        .orderBy("id"),
+      Some("""WITH RECURSIVE tk AS (
+                SELECT doc_id AS id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                FROM documents),
+              sh AS (SELECT id, list_distinct(
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]
+                  END) AS s
+                FROM tk),
+              p0 AS (SELECT id, unnest(s) AS g FROM sh),
+              gdf AS (SELECT g, count(*) AS df FROM p0 GROUP BY g),
+              p AS (SELECT p0.id, p0.g FROM p0 JOIN gdf USING (g)
+                WHERE df <= 4),
+              sz AS (SELECT id, count(*) AS sz FROM p GROUP BY id),
               common AS (
                 SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS DOUBLE) AS inter
                 FROM p a JOIN p b ON a.g = b.g AND a.id < b.id

@@ -104,6 +104,35 @@ class DedupSpec extends SparkSpec {
     assert(j13 === 0.4)
   }
 
+  test("ngram jaccard maxDf removes ubiquitous shingles from the sets") {
+    import spark.implicits._
+    // "x y z" appears in all four docs (df = 4); the a/b pair and the c/d
+    // pair each share one PRIVATE shingle besides it. With maxDf = 3 the
+    // ubiquitous gram leaves every set, so similarity is computed over
+    // the reduced sets — exact, deterministic, and the cross-pair overlap
+    // that rode ONLY on the common gram disappears.
+    val corpus = Seq(
+      (1L, "x y z p q r"),   // grams: xyz yzp zpq pqr
+      (2L, "x y z p q s"),   // shares xyz yzp zpq with 1
+      (3L, "x y z m n o"),
+      (4L, "x y z m n u")
+    ).toDF("doc_id", "text")
+    val unfiltered = Dedup.ngramJaccard(corpus, threshold = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // all six pairs overlap on the shared "x y z" prefix grams
+    assert(unfiltered.contains((1L, 3L)) && unfiltered.contains((2L, 4L)))
+    val filtered = Dedup.ngramJaccard(corpus, threshold = 0.1, maxDf = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // xyz (df 4) is gone from every set; yzp (df 2) survives for the 1-2
+    // pair, yzm (df 2) for 3-4 — J over REDUCED sets: doc1 {yzp zpq pqr},
+    // doc2 {yzp zpq pqs}: inter 2, union 4 -> 0.5
+    assert(filtered((1L, 2L)) === 0.5)
+    assert(filtered((3L, 4L)) === 0.5)
+    // cross pairs shared only the dropped gram -> no longer near-dups
+    assert(!filtered.contains((1L, 3L)) && !filtered.contains((2L, 4L)) &&
+      !filtered.contains((1L, 4L)) && !filtered.contains((2L, 3L)))
+  }
+
   test("repeated spans flags exactly the positions of shared n-token windows") {
     import spark.implicits._
     val corpus = Seq(
