@@ -68,6 +68,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-vector symmetric int8 scalar quantization for embedding columns —
+    * the storage/shuffle compression lever for vector corpora at scale:
+    * 8x smaller than the DOUBLE[] Spark would otherwise shuffle (4x vs
+    * float32 at rest), with relative error bounded by scale/2 ≤ max|x|/254
+    * per component. scale = max|x|/127; q_i = floor(x_i/scale + 0.5)
+    * clamped to [-127, 127] (explicit half-up — Spark's round() and an
+    * oracle engine's may disagree on halfway cases, floor(x+0.5) cannot);
+    * an all-zero vector quantizes to zeros with scale 0.
+    *
+    * PER-VECTOR (not per-corpus) scaling keeps the op a narrow map — no
+    * global max pass, no broadcast, embarrassingly parallel at any corpus
+    * size — and adapts the grid to each vector's own dynamic range. Every
+    * arithmetic step (max/abs, IEEE division, floor, clamp, multiply) is
+    * bit-deterministic across engines, so quantize→dequantize→similarity
+    * is exactly replayable by an independent SQL engine with no rounding
+    * escape hatch needed until the final cosine (4 dp as everywhere).
+    */
+  def quantizeInt8(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = toDouble(col(vecCol))
+    df.select(col(idCol).cast("long").as("id"), v.as("v"))
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))) / lit(127.0))
+      .withColumn("qv", transform(col("v"), x =>
+        when(col("scale") === 0.0, lit(0.0))
+          .otherwise(greatest(lit(-127.0), least(lit(127.0),
+            floor(x / col("scale") + lit(0.5)).cast("double"))))
+          .cast("tinyint")))
+      .select(col("id"), col("scale"), col("qv"))
+  }
+
+  /** Reconstruct an approximate double vector from (qv, scale) — composes
+    * with every operator here that takes an embedding column (cosine,
+    * bruteForceTopK, the LSH sketches): quantized-at-rest, dequantized
+    * per-expression inside codegen, never materialized wide.
+    */
+  def dequantize(qv: Column, scale: Column): Column =
+    transform(qv, q => q.cast("double") * scale)
+
   /** Deterministic random hyperplanes (seeded), as literal arrays — the
     * bucketing projection is a pure narrow map.
     *

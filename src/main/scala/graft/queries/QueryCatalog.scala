@@ -1895,6 +1895,39 @@ object QueryCatalog {
                 ) AS sim_raw FROM embeddings WHERE vec_id <> 0)
               ORDER BY round(sim_raw, 4) DESC, vec_id LIMIT 10""")),
 
+    // int8 scalar quantization (round 8): the corpus rides as
+    // (tinyint[], scale) — 8x smaller than the DOUBLE[] the plain knn
+    // shuffles — and is dequantized per-expression inside the scan
+    // projection. Every arithmetic step is bit-deterministic (IEEE
+    // division, floor half-up, clamp, multiply), so the oracle replays
+    // quantize -> dequantize -> cosine verbatim with no tolerance: the
+    // compare is EXACT equality of the ranked top-10 on the 4-dp grid.
+    Q("q_knn_quantized",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = Similarity.collectQueryVec(emb, 0)
+        val quant = Similarity.quantizeInt8(emb.filter(col("vec_id") =!= 0))
+        Similarity.bruteForceTopK(
+          quant.select(col("id").as("vec_id"),
+            Similarity.dequantize(col("qv"), col("scale")).as("embedding")),
+          q, k = 10)
+      },
+      Some("""WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              rest AS (SELECT id, e,
+                  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+                FROM emb WHERE id <> 0),
+              dq AS (SELECT id, list_transform(e, x ->
+                  CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE greatest(-127.0, least(127.0, floor(x / scale + 0.5))) * scale
+                  END) AS d
+                FROM rest)
+              SELECT id AS vec_id,
+                round(list_cosine_similarity(d,
+                  (SELECT e FROM emb WHERE id = 0)), 4) AS sim
+              FROM dq
+              ORDER BY sim DESC, vec_id LIMIT 10""")),
+
     // the oracle replays the hyperplanes verbatim (they are deterministic
     // 4-dp literals — Similarity.hyperplanes) and independently re-derives
     // sign-bit buckets, the hamming multiprobe cut, and the cosine top-k

@@ -72,6 +72,36 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L))
   }
 
+  test("int8 quantization: bounded round-trip error, zero-vector safe, tinyint payload") {
+    import spark.implicits._
+    val vecs8 = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.003f, 0.001f, -0.002f, 0.0015f)), // small dynamic range
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))            // all-zero: scale 0
+    ).toDF("vec_id", "embedding")
+    val quant = Similarity.quantizeInt8(vecs8)
+    // payload really is tinyint (the 8x shuffle-width claim)
+    assert(quant.schema("qv").dataType.simpleString === "array<tinyint>")
+    val rows = quant.select(col("id"), col("scale"),
+        Similarity.dequantize(col("qv"), col("scale")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2))).toList
+    val orig = vecs8.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    for ((id, scale, d) <- rows) {
+      // per-component reconstruction error is at most half a grid step
+      orig(id).zip(d).foreach { case (x, xd) =>
+        assert(math.abs(x - xd) <= scale / 2 + 1e-12, s"id=$id x=$x xd=$xd scale=$scale")
+      }
+      // max-magnitude component hits the grid end: |q| = 127, so the
+      // reconstruction is max|x| up to IEEE division/multiply round-trip
+      if (scale > 0)
+        assert(math.abs(d.map(math.abs).max - orig(id).map(math.abs).max) <= 1e-12)
+    }
+    // the all-zero vector survives (scale 0 -> zeros, no division blowup)
+    val z = rows.find(_._1 == 3L).get
+    assert(z._2 === 0.0 && z._3.forall(_ === 0.0))
+  }
+
   test("auto mode fails fast in the GW-infeasible regime with a diagnosis") {
     // (t=0.25, n=5e5): BENCH_SF10 §5's measured scale-killer — the
     // estimate (~1.7e11 candidate pairs) must refuse BEFORE any Spark
