@@ -2005,6 +2005,61 @@ object QueryCatalog {
               ORDER BY round(sim_raw, 4) DESC, vec_id LIMIT 10"""
       }),
 
+    // the 100-TB serving shape, end-to-end (round 8): the corpus at rest
+    // is int8-quantized (8x narrower scan), the LSH index is built over
+    // the DEQUANTIZED vectors, and the query stays full-precision. The
+    // oracle replays quantize -> dequantize -> sign-bit buckets ->
+    // multiprobe -> cosine verbatim — every stage bit-deterministic, so
+    // the compare is exact. (Bucket signs CAN differ from the
+    // unquantized q_ann_lsh_auto on near-zero projections; both engines
+    // quantize identically, so they differ identically.)
+    Q("q_ann_quantized",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = Similarity.collectQueryVec(emb, 0)
+        val quant = Similarity.quantizeInt8(emb.filter(col("vec_id") =!= 0))
+        Similarity.annTopKAuto(
+          quant.select(col("id").as("vec_id"),
+            Similarity.dequantize(col("qv"), col("scale")).as("embedding")),
+          q, dim = 64, k = 10, simTarget = 0.9)
+      },
+      Some {
+        val (w, h) = Similarity.autoAnnParams(0.9, n = 499L, dim = 64)
+        val planeValues = graft.operators.Similarity.hyperplanes(dim = 64, nPlanes = w)
+          .zipWithIndex
+          .map { case (p, i) => s"($i, ${p.mkString("[", ", ", "]")}::DOUBLE[])" }
+          .mkString(",\n                  ")
+        s"""WITH planes(p, pv) AS (VALUES
+                  $planeValues),
+              emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings),
+              rest AS (SELECT vec_id, e,
+                  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+                FROM emb WHERE vec_id <> 0),
+              dq AS (SELECT vec_id, list_transform(e, x ->
+                  CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE greatest(-127.0, least(127.0, floor(x / scale + 0.5))) * scale
+                  END) AS d
+                FROM rest),
+              bq AS (SELECT vec_id,
+                  CAST(sum(CASE WHEN list_dot_product(d, pv) >= 0
+                    THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+                FROM dq, planes GROUP BY vec_id),
+              b0 AS (SELECT CAST(sum(CASE WHEN list_dot_product(
+                    (SELECT e FROM emb WHERE vec_id = 0), pv) >= 0
+                    THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+                FROM planes),
+              cand AS (
+                SELECT dq.vec_id,
+                  list_cosine_similarity(dq.d,
+                    (SELECT e FROM emb WHERE vec_id = 0)) AS sim_raw
+                FROM dq JOIN bq USING (vec_id)
+                WHERE bit_count(xor(bq.bucket,
+                    (SELECT bucket FROM b0))) <= $h)
+              SELECT vec_id, round(sim_raw, 4) AS sim FROM cand
+              ORDER BY round(sim_raw, 4) DESC, vec_id LIMIT 10"""
+      }),
+
     // oracle replays the 16 literal hyperplanes (Similarity.hyperplanes,
     // 4-dp — same splice pattern as q_ann_lsh), re-derives the 4×4-bit
     // band keys from the sign-bit bucket, the band-collision candidate

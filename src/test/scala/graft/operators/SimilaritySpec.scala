@@ -102,6 +102,36 @@ class SimilaritySpec extends SparkSpec {
     assert(z._2 === 0.0 && z._3.forall(_ === 0.0))
   }
 
+  test("int8 quantization error bound holds across seeded random vectors") {
+    import spark.implicits._
+    // one batch, one job: 300 vectors of mixed dimension (1-8) and
+    // magnitude (1e-6 .. 1e6), seeded — sweeps the regimes the unit test
+    // can't (negative-heavy, near-clamp, tiny dynamic range) against the
+    // scheme's analytic guarantee |x - dq| <= scale/2
+    val rnd = new scala.util.Random(42)
+    val data = (1L to 300L).map { i =>
+      val dim = 1 + rnd.nextInt(8)
+      val mag = math.pow(10.0, rnd.nextInt(13) - 6)
+      (i, Array.fill(dim)((rnd.nextDouble() * 2 - 1) * mag))
+    }
+    val out = Similarity.quantizeInt8(data.toDF("vec_id", "embedding"))
+      .select(col("id"), col("scale"), col("qv"),
+        Similarity.dequantize(col("qv"), col("scale")).as("d"))
+      .collect()
+    assert(out.length === 300)
+    val orig = data.toMap
+    for (r <- out) {
+      val (id, scale) = (r.getLong(0), r.getDouble(1))
+      assert(r.getSeq[Byte](2).forall(q => q >= -127 && q <= 127))
+      orig(id).zip(r.getSeq[Double](3)).foreach { case (x, xd) =>
+        // scale/2 is the real-arithmetic bound; the 1e-9 relative slack
+        // covers the IEEE division/multiply round-trip
+        assert(math.abs(x - xd) <= scale / 2 * (1 + 1e-9),
+          s"id=$id x=$x xd=$xd scale=$scale")
+      }
+    }
+  }
+
   test("auto mode fails fast in the GW-infeasible regime with a diagnosis") {
     // (t=0.25, n=5e5): BENCH_SF10 §5's measured scale-killer — the
     // estimate (~1.7e11 candidate pairs) must refuse BEFORE any Spark
