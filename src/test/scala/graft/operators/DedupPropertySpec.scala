@@ -124,6 +124,53 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("maxDf ngram jaccard equals brute force over df-filtered sets") {
+    import spark.implicits._
+    // maxDf semantics = ubiquitous-shingle REMOVAL before similarity; the
+    // independent truth is brute-force Jaccard over the df-filtered sets,
+    // computed via a totally different path (explode + df count + rebuild
+    // + crossJoin) than the operator's inverted index + prefix filters.
+    // A shared boilerplate suffix on half the docs manufactures the df
+    // head the filter must cut.
+    for (seed <- Seq(7L, 19L)) {
+      val rnd = new scala.util.Random(seed * 17)
+      val base = randomDocs(seed, 40)
+      val mutated = base.map { case (i, t) =>
+        val toks = t.split(" ")
+        val m = toks.map(w =>
+          if (rnd.nextDouble() < 0.5 * rnd.nextDouble())
+            words(rnd.nextInt(words.size))
+          else w)
+        (i + 1000L, m.mkString(" "))
+      }
+      val docs = (base ++ mutated).map { case (i, t) =>
+        if (i % 2 == 0) (i, t + " common boiler plate suffix") else (i, t)
+      }.toDF("doc_id", "text")
+      val maxDf = 10
+      val sh = docs.select(col("doc_id").as("id"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      val p = sh.select(col("id"), explode(col("sh")).as("g"))
+      val keepG = p.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("g")
+      // the filter must BIND, or this test degenerates to the plain one
+      assert(p.select("g").distinct().count() > keepG.count(), s"seed $seed")
+      val fsh = p.join(keepG, Seq("g"))
+        .groupBy("id").agg(collect_set(col("g")).as("sh"))
+      val truth = fsh.as("a").crossJoin(fsh.as("b"))
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+            (size(col("a.sh")) + size(col("b.sh")) -
+              size(array_intersect(col("a.sh"), col("b.sh")))), 4).as("j"))
+        .filter(col("j") >= 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val got = Dedup.ngramJaccard(docs, threshold = 0.3, maxDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got === truth, s"seed $seed")
+      assert(truth.nonEmpty, s"seed $seed produced no pairs — weak test")
+    }
+  }
+
   test("simhash of identical text is identical; hamming bounded by 64") {
     import spark.implicits._
     val docs = randomDocs(11L, 80).toDF("doc_id", "text")
