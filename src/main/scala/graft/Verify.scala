@@ -41,6 +41,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // flags.json rides beside the dumps so a CORRECTNESS reader sees which
+    // green rows are retained scale counter-examples (Q.counterExample)
+    // without opening the catalog source — same flag the bench line carries
+    val flags = queries.QueryCatalog.all.filter(_.counterExample)
+      .map(qq => q(qq.name)).mkString("{\"counterexamples\": [", ",", "]}")
+    Files.writeString(Paths.get(s"$outDir/flags.json"), flags)
     spark.stop()
   }
 }
