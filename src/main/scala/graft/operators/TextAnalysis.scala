@@ -306,6 +306,74 @@ object TextAnalysis {
         least(lit(chunkTokens), size(col("__toks")) - col("chunk_idx") * stride)
           .as("n_chunk_tokens"))
   }
+
+  /** Content-defined chunking (Rabin/CDC family): a chunk boundary falls
+    * AFTER token i whenever the portable 60-bit hash of the k-token window
+    * ending at i is ≡ 0 mod `divisor` — boundaries are functions of LOCAL
+    * content only, so an edit re-chunks just its own neighborhood, where
+    * [[chunk]]'s fixed windows shift every downstream boundary (and an
+    * incremental dedup against an earlier crawl then misses every chunk
+    * after the edit — CDC chunk digests keep matching). Expected chunk
+    * length ≈ `divisor` tokens (each eligible position cuts with
+    * probability 1/divisor).
+    *
+    * The boundary hash is [[PortableHash.portable60]], not xxhash64:
+    * chunk identity is an AT-REST property (digest tables, cross-crawl
+    * joins, possibly other engines), same rationale as [[fingerprint]] —
+    * and it is what lets the q_doc_chunks_cdc oracle replay the exact cut
+    * positions in SQL.
+    *
+    * Plan shape: tokenize → per-position window hashes → cut-position
+    * array → slice once per chunk (all inside one narrow projection,
+    * O(n·k) hash work per doc, zero shuffle — chunk rows are born in
+    * their document's partition, like [[chunk]]).
+    *
+    * The cut array feeds three consumers (starts, ends, the zip), and a
+    * plain column reference would let projection collapse re-inline the
+    * 2M-hash expression into each one (measured 11.3 s vs ~1 s at sf0.1
+    * — the same HOF re-evaluation trap ngramJaccard's persisted sketch
+    * dodges). Here the whole derivation nests inside ONE expression with
+    * the cut array bound as a transform lambda VARIABLE — lambda
+    * variables are values, evaluated once per row — so no persist is
+    * needed for a narrow map.
+    */
+  def chunkCdc(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      divisor: Int = 32): DataFrame = {
+    require(k >= 1 && divisor >= 2, "need k >= 1 and divisor >= 2")
+    val n = size(col("__toks"))
+    // cut positions: i in [k, n-1] with window-hash ≡ 0 (never n — the doc
+    // end is always a boundary and must not double); empty doc (zero
+    // tokens) guarded so sequence(1, 0) never produces its descending
+    // artifact
+    val cuts = when(n >= 1,
+      filter(
+        transform(sequence(lit(1), n),
+          i => when(i >= lit(k) && i < n &&
+            PortableHash.portable60(
+              array_join(slice(col("__toks"), i - lit(k - 1), lit(k)), " "))
+              % lit(divisor) === 0, i)),
+        c => c.isNotNull))
+      .otherwise(lit(Array.emptyIntArray))
+    val chunks = element_at(
+      transform(array(cuts), c => {
+        val starts = concat(array(lit(1)), transform(c, x => x + 1))
+        val ends = concat(c, array(n))
+        when(n === 0,
+          array(struct(lit(0).as("n_chunk_tokens"), lit("").as("chunk_text"))))
+        .otherwise(zip_with(starts, ends, (s, e) =>
+          struct((e - s + 1).cast("int").as("n_chunk_tokens"),
+            array_join(slice(col("__toks"), s, e - s + 1), " ").as("chunk_text"))))
+      }), 1)
+    df.select(col(idCol), wsTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("__c.chunk_text").as("chunk_text"),
+        col("__c.n_chunk_tokens").as("n_chunk_tokens"))
+  }
 }
 
 /** Minimal per-language stopword profiles (public common-word lists). */

@@ -1728,6 +1728,37 @@ object QueryCatalog {
                 CAST(least(64, len(t) - ci*48) AS INT) AS n_chunk_tokens
               FROM ex ORDER BY doc_id, chunk_idx""")),
 
+    // content-defined chunking (round 8): boundaries from LOCAL window
+    // hashes (portable60 % 32 == 0), so edits re-chunk only their own
+    // neighborhood — the dedup-stable alternative to q_doc_chunks' fixed
+    // windows. The oracle re-derives every cut position, start/end pair,
+    // and chunk slice in SQL; md5 keeps both engines on the same cuts.
+    Q("q_doc_chunks_cdc",
+      (s, dir) => TextAnalysis.chunkCdc(t(s, dir, "documents"),
+          k = 3, divisor = 32)
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH tk AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents),
+              cu AS (SELECT doc_id, t,
+                  [i FOR i IN range(1, len(t) + 1)
+                   IF i >= 3 AND i < len(t) AND
+                     ${graft.operators.PortableHash.duckSql(
+                       "array_to_string(t[i-2:i], ' ')")} % 32 = 0] AS cuts
+                FROM tk),
+              se AS (SELECT doc_id, t,
+                  list_prepend(1, list_transform(cuts, c -> c + 1)) AS starts,
+                  list_append(cuts, len(t)) AS ends
+                FROM cu),
+              ch AS (SELECT doc_id,
+                  unnest(range(1, len(starts) + 1)) AS pos1,
+                  t, starts, ends
+                FROM se)
+              SELECT doc_id, CAST(pos1 - 1 AS INT) AS chunk_idx,
+                array_to_string(t[starts[pos1]:ends[pos1]], ' ') AS chunk_text,
+                CAST(ends[pos1] - starts[pos1] + 1 AS INT) AS n_chunk_tokens
+              FROM ch ORDER BY doc_id, chunk_idx""")),
+
     // benchmark decontamination: every 20th doc plays the eval set; corpus
     // docs sharing >=1 distinct 5-gram with it are flagged with hit counts
     Q("q_decontaminate",

@@ -33,6 +33,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(doc2.head.getAs[Int]("n_chunk_tokens") === 3)
   }
 
+  test("chunkCdc: reconstruction, expected size, and edit-locality") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val tokens = Vector.fill(400)(words(rnd.nextInt(words.size)))
+    val docs = Seq((1L, tokens.mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkCdc(docs, k = 3, divisor = 32)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getAs[String]("chunk_text"), r.getAs[Int]("n_chunk_tokens")))
+    // chunks partition the token stream exactly (concatenation identity)
+    assert(chunks.map(_._1).mkString(" ") === tokens.mkString(" "))
+    assert(chunks.map(_._2).sum === 400)
+    // boundary rate ~1/32: with 400 positions expect ~12 cuts; accept a
+    // wide deterministic band (this is a fixed seed, not a statistics test)
+    assert(chunks.length >= 3 && chunks.length <= 40, s"${chunks.length} chunks")
+    // EDIT-LOCALITY, the property fixed windows lack: prepend tokens and
+    // the chunk set far from the edit is unchanged (boundaries depend only
+    // on the k-token window ending at each position)
+    val edited = Seq((1L, ("inserted tokens here " + tokens.mkString(" ")))).toDF("doc_id", "text")
+    val editedChunks = TextAnalysis.chunkCdc(edited, k = 3, divisor = 32)
+      .orderBy("chunk_idx").collect().map(_.getAs[String]("chunk_text"))
+    // every original chunk except the first (whose start region the edit
+    // touches) must reappear verbatim in the edited chunking
+    val reappeared = chunks.map(_._1).drop(1).count(editedChunks.contains)
+    assert(reappeared === chunks.length - 1,
+      s"only $reappeared of ${chunks.length - 1} post-edit chunks stable")
+    // fixed windows, by contrast, shift everywhere: the same edit leaves
+    // at most the tail chunk of TextAnalysis.chunk intact
+    val fixedA = TextAnalysis.chunk(docs, chunkTokens = 32, overlap = 0)
+      .collect().map(_.getAs[String]("chunk_text")).toSet
+    val fixedB = TextAnalysis.chunk(edited, chunkTokens = 32, overlap = 0)
+      .collect().map(_.getAs[String]("chunk_text")).toSet
+    assert(fixedA.intersect(fixedB).size <= 1, "fixed chunking unexpectedly stable")
+  }
+
   test("decontaminate flags n-gram overlap with the benchmark only") {
     import spark.implicits._
     val bench = Seq(
