@@ -374,6 +374,39 @@ object TextAnalysis {
         col("__c.chunk_text").as("chunk_text"),
         col("__c.n_chunk_tokens").as("n_chunk_tokens"))
   }
+
+  /** Cross-crawl chunk-reuse statistics — the [[chunkCdc]] payoff as one
+    * measurable row. Chunk `base` and `edited` (a re-crawl of the same
+    * corpus) with BOTH chunkers, digest the chunk texts, and count the
+    * edited-crawl chunks whose digest already exists in the base crawl:
+    * that count is exactly the storage/dedup that a chunk-level digest
+    * table buys across crawls. CDC boundaries are edit-local, so an
+    * edited doc churns only the chunks its edit touches; fixed windows
+    * shift every boundary downstream of the edit, so an edited doc
+    * re-uploads wholesale. Digest frames persist (tracked) because each
+    * feeds two consumers — count and the reuse semi-join.
+    */
+  def chunkReuseStats(
+      base: DataFrame,
+      edited: DataFrame,
+      k: Int = 3,
+      divisor: Int = 32,
+      fixedTokens: Int = 32): DataFrame = {
+    def cdcDg(d: DataFrame) = OperatorCaches.persistTracked(
+      chunkCdc(d, k = k, divisor = divisor)
+        .select(md5(col("chunk_text")).as("dg")))
+    def fixedDg(d: DataFrame) =
+      chunk(d, chunkTokens = fixedTokens, overlap = 0)
+        .select(md5(col("chunk_text")).as("dg"))
+    def reused(b: DataFrame, e: DataFrame) =
+      e.join(b.distinct(), Seq("dg"), "left_semi")
+    val bc = cdcDg(base)
+    val ec = cdcDg(edited)
+    bc.agg(count(lit(1)).as("n_base_chunks")).crossJoin(
+      ec.agg(count(lit(1)).as("n_edited_chunks"))).crossJoin(
+      reused(bc, ec).agg(count(lit(1)).as("n_reused_cdc"))).crossJoin(
+      reused(fixedDg(base), fixedDg(edited)).agg(count(lit(1)).as("n_reused_fixed")))
+  }
 }
 
 /** Minimal per-language stopword profiles (public common-word lists). */

@@ -1759,6 +1759,66 @@ object QueryCatalog {
                 CAST(ends[pos1] - starts[pos1] + 1 AS INT) AS n_chunk_tokens
               FROM ch ORDER BY doc_id, chunk_idx""")),
 
+    // the CDC payoff as a driver-gated number (round 8): chunk the corpus
+    // and a simulated re-crawl (every 3rd doc gets a prepended edit),
+    // digest the chunks, and count how many edited-crawl chunks already
+    // exist in the base crawl — cross-crawl chunk dedup. CDC boundaries
+    // are edit-local, so only the edited docs' FIRST chunks churn; fixed
+    // windows shift every boundary after the edit, so every chunk of an
+    // edited doc re-uploads. One row, both methods, same oracle.
+    Q("q_chunk_reuse_cdc",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val edited = docs.select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("edited crawl marker "), col("text")))
+            .otherwise(col("text")).as("text"))
+        TextAnalysis.chunkReuseStats(docs, edited, k = 3, divisor = 32,
+          fixedTokens = 32)
+      },
+      Some(s"""WITH tk AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents),
+              tk2 AS (
+                SELECT doc_id, string_split_regex(trim(
+                  CASE WHEN doc_id % 3 = 0 THEN 'edited crawl marker ' || text
+                  ELSE text END), '\\s+') AS t
+                FROM documents),
+              cdc1 AS (SELECT doc_id, t,
+                  [i FOR i IN range(1, len(t) + 1)
+                   IF i >= 3 AND i < len(t) AND
+                     ${graft.operators.PortableHash.duckSql(
+                       "array_to_string(t[i-2:i], ' ')")} % 32 = 0] AS cuts
+                FROM tk),
+              cdc2 AS (SELECT doc_id, t,
+                  [i FOR i IN range(1, len(t) + 1)
+                   IF i >= 3 AND i < len(t) AND
+                     ${graft.operators.PortableHash.duckSql(
+                       "array_to_string(t[i-2:i], ' ')")} % 32 = 0] AS cuts
+                FROM tk2),
+              b AS (SELECT md5(array_to_string(
+                    t[list_prepend(1, list_transform(cuts, c -> c + 1))[p]
+                      : list_append(cuts, len(t))[p]], ' ')) AS dg
+                FROM (SELECT *, unnest(range(1, len(cuts) + 2)) AS p FROM cdc1)),
+              e AS (SELECT md5(array_to_string(
+                    t[list_prepend(1, list_transform(cuts, c -> c + 1))[p]
+                      : list_append(cuts, len(t))[p]], ' ')) AS dg
+                FROM (SELECT *, unnest(range(1, len(cuts) + 2)) AS p FROM cdc2)),
+              fb AS (SELECT md5(array_to_string(t[ci*32+1 : ci*32+32], ' ')) AS dg
+                FROM (SELECT doc_id, t, unnest(generate_series(0,
+                    CASE WHEN len(t) <= 32 THEN 0
+                         ELSE CAST(ceil((len(t) - 32) / 32.0) AS INT) END)) AS ci
+                  FROM tk)),
+              fe AS (SELECT md5(array_to_string(t[ci*32+1 : ci*32+32], ' ')) AS dg
+                FROM (SELECT doc_id, t, unnest(generate_series(0,
+                    CASE WHEN len(t) <= 32 THEN 0
+                         ELSE CAST(ceil((len(t) - 32) / 32.0) AS INT) END)) AS ci
+                  FROM tk2))
+              SELECT (SELECT count(*) FROM b) AS n_base_chunks,
+                (SELECT count(*) FROM e) AS n_edited_chunks,
+                (SELECT count(*) FROM e WHERE dg IN (SELECT dg FROM b)) AS n_reused_cdc,
+                (SELECT count(*) FROM fe WHERE dg IN (SELECT dg FROM fb)) AS n_reused_fixed""")),
+
     // benchmark decontamination: every 20th doc plays the eval set; corpus
     // docs sharing >=1 distinct 5-gram with it are flagged with hit counts
     Q("q_decontaminate",
