@@ -601,7 +601,19 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false): DataFrame =
+    hammingPairs(simHashSketch(df, idCol, textCol, portable), maxHamming)
+
+  /** Pigeonhole-banded hamming pairs over ANY 64-bit sketch column — the
+    * pair machinery behind [[simHashPairs]], reusable for every 64-bit
+    * perceptual/content sketch (text SimHash, image dHash, …). Input:
+    * (id: long, sh: long); output: (id_a, id_b, hamming ≤ maxHamming).
+    * EXACT for the sketch (pigeonhole recall is a guarantee, not a
+    * probability): any pair within maxHamming agrees on ≥1 of the
+    * maxHamming+1 blocks, and the final bit_count filter verifies the
+    * true distance — banding affects cost only, never results.
+    */
+  def hammingPairs(sketch: DataFrame, maxHamming: Int = 3): DataFrame = {
     // recall guarantee needs maxHamming+1 blocks (pigeonhole): any pair
     // within maxHamming agrees exactly on >=1 block. Blocks split the 64
     // bits as evenly as possible (the first `rem` blocks get width+1).
@@ -610,8 +622,9 @@ object Dedup {
     val rem = 64 % chunks
     val offsets = (0 until chunks).scanLeft(0)((off, i) =>
       off + base + (if (i < rem) 1 else 0))
-    val sketched = OperatorCaches.persistTracked(
-      simHashSketch(df, idCol, textCol, portable))
+    // persist: the banded frame self-joins (two consumers of the sketch
+    // expression) — without this the sketch computes once per side
+    val sketched = OperatorCaches.persistTracked(sketch)
     val banded = sketched.select(
       col("id"), col("sh"),
       explode(array((0 until chunks).map { i =>

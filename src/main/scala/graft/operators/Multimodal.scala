@@ -229,6 +229,61 @@ object Multimodal {
     })
   }
 
+  final case class ImageHash(media_id: Long, dhash: Long)
+
+  /** Perceptual dHash (difference hash) over the DECODED pixel content —
+    * the image analog of a text SimHash: bilinear-downsample to a 9×8
+    * luma grid (Rec.601 weights), set bit (r, c) iff luma(r, c+1) >
+    * luma(r, c) → a 64-bit sketch whose hamming distance tracks
+    * perceptual distance. Robust to re-encoding and uniform rescaling
+    * (both preserve the downsampled gradient signs), unlike the byte
+    * digest, which any recompression breaks. Undecodable / non-image
+    * payloads drop out (flatMap) — a perceptual hash of bytes that never
+    * decoded would be noise. Narrow map, real codec, no shuffle.
+    */
+  def imageDHash(items: Dataset[MediaItem]): Dataset[ImageHash] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions(_.flatMap { item =>
+      val bytes = if (item.bytes == null) Array.emptyByteArray else item.bytes
+      decodeImage(bytes).map { img =>
+        val canvas = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = canvas.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 9, 8, null)
+        } finally g.dispose()
+        def luma(x: Int, y: Int): Double = {
+          val rgb = canvas.getRGB(x, y)
+          0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+        }
+        var h = 0L
+        var bit = 0
+        for (r <- 0 until 8; c <- 0 until 8) {
+          if (luma(c + 1, r) > luma(c, r)) h |= (1L << bit)
+          bit += 1
+        }
+        ImageHash(item.media_id, h)
+      }
+    })
+  }
+
+  /** Image near-duplicate pairs: [[imageDHash]] composed with the same
+    * pigeonhole-banded hamming join text SimHash uses
+    * ([[Dedup.hammingPairs]]) — one pair machinery, two modalities.
+    * Returns (id_a, id_b, hamming ≤ maxHamming); exact for the sketch.
+    */
+  def imageNearDupPairs(
+      items: Dataset[MediaItem], maxHamming: Int = 6): DataFrame =
+    graft.operators.Dedup.hammingPairs(
+      imageDHash(items).toDF()
+        .select(col("media_id").as("id"), col("dhash").as("sh")),
+      maxHamming)
+
   /** REAL multi-frame decode for the one video container the JDK ships a
     * codec for: animated GIF, via ImageIO's sequence reader. Returns every
     * frame's (index, cumulative offset in ms from the per-frame

@@ -187,6 +187,33 @@ class DedupPropertySpec extends SparkSpec {
     assert(d.length === 1 && d.head.getInt(2) === 0)
   }
 
+  test("hammingPairs equals brute force over random 64-bit sketches") {
+    import spark.implicits._
+    // the pigeonhole banding is a recall GUARANTEE, not a probability:
+    // pairs within maxHamming must match brute force EXACTLY, across
+    // random sketches and several radii (incl. 0 and a wide 12)
+    val rnd = new scala.util.Random(99)
+    val sketches = (1L to 120L).map { i =>
+      // half the sketches are perturbations of a shared base so small
+      // hamming distances actually occur
+      val base = if (i % 2 == 0) 0x5a5a5a5a5a5a5a5aL else rnd.nextLong()
+      val flips = rnd.nextInt(8)
+      val s = (1 to flips).foldLeft(base)((acc, _) => acc ^ (1L << rnd.nextInt(64)))
+      (i, s)
+    }
+    val df = sketches.toDF("id", "sh")
+    for (maxH <- Seq(0, 3, 12)) {
+      val truth = (for {
+        (ia, sa) <- sketches; (ib, sb) <- sketches if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= maxH
+      } yield (ia, ib, h)).toSet
+      val got = Dedup.hammingPairs(df, maxHamming = maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === truth, s"maxHamming=$maxH")
+      assert(maxH == 0 || truth.nonEmpty, s"maxHamming=$maxH found no pairs — weak test")
+    }
+  }
+
   test("star and min-label components agree across many random graphs") {
     import spark.implicits._
     for (seed <- Seq(1, 2, 3)) {

@@ -56,6 +56,57 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.offset_ms).sorted.toSeq === Seq(0L, 1000L, 2000L))
   }
 
+  test("image dHash: invariant to re-encode/rescale, discriminates content") {
+    import spark.implicits._
+    // four REAL images: a gradient, the same gradient rescaled 3x and
+    // JPEG-re-encoded (different bytes, same content), a noise image,
+    // and the gradient REVERSED (same histogram, opposite structure —
+    // a histogram embedding cannot tell these apart; dHash must)
+    def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out); out.toByteArray
+    }
+    def gradient(w: Int, h: Int, reversed: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val xx = if (reversed) w - 1 - x else x
+        val v = xx * 255 / (w - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val rnd = new scala.util.Random(5)
+    val noise = new java.awt.image.BufferedImage(
+      36, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 36)
+      noise.setRGB(x, y, rnd.nextInt(1 << 24))
+    val items = Seq(
+      Multimodal.MediaItem(1L, "image", encode(gradient(36, 24, false), "png"), "gen"),
+      Multimodal.MediaItem(2L, "image", encode(gradient(108, 72, false), "jpeg"), "gen"),
+      Multimodal.MediaItem(3L, "image", encode(noise, "png"), "gen"),
+      Multimodal.MediaItem(4L, "image", encode(gradient(36, 24, true), "png"), "gen"),
+      Multimodal.MediaItem(5L, "text", "not an image".getBytes("UTF-8"), "gen")
+    ).toDS()
+    val hashes = Multimodal.imageDHash(items).collect()
+      .map(h => h.media_id -> h.dhash).toMap
+    // non-images drop out instead of hashing noise
+    assert(hashes.keySet === Set(1L, 2L, 3L, 4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // same content through a different size AND codec: near-identical
+    assert(ham(hashes(1L), hashes(2L)) <= 6,
+      s"re-encoded/rescaled gradient drifted ${ham(hashes(1L), hashes(2L))} bits")
+    // different content: far (gradient rows are monotone — 8 rising bits
+    // per row vs noise ~50/50 and the reversed gradient's 0 rising bits)
+    assert(ham(hashes(1L), hashes(3L)) > 12)
+    assert(ham(hashes(1L), hashes(4L)) > 32,
+      "reversed gradient should flip every comparison bit")
+    // the composed near-dup pairs find exactly the re-encode pair
+    val pairs = Multimodal.imageNearDupPairs(items, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   /** A real w×h PNG with a horizontal black→white luma gradient. */
   private def pngBytes(w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
