@@ -106,8 +106,13 @@ object Multimodal {
     * byte-level energy (still real signal, coarser quantization). None for
     * payloads JavaSound cannot parse.
     */
-  private def decodeAudioFeatures(
-      item: MediaItem, bytes: Array[Byte]): Option[MediaFeatures] = {
+  /** REAL JavaSound decode → temporal RMS profile over `bins` equal time
+    * slices (plus the container format). One pass over the PCM stream;
+    * None for payloads the codec rejects. Shared by the 8-bin feature
+    * embedding and the 65-bin perceptual hash.
+    */
+  private def rmsProfile(bytes: Array[Byte], bins: Int)
+      : Option[(javax.sound.sampled.AudioFormat, Array[Double])] = {
     if (bytes.isEmpty) return None
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -118,10 +123,10 @@ object Multimodal {
         val sixteenBit = fmt.getSampleSizeInBits == 16 &&
           fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
         val nSamples = if (sixteenBit) pcm.length / 2 else pcm.length
-        val emb = new Array[Float](8)
+        val prof = new Array[Double](bins)
         if (nSamples > 0) {
-          val acc = new Array[Double](8)
-          val cnt = new Array[Long](8)
+          val acc = new Array[Double](bins)
+          val cnt = new Array[Long](bins)
           var i = 0
           while (i < nSamples) {
             val s =
@@ -132,26 +137,33 @@ object Multimodal {
                         else (hi << 8) | lo
                 v / 32768.0
               } else (pcm(i) & 0xff) / 255.0
-            val bin = (i.toLong * 8 / nSamples).toInt
+            val bin = (i.toLong * bins / nSamples).toInt
             acc(bin) += s * s
             cnt(bin) += 1
             i += 1
           }
           var b = 0
-          while (b < 8) {
-            if (cnt(b) > 0) emb(b) = math.sqrt(acc(b) / cnt(b)).toFloat
+          while (b < bins) {
+            if (cnt(b) > 0) prof(b) = math.sqrt(acc(b) / cnt(b))
             b += 1
           }
         }
-        Some(MediaFeatures(item.media_id, item.kind, bytes.length.toLong,
-          f"${java.util.Arrays.hashCode(bytes)}%08x",
-          width = fmt.getSampleRate.toInt, height = fmt.getChannels, emb))
+        Some((fmt, prof))
       } finally ais.close()
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException => None
     }
   }
+
+  private def decodeAudioFeatures(
+      item: MediaItem, bytes: Array[Byte]): Option[MediaFeatures] =
+    rmsProfile(bytes, 8).map { case (fmt, prof) =>
+      MediaFeatures(item.media_id, item.kind, bytes.length.toLong,
+        f"${java.util.Arrays.hashCode(bytes)}%08x",
+        width = fmt.getSampleRate.toInt, height = fmt.getChannels,
+        prof.map(_.toFloat))
+    }
 
   /** ImageIO parse, None for non-image/undecodable payloads (ImageIO
     * returns null rather than throwing for unknown containers).
@@ -282,6 +294,44 @@ object Multimodal {
     graft.operators.Dedup.hammingPairs(
       imageDHash(items).toDF()
         .select(col("media_id").as("id"), col("dhash").as("sh")),
+      maxHamming)
+
+  final case class AudioHash(media_id: Long, ahash: Long)
+
+  /** Perceptual audio sketch — the audio twin of [[imageDHash]]: decode
+    * the REAL PCM stream, take a 65-bin temporal RMS envelope, set bit b
+    * iff rms(b+1) > rms(b). Comparing CONSECUTIVE bins makes the sketch
+    * invariant to uniform gain (volume normalization, format headroom) —
+    * a re-mastered copy at half volume hashes identically — while the
+    * envelope SHAPE (beats, fades, speech rhythm) drives the bits.
+    * Undecodable payloads drop out. Same 64-bit contract as dHash /
+    * SimHash, so [[Dedup.hammingPairs]] is the pair join here too.
+    */
+  def audioRmsHash(items: Dataset[MediaItem]): Dataset[AudioHash] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions(_.flatMap { item =>
+      val bytes = if (item.bytes == null) Array.emptyByteArray else item.bytes
+      rmsProfile(bytes, 65).map { case (_, p) =>
+        var h = 0L
+        var b = 0
+        while (b < 64) {
+          if (p(b + 1) > p(b)) h |= (1L << b)
+          b += 1
+        }
+        AudioHash(item.media_id, h)
+      }
+    })
+  }
+
+  /** Audio near-duplicate pairs via [[audioRmsHash]] + the shared
+    * pigeonhole hamming join — one pair engine, three modalities.
+    */
+  def audioNearDupPairs(
+      items: Dataset[MediaItem], maxHamming: Int = 6): DataFrame =
+    graft.operators.Dedup.hammingPairs(
+      audioRmsHash(items).toDF()
+        .select(col("media_id").as("id"), col("ahash").as("sh")),
       maxHamming)
 
   /** REAL multi-frame decode for the one video container the JDK ships a

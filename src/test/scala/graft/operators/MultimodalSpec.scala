@@ -107,6 +107,52 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("audio RMS hash: gain-invariant, envelope-shape-sensitive") {
+    import spark.implicits._
+    // real 16-bit PCM WAVs of a 440 Hz sine under an amplitude ENVELOPE:
+    // the hash reads envelope shape (consecutive-bin RMS comparisons), so
+    // a half-volume re-master is IDENTICAL while a reversed envelope is
+    // far — and a constant tone carries no envelope signal at all
+    def wav(env: Double => Double, gain: Double): Array[Byte] = {
+      val rate = 8000f
+      val n = (rate * 0.5).toInt
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val t = i.toDouble / n
+        val s = (math.sin(2 * math.Pi * 440 * i / rate) * env(t) * gain * 32767 * 0.9).toInt
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val rising: Double => Double = t => t
+    val falling: Double => Double = t => 1.0 - t
+    val items = Seq(
+      Multimodal.MediaItem(1L, "audio", wav(rising, 1.0), "gen"),
+      Multimodal.MediaItem(2L, "audio", wav(rising, 0.5), "gen"), // re-master
+      Multimodal.MediaItem(3L, "audio", wav(falling, 1.0), "gen"),
+      Multimodal.MediaItem(4L, "audio", "not audio".getBytes("UTF-8"), "gen")
+    ).toDS()
+    val hashes = Multimodal.audioRmsHash(items).collect()
+      .map(h => h.media_id -> h.ahash).toMap
+    assert(hashes.keySet === Set(1L, 2L, 3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // uniform gain preserves every consecutive-bin comparison exactly
+    assert(hashes(1L) === hashes(2L), "half-volume re-master drifted")
+    // a rising envelope is ~all 1-bits, a falling one ~all 0-bits
+    assert(ham(hashes(1L), hashes(3L)) > 48,
+      s"reversed envelope only ${ham(hashes(1L), hashes(3L))} bits away")
+    val pairs = Multimodal.audioNearDupPairs(items, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   /** A real w×h PNG with a horizontal black→white luma gradient. */
   private def pngBytes(w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
