@@ -258,30 +258,83 @@ object Multimodal {
     import spark.implicits._
     items.mapPartitions(_.flatMap { item =>
       val bytes = if (item.bytes == null) Array.emptyByteArray else item.bytes
-      decodeImage(bytes).map { img =>
-        val canvas = new java.awt.image.BufferedImage(
-          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = canvas.createGraphics()
-        try {
-          g.setRenderingHint(
-            java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g.drawImage(img, 0, 0, 9, 8, null)
-        } finally g.dispose()
-        def luma(x: Int, y: Int): Double = {
-          val rgb = canvas.getRGB(x, y)
-          0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-            0.114 * (rgb & 0xff)
-        }
-        var h = 0L
-        var bit = 0
-        for (r <- 0 until 8; c <- 0 until 8) {
-          if (luma(c + 1, r) > luma(c, r)) h |= (1L << bit)
-          bit += 1
-        }
-        ImageHash(item.media_id, h)
+      decodeImage(bytes).map(img => ImageHash(item.media_id, dHashOf(img)))
+    })
+  }
+
+  /** The dHash core over an already-decoded image — shared by the image
+    * and video near-dup paths.
+    */
+  private[operators] def dHashOf(img: java.awt.image.BufferedImage): Long = {
+    val canvas = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = canvas.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 9, 8, null)
+    } finally g.dispose()
+    def luma(x: Int, y: Int): Double = {
+      val rgb = canvas.getRGB(x, y)
+      0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+    }
+    var h = 0L
+    var bit = 0
+    for (r <- 0 until 8; c <- 0 until 8) {
+      if (luma(c + 1, r) > luma(c, r)) h |= (1L << bit)
+      bit += 1
+    }
+    h
+  }
+
+  final case class VideoFrameHash(media_id: Long, fh: Long)
+
+  /** Per-frame perceptual hashes for the REALLY-decodable video
+    * containers (GIF, MJPEG-AVI): every frame through [[dHashOf]],
+    * distinct per video. Pseudo-decode containers drop out — a
+    * perceptual hash needs pixels. Narrow map, no shuffle.
+    */
+  def videoFrameDHashes(items: Dataset[MediaItem]): Dataset[VideoFrameHash] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions(_.flatMap { item =>
+      gifFrameImages(item.bytes).orElse(aviFrameImages(item.bytes)) match {
+        case Some(frames) =>
+          frames.map { case (_, _, img) => dHashOf(img) }.distinct
+            .map(VideoFrameHash(item.media_id, _)).iterator
+        case None => Iterator.empty
       }
     })
+  }
+
+  /** Video near-duplicate pairs: Jaccard over the videos' frame-dHash
+    * SETS — robust to trims, frame sampling, re-muxing AND transcoding
+    * (a GIF and an MJPEG-AVI of the same frames share dHashes even
+    * though every byte and every pixel digest differs). Inverted-index
+    * join on the frame hash (the ngramJaccard candidate pattern without
+    * the prefix filter — frame sets are tens, not thousands), exact
+    * Jaccard verify, threshold cut. Fourth modality on the shared
+    * sketch machinery.
+    */
+  def videoNearDupPairs(
+      items: Dataset[MediaItem], threshold: Double = 0.5): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val posting = OperatorCaches.persistTracked(
+      videoFrameDHashes(items).toDF().select(col("media_id").as("id"), col("fh")))
+    val sizes = posting.groupBy("id").agg(count(lit(1)).as("sz"))
+    posting.as("a").join(posting.as("b"),
+        col("a.fh") === col("b.fh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Image near-duplicate pairs: [[imageDHash]] composed with the same
@@ -343,7 +396,12 @@ object Multimodal {
     * bytes), so two encodings of the same frames digest equal.
     */
   private[operators] def gifFrames(
-      bytes: Array[Byte]): Option[Vector[(Int, Long, String)]] = {
+      bytes: Array[Byte]): Option[Vector[(Int, Long, String)]] =
+    gifFrameImages(bytes).map(_.map { case (i, off, img) =>
+      (i, off, frameDigest(img)) })
+
+  private def gifFrameImages(bytes: Array[Byte])
+      : Option[Vector[(Int, Long, java.awt.image.BufferedImage)]] = {
     if (bytes == null || bytes.isEmpty) return None
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
@@ -357,10 +415,10 @@ object Multimodal {
         val nFrames = reader.getNumImages(true)
         if (nFrames <= 1) return None
         var offsetMs = 0L
-        val out = Vector.newBuilder[(Int, Long, String)]
+        val out = Vector.newBuilder[(Int, Long, java.awt.image.BufferedImage)]
         for (i <- 0 until nFrames) {
           val img = reader.read(i)
-          out += ((i, offsetMs, frameDigest(img)))
+          out += ((i, offsetMs, img))
           offsetMs += gifDelayCs(reader.getImageMetadata(i)) * 10L
         }
         Some(out.result())
@@ -387,7 +445,12 @@ object Multimodal {
     * the same frames digest equal across re-muxed containers.
     */
   private[operators] def aviFrames(
-      bytes: Array[Byte]): Option[Vector[(Int, Long, String)]] = {
+      bytes: Array[Byte]): Option[Vector[(Int, Long, String)]] =
+    aviFrameImages(bytes).map(_.map { case (i, off, img) =>
+      (i, off, frameDigest(img)) })
+
+  private def aviFrameImages(bytes: Array[Byte])
+      : Option[Vector[(Int, Long, java.awt.image.BufferedImage)]] = {
     if (bytes == null || bytes.length < 12) return None
     def fourcc(off: Int): String =
       new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -423,7 +486,7 @@ object Multimodal {
       }
     }
     val decoded = frames.result().zipWithIndex.flatMap { case (payload, i) =>
-      decodeImage(payload).map(img => (i, i * usPerFrame / 1000L, frameDigest(img)))
+      decodeImage(payload).map(img => (i, i * usPerFrame / 1000L, img))
     }
     if (decoded.size >= 2) Some(decoded) else None
   }

@@ -153,6 +153,73 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("video near-dup: trimmed transcode matches across containers, by frame dHash") {
+    import spark.implicits._
+    // patterned frames (solid colors are dHash-degenerate: every solid
+    // frame hashes 0) — frame i gets a horizontal sawtooth of period
+    // ~(i+2) columns, giving 4 well-separated dHashes
+    def pattern(i: Int): java.awt.image.BufferedImage = {
+      val (w, h) = (36, 24)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * (i + 2) * 255 / w) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def gif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach(f =>
+          writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+        writer.endWriteSequence()
+      } finally { ios.close(); writer.dispose() }
+      out.toByteArray
+    }
+    def avi(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      def u32(v: Long): Array[Byte] = Array((v & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def chunk(id: String, data: Array[Byte]): Array[Byte] =
+        id.getBytes("US-ASCII") ++ u32(data.length.toLong) ++ data ++
+          (if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+      def list(kind: String, payload: Array[Byte]): Array[Byte] =
+        chunk("LIST", kind.getBytes("US-ASCII") ++ payload)
+      val jpegs = frames.map { f =>
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(f, "jpeg", out); out.toByteArray
+      }
+      val avih = u32(40000L) ++ Array.fill(13)(u32(0L)).flatten
+      val body = "AVI ".getBytes("US-ASCII") ++ list("hdrl", chunk("avih", avih)) ++
+        list("movi", jpegs.flatMap(chunk("00dc", _)).toArray)
+      "RIFF".getBytes("US-ASCII") ++ u32(body.length.toLong) ++ body
+    }
+    val all = (0 until 4).map(pattern)
+    val items = Seq(
+      Multimodal.MediaItem(1L, "video", gif(all), "gen"),          // full, GIF
+      Multimodal.MediaItem(2L, "video", avi(all.drop(1)), "gen"),  // trimmed, JPEG/AVI
+      Multimodal.MediaItem(3L, "video", gif(Seq(pattern(7), pattern(9))), "gen"),
+      Multimodal.MediaItem(4L, "video", "no codec here".getBytes("UTF-8"), "gen")
+    ).toDS()
+    val hashes = Multimodal.videoFrameDHashes(items).collect()
+      .groupBy(_.media_id).map { case (k, v) => k -> v.map(_.fh).toSet }
+    // pseudo-decode containers drop out; the real ones carry per-frame hashes
+    assert(hashes.keySet === Set(1L, 2L, 3L))
+    assert(hashes(1L).size === 4)
+    // transcoding (GIF palette vs lossy JPEG) preserves the frame dHashes
+    assert((hashes(2L) -- hashes(1L)).isEmpty,
+      s"transcoded frames drifted: ${hashes(2L) -- hashes(1L)}")
+    val pairs = Multimodal.videoNearDupPairs(items, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // trim keeps 3 of 4 frames: J = 3/4
+    assert(pairs.keySet === Set((1L, 2L)))
+    assert(pairs((1L, 2L)) === 0.75)
+  }
+
   /** A real w×h PNG with a horizontal black→white luma gradient. */
   private def pngBytes(w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
