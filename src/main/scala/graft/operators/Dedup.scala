@@ -612,6 +612,19 @@ object Dedup {
     * probability): any pair within maxHamming agrees on ≥1 of the
     * maxHamming+1 blocks, and the final bit_count filter verifies the
     * true distance — banding affects cost only, never results.
+    *
+    * HOT-KEY GUARD: banding runs over DISTINCT sketch VALUES, not ids.
+    * Pigeonhole banding bounds candidates only while sketches are diverse;
+    * a constant sketch (all-black images → dHash 0, silence → RMS hash 0)
+    * puts every id in the same (chunk, cv) bucket of every chunk, and the
+    * id-level self-join was n²·(maxHamming+1) candidate rows plus a
+    * dropDuplicates shuffle of all of them. Value-level banding makes the
+    * banded join cost a function of sketch DIVERSITY: identical-sketch
+    * groups never enter it (they pair by a direct equality join — pure
+    * output, hamming 0 by definition, no chunk amplification, no dedup
+    * pass), and cross-value pairs expand to id pairs only after the
+    * distance filter already passed. The output contract is unchanged —
+    * every qualifying id pair, exactly once.
     */
   def hammingPairs(sketch: DataFrame, maxHamming: Int = 3): DataFrame = {
     // recall guarantee needs maxHamming+1 blocks (pigeonhole): any pair
@@ -622,11 +635,13 @@ object Dedup {
     val rem = 64 % chunks
     val offsets = (0 until chunks).scanLeft(0)((off, i) =>
       off + base + (if (i < rem) 1 else 0))
-    // persist: the banded frame self-joins (two consumers of the sketch
-    // expression) — without this the sketch computes once per side
+    // persist: consumed by the equality join and both expansion joins —
+    // without this the sketch expression computes once per consumer
     val sketched = OperatorCaches.persistTracked(sketch)
-    val banded = sketched.select(
-      col("id"), col("sh"),
+    // distinct sketch values; persisted because the banded frame self-joins
+    val values = OperatorCaches.persistTracked(sketched.select(col("sh")).distinct())
+    val banded = values.select(
+      col("sh"),
       explode(array((0 until chunks).map { i =>
         val w = base + (if (i < rem) 1 else 0)
         struct(lit(i).as("chunk"),
@@ -634,16 +649,34 @@ object Dedup {
             .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1)).as("cv"))
       }: _*))
         .as("ck"))
-      .select(col("id"), col("sh"), col("ck.chunk"), col("ck.cv"))
+      .select(col("sh"), col("ck.chunk"), col("ck.cv"))
 
-    banded.as("a").join(banded.as("b"),
+    // DIRECTED distinct-value pairs within distance (both (x,y) and (y,x)
+    // survive): an unordered id pair (i < j) expands through exactly the
+    // (sh_i, sh_j) direction, so no id-level dedup is ever needed
+    val valuePairs = banded.as("a").join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.sh") =!= col("b.sh"))
+      .select(col("a.sh").as("sh_a"), col("b.sh").as("sh_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int").as("hamming"))
-      .dropDuplicates("id_a", "id_b")
-      // UNSORTED on purpose — see minHashLsh; catalog entries sort
+      .dropDuplicates("sh_a", "sh_b")
       .filter(col("hamming") <= maxHamming)
+
+    // identical-sketch pairs: hamming 0 by definition — a direct equality
+    // join whose output IS the result (no banding, no verify, no dedup)
+    val equal = sketched.as("x").join(sketched.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(0).cast("int").as("hamming"))
+
+    // cross-value pairs: expand the already-filtered value pairs to ids
+    val cross = sketched.as("x")
+      .join(valuePairs, col("x.sh") === col("sh_a"))
+      .join(sketched.as("y"), col("y.sh") === col("sh_b") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("hamming"))
+
+    // UNSORTED on purpose — see minHashLsh; catalog entries sort
+    equal.unionByName(cross)
   }
 
   /** Connected components over near-duplicate pairs → dedup clusters, so a

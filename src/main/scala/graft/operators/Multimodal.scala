@@ -136,7 +136,10 @@ object Multimodal {
                 val v = if (fmt.isBigEndian) (pcm(2 * i).toInt << 8) | (pcm(2 * i + 1) & 0xff)
                         else (hi << 8) | lo
                 v / 32768.0
-              } else (pcm(i) & 0xff) / 255.0
+              } else ((pcm(i) & 0xff) - 128) / 128.0 // center the unsigned
+              // 8-bit midpoint: gain scales amplitude about 0x80, not 0 —
+              // without the shift RMS is DC-dominated and the documented
+              // gain-invariance of audioRmsHash fails for 8-bit PCM
             val bin = (i.toLong * bins / nSamples).toInt
             acc(bin) += s * s
             cnt(bin) += 1
@@ -317,13 +320,32 @@ object Multimodal {
     * the prefix filter — frame sets are tens, not thousands), exact
     * Jaccard verify, threshold cut. Fourth modality on the shared
     * sketch machinery.
+    *
+    * `maxFrameDf` caps the posting join's hot keys: a frame hash shared
+    * by more than maxFrameDf videos (a studio intro card, a solid frame —
+    * any solid frame dHashes to 0 — a test pattern) is a df² candidate
+    * blowup at corpus scale, the exact hub regime [[Dedup.ngramJaccard]]'s
+    * maxDf exists to cut. Like maxDf it is deterministic SET REDUCTION,
+    * not a recall heuristic: a capped hash is removed from EVERY video's
+    * frame set BEFORE sizes and the join, so the Jaccard is exactly the
+    * Jaccard of the reduced sets and an oracle can replay it. The default
+    * keeps full sets (fixture-safe, matches the historical semantics);
+    * corpus-scale callers should cap (a frame shared by >100 videos
+    * carries no near-dup signal — it is boilerplate, same argument as
+    * ubiquitous shingles).
     */
   def videoNearDupPairs(
-      items: Dataset[MediaItem], threshold: Double = 0.5): DataFrame = {
+      items: Dataset[MediaItem], threshold: Double = 0.5,
+      maxFrameDf: Int = Int.MaxValue): DataFrame = {
     val spark = items.sparkSession
     import spark.implicits._
-    val posting = OperatorCaches.persistTracked(
-      videoFrameDHashes(items).toDF().select(col("media_id").as("id"), col("fh")))
+    val raw = videoFrameDHashes(items).toDF().select(col("media_id").as("id"), col("fh"))
+    val capped =
+      if (maxFrameDf == Int.MaxValue) raw
+      else raw.withColumn("__df",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fh")))
+        .filter(col("__df") <= maxFrameDf).drop("__df")
+    val posting = OperatorCaches.persistTracked(capped)
     val sizes = posting.groupBy("id").agg(count(lit(1)).as("sz"))
     posting.as("a").join(posting.as("b"),
         col("a.fh") === col("b.fh") && col("a.id") < col("b.id"))
