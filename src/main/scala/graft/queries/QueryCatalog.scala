@@ -2115,15 +2115,24 @@ object QueryCatalog {
           q, dim = 64, k = 10, simTarget = 0.9)
       },
       Some {
+        // n = 499 is LOCKSTEP with the sf0.01 fixture (500 embeddings
+        // including query 0): autoAnnParams' (w, h) are spliced from it,
+        // so a regenerated fixture of any other size must fail POINTEDLY,
+        // not as an inscrutable hash mismatch — the guard CTE below
+        // raises a named error when the live count disagrees
         val (w, h) = Similarity.autoAnnParams(0.9, n = 499L, dim = 64)
         val planeValues = graft.operators.Similarity.hyperplanes(dim = 64, nPlanes = w)
           .zipWithIndex
           .map { case (p, i) => s"($i, ${p.mkString("[", ", ", "]")}::DOUBLE[])" }
           .mkString(",\n                  ")
-        s"""WITH planes(p, pv) AS (VALUES
+        s"""WITH guard AS (SELECT CASE
+                  WHEN (SELECT count(*) FROM embeddings) = 500 THEN 1
+                  ELSE error('q_ann_quantized oracle is spliced for a 499-vector corpus (500 embeddings incl. query 0); the fixture size changed - regenerate the catalog oracle')
+                  END AS ok),
+              planes(p, pv) AS (VALUES
                   $planeValues),
               emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                FROM embeddings),
+                FROM embeddings, guard),
               rest AS (SELECT vec_id, e,
                   list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
                 FROM emb WHERE vec_id <> 0),
@@ -2419,6 +2428,140 @@ object QueryCatalog {
       Some(ivfKmeansOracleSql(k = 16, iters = 3, nProbe = 4, topK = 10, dim = 64)))
   )
 
+  // ------------------------------------------------- perceptual media dedup
+  // The three perceptual near-dup modalities, driver-gated THROUGH the real
+  // codecs. A SQL engine cannot decode PNG/WAV/GIF, so the gate runs the
+  // other way around: each entry synthesizes REAL payloads in-executor
+  // whose DECODED sketch is derivable in closed form from doc_id
+  // (MediaGen: planted luma walks in lossless PNG, planted RMS-level walks
+  // in lossless WAV, binary-grid GIF frames from a shared pool), Spark
+  // runs encode → ImageIO/JavaSound decode → perceptual sketch → pair
+  // join, and the oracle recomputes the sketches ARITHMETICALLY (the
+  // portable md5-60-bit convention) and brute-forces the pairs. Any drift
+  // anywhere in the codec→sketch→pair path — resampler, luma weights, RMS
+  // binning, banding, Jaccard — lands as a driver hash mismatch. Pair
+  // structure: (2g, 2g+1) at hamming g%9 (image/audio) / frame-window
+  // shift g%5 (video); see MediaGen's scaladoc.
+
+  private val media: Seq[Q] = {
+    import graft.operators.{MediaGen, Multimodal}
+
+    /** Closed-form planted-sketch CTEs (ids → per-group flip masks → sh),
+      * shared by the image and audio oracles — only the hash seed differs.
+      * The brute-force pair scan is O(n²) but runs only at the verify tier
+      * (500 docs = 125k comparisons); Spark runs the real banded machinery.
+      */
+    def plantedPairSql(seed: String): String =
+      s"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                  CAST(doc_id AS BIGINT) // 2 AS g,
+                  CAST(doc_id AS BIGINT) % 2 AS m
+                FROM documents),
+              msk AS (SELECT g, CAST(COALESCE(sum(CASE WHEN j < g % 9
+                    THEN CAST(1 AS BIGINT) << CAST((g * 7 + j * 13) % 60 AS INT)
+                    END), 0) AS BIGINT) AS mask
+                FROM (SELECT DISTINCT g FROM ids), (SELECT unnest(range(0, 8)) AS j)
+                GROUP BY g),
+              sk AS (SELECT id,
+                  CASE WHEN m = 1
+                    THEN xor(CAST(('0x' || substr(md5('$seed:' || g), 1, 15)) AS BIGINT), mask)
+                    ELSE CAST(('0x' || substr(md5('$seed:' || g), 1, 15)) AS BIGINT)
+                  END AS sh
+                FROM ids JOIN msk USING (g))
+              SELECT a.id AS id_a, b.id AS id_b,
+                CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+              FROM sk a JOIN sk b ON a.id < b.id
+              WHERE bit_count(xor(a.sh, b.sh)) <= 6
+              ORDER BY id_a, id_b"""
+
+    Seq(
+      // PNG → ImageIO decode → 9×8 bilinear luma grid → dHash →
+      // value-banded hamming join. The PNG is lossless and IS the dHash
+      // grid, so decode must reproduce the planted 60-bit sketch exactly.
+      Q("q_media_image_neardup",
+        (s, dir) => Multimodal.imageNearDupPairs(
+            MediaGen.imageItems(t(s, dir, "documents")), maxHamming = 6)
+          .orderBy("id_a", "id_b"),
+        Some(plantedPairSql("img"))),
+
+      // WAV → JavaSound PCM decode → 65-bin RMS envelope → consecutive-bin
+      // comparison hash → the same shared hamming join. Constant per-bin
+      // levels make each RMS a dyadic rational — exact on both engines.
+      Q("q_media_audio_neardup",
+        (s, dir) => Multimodal.audioNearDupPairs(
+            MediaGen.audioItems(t(s, dir, "documents")), maxHamming = 6)
+          .orderBy("id_a", "id_b"),
+        Some(plantedPairSql("aud"))),
+
+      // 4-frame GIF → sequence decode → per-frame dHash sets → posting
+      // join → exact Jaccard. Frames come from a shared pool (binary 9×8
+      // grids: a 2-color palette survives GIF quantization exactly), so
+      // frame-HASH Jaccard equals the closed-form frame-INDEX Jaccard —
+      // a decoder drift or pool dHash collision shrinks an intersection
+      // and fails the compare.
+      Q("q_media_video_neardup",
+        (s, dir) => Multimodal.videoNearDupPairs(
+            MediaGen.videoItems(t(s, dir, "documents")), threshold = 0.5)
+          .orderBy("id_a", "id_b"),
+        Some("""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                    CAST(doc_id AS BIGINT) // 2 AS g,
+                    CAST(doc_id AS BIGINT) % 2 AS m
+                  FROM documents),
+                fr AS (SELECT id, g * 9 + (CASE WHEN m = 1 THEN g % 5 ELSE 0 END) + j AS fi
+                  FROM ids, (SELECT unnest(range(0, 4)) AS j)),
+                sz AS (SELECT id, count(*) AS sz FROM fr GROUP BY id),
+                common AS (SELECT a.id AS id_a, b.id AS id_b,
+                    CAST(count(*) AS DOUBLE) AS inter
+                  FROM fr a JOIN fr b ON a.fi = b.fi AND a.id < b.id
+                  GROUP BY 1, 2)
+                SELECT id_a, id_b,
+                  round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+                FROM common JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+                WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5
+                ORDER BY id_a, id_b""")),
+
+      // the int8 quantization error bound, corpus-audited: drives the REAL
+      // quantizeInt8 → dequantize path and reports, over every component
+      // of every vector, the violation count of |x − x̂| ≤ scale/2 (must
+      // be 0) and the worst observed err/(scale/2) ratio (≤ 1). Every
+      // arithmetic step is bit-deterministic (see quantizeInt8's
+      // scaladoc), so the oracle replays it exactly.
+      Q("q_quant_error_bound",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          val orig = emb.select(col("vec_id").cast("long").as("id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          val err = orig.join(Similarity.quantizeInt8(emb), Seq("id"))
+            .withColumn("max_err", aggregate(
+              zip_with(col("v"), Similarity.dequantize(col("qv"), col("scale")),
+                (x, r) => abs(x - r)),
+              lit(0.0), (acc, e) => greatest(acc, e)))
+          err.agg(
+            count(lit(1)).as("n_vectors"),
+            sum(when(col("max_err") > col("scale") / 2, 1L).otherwise(0L))
+              .as("n_violations"),
+            round(max(when(col("scale") === 0.0, 0.0)
+              .otherwise(col("max_err") * 2 / col("scale"))), 4).as("worst_ratio"))
+        },
+        Some("""WITH qz AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                    CAST(embedding AS DOUBLE[]) AS v,
+                    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                      x -> abs(x))) / 127.0 AS scale
+                  FROM embeddings),
+                e AS (SELECT id, scale,
+                    CASE WHEN scale = 0 THEN 0.0 ELSE
+                      list_max(list_transform(v, x ->
+                        abs(x - greatest(-127.0, least(127.0,
+                          floor(x / scale + 0.5))) * scale)))
+                    END AS max_err
+                  FROM qz)
+                SELECT count(*) AS n_vectors,
+                  CAST(sum(CASE WHEN max_err > scale / 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations,
+                  round(max(CASE WHEN scale = 0 THEN 0.0
+                    ELSE max_err * 2 / scale END), 4) AS worst_ratio
+                FROM e""")))
+  }
+
   // ----------------------------------------------------------- taxi parity
   // The reference's own program (SURVEY.md §2l) over the deterministic
   // fixture. The fixture is not one of the driver's parquet tables, so
@@ -2516,5 +2659,5 @@ object QueryCatalog {
   }
 
   val all: Seq[Q] =
-    relational ++ relational2 ++ text ++ sampling ++ embeddings ++ taxi
+    relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++ taxi
 }
