@@ -156,7 +156,10 @@ object Bench {
           val iso = (1 to passes).map { _ =>
             val t0 = System.nanoTime()
             try { byName(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-            catch { case _: Throwable => Double.MaxValue }
+            // NonFatal only: an OOM/fatal error here means the JVM/Spark
+            // state is no longer trustworthy — let it abort the sweep
+            // rather than silently publishing numbers from a corrupted run
+            catch { case scala.util.control.NonFatal(_) => Double.MaxValue }
           }.min
           if (iso < results(name)) results(name) = iso
         }
@@ -181,7 +184,8 @@ object Bench {
       val iso = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         try { byName(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => Double.MaxValue }
+        // NonFatal only — same rationale as the family re-measure above
+        catch { case scala.util.control.NonFatal(_) => Double.MaxValue }
       }.min
       if (iso < Double.MaxValue) isolated(name) = iso
     }
@@ -221,10 +225,11 @@ object Bench {
     * buys prefix stability; 8 stopped fitting at 106 queries), like git
     * object abbreviation: prefix-stable and collision-free by construction. A failure-heavy round can blow
     * the budget through the failed array alone (each entry carries an
-    * exception class), so as a last resort the failed list truncates from
-    * the tail with a "+k more" marker until the line fits — better k
-    * unnamed failures than a mid-JSON driver truncation losing the whole
-    * round's numbers.
+    * exception class), so under deep pressure the line first omits its
+    * fastest successful entries (declared via "omitted":k) and only as
+    * the true last resort truncates the failed list from the tail with a
+    * "+k more" marker until the line fits — better k unnamed failures
+    * than a mid-JSON driver truncation losing the whole round's numbers.
     *
     * The run-health canary renders as "canary":[ms,ms,ms] (start/mid/end
     * observations, integer ms) plus "degraded":true|false from the pinned
@@ -243,10 +248,16 @@ object Bench {
     * cache-heavy entries, and cross-round comparison should diff
     * isolated-to-isolated. Both keys render through the same
     * abbreviation map as "queries", and both sit ABOVE failure
-    * truncation in the budget ladder: under pressure the line first
-    * drops isolated entries from the tail, then both extra keys
-    * entirely (they are additive diagnostics; "queries"/"failed" are
-    * the load-bearing contract), and only then truncates failures.
+    * truncation in the budget ladder. Ladder order (round-9 revision —
+    * the r8 line lost 4 of 5 isolated entries to the old order, exactly
+    * the field cross-round comparison needs): full names → floor-6
+    * abbreviation → floor-1 abbreviation WITH everything (key compression
+    * is cheaper than information loss; floor-1 sacrifices only
+    * cross-round prefix stability) → drop counterexamples (re-derivable
+    * from the catalog source; isolated measurements are not re-derivable
+    * after the run) → shrink isolated from the tail → truncate failures
+    * as the last resort ("queries"/"failed" are the load-bearing
+    * contract).
     */
   private[graft] def renderLine(
       results: Seq[(String, Double)],
@@ -274,8 +285,8 @@ object Bench {
     val abbrevOf: Map[String, String] = abbrevMap(6)
     val ok = results.map(_._2).filter(_ >= 0)
     val totalMs = math.round((if (ok.nonEmpty) ok.sum else 0.0) * 1000)
-    def line(abbrev: Boolean, keepFailed: Int, keepIso: Int, extras: Boolean,
-        keys: Map[String, String] = abbrevOf): String = {
+    def line(abbrev: Boolean, keepFailed: Int, keepIso: Int, keepCex: Boolean,
+        keys: Map[String, String] = abbrevOf, dropFastest: Int = 0): String = {
       // a failures key absent from results (can't happen today, but the
       // map is built from results only) falls back to the un-abbreviated
       // short name rather than throwing away the whole line
@@ -287,33 +298,65 @@ object Bench {
         if (failures.size > keepFailed) Seq("\"+" + (failures.size - keepFailed) + " more\"")
         else Nil
       val failed = (kept ++ marker).mkString("[", ",", "]")
-      val qs = results.map { case (k, v) =>
+      // deep-pressure rung: omit the k fastest SUCCESSFUL entries (the
+      // least informative numbers; -1 failure rows always stay, pairing
+      // with "failed") and say so via "omitted":k — a parseable line
+      // missing its cheapest timings beats a mid-JSON driver truncation
+      // losing the whole round
+      val dropped: Set[String] =
+        if (dropFastest <= 0) Set.empty
+        else results.filter(_._2 >= 0).sortBy { case (k, v) => (v, k) }
+          .take(dropFastest).map(_._1).toSet
+      val qs = results.filterNot(r => dropped.contains(r._1)).map { case (k, v) =>
         "\"" + key(k) + "\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
       }.mkString("{", ",", "}")
-      val extraFields =
-        if (!extras) ""
-        else {
-          val cex = counterExamples.map(k => "\"" + key(k) + "\"").mkString("[", ",", "]")
-          val iso = isolated.take(keepIso).map { case (k, v) =>
+      val omittedField =
+        if (dropped.isEmpty) "" else s""""omitted":${dropped.size},"""
+      // an undamaged line renders both extras even when empty (the
+      // explicit "nothing flagged / nothing re-measured" statement);
+      // degraded rungs omit a field entirely instead of shipping husks
+      val cexField =
+        if (keepCex)
+          Some("\"counterexamples\":" +
+            counterExamples.map(k => "\"" + key(k) + "\"").mkString("[", ",", "]"))
+        else None
+      val isoField =
+        if (keepIso > 0 || keepCex)
+          Some("\"isolated\":" + isolated.take(keepIso).map { case (k, v) =>
             "\"" + key(k) + "\":" + math.round(v * 1000).toString
-          }.mkString("{", ",", "}")
-          s""""counterexamples":$cex,"isolated":$iso,"""
-        }
+          }.mkString("{", ",", "}"))
+        else None
+      val extraFields = (cexField.toSeq ++ isoField.toSeq).map(_ + ",").mkString
       val canaryJson = canary.map(math.round).mkString("[", ",", "]")
       val degraded = canaryDegraded(canary)
-      s"""{"metric":"total","value":$totalMs,"unit":"ms","queries":$qs,"failed":$failed,$extraFields"canary":$canaryJson,"degraded":$degraded,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$totalMs,"unit":"ms","queries":$qs,"failed":$failed,$omittedField$extraFields"canary":$canaryJson,"degraded":$degraded,"sf":"$sfName"}"""
     }
-    // floor-1 keys sacrifice round-over-round prefix stability, so they
-    // rank below dropping the extras but ABOVE truncating failures: a
-    // failure name+class is the one diagnostic the driver line exists for
+    // round-9 ladder: compress keys to floor-1 BEFORE shedding any
+    // information — isolated re-measures are the one artifact that cannot
+    // be reconstructed after the run (counterexamples re-derive from the
+    // catalog, failures re-reproduce, key stability is cosmetic), so they
+    // outrank everything except the failed list. Under widths no real
+    // round produces (every query 10x slower than the slowest ever
+    // recorded), fastest-entry omission kicks in BEFORE failure
+    // truncation: a failure's name+class is the one diagnostic the line
+    // exists for, a sub-second timing is the cheapest to lose.
     lazy val tightKeys = abbrevMap(1)
+    val nOk = results.count(_._2 >= 0)
+    val geometricDrops =
+      Iterator.iterate(1)(_ * 2).takeWhile(_ < nOk) ++ Iterator(nOk)
     val attempts =
-      Iterator(line(false, failures.size, isolated.size, true),
-        line(true, failures.size, isolated.size, true)) ++
-      (isolated.size - 1 to 0 by -1).iterator.map(line(true, failures.size, _, true)) ++
-      Iterator(line(true, failures.size, 0, false),
-        line(true, failures.size, 0, false, tightKeys)) ++
-      (failures.size - 1 to 0 by -1).iterator.map(line(true, _, 0, false, tightKeys))
-    attempts.find(_.length <= 1920).getOrElse(line(true, 0, 0, false, tightKeys))
+      Iterator(
+        line(false, failures.size, isolated.size, true),
+        line(true, failures.size, isolated.size, true),
+        line(true, failures.size, isolated.size, true, tightKeys),
+        line(true, failures.size, isolated.size, false, tightKeys)) ++
+      (isolated.size - 1 to 0 by -1).iterator
+        .map(line(true, failures.size, _, false, tightKeys)) ++
+      geometricDrops
+        .map(k => line(true, failures.size, 0, false, tightKeys, dropFastest = k)) ++
+      (failures.size - 1 to 0 by -1).iterator
+        .map(line(true, _, 0, false, tightKeys, dropFastest = nOk))
+    attempts.find(_.length <= 1920)
+      .getOrElse(line(true, 0, 0, false, tightKeys, dropFastest = nOk))
   }
 }

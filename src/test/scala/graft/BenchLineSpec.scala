@@ -51,7 +51,13 @@ class BenchLineSpec extends AnyFunSuite {
     // shape: one object, queries object with one entry per result, empty failed
     assert(line.startsWith("{\"metric\":\"total\",\"value\":"), line.take(60))
     assert(line.contains("\"failed\":[]"), line.takeRight(60))
-    assert("\"[a-z0-9_]+\":[0-9-]".r.findAllIn(line).size >= names.size, "missing entries")
+    // at this synthetic width (every query 100 s) the deep-pressure rung
+    // may omit the fastest entries — but it must SAY so, and the ledger
+    // must balance: rendered + omitted covers the whole catalog
+    val omitted = "\"omitted\":([0-9]+)".r.findFirstMatchIn(line)
+      .map(_.group(1).toInt).getOrElse(0)
+    assert("\"[a-z0-9_]+\":[0-9-]".r.findAllIn(line).size + omitted >= names.size,
+      s"missing entries (omitted=$omitted)")
   }
 
   test("a failed name absent from results falls back to its short name, not a throw") {
@@ -110,20 +116,46 @@ class BenchLineSpec extends AnyFunSuite {
       bare.contains("\"isolated\":{}"), bare)
   }
 
-  test("the REAL catalog's flagged entries + isolated tail fit at realistic widths") {
+  test("the REAL catalog's line carries the FULL isolated tail at realistic widths") {
     // the line the actual driver run prints: real catalog names, the real
-    // counterExample flags, a full isolated tail, 3-digit-ms times (the
-    // bulk of every recorded round; the handful of 4-digit entries ride
-    // the same ~150-char headroom)
+    // counterExample flags, a full isolated tail, 4-digit-ms times for
+    // every entry (wider than any recorded round — r8's slowest was
+    // 3.3 s). The r8 ladder squeezed "isolated" to ONE entry at 115
+    // queries; the round-9 priority (compress keys before shedding
+    // measurements) must keep all IsolatedTopN entries — they are the
+    // one artifact that cannot be reconstructed after the run.
     val qs = queries.QueryCatalog.all
-    val results = qs.map(_.name -> 0.999)
+    val results = qs.map(_.name -> 9.999)
     val cex = qs.filter(_.counterExample).map(_.name)
     assert(cex.size >= 3, "catalog lost its counter-example flags")
-    val iso = results.take(Bench.IsolatedTopN).map { case (k, _) => k -> 0.999 }
+    val iso = results.take(Bench.IsolatedTopN).map { case (k, _) => k -> 9.999 }
     val line = Bench.renderLine(results, Seq.empty, "sf0.1", Seq(120.0, 120.0, 120.0), cex, iso)
     assert(line.length <= 1920, s"line ${line.length} chars")
-    assert(line.contains("\"counterexamples\":[\"embed_neardup\""), line.takeRight(500))
-    assert(line.contains("\"isolated\":{"), line.takeRight(500))
+    val isoJson = "\"isolated\":\\{([^}]*)\\}".r.findFirstMatchIn(line).map(_.group(1))
+    assert(isoJson.isDefined, s"isolated dropped entirely: ${line.takeRight(300)}")
+    val isoCount = isoJson.get.count(_ == ':')
+    assert(isoCount === Bench.IsolatedTopN,
+      s"isolated carries $isoCount of ${Bench.IsolatedTopN} entries: ${isoJson.get}")
+  }
+
+  test("under pressure counterexamples drop BEFORE isolated entries do") {
+    // a width regime sized so that tight keys + everything is JUST over
+    // budget and dropping the cex array alone brings it under: the ladder
+    // must shed cex (re-derivable from the catalog source) and keep the
+    // full isolated tail (not re-derivable after the run)
+    val results = (1 to 130).map(i =>
+      f"q_w$i%03d_wide_query_name_padding_out_the_line" -> 99.999)
+    val cex = results.take(10).map(_._1)
+    val iso = results.take(Bench.IsolatedTopN).map { case (k, _) => k -> 99.999 }
+    val line = Bench.renderLine(results, Seq.empty, "sf0.1",
+      Seq(120.0, 120.0, 120.0), cex, iso)
+    assert(line.length <= 1920, s"line ${line.length} chars")
+    val isoEntries = "\"isolated\":\\{([^}]*)\\}".r.findFirstMatchIn(line)
+      .map(_.group(1).count(_ == ':')).getOrElse(0)
+    assert(isoEntries === Bench.IsolatedTopN,
+      s"isolated degraded to $isoEntries entries: ${line.takeRight(200)}")
+    assert(!line.contains("\"counterexamples\":"),
+      "cex survived a squeeze that should have shed it first")
   }
 
   test("under budget pressure the extras degrade before failures do") {
