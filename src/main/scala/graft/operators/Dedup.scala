@@ -659,8 +659,16 @@ object Dedup {
           col("a.sh") =!= col("b.sh"))
       .select(col("a.sh").as("sh_a"), col("b.sh").as("sh_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int").as("hamming"))
-      .dropDuplicates("sh_a", "sh_b")
+      // filter BEFORE dedup: the distance cut is a narrow per-row predicate
+      // on the join output, the dedup is a shuffle — at wide radii the
+      // blocks are short (maxHamming+1 blocks of 64/(maxHamming+1) bits),
+      // candidate volume is bucket-quadratic, and deduping candidates
+      // before cutting them shuffles the whole candidate stream (Catalyst
+      // cannot push a predicate on an aggregate output through the
+      // dedup). Result-identical: duplicates of a qualifying pair all
+      // qualify, non-qualifying candidates never reach the dedup.
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("sh_a", "sh_b")
 
     // identical-sketch pairs: hamming 0 by definition — a direct equality
     // join whose output IS the result (no banding, no verify, no dedup)
