@@ -625,31 +625,30 @@ object Dedup {
     * pass), and cross-value pairs expand to id pairs only after the
     * distance filter already passed. The output contract is unchanged —
     * every qualifying id pair, exactly once.
+    *
+    * BLOCKS ARE BIT-STRIDED, not contiguous (round 9). A bit-position
+    * permutation preserves hamming distance, so the pigeonhole guarantee
+    * is banding-layout-independent — but candidate volume is not: a
+    * bucket's population is 2^(-effective entropy of its block's bits), and
+    * real sketch domains concentrate low entropy in CONTIGUOUS regions.
+    * Two live examples: the portable 60-bit md5 sketches (bits 60–63
+    * constant — a contiguous top block at maxHamming = 6 keeps only ~5
+    * effective bits, ~n²/64 candidates on that block alone), and image
+    * dHashes, whose neighboring bits are spatially correlated gradient
+    * signs (smooth crawled images depress contiguous-block entropy the
+    * same way). Block i therefore takes positions {i, i+B, i+2B, …}
+    * (B = maxHamming+1 blocks): any ≤B-wide dead or correlated REGION
+    * costs every block at most one bit instead of costing one block the
+    * whole region. Pure cost change; results are bit-identical.
     */
   def hammingPairs(sketch: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // recall guarantee needs maxHamming+1 blocks (pigeonhole): any pair
-    // within maxHamming agrees exactly on >=1 block. Blocks split the 64
-    // bits as evenly as possible (the first `rem` blocks get width+1).
     val chunks = math.min(maxHamming + 1, 64)
-    val base = 64 / chunks
-    val rem = 64 % chunks
-    val offsets = (0 until chunks).scanLeft(0)((off, i) =>
-      off + base + (if (i < rem) 1 else 0))
     // persist: consumed by the equality join and both expansion joins —
     // without this the sketch expression computes once per consumer
     val sketched = OperatorCaches.persistTracked(sketch)
     // distinct sketch values; persisted because the banded frame self-joins
     val values = OperatorCaches.persistTracked(sketched.select(col("sh")).distinct())
-    val banded = values.select(
-      col("sh"),
-      explode(array((0 until chunks).map { i =>
-        val w = base + (if (i < rem) 1 else 0)
-        struct(lit(i).as("chunk"),
-          shiftrightunsigned(col("sh"), offsets(i))
-            .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1)).as("cv"))
-      }: _*))
-        .as("ck"))
-      .select(col("sh"), col("ck.chunk"), col("ck.cv"))
+    val banded = bandedValues(values, chunks)
 
     // DIRECTED distinct-value pairs within distance (both (x,y) and (y,x)
     // survive): an unordered id pair (i < j) expands through exactly the
@@ -685,6 +684,48 @@ object Dedup {
 
     // UNSORTED on purpose — see minHashLsh; catalog entries sort
     equal.unionByName(cross)
+  }
+
+  /** The strided pigeonhole banding shared by [[hammingPairs]] and
+    * [[expectedHammingCandidates]]: one row per (distinct sketch value,
+    * block) with the block's gathered bits as `cv`. Block i gathers
+    * positions {i, i+chunks, i+2·chunks, …} LSB-first — a fixed bit
+    * permutation, so hamming structure (and the pigeonhole recall
+    * guarantee) is untouched while any contiguous low-entropy bit region
+    * is spread one-bit-per-block. ~64 shift/and/or ops per value, on
+    * DISTINCT values only, inside whole-stage codegen.
+    */
+  private def bandedValues(values: DataFrame, chunks: Int): DataFrame =
+    values.select(
+      col("sh"),
+      explode(array((0 until chunks).map { i =>
+        val cv = (i until 64 by chunks).zipWithIndex.map { case (pos, j) =>
+          shiftleft(shiftrightunsigned(col("sh"), pos).bitwiseAND(lit(1L)), j)
+        }.reduce(_ bitwiseOR _)
+        struct(lit(i).as("chunk"), cv.as("cv"))
+      }: _*))
+        .as("ck"))
+      .select(col("sh"), col("ck.chunk"), col("ck.cv"))
+
+  /** Pre-flight cost diagnostic for [[hammingPairs]] — the banded join's
+    * candidate-row count (directed distinct-VALUE pairs before the
+    * distance filter), computed from bucket occupancies in one cheap
+    * aggregation over distinct sketch values: Σ_{(chunk,cv)} n·(n−1).
+    * The twin of [[graft.operators.Similarity]]'s
+    * `expectedAutoCandidatePairs`: radius drives block width
+    * (64/(maxHamming+1) bits) and thus candidates exponentially, so a
+    * wide-radius run over a large diverse corpus should be estimated —
+    * milliseconds, one scan of distinct values — before being launched.
+    * Identical-sketch groups are excluded exactly as the join excludes
+    * them (they pair through the linear equality path, never the banding).
+    */
+  def expectedHammingCandidates(sketch: DataFrame, maxHamming: Int = 3): Long = {
+    val chunks = math.min(maxHamming + 1, 64)
+    val values = sketch.select(col("sh")).distinct()
+    bandedValues(values, chunks)
+      .groupBy(col("chunk"), col("cv")).count()
+      .agg(coalesce(sum(col("count") * (col("count") - 1)), lit(0L)))
+      .head().getLong(0)
   }
 
   /** Connected components over near-duplicate pairs → dedup clusters, so a

@@ -214,6 +214,64 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("hammingPairs equals brute force on a dead-region (48-bit) domain") {
+    import spark.implicits._
+    // the strided-banding change is motivated by low-entropy CONTIGUOUS
+    // bit regions (60-bit portable sketches, correlated dHash gradients);
+    // prove results stay exact when bits 48–63 are constant — the layout
+    // where contiguous blocks at maxHamming = 6 had an entirely dead block
+    val rnd = new scala.util.Random(7)
+    val sketches = (1L to 100L).map { i =>
+      val base = if (i % 2 == 0) 0x0000123456789abcL else rnd.nextLong() & 0xffffffffffffL
+      val flips = rnd.nextInt(9)
+      val s = (1 to flips).foldLeft(base)((acc, _) => acc ^ (1L << rnd.nextInt(48)))
+      (i, s)
+    }
+    val df = sketches.toDF("id", "sh")
+    for (maxH <- Seq(3, 6)) {
+      val truth = (for {
+        (ia, sa) <- sketches; (ib, sb) <- sketches if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= maxH
+      } yield (ia, ib, h)).toSet
+      val got = Dedup.hammingPairs(df, maxHamming = maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === truth, s"maxHamming=$maxH")
+      assert(truth.nonEmpty, s"maxHamming=$maxH found no pairs — weak test")
+    }
+  }
+
+  test("expectedHammingCandidates: exact bucket arithmetic, strided spread") {
+    import spark.implicits._
+    // (1) the estimate IS the banded join's candidate count: replay the
+    // strided gather on the driver and compare exactly
+    val rnd = new scala.util.Random(13)
+    val small = (1L to 60L).map(i => (i, rnd.nextLong() & 0xfffffffL))
+    val maxH = 4
+    val chunks = maxH + 1
+    def gather(sh: Long, blk: Int): Long =
+      (blk until 64 by chunks).zipWithIndex.foldLeft(0L) { case (acc, (pos, j)) =>
+        acc | (((sh >>> pos) & 1L) << j)
+      }
+    val expect = (0 until chunks).map { blk =>
+      small.map(_._2).distinct.groupBy(gather(_, blk)).values
+        .map(g => g.size.toLong * (g.size - 1)).sum
+    }.sum
+    val got = Dedup.expectedHammingCandidates(small.toDF("id", "sh"), maxH)
+    assert(got === expect)
+
+    // (2) the motivating bound: 2,000 sketches whose top 16 bits are
+    // constant, radius 6. A contiguous layout has an entirely dead block
+    // (floor n·(n−1) candidates from it alone); the strided layout must
+    // land well below that floor because no block loses more than 3 of
+    // its ~9 positions to the dead region
+    val n = 2000
+    val dead = (1L to n.toLong).map(i => (i, rnd.nextLong() & 0xffffffffffffL))
+    val est = Dedup.expectedHammingCandidates(dead.toDF("id", "sh"), maxHamming = 6)
+    assert(est > 0L)
+    assert(est < n.toLong * (n - 1) / 2,
+      s"strided banding should beat a single dead block's floor: $est")
+  }
+
   test("star and min-label components agree across many random graphs") {
     import spark.implicits._
     for (seed <- Seq(1, 2, 3)) {
