@@ -255,7 +255,9 @@ object Bench {
     * is cheaper than information loss; floor-1 sacrifices only
     * cross-round prefix stability) → drop counterexamples (re-derivable
     * from the catalog source; isolated measurements are not re-derivable
-    * after the run) → shrink isolated from the tail → truncate failures
+    * after the run) → omit up to 16 of the FASTEST in-run timings
+    * ("omitted":k marker) keeping the isolated tail whole → shrink
+    * isolated from the tail → deeper fastest omission → truncate failures
     * as the last resort ("queries"/"failed" are the load-bearing
     * contract).
     */
@@ -350,6 +352,16 @@ object Bench {
         line(true, failures.size, isolated.size, true),
         line(true, failures.size, isolated.size, true, tightKeys),
         line(true, failures.size, isolated.size, false, tightKeys)) ++
+      // shallow fastest-omission rung BEFORE shedding isolated: a handful
+      // of the cheapest in-run timings (marked "omitted":k, parseable)
+      // buys the whole isolated tail — the slowest entries' alone-measured
+      // numbers are worth more than the fastest entries' in-run ones.
+      // Capped at 16 so the queries map stays the load-bearing bulk;
+      // beyond that the ladder falls through to isolated shedding
+      Iterator(2, 4, 8, 16)
+        .filter(_ < nOk)
+        .map(k => line(true, failures.size, isolated.size, false, tightKeys,
+          dropFastest = k)) ++
       (isolated.size - 1 to 0 by -1).iterator
         .map(line(true, failures.size, _, false, tightKeys)) ++
       geometricDrops

@@ -95,7 +95,7 @@ object OperatorCaches {
   def release(session: SparkSession): Unit = synchronized {
     pruneStopped()
     Option(bySession.remove(session))
-      .foreach(_.foreach(_.unpersist(blocking = false)))
+      .foreach(_.foreach(unpersistQuietly))
   }
 
   /** Release every cache any graft operator has pinned in this JVM. Only
@@ -103,7 +103,19 @@ object OperatorCaches {
     * [[release]] with your own session.
     */
   def releaseAll(): Unit = synchronized {
-    bySession.values.asScala.foreach(_.foreach(_.unpersist(blocking = false)))
+    bySession.values.asScala.foreach(_.foreach(unpersistQuietly))
     bySession.clear()
   }
+
+  /** unpersist() is not merely a bookkeeping call: uncaching re-plans the
+    * cached query (and any dependent caches) to find what to drop, so a
+    * handle whose plan cannot be re-planned — e.g. a frame that was
+    * CONSTRUCTED with ill-typed expressions and never run — throws here.
+    * A release sweep must still drop every cache it CAN: swallow per-
+    * handle failures and keep going (the broken handle never materialized
+    * a cache, so there is nothing to leak).
+    */
+  private def unpersistQuietly(df: DataFrame): Unit =
+    try df.unpersist(blocking = false)
+    catch { case scala.util.control.NonFatal(_) => () }
 }

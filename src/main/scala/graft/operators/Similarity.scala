@@ -109,6 +109,61 @@ object Similarity {
   def dequantize(qv: Column, scale: Column): Column =
     transform(qv, q => q.cast("double") * scale)
 
+  /** Component-sign binary sketch: bit j = [v_{j+1} ≥ 0], packed into a
+    * long — the 1-bit quantization of an embedding (60 components ⇒ 60
+    * bits, the repo's portable-sketch convention: DuckDB's `<<` errors at
+    * the sign bit, and 60 bits keep the sketch spliceable into any oracle
+    * without two's-complement assembly). For roughly isotropic embedding
+    * distributions the hamming distance between sign sketches is a
+    * monotone proxy for angle (each agreeing sign bit is one axis-aligned
+    * hyperplane both vectors fall on the same side of — the identity-basis
+    * special case of [[lshBucket]]'s random hyperplanes), which is what
+    * makes an 8-byte shortlist key out of a 256-byte vector.
+    */
+  def signSketch(v: Column, bits: Int = 60): Column = {
+    require(bits > 0 && bits <= 60, "bits must be in [1, 60]")
+    (0 until bits).map { j =>
+      when(element_at(v, j + 1) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** KNN via binary-sketch shortlist + exact re-rank — the two-stage
+    * retrieval every production vector store runs: (1) hamming top-`m`
+    * over 8-byte sign sketches (a TakeOrderedAndProject heap over a
+    * narrow scan — the corpus vectors never sort, never shuffle), (2)
+    * exact cosine top-`k` over the m survivors only. At 100 TB the
+    * sketch column lives beside the vector column at rest (8 bytes vs
+    * 256), stage 1 reads ONLY the sketch column (columnar pruning), and
+    * stage 2 re-reads just m rows by id — the scan:FLOP ratio drops by
+    * the m/N shortlist factor. Approximate by design (sign bits lose
+    * magnitude); rank-quality is spec'd with recall-vs-brute-force
+    * assertions, and both stages are deterministic (hamming, then rounded
+    * cosine, id tiebreaks) so the whole path replays in an oracle.
+    */
+  def binaryTopK(
+      df: DataFrame,
+      queryVec: Seq[Double],
+      k: Int = 10,
+      m: Int = 100,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qSketch = queryVec.take(60).zipWithIndex
+      .map { case (x, j) => if (x >= 0) 1L << j else 0L }
+      .reduce(_ | _)
+    val shortlist = df.select(
+        col(idCol).cast("long").as(idCol),
+        toDouble(col(vecCol)).as("v"))
+      .withColumn("hd",
+        bit_count(signSketch(col("v")).bitwiseXOR(lit(qSketch))).cast("int"))
+      .orderBy(col("hd").asc, col(idCol))
+      .limit(m)
+    val q = array(queryVec.map(lit): _*)
+    shortlist
+      .select(col(idCol), round(cosine(col("v"), q), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic random hyperplanes (seeded), as literal arrays — the
     * bucketing projection is a pure narrow map.
     *
@@ -290,7 +345,7 @@ object Similarity {
     * id tie-break is unreachable (distinct ids hash distinctly w.h.p.) but
     * makes determinism unconditional.
     */
-  private def sampleCentroids(
+  private[graft] def sampleCentroids(
       df: DataFrame, k: Int, idCol: String, vecCol: String): Array[(Long, Seq[Double])] =
     df.select(col(idCol).cast("long").as("cid"), toDouble(col(vecCol)).as("cv"))
       .withColumn("h", PortableHash.portable60(col("cid").cast("string")))
@@ -418,6 +473,71 @@ object Similarity {
     bruteForceTopK(
       assigned.filter(col("centroid_id").isin(probes.toIndexedSeq: _*)),
       queryVec, k, idCol, vecCol)
+  }
+
+  /** SemDeDup — semantic deduplication by cluster-partitioned pairwise
+    * cosine (Abbas et al. 2023, arXiv:2303.09540): assign every vector to
+    * its max-cosine centroid, then compare pairs ONLY within a cluster
+    * and drop any vector that has cosine ≥ `threshold` with a
+    * higher-priority clustermate. Priority follows the paper's
+    * keep-diverse rule — LOWEST similarity to the own centroid ranks
+    * first (rounded 6 dp, id tiebreak), so the survivors of a semantic
+    * duplicate group are the atypical examples, not the mode. Dominance
+    * semantics (dropped iff ANY lower-rank neighbor is within threshold):
+    * unlike sequential greedy it needs no iteration, is
+    * order-deterministic, and over-drops only inside chained groups —
+    * exactly the members a second greedy pass would re-examine.
+    *
+    * Returns (id, cluster, rank, dropped) for every input vector.
+    *
+    * Scale shape: the centroid assignment is a narrow map (k·d literal
+    * doubles ride with the plan); the quadratic is confined within
+    * clusters — one shuffle of (id, vector) by cluster id, Σ n_c²
+    * candidate pairs instead of n². At corpus scale pick k ≈ n / target
+    * cluster size (SemDeDup used 50k clusters for LAION-440M, ~9k
+    * vectors/cluster) and train with [[kmeansCentroids]]; a skewed
+    * cluster bounds the worst partition, so cap it by splitting hot
+    * clusters with a second-level assignment over their members (same
+    * operator, members-only input) before pairing.
+    */
+  def semDedup(
+      df: DataFrame,
+      centroids: Array[(Long, Seq[Double])],
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one argmax expression yields BOTH the cluster and the (rounded)
+    // similarity to it — same struct array_max assignExpr uses, so the
+    // assignment agrees bit-for-bit with every IVF consumer
+    val best = array_max(array(centroids.map { case (cid, cv) =>
+      struct(
+        coalesce(round(cosine(col("v"), array(cv.map(lit): _*)), 6), lit(-2.0))
+          .as("sim"),
+        lit(cid).as("cid"))
+    }.toIndexedSeq: _*))
+    // persisted: the pair join consumes it twice, and the assignment
+    // expression (k cosines per row) must not re-run per consumer
+    val ranked = OperatorCaches.persistTracked(
+      df.select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("v"))
+        .withColumn("b", best)
+        .select(col("id"), col("v"),
+          col("b.cid").as("cluster"), col("b.sim").as("csim"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("cluster").orderBy(col("csim").asc, col("id").asc))))
+    // within-cluster dominance: a is dropped iff SOME lower-rank b is
+    // within threshold. Equi-join on cluster (the deliberate quadratic
+    // confinement); left_semi so the pair stream never materializes
+    val droppedIds = ranked.as("a").join(ranked.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("b.rank") < col("a.rank") &&
+          round(cosine(col("a.v"), col("b.v")), 6) >= threshold,
+        "left_semi")
+      .select(col("id"))
+    ranked
+      .join(droppedIds.withColumn("dropped", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"), col("rank"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
   }
 
   /** Per-band LSH keys through the native [[org.apache.spark.sql.graftnative.HyperplaneBands]]

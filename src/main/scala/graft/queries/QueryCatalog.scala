@@ -2019,6 +2019,70 @@ object QueryCatalog {
               FROM dq
               ORDER BY sim DESC, vec_id LIMIT 10""")),
 
+    // 1-bit (component-sign) sketch shortlist + exact re-rank: stage 1 is
+    // a hamming top-m heap over 8-byte sketches, stage 2 an exact cosine
+    // over the m survivors. Both stages deterministic (hamming ASC + id,
+    // then rounded cosine DESC + id), so the oracle re-derives the sketch
+    // bits (CAST the HUGEINT sum to BIGINT before xor — sign-extension
+    // gotcha), the shortlist cut, and the final rank
+    Q("q_knn_binary",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = Similarity.collectQueryVec(emb, 0)
+        Similarity.binaryTopK(emb.filter(col("vec_id") =!= 0), q, k = 10, m = 100)
+      },
+      Some("""WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              sk AS (SELECT id, CAST(sum(CASE WHEN e[j + 1] >= 0
+                    THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS s
+                FROM emb, range(60) r(j) WHERE id <> 0 GROUP BY id),
+              qs AS (SELECT CAST(sum(CASE WHEN e[j + 1] >= 0
+                    THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS s
+                FROM emb, range(60) r(j) WHERE id = 0),
+              short AS (SELECT sk.id FROM sk, qs
+                ORDER BY bit_count(xor(sk.s, qs.s)) ASC, sk.id ASC LIMIT 100)
+              SELECT e.id AS vec_id,
+                round(list_cosine_similarity(e.e,
+                  (SELECT e FROM emb WHERE id = 0)), 4) AS sim
+              FROM short JOIN emb e USING (id)
+              ORDER BY sim DESC, vec_id LIMIT 10""")),
+
+    // SemDeDup (cluster-partitioned pairwise semantic dedup): the oracle
+    // replays the hash-sampled centroids, the rounded-cosine argmax
+    // assignment (same fragment as q_ann_ivf), the keep-diverse rank
+    // (lowest similarity-to-centroid first), and the within-cluster
+    // dominance drop rule — the full pipeline, not a summary
+    Q("q_semdedup",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centroids = Similarity.sampleCentroids(emb, 8, "vec_id", "embedding")
+        Similarity.semDedup(emb, centroids, threshold = 0.3).orderBy("vec_id")
+      },
+      Some(s"""WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              cent AS (SELECT id AS cid, e AS ce FROM emb
+                ORDER BY ${graft.operators.PortableHash.duckSql("CAST(id AS VARCHAR)")}, id
+                LIMIT 8),
+              scored AS (SELECT r.id, c.cid,
+                  COALESCE(round(list_cosine_similarity(r.e, c.ce), 6), -2.0) AS sim
+                FROM emb r, cent c),
+              assign AS (SELECT id, cid AS cluster, sim AS csim FROM (
+                  SELECT id, cid, sim, row_number() OVER (PARTITION BY id
+                    ORDER BY sim DESC, cid DESC) AS rn
+                  FROM scored) WHERE rn = 1),
+              rk AS (SELECT id, cluster, csim,
+                  CAST(row_number() OVER (PARTITION BY cluster
+                    ORDER BY csim ASC, id ASC) AS INT) AS "rank"
+                FROM assign),
+              drp AS (SELECT DISTINCT a.id FROM rk a JOIN rk b
+                  ON a.cluster = b.cluster AND b."rank" < a."rank"
+                JOIN emb ea ON ea.id = a.id JOIN emb eb ON eb.id = b.id
+                WHERE round(list_cosine_similarity(ea.e, eb.e), 6) >= 0.3)
+              SELECT r.id AS vec_id, r.cluster, r."rank",
+                (d.id IS NOT NULL) AS dropped
+              FROM rk r LEFT JOIN drp d ON d.id = r.id
+              ORDER BY vec_id""")),
+
     // the oracle replays the hyperplanes verbatim (they are deterministic
     // 4-dp literals — Similarity.hyperplanes) and independently re-derives
     // sign-bit buckets, the hamming multiprobe cut, and the cosine top-k

@@ -155,5 +155,99 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.expectedAutoCandidatePairs(0.9, 500000L, dim = 64) < 1e9)
     Similarity.cosineNearDupPairs(vecs, dim = 64, threshold = 0.9,
       nPlanes = 0, n = Some(500000L))
+    // the constructed-but-never-run frames above are REGISTERED in the
+    // CacheManager with a deliberately ill-typed plan (dim 64 over 4-dim
+    // vectors); drop them here or a later test's cache activity re-plans
+    // them (recache-by-condition) and trips the dim check mid-suite
+    OperatorCaches.releaseAll()
+  }
+
+  test("signSketch packs component signs; binaryTopK matches a driver replay") {
+    import spark.implicits._
+    // 300 seeded 64-d vectors; the full shortlist+rerank path must equal
+    // an exact driver-side replay of the same deterministic rules
+    val rnd = new scala.util.Random(21)
+    val corpus = (1L to 300L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = corpus.toDF("vec_id", "embedding")
+    val qv = Array.fill(64)(rnd.nextGaussian())
+    def sketch(v: Seq[Double]): Long =
+      v.take(60).zipWithIndex.map { case (x, j) => if (x >= 0) 1L << j else 0L }
+        .reduce(_ | _)
+    val qs = sketch(qv.toSeq)
+    def cosr(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      math.rint(d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)) * 1e4) / 1e4
+    }
+    val m = 50
+    val expectShort = corpus
+      .map { case (i, v) =>
+        (i, java.lang.Long.bitCount(sketch(v.map(_.toDouble).toSeq) ^ qs)) }
+      .sortBy { case (i, h) => (h, i) }.take(m).map(_._1).toSet
+    val expectTop = corpus.filter(c => expectShort(c._1))
+      .map { case (i, v) => (i, cosr(v.map(_.toDouble).toSeq, qv.toSeq)) }
+      .sortBy { case (i, s) => (-s, i) }.take(10)
+    val got = Similarity.binaryTopK(df, qv.toSeq, k = 10, m = m)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expectTop)
+    // and the shortlist is doing its job: recall@10 vs brute force is
+    // high on isotropic data (sign sketches preserve angle ordering)
+    val brute = Similarity.bruteForceTopK(df, qv.toSeq, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).count(brute) >= 6, s"recall collapsed: $got")
+  }
+
+  test("semDedup: dominance drops within clusters, keep-diverse rank order") {
+    import spark.implicits._
+    // two well-separated clusters around orthogonal axes; each cluster
+    // holds a tight near-dup pack plus one outlier. Expected behavior is
+    // replayed on the driver from the operator's stated rules, so the
+    // assertion is the full contract, not a spot value
+    val rnd = new scala.util.Random(5)
+    def around(axis: Int, jitter: Double): Array[Float] = {
+      val v = Array.fill(8)(rnd.nextGaussian() * jitter)
+      v(axis) += 10.0
+      v.map(_.toFloat)
+    }
+    val rows = (1L to 20L).map(i => (i, around(if (i % 2 == 0) 0 else 3, 0.2))) ++
+      Seq((21L, around(0, 8.0)), (22L, around(3, 8.0))) // outliers
+    val df = rows.toDF("vec_id", "embedding")
+    val centroids = Similarity.sampleCentroids(df, 2, "vec_id", "embedding")
+    val out = Similarity.semDedup(df, centroids, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    assert(out.length === rows.length)
+    // replay: assignment by rounded-cosine argmax (cid-max ties), rank by
+    // (csim asc, id), dominance drop
+    def cos6(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(d / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val vecsById = rows.map { case (i, v) => i -> v.map(_.toDouble).toSeq }.toMap
+    val assigned = rows.map { case (i, _) =>
+      val best = centroids.map { case (cid, cv) => (cos6(vecsById(i), cv), cid) }.max
+      (i, best._2, best._1)
+    }
+    val ranked = assigned.groupBy(_._2).flatMap { case (cl, members) =>
+      members.sortBy { case (i, _, cs) => (cs, i) }.zipWithIndex
+        .map { case ((i, _, _), r) => (i, cl, r + 1) }
+    }.toSeq
+    val rankOf = ranked.map { case (i, _, r) => i -> r }.toMap
+    val clusterOf = ranked.map { case (i, cl, _) => i -> cl }.toMap
+    val expect = ranked.map { case (i, cl, r) =>
+      val dropped = ranked.exists { case (j, cl2, r2) =>
+        cl2 == cl && r2 < r && cos6(vecsById(i), vecsById(j)) >= 0.9 }
+      (i, cl, r, dropped)
+    }.sortBy(_._1)
+    assert(out.sortBy(_._1).toSeq === expect)
+    // sanity on structure: packs dropped down to survivors, outliers kept
+    val droppedIds = out.filter(_._4).map(_._1).toSet
+    assert(droppedIds.nonEmpty)
+    assert(!droppedIds.contains(21L) && !droppedIds.contains(22L))
+    // the keep-diverse rule: each cluster's rank-1 (least centroid-like)
+    // member is never dropped
+    val rank1 = out.filter(_._3 == 1).map(_._1)
+    assert(rank1.forall(i => !droppedIds.contains(i)))
+    OperatorCaches.releaseAll()
   }
 }
