@@ -128,4 +128,94 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Hashed n-gram feature stream for DSIR: every unigram and adjacent
+    * bigram of the whitespace-lowered token stream, hashed into `buckets`
+    * ids with the portable md5-60-bit family — so an independent engine
+    * reproduces the exact bucket of every feature. One narrow expression
+    * per doc; only (id, bucket) longs ever leave the scan.
+    */
+  private def featureBuckets(text: Column, buckets: Int): Column = {
+    val t = TextAnalysis.wsTokens(lower(text))
+    val bis = zip_with(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    concat(
+      transform(t, w => pmod(PortableHash.portable60(w), lit(buckets.toLong))),
+      transform(bis, b => pmod(PortableHash.portable60(b), lit(buckets.toLong))))
+  }
+
+  /** DSIR importance log-weights (Xie et al. 2023, arXiv:2302.03169 "Data
+    * Selection for Language Models via Importance Resampling"): score every
+    * raw document by how much more likely its hashed-n-gram features are
+    * under a TARGET corpus distribution than under the raw distribution —
+    * log w(x) = Σ_b n_b(x)·(ln p̂_t(b) − ln p̂_r(b)) with add-one-smoothed
+    * bucket unigram models p̂(b) = (c_b + 1)/(C + buckets). High-scoring
+    * raw docs "look like" the target domain; resampling by these weights
+    * is the standard recipe for tilting a 100 TB crawl toward a quality
+    * or domain target without training a classifier.
+    *
+    * Scale shape: two bucket-count aggregations (≤ `buckets` rows each —
+    * vocabulary-bounded state, never corpus-bounded), one broadcast of the
+    * ≤`buckets`-row log-ratio table, one map-side-combined per-doc sum.
+    * The documents shuffle nothing but (id, bucket) longs.
+    *
+    * Returns (idCol, logw) for every raw doc, logw rounded to 4 dp (the
+    * repo's cross-engine float boundary; summation-order noise is ~1e-12).
+    */
+  def dsirLogWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      buckets: Int = 1024,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val rawFeats = OperatorCaches.persistTracked(
+      raw.select(col(idCol).cast("long").as("id"),
+        explode(featureBuckets(col(textCol), buckets)).as("b")))
+    val tgtCnt = target
+      .select(explode(featureBuckets(col(textCol), buckets)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val rawCnt = rawFeats.groupBy("b").agg(count(lit(1)).as("cr"))
+    // full outer: a bucket unseen in one corpus still carries its add-one
+    // smoothing mass. Totals ride along as literal-free aggregates.
+    val tgtTotal = tgtCnt.agg(sum("ct").as("__t"))
+    val rawTotal = rawCnt.agg(sum("cr").as("__r"))
+    val ratio = tgtCnt.join(rawCnt, Seq("b"), "full_outer")
+      .select(col("b"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .crossJoin(broadcast(tgtTotal)).crossJoin(broadcast(rawTotal))
+      .select(col("b"), (
+        log((col("ct") + 1).cast("double") / (col("__t") + buckets)) -
+        log((col("cr") + 1).cast("double") / (col("__r") + buckets))).as("lr"))
+    rawFeats.join(broadcast(ratio), Seq("b"))
+      .groupBy("id")
+      .agg(round(sum("lr"), 4).as("logw"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** DSIR resampling: Gumbel-top-n over the importance log-weights —
+    * equivalent to sampling n docs WITHOUT replacement with probability
+    * ∝ w(x) (the Gumbel-max trick), made deterministic and engine-
+    * replayable by drawing each doc's Gumbel from its portable hash:
+    * u = (h+1)/(2^60+2), g = −ln(−ln u). Returns the n selected docs with
+    * (logw, score), score = rounded logw + g, ranked (score desc, id).
+    */
+  def dsirSample(
+      raw: DataFrame,
+      target: DataFrame,
+      n: Int,
+      buckets: Int = 1024,
+      seed: String = "dsir",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = dsirLogWeights(raw, target, buckets, idCol, textCol)
+    val u = (PortableHash.portable60(
+        concat_ws(":", lit(seed), col(idCol).cast("string"))) + 1).cast("double") /
+      lit(math.pow(2, 60))
+    w.withColumn("score", round(col("logw") - log(-log(u)), 4))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(n)
+  }
 }

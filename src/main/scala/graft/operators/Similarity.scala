@@ -490,10 +490,12 @@ object Similarity {
     *
     * Returns (id, cluster, rank, dropped) for every input vector.
     *
-    * Scale shape: the centroid assignment is a narrow map (k·d literal
-    * doubles ride with the plan); the quadratic is confined within
-    * clusters — one shuffle of (id, vector) by cluster id, Σ n_c²
-    * candidate pairs instead of n². At corpus scale pick k ≈ n / target
+    * Scale shape: the centroid assignment is narrow either way — k·d
+    * literal doubles riding the plan for small k, a broadcast centroid
+    * table + map-side-combined struct-max past ~4k doubles (auto-switched,
+    * value-identical; `assignByJoin` forces a path) — and the quadratic is
+    * confined within clusters: one shuffle of (id, vector) by cluster id,
+    * Σ n_c² candidate pairs instead of n². At corpus scale pick k ≈ n / target
     * cluster size (SemDeDup used 50k clusters for LAION-440M, ~9k
     * vectors/cluster) and train with [[kmeansCentroids]]; a skewed
     * cluster bounds the worst partition, so cap it by splitting hot
@@ -505,26 +507,51 @@ object Similarity {
       centroids: Array[(Long, Seq[Double])],
       threshold: Double,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      assignByJoin: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // one argmax expression yields BOTH the cluster and the (rounded)
-    // similarity to it — same struct array_max assignExpr uses, so the
-    // assignment agrees bit-for-bit with every IVF consumer
-    val best = array_max(array(centroids.map { case (cid, cv) =>
-      struct(
-        coalesce(round(cosine(col("v"), array(cv.map(lit): _*)), 6), lit(-2.0))
-          .as("sim"),
-        lit(cid).as("cid"))
-    }.toIndexedSeq: _*))
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+      toDouble(col(vecCol)).as("v"))
+    val dim = centroids.headOption.map(_._2.length).getOrElse(0)
+    // two value-identical assignment paths (lockstep-spec'd), switched on
+    // k·d: small centroid sets ride the plan as ONE argmax expression (no
+    // join at all); past ~4k literal doubles that expression outgrows
+    // codegen, so large k broadcasts a centroid TABLE and takes max over
+    // (sim, cid) structs — the same lexicographic tie rule array_max
+    // applies, so both paths agree bit-for-bit with every IVF consumer
+    val useJoin = assignByJoin.getOrElse(centroids.length.toLong * dim > 4096L)
+    val assigned =
+      if (!useJoin) {
+        val best = array_max(array(centroids.map { case (cid, cv) =>
+          struct(
+            coalesce(round(cosine(col("v"), array(cv.map(lit): _*)), 6), lit(-2.0))
+              .as("sim"),
+            lit(cid).as("cid"))
+        }.toIndexedSeq: _*))
+        vecs.withColumn("b", best)
+          .select(col("id"), col("v"),
+            col("b.cid").as("cluster"), col("b.sim").as("csim"))
+      } else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val centDf = centroids.toSeq.toDF("cid", "cv")
+        // broadcast nested-loop: narrow over the corpus (k rows replicated
+        // to every task, the vectors never shuffle for assignment); the
+        // argmax is a map-side-combined max of (sim, cid) structs
+        vecs.crossJoin(broadcast(centDf))
+          .select(col("id"), col("v"), struct(
+            coalesce(round(cosine(col("v"), col("cv")), 6), lit(-2.0)).as("sim"),
+            col("cid")).as("sc"))
+          .groupBy("id")
+          .agg(first(col("v")).as("v"), max(col("sc")).as("b"))
+          .select(col("id"), col("v"),
+            col("b.cid").as("cluster"), col("b.sim").as("csim"))
+      }
     // persisted: the pair join consumes it twice, and the assignment
-    // expression (k cosines per row) must not re-run per consumer
+    // (k cosines per row) must not re-run per consumer
     val ranked = OperatorCaches.persistTracked(
-      df.select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("v"))
-        .withColumn("b", best)
-        .select(col("id"), col("v"),
-          col("b.cid").as("cluster"), col("b.sim").as("csim"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("cluster").orderBy(col("csim").asc, col("id").asc))))
+      assigned.withColumn("rank", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("csim").asc, col("id").asc))))
     // within-cluster dominance: a is dropped iff SOME lower-rank b is
     // within threshold. Equi-join on cluster (the deliberate quadratic
     // confinement); left_semi so the pair stream never materializes

@@ -1926,6 +1926,93 @@ object QueryCatalog {
                        substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) < t.thr
               ORDER BY d.doc_id""")),
 
+    // DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    // bucket models over target (lang = 'de') vs raw corpora; Gumbel-top-n
+    // selection from portable-hash uniforms. The oracle replays every
+    // stage: md5 feature buckets, add-one smoothing, the log-ratio table,
+    // per-doc weight sums, and the Gumbel draw — the whole selection, not
+    // a summary
+    Q("q_dsir_sample",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Sampling.dsirSample(
+          docs, docs.filter(col("lang") === "de"), n = 50)
+      },
+      Some(s"""WITH arr AS (SELECT CAST(doc_id AS BIGINT) AS id, lang,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                FROM documents),
+              feats AS (SELECT id, lang,
+                  ${graft.operators.PortableHash.duckSql("f")} % 1024 AS b
+                FROM (
+                  SELECT id, lang, unnest(t) AS f FROM arr
+                  UNION ALL
+                  SELECT id, lang,
+                    unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i + 1])) AS f
+                  FROM arr)),
+              tgt AS (SELECT b, count(*) AS ct FROM feats
+                WHERE lang = 'de' GROUP BY b),
+              rw AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+              tt AS (SELECT sum(ct) AS t FROM tgt),
+              rt AS (SELECT sum(cr) AS r FROM rw),
+              ratio AS (SELECT b,
+                  ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / ((SELECT t FROM tt) + 1024)) -
+                  ln(CAST(COALESCE(cr, 0) + 1 AS DOUBLE) / ((SELECT r FROM rt) + 1024))
+                    AS lr
+                FROM tgt FULL OUTER JOIN rw USING (b)),
+              lw AS (SELECT id, round(sum(lr), 4) AS logw
+                FROM feats JOIN ratio USING (b) GROUP BY id)
+              SELECT id AS doc_id, logw,
+                round(logw - ln(-ln(
+                  (${graft.operators.PortableHash.duckSql("'dsir:' || CAST(id AS VARCHAR)")} + 1)
+                    / 1152921504606846976.0)), 4) AS score
+              FROM lw
+              ORDER BY score DESC, doc_id LIMIT 50""")),
+
+    // the weights' separation, aggregated: target-language docs must
+    // out-score every other language on average — the audit that the
+    // importance model is actually tilting toward the target domain
+    Q("q_dsir_separation",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Sampling
+          .dsirLogWeights(docs, docs.filter(col("lang") === "de"))
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy("lang")
+          .agg(round(avg("logw"), 4).as("avg_logw"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH arr AS (SELECT CAST(doc_id AS BIGINT) AS id, lang,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                FROM documents),
+              feats AS (SELECT id, lang,
+                  ${graft.operators.PortableHash.duckSql("f")} % 1024 AS b
+                FROM (
+                  SELECT id, lang, unnest(t) AS f FROM arr
+                  UNION ALL
+                  SELECT id, lang,
+                    unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i + 1])) AS f
+                  FROM arr)),
+              tgt AS (SELECT b, count(*) AS ct FROM feats
+                WHERE lang = 'de' GROUP BY b),
+              rw AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+              tt AS (SELECT sum(ct) AS t FROM tgt),
+              rt AS (SELECT sum(cr) AS r FROM rw),
+              ratio AS (SELECT b,
+                  ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / ((SELECT t FROM tt) + 1024)) -
+                  ln(CAST(COALESCE(cr, 0) + 1 AS DOUBLE) / ((SELECT r FROM rt) + 1024))
+                    AS lr
+                FROM tgt FULL OUTER JOIN rw USING (b)),
+              lw AS (SELECT id, round(sum(lr), 4) AS logw
+                FROM feats JOIN ratio USING (b) GROUP BY id)
+              SELECT d.lang, round(avg(logw), 4) AS avg_logw,
+                count(*) AS n_docs
+              FROM lw JOIN (SELECT CAST(doc_id AS BIGINT) AS id, lang
+                FROM documents) d USING (id)
+              GROUP BY d.lang ORDER BY d.lang""")),
+
     // concat-and-split sequence packing: 16 md5 shards, per-shard running
     // offset, pack = floor(start/4096 chars); compared as the pack manifest
     Q("q_seq_packing",

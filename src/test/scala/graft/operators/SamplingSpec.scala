@@ -94,4 +94,36 @@ class SamplingSpec extends SparkSpec {
     assert(!r(3L)._2)
     assert(r(3L)._1 === "nothing sensitive here at all")
   }
+
+  test("DSIR weights tilt toward the target vocabulary; sample is deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def doc(vocab: Seq[String], n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val va = Seq("alpha", "beta", "gamma", "delta")
+    val vb = Seq("uno", "dos", "tres", "quatro")
+    // raw corpus: 20 docs in the target-ish vocabulary, 20 in a disjoint
+    // one; the target corpus is drawn from vocabulary A only
+    val raw = ((1L to 20L).map(i => (i, doc(va, 30))) ++
+      (21L to 40L).map(i => (i, doc(vb, 30)))).toDF("doc_id", "text")
+    val target = (100L to 119L).map(i => (i, doc(va, 30))).toDF("doc_id", "text")
+    val w = Sampling.dsirLogWeights(raw, target)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size === 40)
+    val aAvg = (1L to 20L).map(w).sum / 20
+    val bAvg = (21L to 40L).map(w).sum / 20
+    assert(aAvg > bAvg + 1.0,
+      s"importance model failed to separate vocabularies: $aAvg vs $bAvg")
+    // selection: deterministic under repartition, ranked by score desc,
+    // and dominated by target-like docs (the weight gap dwarfs the
+    // Gumbel noise on this corpus)
+    val s1 = Sampling.dsirSample(raw, target, n = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val s2 = Sampling.dsirSample(raw.repartition(5), target, n = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(s1.toSeq === s2.toSeq)
+    assert(s1.map(_._3).toSeq === s1.map(_._3).toSeq.sorted.reverse)
+    assert(s1.count(_._1 <= 20L) >= 8, s"off-target docs selected: ${s1.toSeq}")
+    OperatorCaches.releaseAll()
+  }
 }

@@ -248,6 +248,14 @@ class SimilaritySpec extends SparkSpec {
     // member is never dropped
     val rank1 = out.filter(_._3 == 1).map(_._1)
     assert(rank1.forall(i => !droppedIds.contains(i)))
+
+    // lockstep: the broadcast-join assignment path (the large-k·d shape)
+    // must agree row-for-row with the literal-argmax path, including the
+    // (sim, cid) tie rule
+    val joined = Similarity.semDedup(df, centroids, threshold = 0.9,
+        assignByJoin = Some(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    assert(joined.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
     OperatorCaches.releaseAll()
   }
 }
