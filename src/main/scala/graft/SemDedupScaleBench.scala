@@ -18,27 +18,31 @@ import graft.operators.{OperatorCaches, Similarity}
   * assignment cost and does not change the pair-join shape being measured.
   *
   * Usage: SPARK_GRAFT_SF_DIR=<tier> runMain graft.SemDedupScaleBench
-  *        [targetClusterSize] [threshold]   (defaults 250, 0.3)
+  *        [targetClusterSize] [threshold] [superClusters]
+  *        (defaults 250, 0.3, 0 = flat; pass e.g. isqrt(k) to measure the
+  *        two-level assignment)
   */
 object SemDedupScaleBench {
   def main(args: Array[String]): Unit = {
     val target = args.headOption.map(_.toInt).getOrElse(250)
     val threshold = args.lift(1).map(_.toDouble).getOrElse(0.3)
+    val superArg = args.lift(2).map(_.toInt).getOrElse(0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       sys.error("set SPARK_GRAFT_SF_DIR"))
     val spark = GraftSession.local("semdedup-scale")
     val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
     val n = emb.count()
     val k = math.max(8, (n / target).toInt)
+    val s = if (superArg < 0) math.max(1, math.sqrt(k.toDouble).toInt) else superArg
     val centroids = Similarity.sampleCentroids(emb, k, "vec_id", "embedding")
     val t0 = System.nanoTime()
-    val out = Similarity.semDedup(emb, centroids, threshold)
+    val out = Similarity.semDedup(emb, centroids, threshold, superClusters = s)
     val total = out.count()
     val dropped = out.filter(col("dropped")).count()
     val ms = (System.nanoTime() - t0) / 1e6
     OperatorCaches.releaseAll()
     println(s"""{"metric":"semdedup_scaled_k","value":${math.round(ms)},""" +
-      s""""unit":"ms","n":$n,"k":$k,"dropped":$dropped,"total":$total,""" +
+      s""""unit":"ms","n":$n,"k":$k,"super":$s,"dropped":$dropped,"total":$total,""" +
       s""""sf":"${sfDir.split('/').last}"}""")
     spark.stop()
   }

@@ -641,8 +641,27 @@ object Dedup {
     * costs every block at most one bit instead of costing one block the
     * whole region. Pure cost change; results are bit-identical.
     */
-  def hammingPairs(sketch: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def hammingPairs(
+      sketch: DataFrame,
+      maxHamming: Int = 3,
+      maxExpectedCandidates: Double = Double.MaxValue): DataFrame = {
     val chunks = math.min(maxHamming + 1, 64)
+    // opt-in pre-flight gate (the wide-radius twin of cosineNearDupPairs'
+    // expectedAutoCandidatePairs ceiling): when a ceiling is set, spend
+    // one cheap aggregation over distinct sketch values BEFORE launching
+    // a join whose candidate volume grows as ~(maxHamming+1)·n²/2^(64/
+    // (maxHamming+1)). Default MaxValue keeps construction lazy and
+    // behavior unchanged for every existing caller.
+    if (maxExpectedCandidates < Double.MaxValue) {
+      val est = expectedHammingCandidates(sketch, maxHamming)
+      require(est <= maxExpectedCandidates,
+        f"hammingPairs at maxHamming=$maxHamming would generate ~$est%.3g banded " +
+          f"candidate pairs (ceiling $maxExpectedCandidates%.3g): " +
+          s"${chunks} blocks of ~${64 / chunks} bits are bucket-quadratic at this " +
+          "radius/corpus. Lower maxHamming (production 64-bit sketches run r<=3), " +
+          "pre-reduce identical/ubiquitous sketches, or raise the ceiling — " +
+          "expectedHammingCandidates reproduces this estimate in milliseconds.")
+    }
     // persist: consumed by the equality join and both expansion joins —
     // without this the sketch expression computes once per consumer
     val sketched = OperatorCaches.persistTracked(sketch)

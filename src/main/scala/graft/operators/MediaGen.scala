@@ -44,12 +44,7 @@ object MediaGen {
     * executor-side use — same value as the Column form and as DuckDB's
     * `CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)`.
     */
-  def portable60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hex = d.map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
+  def portable60(s: String): Long = PortableHash.portable60(s)
 
   /** XOR mask flipping k distinct bit positions (g·7 + j·13) mod 60 —
     * 13 is invertible mod 60, so the positions are distinct for k ≤ 9 and

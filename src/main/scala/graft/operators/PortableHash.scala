@@ -27,6 +27,16 @@ object PortableHash {
   def portable60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver/executor-side scalar twin of [[portable60]] — same value as
+    * the Column form and as [[duckSql]], for code that hashes outside a
+    * plan (centroid sampling on the driver, payload generators).
+    */
+  def portable60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
   /** DuckDB SQL fragment replaying [[portable60]] over `expr`. */
   def duckSql(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"

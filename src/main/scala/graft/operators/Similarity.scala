@@ -366,7 +366,7 @@ object Similarity {
     * vectors whose two best centroids differ below float noise. 6 dp is
     * far under any meaningful centroid separation.
     */
-  private def assignExpr(centroids: Array[(Long, Seq[Double])], v: Column): Column =
+  private[graft] def assignExpr(centroids: Array[(Long, Seq[Double])], v: Column): Column =
     array_max(array(centroids.map { case (cid, cv) =>
       struct(
         coalesce(round(cosine(v, array(cv.map(lit): _*)), 6), lit(-2.0)).as("sim"),
@@ -508,20 +508,31 @@ object Similarity {
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      assignByJoin: Option[Boolean] = None): DataFrame = {
+      assignByJoin: Option[Boolean] = None,
+      superClusters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = df.select(col(idCol).cast("long").as("id"),
       toDouble(col(vecCol)).as("v"))
     val dim = centroids.headOption.map(_._2.length).getOrElse(0)
-    // two value-identical assignment paths (lockstep-spec'd), switched on
-    // k·d: small centroid sets ride the plan as ONE argmax expression (no
-    // join at all); past ~4k literal doubles that expression outgrows
-    // codegen, so large k broadcasts a centroid TABLE and takes max over
-    // (sim, cid) structs — the same lexicographic tie rule array_max
-    // applies, so both paths agree bit-for-bit with every IVF consumer
+    // three assignment paths. Flat (superClusters = 0): two value-
+    // identical forms (lockstep-spec'd), switched on k·d — small centroid
+    // sets ride the plan as ONE argmax expression (no join at all); past
+    // ~4k literal doubles that expression outgrows codegen, so large k
+    // broadcasts a centroid TABLE and takes max over (sim, cid) structs —
+    // the same lexicographic tie rule array_max applies, so both agree
+    // bit-for-bit with every IVF consumer. Two-level (superClusters = s >
+    // 0): coarse-then-fine argmax — n·(s + k/s) cosines instead of n·k,
+    // the next decade's assignment shape; APPROXIMATE (the best centroid
+    // can live outside the chosen super-cluster) but every step pinned to
+    // the same rounded-argmax rules, so it replays in an oracle.
     val useJoin = assignByJoin.getOrElse(centroids.length.toLong * dim > 4096L)
+    // the packed-long argmax (join / two-level paths) carries cid in 41
+    // bits — amplified fixture ids top out ~1e11, far inside
+    require(centroids.forall { case (cid, _) => cid >= 0 && cid < (1L << 41) },
+      "centroid ids must fit 41 bits for packed argmax")
     val assigned =
-      if (!useJoin) {
+      if (superClusters > 0) assignTwoLevel(vecs, centroids, superClusters)
+      else if (!useJoin) {
         val best = array_max(array(centroids.map { case (cid, cv) =>
           struct(
             coalesce(round(cosine(col("v"), array(cv.map(lit): _*)), 6), lit(-2.0))
@@ -537,15 +548,14 @@ object Similarity {
         val centDf = centroids.toSeq.toDF("cid", "cv")
         // broadcast nested-loop: narrow over the corpus (k rows replicated
         // to every task, the vectors never shuffle for assignment); the
-        // argmax is a map-side-combined max of (sim, cid) structs
-        vecs.crossJoin(broadcast(centDf))
-          .select(col("id"), col("v"), struct(
-            coalesce(round(cosine(col("v"), col("cv")), 6), lit(-2.0)).as("sim"),
-            col("cid")).as("sc"))
-          .groupBy("id")
-          .agg(first(col("v")).as("v"), max(col("sc")).as("b"))
-          .select(col("id"), col("v"),
-            col("b.cid").as("cluster"), col("b.sim").as("csim"))
+        // per-doc argmax goes through the PACKED-long max (see
+        // bestAssignment) so it hash-aggregates instead of sort-aggregating
+        bestAssignment(vecs,
+          vecs.crossJoin(broadcast(centDf))
+            .select(col("id"),
+              packedScore(
+                coalesce(round(cosine(col("v"), col("cv")), 6), lit(-2.0)),
+                col("cid"))))
       }
     // persisted: the pair join consumes it twice, and the assignment
     // (k cosines per row) must not re-run per consumer
@@ -565,6 +575,98 @@ object Similarity {
       .join(droppedIds.withColumn("dropped", lit(true)), Seq("id"), "left")
       .select(col("id").as(idCol), col("cluster"), col("rank"),
         coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
+
+  /** (rounded-sim, cid) packed into ONE long for aggregation-side argmax:
+    * sim6 = round(sim·1e6) ∈ [−2e6, 1e6] shifted non-negative into the top
+    * 22 bits, cid in the low 41 (ids to 2.2e12 — far past any amplified
+    * tier). max(packed) is EXACTLY lexicographic max over (sim6, cid) —
+    * the same tie rule as array_max over (sim, cid) structs — but a
+    * primitive-long max HASH-aggregates with map-side combine, where
+    * max(struct) falls to SortAggregate and sorts the full scored stream
+    * twice around the exchange (measured 36 s → 2 s on the ×100
+    * assignment; the vector column must also stay OUT of the aggregate —
+    * [[bestAssignment]] joins it back by id instead).
+    */
+  private val SimShift = 2000000L
+  private def packedScore(sim6: Column, cid: Column): Column =
+    shiftleft(round(sim6 * 1e6, 0).cast("long") + SimShift, 41)
+      .bitwiseOR(cid).as("packed")
+
+  /** Finish an argmax assignment from packed scores: one hash-aggregated
+    * max per id, then re-attach the vector by id (an equi-join of two
+    * id-unique sides — cheaper than dragging the array through the agg).
+    */
+  private def bestAssignment(vecs: DataFrame, scored: DataFrame): DataFrame = {
+    val best = scored.groupBy("id").agg(max(col("packed")).as("p"))
+      .select(col("id"),
+        col("p").bitwiseAND(lit((1L << 41) - 1)).as("cluster"),
+        ((shiftrightunsigned(col("p"), 41) - SimShift).cast("double") / 1e6)
+          .as("csim"))
+    vecs.join(best, Seq("id"))
+      .select(col("id"), col("v"), col("cluster"), col("csim"))
+  }
+
+  /** Scalar twin of [[assignExpr]]'s scoring: 6-dp HALF_UP rounded cosine
+    * (matches Spark round() and DuckDB round()), NaN → −2.0 — for the
+    * driver-side pieces of two-level assignment.
+    */
+  private def cosRound6(a: Seq[Double], b: Seq[Double]): Double = {
+    val d = a.zip(b).map { case (x, y) => x * y }.sum
+    val c = d / (math.sqrt(a.map(x => x * x).sum) *
+      math.sqrt(b.map(x => x * x).sum))
+    if (c.isNaN) -2.0
+    else BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Two-level centroid assignment: hash-pick `s` of the centroids as
+    * super-centroids (portable order — an oracle re-derives the pick),
+    * route each centroid to its best super on the driver (k·s scalar
+    * cosines), then per document argmax over supers (s·d literals in the
+    * plan) and a broadcast hash-join to ONLY the chosen super's members —
+    * n·k/s scored rows instead of n·k. Every argmax uses the same rounded
+    * (sim, id-max) rule as [[assignExpr]].
+    */
+  private[graft] def assignTwoLevel(
+      vecs: DataFrame,
+      centroids: Array[(Long, Seq[Double])],
+      s: Int): DataFrame = {
+    require(s > 0 && s <= centroids.length,
+      s"superClusters $s out of range for ${centroids.length} centroids")
+    val supers = centroids
+      .sortBy { case (cid, _) => (PortableHash.portable60(cid.toString), cid) }
+      .take(s)
+    val sidOf: Map[Long, Long] = centroids.map { case (cid, cv) =>
+      cid -> supers.map { case (sid, sv) => (cosRound6(cv, sv), sid) }.max._2
+    }.toMap
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toSeq
+      .map { case (cid, cv) => (cid, sidOf(cid), cv) }
+      .toDF("cid", "sid", "cv")
+    // stage 1 ALSO goes through the broadcast-join + packed-argmax form,
+    // not the literal array_max expression: at s = 28 supers the literal
+    // form embeds 28×64 doubles in one generated method, blows the
+    // codegen size limit, and silently falls back to interpreted eval —
+    // measured 35 s for 5.6M cosines at ×100 where this form does the
+    // same work in ~1 s. A joined sid column is also immune to the
+    // CollapseProject re-inlining that re-evaluated the argmax once per
+    // (doc × member) row downstream.
+    val superDf = supers.toSeq.toDF("sid", "sv")
+    val sidBest = vecs.crossJoin(broadcast(superDf))
+      .select(col("id"),
+        packedScore(
+          coalesce(round(cosine(col("v"), col("sv")), 6), lit(-2.0)),
+          col("sid")))
+      .groupBy("id").agg(max(col("packed")).as("p"))
+      .select(col("id"), col("p").bitwiseAND(lit((1L << 41) - 1)).as("sid"))
+    bestAssignment(vecs,
+      vecs.join(sidBest, Seq("id"))
+        .join(broadcast(centDf), Seq("sid"))
+        .select(col("id"),
+          packedScore(
+            coalesce(round(cosine(col("v"), col("cv")), 6), lit(-2.0)),
+            col("cid"))))
   }
 
   /** Per-band LSH keys through the native [[org.apache.spark.sql.graftnative.HyperplaneBands]]

@@ -2170,6 +2170,59 @@ object QueryCatalog {
               FROM rk r LEFT JOIN drp d ON d.id = r.id
               ORDER BY vec_id""")),
 
+    // SemDeDup with TWO-LEVEL assignment (coarse super-cluster argmax,
+    // then argmax over only that super's members — n·(s + k/s) cosines
+    // instead of n·k, the 100-TB assignment shape). Approximate by
+    // design; every stage is a pinned rounded argmax, so the oracle
+    // replays the hash-ordered super pick, the centroid→super routing,
+    // both document argmax stages, and the dominance rule exactly
+    Q("q_semdedup_2level",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val centroids = Similarity.sampleCentroids(emb, 8, "vec_id", "embedding")
+        Similarity.semDedup(emb, centroids, threshold = 0.3, superClusters = 3)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              cent AS (SELECT id AS cid, e AS ce FROM emb
+                ORDER BY ${graft.operators.PortableHash.duckSql("CAST(id AS VARCHAR)")}, id
+                LIMIT 8),
+              sup AS (SELECT cid AS sid, ce AS se FROM cent
+                ORDER BY ${graft.operators.PortableHash.duckSql("CAST(cid AS VARCHAR)")}, cid
+                LIMIT 3),
+              c2s AS (SELECT cid, sid FROM (
+                  SELECT c.cid, s.sid, row_number() OVER (PARTITION BY c.cid
+                    ORDER BY COALESCE(round(list_cosine_similarity(c.ce, s.se), 6), -2.0) DESC,
+                      s.sid DESC) AS rn
+                  FROM cent c, sup s) WHERE rn = 1),
+              a1 AS (SELECT id, sid FROM (
+                  SELECT r.id, s.sid, row_number() OVER (PARTITION BY r.id
+                    ORDER BY COALESCE(round(list_cosine_similarity(r.e, s.se), 6), -2.0) DESC,
+                      s.sid DESC) AS rn
+                  FROM emb r, sup s) WHERE rn = 1),
+              assign AS (SELECT id, cluster, csim FROM (
+                  SELECT r.id, c.cid AS cluster,
+                    COALESCE(round(list_cosine_similarity(r.e, c.ce), 6), -2.0) AS csim,
+                    row_number() OVER (PARTITION BY r.id
+                      ORDER BY COALESCE(round(list_cosine_similarity(r.e, c.ce), 6), -2.0) DESC,
+                        c.cid DESC) AS rn
+                  FROM emb r JOIN a1 USING (id)
+                  JOIN c2s ON c2s.sid = a1.sid
+                  JOIN cent c ON c.cid = c2s.cid) WHERE rn = 1),
+              rk AS (SELECT id, cluster, csim,
+                  CAST(row_number() OVER (PARTITION BY cluster
+                    ORDER BY csim ASC, id ASC) AS INT) AS "rank"
+                FROM assign),
+              drp AS (SELECT DISTINCT a.id FROM rk a JOIN rk b
+                  ON a.cluster = b.cluster AND b."rank" < a."rank"
+                JOIN emb ea ON ea.id = a.id JOIN emb eb ON eb.id = b.id
+                WHERE round(list_cosine_similarity(ea.e, eb.e), 6) >= 0.3)
+              SELECT r.id AS vec_id, r.cluster, r."rank",
+                (d.id IS NOT NULL) AS dropped
+              FROM rk r LEFT JOIN drp d ON d.id = r.id
+              ORDER BY vec_id""")),
+
     // the oracle replays the hyperplanes verbatim (they are deterministic
     // 4-dp literals — Similarity.hyperplanes) and independently re-derives
     // sign-bit buckets, the hamming multiprobe cut, and the cosine top-k

@@ -270,6 +270,19 @@ class DedupPropertySpec extends SparkSpec {
     assert(est > 0L)
     assert(est < n.toLong * (n - 1) / 2,
       s"strided banding should beat a single dead block's floor: $est")
+
+    // (3) the opt-in pre-flight gate: a ceiling under the estimate fails
+    // fast with a diagnosis; at/above it (and at the lazy default) the
+    // frame constructs and still returns exact pairs
+    val err = intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(dead.toDF("id", "sh"), maxHamming = 6,
+        maxExpectedCandidates = est - 1.0)
+    }
+    assert(err.getMessage.contains("candidate pairs"))
+    assert(err.getMessage.contains("expectedHammingCandidates"))
+    Dedup.hammingPairs(dead.toDF("id", "sh"), maxHamming = 6,
+      maxExpectedCandidates = est.toDouble)
+    OperatorCaches.releaseAll()
   }
 
   test("star and min-label components agree across many random graphs") {

@@ -256,6 +256,15 @@ class SimilaritySpec extends SparkSpec {
         assignByJoin = Some(true))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
     assert(joined.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+
+    // two-level with ONE super-cluster routes every document through the
+    // single coarse cell to an argmax over ALL centroids — exactly the
+    // flat assignment. Exercises the whole two-level plan (super argmax,
+    // centroid routing, member join) against the flat truth
+    val twoLevel = Similarity.semDedup(df, centroids, threshold = 0.9,
+        superClusters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    assert(twoLevel.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
     OperatorCaches.releaseAll()
   }
 }
