@@ -386,8 +386,9 @@ object Similarity {
     *
     * Init = the same hash-deterministic sample ivfAssign uses; each round:
     * (1) assign every vector to its max-cosine centroid (narrow map — the
-    * k centroids ride along as literals; for k·d beyond a few thousand
-    * doubles, broadcast-join a centroid table instead, same plan shape),
+    * k centroids ride along as literals; past k·d ≈ 4k doubles the round
+    * auto-switches to the broadcast-join packed argmax, value-identical —
+    * see semDedup's switch for the measured codegen-fallback rationale),
     * (2) new centroid = elementwise mean of members via posexplode →
     * groupBy(cid, pos) avg — a map-side-combined shuffle of k·d partial
     * sums, never the vectors themselves. Driver only ever holds k·d
@@ -409,16 +410,40 @@ object Similarity {
       k: Int = 16,
       iters: Int = 5,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Array[(Long, Seq[Double])] = {
+      vecCol: String = "embedding",
+      assignByJoin: Option[Boolean] = None): Array[(Long, Seq[Double])] = {
     var centroids: Array[(Long, Seq[Double])] =
       sampleCentroids(df, k, idCol, vecCol)
         .zipWithIndex.map { case ((_, cv), i) => (i.toLong, cv) }
     if (iters == 0) return centroids
+    val dim = centroids.headOption.map(_._2.length).getOrElse(0)
+    // same large-k switch as semDedup: past ~4k literal doubles the
+    // argmax expression outgrows codegen (silent interpreted fallback,
+    // ~100× per cosine) — train through the broadcast-join packed argmax
+    // instead. Value-identical (same rounded (sim, cid-max) rule), so
+    // which path trained the quantizer is unobservable downstream.
+    val useJoin = assignByJoin.getOrElse(k.toLong * dim > 4096L)
     val vecs = OperatorCaches.persistTracked(
-      df.select(toDouble(col(vecCol)).as("v")).filter(col("v").isNotNull))
+      df.select(col(idCol).cast("long").as("id"),
+          toDouble(col(vecCol)).as("v"))
+        .filter(col("v").isNotNull))
+    val spark = df.sparkSession
+    import spark.implicits._
     for (_ <- 1 to iters) {
-      val means = vecs
-        .withColumn("cid", assignExpr(centroids, col("v")))
+      val assignedFrame =
+        if (!useJoin)
+          vecs.select(assignExpr(centroids, col("v")).as("cid"), col("v"))
+        else {
+          val centDf = centroids.toSeq.toDF("ccid", "cv")
+          bestAssignment(vecs,
+            vecs.crossJoin(broadcast(centDf))
+              .select(col("id"),
+                packedScore(
+                  coalesce(round(cosine(col("v"), col("cv")), 6), lit(-2.0)),
+                  col("ccid"))))
+            .select(col("cluster").as("cid"), col("v"))
+        }
+      val means = assignedFrame
         .select(col("cid"), posexplode(col("v")))
         .groupBy("cid", "pos").agg(round(avg("col"), 7).as("m"))
         .collect()

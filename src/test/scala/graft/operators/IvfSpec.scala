@@ -66,4 +66,17 @@ class IvfSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(ivf === exact)
   }
+
+  test("k-means join-path training equals the literal-expression path") {
+    // the large-k broadcast-join packed argmax must train the IDENTICAL
+    // quantizer (same rounded argmax, same 7-dp means) as the literal
+    // expression path — forced on small data via the assignByJoin knob
+    val expr = Similarity.kmeansCentroids(emb, k = 8, iters = 3,
+      assignByJoin = Some(false))
+    val joined = Similarity.kmeansCentroids(emb, k = 8, iters = 3,
+      assignByJoin = Some(true))
+    assert(expr.map(_._1).toSeq === joined.map(_._1).toSeq)
+    expr.zip(joined).foreach { case ((_, a), (_, b)) => assert(a === b) }
+    OperatorCaches.releaseAll()
+  }
 }
