@@ -106,12 +106,87 @@ object Multimodal {
     * byte-level energy (still real signal, coarser quantization). None for
     * payloads JavaSound cannot parse.
     */
-  /** REAL JavaSound decode → temporal RMS profile over `bins` equal time
-    * slices (plus the container format). One pass over the PCM stream;
-    * None for payloads the codec rejects. Shared by the 8-bin feature
-    * embedding and the 65-bin perceptual hash.
+  /** Temporal RMS profile over `bins` equal time slices (plus the
+    * container format). Canonical RIFF/WAVE PCM goes through a direct
+    * chunk-walk fast path — `AudioSystem.getAudioInputStream` costs ~7 ms
+    * PER CALL in provider probing (measured at ×100: ~120 s of the
+    * 196 s audio sweep was container probing, not signal math), where the
+    * chunk walk is microseconds; every other container (AIFF, AU,
+    * non-PCM WAV) falls back to the real JavaSound decode. The fast path
+    * reads the SAME flat little-endian sample stream JavaSound yields for
+    * these files, so profiles are bit-identical (lockstep-spec'd).
     */
   private def rmsProfile(bytes: Array[Byte], bins: Int)
+      : Option[(javax.sound.sampled.AudioFormat, Array[Double])] =
+    fastWavProfile(bytes, bins).orElse(javaSoundProfile(bytes, bins))
+
+  /** Direct RIFF/WAVE chunk walk for format-1 (integer PCM) 8/16-bit
+    * payloads: locate "fmt " and "data", then run the same flat-stream
+    * RMS loop [[javaSoundProfile]] runs on the decoded stream. None for
+    * anything that is not canonical little-endian PCM WAVE — the caller
+    * falls back to JavaSound, which stays the behavioral reference.
+    */
+  private[operators] def fastWavProfile(bytes: Array[Byte], bins: Int)
+      : Option[(javax.sound.sampled.AudioFormat, Array[Double])] = {
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (u16(o).toLong) | (u16(o + 2).toLong << 16)
+    def tag(o: Int): String = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (audioFormat, channels, rate, bits)
+    var data: Option[(Int, Int)] = None          // (offset, length)
+    while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(off)
+      val size = u32(off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      val sz = size.toInt
+      if (id == "fmt " && sz >= 16)
+        fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
+      else if (id == "data")
+        data = Some((off + 8, sz))
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    (fmt, data) match {
+      case (Some((1, channels, rate, bits)), Some((dOff, dLen)))
+          if (bits == 16 || bits == 8) && channels > 0 && rate > 0 =>
+        val sixteenBit = bits == 16
+        val nSamples = if (sixteenBit) dLen / 2 else dLen
+        val prof = new Array[Double](bins)
+        if (nSamples > 0) {
+          val acc = new Array[Double](bins)
+          val cnt = new Array[Long](bins)
+          var i = 0
+          while (i < nSamples) {
+            val s =
+              if (sixteenBit) {
+                val lo = bytes(dOff + 2 * i) & 0xff
+                val hi = bytes(dOff + 2 * i + 1).toInt
+                ((hi << 8) | lo) / 32768.0
+              } else ((bytes(dOff + i) & 0xff) - 128) / 128.0
+            val bin = (i.toLong * bins / nSamples).toInt
+            acc(bin) += s * s
+            cnt(bin) += 1
+            i += 1
+          }
+          var b = 0
+          while (b < bins) {
+            if (cnt(b) > 0) prof(b) = math.sqrt(acc(b) / cnt(b))
+            b += 1
+          }
+        }
+        Some((new javax.sound.sampled.AudioFormat(
+          rate.toFloat, bits, channels, bits == 16, false), prof))
+      case _ => None
+    }
+  }
+
+  /** REAL JavaSound decode → temporal RMS profile — the behavioral
+    * reference for [[fastWavProfile]] and the path every non-canonical
+    * container takes. One pass over the PCM stream; None for payloads the
+    * codec rejects. Shared by the 8-bin feature embedding and the 65-bin
+    * perceptual hash.
+    */
+  private[operators] def javaSoundProfile(bytes: Array[Byte], bins: Int)
       : Option[(javax.sound.sampled.AudioFormat, Array[Double])] = {
     if (bytes.isEmpty) return None
     try {

@@ -355,4 +355,35 @@ class MultimodalSpec extends SparkSpec {
     val c = Multimodal.resize(items, 64, 64).collect().sortBy(_.media_id)
     assert(a.map(_.digest).toSeq !== c.map(_.digest).toSeq)
   }
+
+  test("fastWavProfile equals the JavaSound reference bit-for-bit") {
+    // the fast RIFF walk must produce EXACTLY the doubles the JavaSound
+    // decode produces for canonical PCM WAVs — 16-bit planted payloads,
+    // an 8-bit synthesized one, and format metadata — and must refuse
+    // anything non-canonical so the codec path stays the arbiter
+    for (g <- 0L to 20L) {
+      val wav = MediaGen.plantedWav(MediaGen.plantedSketch("aud", g))
+      val fast = Multimodal.fastWavProfile(wav, 65).get
+      val slow = Multimodal.javaSoundProfile(wav, 65).get
+      assert(fast._2.toSeq === slow._2.toSeq)
+      assert(fast._1.getSampleRate === slow._1.getSampleRate)
+      assert(fast._1.getSampleSizeInBits === slow._1.getSampleSizeInBits)
+      assert(fast._1.getChannels === slow._1.getChannels)
+    }
+    // 8-bit unsigned PCM
+    val pcm8 = Array.tabulate[Byte](800)(i => ((i * 7) % 256 - 128).toByte)
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val out8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm8), fmt8, 800L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out8)
+    val wav8 = out8.toByteArray
+    val fast8 = Multimodal.fastWavProfile(wav8, 8).get
+    val slow8 = Multimodal.javaSoundProfile(wav8, 8).get
+    assert(fast8._2.toSeq === slow8._2.toSeq)
+    // non-WAV payloads refuse the fast path (and junk refuses both)
+    assert(Multimodal.fastWavProfile("not a riff at all".getBytes, 8).isEmpty)
+    assert(Multimodal.fastWavProfile(Array.emptyByteArray, 8).isEmpty)
+  }
 }
