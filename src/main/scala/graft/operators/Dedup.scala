@@ -726,6 +726,68 @@ object Dedup {
         .as("ck"))
       .select(col("sh"), col("ck.chunk"), col("ck.cv"))
 
+  /** Bloom-filter decontamination — the [[decontaminate]] shape for when
+    * the BENCHMARK gram set itself is too large to broadcast: the filter
+    * state is `2^bitsLog2` BITS regardless of benchmark size (size m for
+    * ~10 bits per expected benchmark gram — the classic regime keeping
+    * per-gram FPR ~1e-4 at k = 3), expressed
+    * relationally as the distinct SET-POSITION table (≤ 2^bitsLog2 rows of
+    * one int — a bounded broadcast however many grams fed it). A corpus
+    * gram is flagged iff ALL `numHashes` of its positions are set — the
+    * classic Bloom membership test as an all-rows-joined count, so false
+    * positives arise exactly as in a bit-array Bloom (every position set
+    * by OTHER grams) and at the classic rate (1 − e^{−kn/m})^k.
+    * Guaranteed superset of [[decontaminate]]'s exact flags (no false
+    * negatives — same grams, total position functions); measure the FP
+    * margin against the exact operator where feasible (the fixture entry
+    * q_decontaminate_bloom_fpr does, oracled).
+    *
+    * Positions derive from the PORTABLE gram hash ((h mod p_i) mod m,
+    * distinct primes p_i ≫ m), so an independent engine replays the whole
+    * filter — build, probe, and verdicts — exactly.
+    *
+    * Plan shape: benchmark side two narrow passes + a ≤ m-row distinct;
+    * corpus side scan → explode → broadcast-semi on position → two
+    * partial-agg shuffles keyed (id, g) then id. The corpus never
+    * shuffles text, grams, or anything wider than (8-byte id, 8-byte
+    * gram hash).
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5,
+      minHits: Int = 1,
+      bitsLog2: Int = 20,
+      numHashes: Int = 3): DataFrame = {
+    require(bitsLog2 >= 8 && bitsLog2 <= 30, "bitsLog2 in [8, 30]")
+    val m = 1L << bitsLog2
+    val primes = Seq(1000003L, 1000033L, 1000037L, 1000039L, 1000081L, 1000099L)
+    require(numHashes >= 1 && numHashes <= primes.size,
+      s"numHashes in [1, ${primes.size}]")
+    def gramHashes(text: Column): Column =
+      array_distinct(transform(shingles(text, n), g => PortableHash.portable60(g)))
+    def positions(g: Column): Column =
+      array(primes.take(numHashes).map(p => (g % lit(p)) % lit(m)): _*)
+    val setBits = benchmark
+      .select(explode(gramHashes(col(textCol))).as("g"))
+      .select(explode(positions(col("g"))).as("pos"))
+      .distinct()
+    corpus
+      .select(col(idCol).cast("long").as("id"),
+        explode(gramHashes(col(textCol))).as("g"))
+      .select(col("id"), col("g"),
+        explode(positions(col("g"))).as("pos"))
+      .join(broadcast(setBits), Seq("pos"), "left_semi")
+      .groupBy("id", "g").agg(count(lit(1)).as("k_set"))
+      // a duplicate position (p_i tie) contributes its row count either
+      // way, so == numHashes still means "every position row joined"
+      .filter(col("k_set") === numHashes)
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   /** Pre-flight cost diagnostic for [[hammingPairs]] — the banded join's
     * candidate-row count (directed distinct-VALUE pairs before the
     * distance filter), computed from bucket occupancies in one cheap

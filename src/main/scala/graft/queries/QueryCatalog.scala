@@ -1844,6 +1844,90 @@ object QueryCatalog {
               FROM corp WHERE g IN (SELECT g FROM bench)
               GROUP BY 1 ORDER BY id""")),
 
+    // Bloom-filter decontamination: the benchmark gram set compressed to
+    // a 2^20-bit filter held as a distinct-position TABLE (bounded
+    // broadcast however large the benchmark); membership = all-3-positions
+    // join. Positions derive from the portable md5 gram hash, so the
+    // oracle rebuilds the filter and replays every probe
+    Q("q_decontaminate_bloom",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.decontaminateBloom(
+            docs.filter(col("doc_id") % 20 =!= 0),
+            docs.filter(col("doc_id") % 20 === 0),
+            n = 5)
+          .orderBy("id")
+      },
+      Some(s"""WITH tk AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents),
+              gr AS (
+                SELECT doc_id,
+                  unnest([array_to_string(t[i:i+4], ' ')
+                          for i in range(1, greatest(len(t)-4, 1) + 1)]) AS gs
+                FROM tk),
+              gh AS (SELECT DISTINCT doc_id,
+                  ${graft.operators.PortableHash.duckSql("gs")} AS g FROM gr),
+              pr(p) AS (VALUES (1000003), (1000033), (1000037)),
+              bpos AS (SELECT DISTINCT (g % p) % 1048576 AS pos
+                FROM gh, pr WHERE doc_id % 20 = 0),
+              cpos AS (SELECT doc_id, g, (g % p) % 1048576 AS pos
+                FROM gh, pr WHERE doc_id % 20 <> 0),
+              hit AS (SELECT doc_id, g FROM cpos
+                WHERE pos IN (SELECT pos FROM bpos)
+                GROUP BY doc_id, g HAVING count(*) = 3)
+              SELECT CAST(doc_id AS BIGINT) AS id, count(*) AS n_hits
+              FROM hit GROUP BY 1 ORDER BY id""")),
+
+    // the Bloom's accuracy, audited as one oracled row: exact flags are a
+    // guaranteed subset (no false negatives by construction), and the
+    // false-positive margin is measured against the exact operator
+    Q("q_decontaminate_bloom_fpr",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corp = docs.filter(col("doc_id") % 20 =!= 0)
+        val bench = docs.filter(col("doc_id") % 20 === 0)
+        val bloom = Dedup.decontaminateBloom(corp, bench, n = 5)
+          .select(col("id"))
+        val exact = Dedup.decontaminate(corp, bench, n = 5)
+          .select(col("id"), lit(true).as("exact_hit"))
+        bloom.join(exact, Seq("id"), "left")
+          .agg(
+            count(lit(1)).as("flagged_bloom"),
+            sum(when(col("exact_hit"), 1L).otherwise(0L)).as("flagged_exact"),
+            sum(when(col("exact_hit").isNull, 1L).otherwise(0L))
+              .as("false_flags"))
+      },
+      Some(s"""WITH tk AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents),
+              gr AS (
+                SELECT doc_id,
+                  unnest([array_to_string(t[i:i+4], ' ')
+                          for i in range(1, greatest(len(t)-4, 1) + 1)]) AS gs
+                FROM tk),
+              gh AS (SELECT DISTINCT doc_id,
+                  ${graft.operators.PortableHash.duckSql("gs")} AS g FROM gr),
+              pr(p) AS (VALUES (1000003), (1000033), (1000037)),
+              bpos AS (SELECT DISTINCT (g % p) % 1048576 AS pos
+                FROM gh, pr WHERE doc_id % 20 = 0),
+              cpos AS (SELECT doc_id, g, (g % p) % 1048576 AS pos
+                FROM gh, pr WHERE doc_id % 20 <> 0),
+              bloom AS (SELECT doc_id FROM (
+                  SELECT doc_id, g FROM cpos
+                  WHERE pos IN (SELECT pos FROM bpos)
+                  GROUP BY doc_id, g HAVING count(*) = 3)
+                GROUP BY doc_id),
+              bench AS (SELECT DISTINCT gs FROM gr WHERE doc_id % 20 = 0),
+              exact AS (SELECT DISTINCT doc_id FROM gr
+                WHERE doc_id % 20 <> 0 AND gs IN (SELECT gs FROM bench))
+              SELECT count(*) AS flagged_bloom,
+                CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS flagged_exact,
+                CAST(sum(CASE WHEN e.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS false_flags
+              FROM bloom b LEFT JOIN exact e ON e.doc_id = b.doc_id""")),
+
     Q("q_text_repetition",
       (s, dir) => TextAnalysis.repetitionMetrics(t(s, dir, "documents"))
         .select("doc_id", "dup_token_ratio", "top_bigram_ratio")

@@ -117,4 +117,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a !== order("epoch1"))
     assert(a.sorted === (1L to 100L))
   }
+
+  test("bloom decontamination: superset of exact, planted leak flagged") {
+    import spark.implicits._
+    val bench = Seq((1000L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = (
+      Seq((1L, "padding words then the quick brown fox jumps over the lazy dog tonight indeed")) ++
+      (2L to 40L).map(i => (i, s"completely unrelated document number $i about topic ${i * 7} with plenty of words"))
+    ).toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(corpus, bench, n = 5)
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Dedup.decontaminateBloom(corpus, bench, n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.contains(1L) && bloom.contains(1L))
+    assert(exact.subsetOf(bloom), s"bloom lost exact flags: ${exact -- bloom}")
+    // tiny filter forces false positives; the superset property must hold
+    val tiny = Dedup.decontaminateBloom(corpus, bench, n = 5, bitsLog2 = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(tiny))
+    OperatorCaches.releaseAll()
+  }
 }
