@@ -726,6 +726,30 @@ object Dedup {
         .as("ck"))
       .select(col("sh"), col("ck.chunk"), col("ck.cv"))
 
+  /** Keeper-policy companion to [[fuzzyDedupClusters]]: production dedup
+    * keeps each duplicate group's BEST member (longest, highest quality
+    * score, freshest crawl), not its smallest id. `clusters` = (id,
+    * component) from any clustering here; `quality` = (id, q). Keeper =
+    * argmax (q, then smallest id) per component — deterministic, so the
+    * choice replays in an oracle whatever the quality signal is, as long
+    * as the signal itself is deterministic.
+    *
+    * Scale shape: one (id-keyed) equi-join, one per-component argmax over
+    * two longs (components ≪ corpus; pack into one long as
+    * Similarity.packedScore does if a pathological corpus ever makes this
+    * aggregate hot), one broadcast-size join back on component.
+    */
+  def keepBest(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val j = clusters.select(col("id"), col("component"))
+      .join(quality.select(col("id"), col("q")), Seq("id"))
+    val keeper = j.groupBy("component")
+      .agg(max(struct(col("q"), (-col("id")).as("nid"))).as("b"))
+      .select(col("component"), (-col("b.nid")).as("keeper"))
+    j.join(keeper, Seq("component"))
+      .select(col("id"), col("component"),
+        (col("id") === col("keeper")).as("keep"))
+  }
+
   /** Bloom-filter decontamination — the [[decontaminate]] shape for when
     * the BENCHMARK gram set itself is too large to broadcast: the filter
     * state is `2^bitsLog2` BITS regardless of benchmark size (size m for

@@ -304,6 +304,35 @@ object QueryCatalog {
               LEFT JOIN comp c ON c.id = d.id
               ORDER BY component, d.id"""
 
+  /** Same clustering, keeper = per-component argmax (token count, id-min
+    * tiebreak) — the [[graft.operators.Dedup.keepBest]] policy replayed
+    * verbatim.
+    */
+  private def minhashKeepBestOracleSql(numHashes: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${minhashPairCtes(numHashes, threshold)},
+              edges AS (
+                SELECT id_a AS src, id_b AS dst FROM mh_pairs
+                UNION SELECT id_b, id_a FROM mh_pairs),
+              reach(node, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+              comp AS (SELECT node AS id, min(lbl) AS component
+                FROM reach GROUP BY node),
+              cl AS (SELECT d.id AS id, coalesce(c.component, d.id) AS component
+                FROM (SELECT CAST(doc_id AS BIGINT) AS id FROM documents) d
+                LEFT JOIN comp c ON c.id = d.id),
+              ql AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                  len(string_split_regex(trim(text), '\\s+')) AS q
+                FROM documents),
+              kp AS (SELECT component, id AS keeper FROM (
+                  SELECT cl.component, cl.id, row_number() OVER (
+                    PARTITION BY cl.component ORDER BY ql.q DESC, cl.id ASC) AS rn
+                  FROM cl JOIN ql USING (id)) WHERE rn = 1)
+              SELECT cl.id, cl.component, (cl.id = kp.keeper) AS keep
+              FROM cl JOIN kp USING (component)
+              ORDER BY component, id"""
+
   /** Oracle for the k-means IVF entry: Lloyd's unrolled as `iters` chained
     * CTE blocks. Replayable because every cross-engine float boundary is
     * pinned — init = portable-hash sample (same as ivfAssign), assignment
@@ -1484,6 +1513,20 @@ object QueryCatalog {
       (s, dir) => Dedup.fuzzyDedupClusters(t(s, dir, "documents"), threshold = 0.5,
         portable = true).orderBy("component", "id"),
       Some(minhashClustersOracleSql(numHashes = 64, threshold = 0.5))),
+
+    // production keeper policy over the same clusters: keep each dup
+    // group's BEST member (token count, id-min tiebreak) instead of its
+    // smallest id — oracle replays clustering AND the argmax choice
+    Q("q_dedup_keep_best",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val clusters = Dedup.fuzzyDedupClusters(docs, threshold = 0.5,
+          portable = true)
+        val quality = docs.select(col("doc_id").cast("long").as("id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("q"))
+        Dedup.keepBest(clusters, quality).orderBy("component", "id")
+      },
+      Some(minhashKeepBestOracleSql(numHashes = 64, threshold = 0.5))),
 
     // same clustering via large-star/small-star (O(log n) rounds) — labels
     // must equal q_dedup_clusters exactly (same independent oracle)

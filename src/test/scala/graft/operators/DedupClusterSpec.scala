@@ -105,4 +105,20 @@ class DedupClusterSpec extends SparkSpec {
     assert(m(2L)._2 < 0.5)
     assert(m(3L) === ((0.0, 0.0))) // single token: no bigrams
   }
+
+  test("keepBest: per-component quality argmax with id tiebreak") {
+    import spark.implicits._
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),   // q: 5, 9, 9 -> keeper 2 (tie, min id)
+      (4L, 4L),                        // singleton keeps itself
+      (5L, 5L), (6L, 5L)               // q: 1, 7 -> keeper 6
+    ).toDF("id", "component")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 0L), (5L, 1L), (6L, 7L))
+      .toDF("id", "q")
+    val out = Dedup.keepBest(clusters, quality)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out === Set(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, false), (6L, 5L, true)))
+  }
 }
