@@ -193,6 +193,73 @@ object TextAnalysis {
         .as("surprisal"))
   }
 
+  /** Bigram-LM surprisal with Stupid Backoff (Brants et al. 2007, "Large
+    * Language Models in Machine Translation"): token i ≥ 2 scores
+    * S(w_i | w_{i−1}) = c(w_{i−1} w_i)/c(w_{i−1}), backing off to
+    * α·p̂(w_i) when the bigram is unseen (α = 0.4, the published
+    * constant; p̂ = add-one-smoothed unigram (c+1)/(N+V+1), so OOV words
+    * score 1/(N+V+1) instead of −log 0); each document's first token
+    * scores p̂(w_1). The model trains on `model` and scores `df` — the
+    * CCNet shape (train on the reference corpus, score the crawl), and
+    * the reason backoff actually fires: scoring a corpus against its own
+    * counts never meets an unseen bigram. The stronger-model sibling of
+    * [[unigramSurprisal]] in the perplexity-filter family: repetitive or
+    * formulaic text scores low, incoherent token soup that a unigram
+    * model cannot distinguish scores high.
+    *
+    * Scale shape: the model state is the two frequency tables (vocab- and
+    * bigram-bounded, never corpus-bounded); the scoring pass joins them
+    * back by token key — three shuffles of (token(s), count) pairs and
+    * one map-side-combined per-doc average. Deterministic throughout, so
+    * the oracle replays counts, backoff, and the rounded average exactly.
+    */
+  def bigramSurprisal(
+      df: DataFrame,
+      model: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      alpha: Double = 0.4): DataFrame = {
+    def bigrams(t: Column): Column = zip_with(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    // model state: vocab- and bigram-bounded frequency tables (+ add-one
+    // smoothed unigram so OOV words score 1/(N+V), never −log 0)
+    val mArrs = model.select(wsTokens(lower(col(textCol))).as("t"))
+    val uni = OperatorCaches.persistTracked(
+      mArrs.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc")))
+    val totals = uni.agg(sum("wc").as("__n"),
+      count(lit(1)).as("__v"))
+    val big = mArrs.select(explode(bigrams(col("t"))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("bc"))
+    def pUni(wc: Column): Column =
+      (coalesce(wc, lit(0L)) + 1).cast("double") / (col("__n") + col("__v") + 1)
+    val arrs = OperatorCaches.persistTracked(
+      df.select(col(idCol), wsTokens(lower(col(textCol))).as("t")))
+    val headScores = arrs
+      .select(col(idCol), element_at(col("t"), 1).as("w"))
+      .join(uni, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), (-log2(pUni(col("wc")))).as("nll"))
+    val pairScores = arrs
+      .select(col(idCol), explode(bigrams(col("t"))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("wc").as("c1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("wc").as("c2")), Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        (-log2(when(col("bc").isNotNull,
+            col("bc").cast("double") / col("c1"))
+          .otherwise(lit(alpha) * pUni(col("c2")))))
+          .as("nll"))
+    headScores.unionByName(pairScores)
+      .groupBy(idCol)
+      .agg(round(avg("nll"), 4).as("surprisal_bo"))
+  }
+
   /** Bigram collocation mining by pointwise mutual information:
     * PMI(a,b) = log2(P(ab) / (P(a)·P(b))) over adjacent token pairs, with
     * a minimum pair count to keep the estimate stable (rare pairs have

@@ -1369,6 +1369,53 @@ object QueryCatalog {
               FROM tok JOIN freq USING (w)
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    // bigram Stupid-Backoff surprisal in the CCNet shape: model trains on
+    // 80% of docs, scores ALL docs, so held-out docs exercise the real
+    // backoff and OOV paths. The oracle replays counts, smoothing,
+    // backoff, and the rounded average
+    Q("q_bigram_ppl",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextAnalysis.bigramSurprisal(docs,
+            docs.filter(col("doc_id") % 5 =!= 0))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+                FROM documents),
+              uni AS (SELECT w, count(*) AS wc FROM (
+                  SELECT unnest(t) AS w FROM tk WHERE doc_id % 5 <> 0)
+                GROUP BY w),
+              tot AS (SELECT sum(wc) AS n, count(*) AS v FROM uni),
+              bc AS (SELECT w1, w2, count(*) AS bc FROM (
+                  SELECT unnest([{'a': t[i], 'b': t[i + 1]}
+                                 for i in range(1, len(t))]) AS p
+                  FROM tk WHERE doc_id % 5 <> 0) q(p),
+                  LATERAL (SELECT p.a AS w1, p.b AS w2) s
+                GROUP BY w1, w2),
+              hd AS (SELECT doc_id,
+                  -log2(CAST(COALESCE(uni.wc, 0) + 1 AS DOUBLE)
+                        / ((SELECT n FROM tot) + (SELECT v FROM tot) + 1)) AS nll
+                FROM (SELECT doc_id, t[1] AS w FROM tk) h
+                LEFT JOIN uni ON uni.w = h.w),
+              bgp AS (SELECT doc_id, p.a AS w1, p.b AS w2 FROM (
+                  SELECT doc_id, unnest([{'a': t[i], 'b': t[i + 1]}
+                                         for i in range(1, len(t))]) AS p
+                  FROM tk)),
+              ps AS (SELECT bgp.doc_id,
+                  -log2(CASE WHEN bc.bc IS NOT NULL
+                    THEN CAST(bc.bc AS DOUBLE) / u1.wc
+                    ELSE 0.4 * CAST(COALESCE(u2.wc, 0) + 1 AS DOUBLE)
+                         / ((SELECT n FROM tot) + (SELECT v FROM tot) + 1)
+                    END) AS nll
+                FROM bgp
+                LEFT JOIN bc ON bc.w1 = bgp.w1 AND bc.w2 = bgp.w2
+                LEFT JOIN uni u1 ON u1.w = bgp.w1
+                LEFT JOIN uni u2 ON u2.w = bgp.w2)
+              SELECT doc_id, round(avg(nll), 4) AS surprisal_bo
+              FROM (SELECT * FROM hd UNION ALL SELECT * FROM ps)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
     // 0.5 is the realistic fuzzy-dedup operating point: auto-banding keeps
     // ≥95% band-collision recall at the threshold (0.2 would need the
     // degenerate r<2 banding — see Dedup.minHashLsh scaladoc). Portable

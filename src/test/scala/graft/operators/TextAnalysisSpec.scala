@@ -104,4 +104,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) === fps(2L))
     assert(fps(1L) !== fps(3L))
   }
+
+  test("bigram backoff surprisal: fluent text beats shuffled soup; OOV finite") {
+    import spark.implicits._
+    // model corpus: one sentence repeated with light variation, so its
+    // bigrams are in-model
+    val model = (1L to 30L).map(i =>
+      (i, s"the cat sat on the mat near door $i")).toDF("doc_id", "text")
+    val target = Seq(
+      (100L, "the cat sat on the mat"),            // fluent: all bigrams seen
+      (101L, "mat the on cat the sat"),            // same words, unseen order
+      (102L, "zyx qwv entirely novel tokens here") // OOV: must stay finite
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(target, model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size === 3)
+    assert(out(100L) < out(101L),
+      s"fluent should beat shuffled: ${out(100L)} vs ${out(101L)}")
+    assert(out(101L) < out(102L), "OOV should score highest")
+    assert(!out(102L).isInfinite && !out(102L).isNaN)
+    OperatorCaches.releaseAll()
+  }
 }
