@@ -1369,6 +1369,35 @@ object QueryCatalog {
               FROM tok JOIN freq USING (w)
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ORC source/sink roundtrip, driver-gated: write the documents table
+    // as ORC, read it back through Spark's ORC reader, aggregate — the
+    // oracle computes the same aggregate from the PARQUET truth, so any
+    // roundtrip corruption (row loss, encoding drift, type mangling)
+    // hash-mismatches. (spark-avro is not on the unmanaged classpath —
+    // gated like Delta, COVERAGE §2a.)
+    Q("q_orc_roundtrip",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft-orc-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        docs.write.mode("overwrite").orc(path)
+        s.read.orc(path)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            // content-sensitive, order-insensitive: xor of doc text hashes
+            // (the repo's portable 60-bit family, so DuckDB re-derives it)
+            sum(pmod(graft.operators.PortableHash.portable60(md5(col("text"))),
+                lit(1000000007L)))
+              .as("text_hash_sum"))
+          .orderBy("lang")
+      },
+      Some(s"""SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(sum(${graft.operators.PortableHash.duckSql("md5(text)")} % 1000000007) AS BIGINT)
+                  AS text_hash_sum
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
     // bigram Stupid-Backoff surprisal in the CCNet shape: model trains on
     // 80% of docs, scores ALL docs, so held-out docs exercise the real
     // backoff and OOV paths. The oracle replays counts, smoothing,
