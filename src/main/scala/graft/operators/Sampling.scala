@@ -109,6 +109,45 @@ object Sampling {
     df.filter(hashBucket256(col(keyCol), "mix") < thr)
   }
 
+  /** Temperature (alpha) sampling over strata — the multilingual-LM
+    * recipe (e.g. mBERT / XLM-R) for flattening a skewed domain/language
+    * distribution without an explicit weight table: target weights
+    * w_s ∝ count_s^alpha, alpha in (0, 1]. alpha = 1 keeps the natural
+    * distribution; alpha → 0 approaches uniform. Downsample-only (no
+    * upsampling), so with w_s ∝ c^alpha the binding stratum is always the
+    * SCARCEST one — it keeps everything — and the per-stratum keep rate
+    * collapses algebraically to (c_min / c_s)^(1-alpha). That closed form
+    * is what the DuckDB oracle replays: for the alpha = 0.5 operating
+    * point it is sqrt(c_min/c_s), and IEEE sqrt is correctly rounded in
+    * every engine (pow carries no such guarantee, hence the split).
+    *
+    * Scale shape = [[mixtureSample]]: one tiny per-stratum count aggregate
+    * (state bounded by stratum cardinality, never corpus size) collected
+    * to build a literal threshold chain, then a narrow deterministic
+    * hash-filter — no data shuffle, stable under re-runs and re-sharding.
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val stratum = col(stratumCol).cast("string")
+    val counts = df.groupBy(stratum.as("__s")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureMixture on an empty input")
+    val cMin = counts.values.min.toDouble
+    val thresholds = counts.map { case (s, c) =>
+      val rate = if (alpha == 0.5) math.sqrt(cMin / c)
+                 else math.pow(cMin / c, 1 - alpha)
+      s -> math.min(256L, math.ceil(256.0 * rate).toLong)
+    }
+    val thr = thresholds.foldLeft(lit(null).cast("long")) { case (acc, (s, t)) =>
+      when(stratum === s, lit(t)).otherwise(acc)
+    }
+    df.filter(hashBucket256(col(keyCol), "tmix") < thr)
+  }
+
   /** Deterministic per-stratum downsampling: keep each row iff its key
     * hash-bucket (0-15) falls inside the stratum's quota of 16ths. The
     * sampling decision is a narrow filter — no shuffle, no state — and

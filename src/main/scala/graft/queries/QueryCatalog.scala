@@ -1398,6 +1398,36 @@ object QueryCatalog {
                   AS text_hash_sum
               FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // JSONL source/sink roundtrip, driver-gated like q_orc_roundtrip: the
+    // interchange format every corpus pipeline ingests. Spark writes the
+    // documents table as JSON lines and reads it back WITH AN EXPLICIT
+    // SCHEMA (schema inference at 100 TB is a full extra pass over the
+    // data; pinning the schema also keeps doc_id a long instead of
+    // inference's widest-match). Aggregate incl. the portable text-hash
+    // sum mirrors the ORC entry, so row loss / field mangling / encoding
+    // drift through the JSON writer+parser hash-mismatches vs the parquet
+    // truth.
+    Q("q_jsonl_roundtrip",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft-jsonl-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        docs.write.mode("overwrite").json(path)
+        s.read.schema(docs.schema).json(path)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(pmod(graft.operators.PortableHash.portable60(md5(col("text"))),
+                lit(1000000007L)))
+              .as("text_hash_sum"))
+          .orderBy("lang")
+      },
+      Some(s"""SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(sum(${graft.operators.PortableHash.duckSql("md5(text)")} % 1000000007) AS BIGINT)
+                  AS text_hash_sum
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
     // bigram Stupid-Backoff surprisal in the CCNet shape: model trains on
     // 80% of docs, scores ALL docs, so held-out docs exercise the real
     // backoff and OOV paths. The oracle replays counts, smoothing,
@@ -2127,6 +2157,32 @@ object QueryCatalog {
                        substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
                   + (strpos('0123456789abcdef',
                        substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) < t.thr
+              ORDER BY d.doc_id""")),
+
+    // temperature (alpha = 0.5) sampling over sources: w_s ∝ count^alpha,
+    // downsample-only ⇒ keep rate = sqrt(c_min/c_s) exactly (scarcest
+    // source keeps all). Row-level output so the oracle checks every keep
+    // decision, not just the counts; sqrt keeps the threshold arithmetic
+    // bit-identical across engines (see Sampling.temperatureMixture)
+    Q("q_temperature_mixture",
+      (s, dir) => graft.operators.Sampling
+        .temperatureMixture(t(s, dir, "documents"), "source", "doc_id",
+          alpha = 0.5)
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+      Some("""WITH c AS (
+                SELECT source, CAST(count(*) AS DOUBLE) AS c
+                FROM documents GROUP BY source),
+              m AS (SELECT min(c) AS cmin FROM c),
+              t AS (SELECT source, least(256, CAST(
+                  ceil(256.0 * sqrt((SELECT cmin FROM m) / c)) AS BIGINT))
+                  AS thr FROM c)
+              SELECT d.doc_id, d.source
+              FROM documents d JOIN t ON d.source = t.source
+              WHERE (strpos('0123456789abcdef',
+                       substring(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef',
+                       substring(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) < t.thr
               ORDER BY d.doc_id""")),
 
     // DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram

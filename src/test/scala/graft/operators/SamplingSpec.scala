@@ -78,6 +78,31 @@ class SamplingSpec extends SparkSpec {
     assert(a.length === 250 && a.forall(_ % 4 == 0))
   }
 
+  test("temperature mixture flattens skew; scarcest stratum keeps everything") {
+    // raw mix: 250 en / 750 de. alpha = 0.5 → en (scarcest) keeps all,
+    // de keeps sqrt(250/750) ≈ 57.7% ≈ 433 rows (1/256-quantized)
+    val kept = Sampling.temperatureMixture(docs, "lang", "doc_id", alpha = 0.5)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") === 250L)
+    assert(math.abs(byLang("de") - 433L) <= 40L,
+      s"de kept ${byLang("de")}, expected ~433")
+    // alpha = 1 is the natural distribution: every row survives
+    assert(Sampling.temperatureMixture(docs, "lang", "doc_id", alpha = 1.0)
+      .count() === 1000L)
+    // deterministic under repartition (narrow hash filter, no RNG)
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.temperatureMixture(docs.repartition(7), "lang", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a sameElements b)
+    // lower alpha flattens harder: de's keep count shrinks monotonically
+    val flatter = Sampling.temperatureMixture(docs, "lang", "doc_id", alpha = 0.25)
+      .filter(col("lang") === "de").count()
+    assert(flatter < byLang("de"))
+    assertThrows[IllegalArgumentException](
+      Sampling.temperatureMixture(docs, "lang", "doc_id", alpha = 0.0))
+  }
+
   test("PII redaction replaces emails, phones, and IPs with typed tokens") {
     import spark.implicits._
     val d = Seq(
