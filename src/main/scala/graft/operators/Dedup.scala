@@ -1162,4 +1162,87 @@ object Dedup {
       // UNSORTED on purpose — see minHashLsh; catalog entries sort
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm): per document, the set of window-minimum k-gram
+    * hashes over sliding windows of `w` consecutive grams. Guarantee: any
+    * token run of length ≥ w + k − 1 shared by two documents contributes
+    * at least one SHARED selected fingerprint, while only ~2/(w+1) of
+    * positions are selected — local fingerprinting with a detection floor,
+    * where [[TextAnalysis.fingerprint]] is all-or-nothing whole-doc
+    * identity and MinHash trades the guarantee for a probability.
+    *
+    * Gram hashes are [[PortableHash.portable60]] (identity-at-rest: the
+    * fingerprint index outlives the job and is joined by later crawls,
+    * same rationale as fingerprint/chunkCdc — and it is what lets the
+    * DuckDB oracle replay the selection verbatim). Ties inside a window
+    * resolve by VALUE min alone: with 60-bit hashes, distinct grams
+    * collide at ~n²/2⁶¹, and equal-gram repeats select the same value
+    * either way, so the rightmost-min refinement of the paper changes
+    * nothing the fingerprint SET can see.
+    *
+    * One narrow projection, zero shuffle: tokens and the gram array are
+    * bound as transform lambda VARIABLES (evaluated once per row) — the
+    * same projection-collapse/HOF-re-eval dodge documented at
+    * [[TextAnalysis.chunkCdc]]; without it the O(T·k) md5 work would
+    * re-run once per window. Short docs (fewer than k tokens / fewer than
+    * w grams) degrade exactly like the gram builders elsewhere: one
+    * whole-doc gram, one whole-array window.
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 4,
+      w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    val fps = element_at(transform(array(toks(col(textCol))), tk => {
+      val nGrams = greatest(size(tk) - lit(k - 1), lit(1))
+      val grams = transform(sequence(lit(0), nGrams - 1),
+        i => PortableHash.portable60(array_join(slice(tk, i + 1, lit(k)), " ")))
+      element_at(transform(array(grams), g => {
+        val nWin = greatest(size(g) - lit(w - 1), lit(1))
+        array_sort(array_distinct(transform(sequence(lit(0), nWin - 1),
+          j => array_min(slice(g, j + 1, lit(w))))))
+      }), 1)
+    }), 1)
+    df.withColumn("winnow_fps", fps)
+  }
+
+  /** MOSS-style near-dup pairs over [[winnowFingerprints]]: documents
+    * sharing ≥ `minShared` selected fingerprints, with ubiquitous
+    * fingerprints (document frequency > `maxDf`) dropped BEFORE the
+    * posting self-join — the same deterministic reduced-set policy as
+    * [[ngramJaccard]]'s maxDf and videoNearDupPairs' maxFrameDf, so a
+    * boilerplate gram selected by thousands of documents can never drive
+    * the join df-squared. df ≥ 2 is also pre-filtered (a fingerprint seen
+    * once can pair nothing), so the posting that self-joins carries ONLY
+    * fingerprints that will produce candidates.
+    *
+    * Shuffle profile: (id, fp) longs only — ~2·T/(w+1) rows per doc, the
+    * winnowing density; document bodies never leave their scan partition.
+    * Returns (id_a, id_b, shared), id_a < id_b, unsorted (catalog sorts).
+    */
+  def winnowNearDupPairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 4,
+      w: Int = 8,
+      minShared: Int = 2,
+      maxDf: Int = 50): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2, "need minShared >= 1 and maxDf >= 2")
+    val fp = OperatorCaches.persistTracked(
+      winnowFingerprints(df, idCol, textCol, k, w)
+        .select(col(idCol).cast("long").as("id"),
+          explode(col("winnow_fps")).as("fp")))
+    val keep = fp.groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2 && col("c") <= maxDf)
+    val posting = fp.join(keep.select("fp"), Seq("fp"), "left_semi")
+    posting.as("a").join(posting.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

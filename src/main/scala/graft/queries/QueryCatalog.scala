@@ -1570,6 +1570,60 @@ object QueryCatalog {
               WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.15
               ORDER BY id_a, id_b""")),
 
+    // winnowing (MOSS) fingerprint selection: the oracle replays the
+    // portable gram hashes and the window-min selection verbatim with
+    // DuckDB list comprehensions (same short-doc clamps as the Spark
+    // slices), so every selected fingerprint value is checked
+    Q("q_winnow_fingerprint",
+      (s, dir) => Dedup.winnowFingerprints(t(s, dir, "documents"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          explode(col("winnow_fps")).as("fp"))
+        .orderBy("doc_id", "fp"),
+      Some(s"""WITH tk AS (
+                SELECT CAST(doc_id AS BIGINT) AS id,
+                  regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents),
+              g AS (SELECT id,
+                  [${graft.operators.PortableHash.duckSql(
+                    "array_to_string(t[i:i+3], ' ')")}
+                   FOR i IN range(1, greatest(len(t) - 3, 1) + 1)] AS gh
+                FROM tk),
+              win AS (SELECT id, list_sort(list_distinct(
+                  [list_min(gh[j:j+7])
+                   FOR j IN range(1, greatest(len(gh) - 7, 1) + 1)])) AS fps
+                FROM g)
+              SELECT id AS doc_id, unnest(fps) AS fp FROM win
+              ORDER BY doc_id, fp""")),
+
+    // MOSS near-dup pairs over the winnowed fingerprints: df-capped
+    // (ubiquitous fingerprints dropped pre-join, the ngramJaccard.maxDf
+    // policy) and df>=2-filtered; oracle replays selection, cap, and the
+    // posting self-join
+    Q("q_winnow_neardup",
+      (s, dir) => Dedup.winnowNearDupPairs(t(s, dir, "documents"))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH tk AS (
+                SELECT CAST(doc_id AS BIGINT) AS id,
+                  regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents),
+              g AS (SELECT id,
+                  [${graft.operators.PortableHash.duckSql(
+                    "array_to_string(t[i:i+3], ' ')")}
+                   FOR i IN range(1, greatest(len(t) - 3, 1) + 1)] AS gh
+                FROM tk),
+              win AS (SELECT id, list_sort(list_distinct(
+                  [list_min(gh[j:j+7])
+                   FOR j IN range(1, greatest(len(gh) - 7, 1) + 1)])) AS fps
+                FROM g),
+              fpx AS (SELECT id, unnest(fps) AS fp FROM win),
+              keep AS (SELECT fp FROM fpx GROUP BY fp
+                HAVING count(*) BETWEEN 2 AND 50),
+              posting AS (SELECT id, fp FROM fpx SEMI JOIN keep USING (fp))
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+              FROM posting a JOIN posting b ON a.fp = b.fp AND a.id < b.id
+              GROUP BY 1, 2 HAVING count(*) >= 2
+              ORDER BY id_a, id_b""")),
+
     // exact repeated-span detection (substring-dedup primitive): oracle
     // rebuilds positional 5-gram strings with a lateral range unnest
     // (DuckDB slices are 1-based → pos - 1 aligns with posexplode)

@@ -260,4 +260,51 @@ class DedupSpec extends SparkSpec {
     // releasing is correctness-neutral: the frame recomputes from lineage
     assert(pairs.count() === before)
   }
+
+  test("winnowing: shared-run guarantee, density, short-doc clamp") {
+    import spark.implicits._
+    val k = 4; val w = 8
+    val rnd = new scala.util.Random(7)
+    def words(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(5000)}").mkString(" ")
+    val run = words(k + w - 1) // any shared run >= w+k-1 tokens must collide
+    val d = Seq(
+      (1L, words(60) + " " + run + " " + words(60)),
+      (2L, words(55) + " " + run + " " + words(70)),
+      (3L, words(80)),
+      (4L, "tiny doc") // < k tokens: exactly one whole-doc gram, one window
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d, k = k, w = w)
+      .select(col("doc_id"), col("winnow_fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // Schleimer guarantee: docs 1 and 2 share at least one fingerprint
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+    // density ≈ 2/(w+1) of gram positions, loosely bounded
+    val g1 = 60 + (k + w - 1) + 61 - (k - 1)
+    assert(fps(1L).size < g1 / 2 && fps(1L).size > g1 / 20,
+      s"selected ${fps(1L).size} of $g1 grams")
+    assert(fps(4L).size === 1)
+    // deterministic under repartition (narrow, hash-only)
+    val again = Dedup.winnowFingerprints(d.repartition(5), k = k, w = w)
+      .select(col("doc_id"), col("winnow_fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again === fps)
+  }
+
+  test("winnowing near-dup pairs find planted dups; maxDf caps hub grams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def words(n: Int) = Seq.fill(n)(s"v${rnd.nextInt(5000)}").mkString(" ")
+    val shared = words(40)
+    val hub = words(12) // boilerplate every doc carries
+    val d = ((1L to 2L).map(i => (i, words(30) + " " + shared + " " + words(30))) ++
+      (3L to 30L).map(i => (i, words(50) + " " + hub))).toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDupPairs(d, minShared = 2, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"planted pair missing: $pairs")
+    // the hub boilerplate is carried by 28 docs > maxDf=10: its
+    // fingerprints are dropped, so no hub-only pair can form
+    val hubPairs = pairs.filter { case (a, b) => a >= 3L && b >= 3L }
+    assert(hubPairs.isEmpty, s"hub-driven pairs leaked: $hubPairs")
+    OperatorCaches.releaseAll()
+  }
 }
