@@ -109,6 +109,44 @@ object Similarity {
   def dequantize(qv: Column, scale: Column): Column =
     transform(qv, q => q.cast("double") * scale)
 
+  /** Seed-derived ±1 sign matrix for [[randomProject]] (dimOut rows ×
+    * dimIn cols), from the parity of the portable 60-bit hash of
+    * "seed:j:i" — so an independent engine (the DuckDB oracle, a later
+    * non-Spark reader of the projected vectors) re-derives the exact
+    * matrix from the seed string alone. Computed ONCE on the driver and
+    * spliced as a literal: projection then costs zero hash work per row.
+    */
+  def signMatrix(dimIn: Int, dimOut: Int, seed: String): Seq[Seq[Double]] =
+    (0 until dimOut).map(j => (0 until dimIn).map(i =>
+      if ((PortableHash.portable60(s"$seed:$j:$i") & 1L) == 0L) 1.0 else -1.0))
+
+  /** Signed random projection (Johnson–Lindenstrauss via Achlioptas-style
+    * ±1 entries): v ∈ R^dimIn → p ∈ R^dimOut, p_j = Σ_i v_i·s_ji with the
+    * seed-derived sign matrix above. The dimensionality-reduction
+    * pre-stage of a vector pipeline at scale: project 4× smaller, then
+    * run the brute-force / ANN machinery over the short vectors — the
+    * shuffle and compare cost drops with the dimension while JL keeps
+    * relative distances within (1±ε) w.h.p.
+    *
+    * A narrow map with a LITERAL matrix (no runtime hashing, no
+    * broadcast, no shuffle). Each component is an explicit LEFT-FOLD sum
+    * (functions.aggregate) rounded to 4 dp — the repo's cross-engine
+    * float boundary — so an oracle replaying the same fold order gets the
+    * identical grid value and everything downstream (cosine, top-k cuts)
+    * compares exactly.
+    */
+  def randomProject(
+      v: Column,
+      dimIn: Int,
+      dimOut: Int,
+      seed: String = "rp"): Column = {
+    val sgn = typedLit(signMatrix(dimIn, dimOut, seed))
+    transform(sequence(lit(0), lit(dimOut - 1)), j =>
+      round(aggregate(
+        zip_with(toDouble(v), element_at(sgn, (j + 1).cast("int")), (x, s) => x * s),
+        lit(0.0), (acc, t) => acc + t), 4))
+  }
+
   /** Component-sign binary sketch: bit j = [v_{j+1} ≥ 0], packed into a
     * long — the 1-bit quantization of an embedding (60 components ⇒ 60
     * bits, the repo's portable-sketch convention: DuckDB's `<<` errors at

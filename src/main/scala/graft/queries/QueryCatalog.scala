@@ -2447,6 +2447,46 @@ object QueryCatalog {
               FROM short JOIN emb e USING (id)
               ORDER BY sim DESC, vec_id LIMIT 10""")),
 
+    // signed random projection (JL, Achlioptas ±1) as a KNN pre-stage:
+    // 64-dim embeddings drop to 16 dims through a seed-derived literal
+    // sign matrix, then exact top-k runs on the short vectors. The oracle
+    // re-derives the SAME matrix (spliced from Similarity.signMatrix —
+    // parity of the portable hash, so the splice and the Spark literal
+    // cannot diverge) and replays the projection as an explicit left-fold
+    // sum matching functions.aggregate's order, 4-dp rounded; dims are
+    // derived from the live fixture on the Spark side and guarded with a
+    // pointed error() in the oracle (the q_ann_quantized lockstep rule)
+    Q("q_knn_randproj",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val dimIn = emb.select(size(col("embedding"))).head().getInt(0)
+        val proj = emb.select(col("vec_id"),
+          Similarity.randomProject(col("embedding"), dimIn, dimOut = 16)
+            .as("embedding"))
+        val q = Similarity.collectQueryVec(proj, 0)
+        Similarity.bruteForceTopK(proj.filter(col("vec_id") =!= 0), q, k = 10)
+      },
+      Some {
+        val m = Similarity.signMatrix(64, 16, "rp")
+          .map(_.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
+          .mkString("[", ",\n                  ", "]")
+        s"""WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                  CASE WHEN len(embedding) = 64 THEN CAST(embedding AS DOUBLE[])
+                  ELSE error('q_knn_randproj oracle splices a 64x16 sign matrix; the embeddings fixture dimension changed - regenerate the catalog oracle')
+                  END AS e FROM embeddings),
+              sm AS (SELECT $m AS m),
+              proj AS (SELECT id,
+                  [round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(range(1, 65), i -> e[i] * m[j][i])),
+                     (a, b) -> a + b), 4) FOR j IN range(1, 17)] AS p
+                FROM emb, sm)
+              SELECT id AS vec_id,
+                round(list_cosine_similarity(p,
+                  (SELECT p FROM proj WHERE id = 0)), 4) AS sim
+              FROM proj WHERE id <> 0
+              ORDER BY sim DESC, vec_id LIMIT 10"""
+      }),
+
     // SemDeDup (cluster-partitioned pairwise semantic dedup): the oracle
     // replays the hash-sampled centroids, the rounded-cosine argmax
     // assignment (same fragment as q_ann_ivf), the keep-diverse rank

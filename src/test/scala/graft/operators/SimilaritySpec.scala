@@ -197,6 +197,53 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._1).count(brute) >= 6, s"recall collapsed: $got")
   }
 
+  test("random projection: driver replay, JL neighbor preservation, stability") {
+    import spark.implicits._
+    val dimIn = 64; val dimOut = 16
+    val sm = Similarity.signMatrix(dimIn, dimOut, "rp")
+    assert(sm.length === dimOut && sm.forall(_.length === dimIn))
+    assert(sm.flatten.forall(x => x == 1.0 || x == -1.0))
+    // parity-derived: roughly balanced, and stable across calls
+    val plus = sm.flatten.count(_ > 0)
+    assert(plus > dimIn * dimOut / 3 && plus < dimIn * dimOut * 2 / 3)
+    assert(Similarity.signMatrix(dimIn, dimOut, "rp") === sm)
+    assert(Similarity.signMatrix(dimIn, dimOut, "other") !== sm)
+    val rnd = new scala.util.Random(31)
+    // real neighbor structure (pure isotropic noise has none for ANY
+    // dimension reduction to preserve): ids 1-10 are the query plus small
+    // perturbations, the rest unrelated gaussians
+    val base = Array.fill(dimIn)(rnd.nextGaussian().toFloat)
+    val corpus = (0L, base) +:
+      ((1L to 10L).map(i => (i, base.map(x => x + 0.15f * rnd.nextGaussian().toFloat))) ++
+       (11L to 200L).map(i => (i, Array.fill(dimIn)(rnd.nextGaussian().toFloat))))
+    val df = corpus.toDF("vec_id", "embedding")
+    val proj = df.select(col("vec_id"),
+        Similarity.randomProject(col("embedding"), dimIn, dimOut).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // exact driver replay of the left-fold + 4dp grid
+    def replay(v: Seq[Double]): Seq[Double] =
+      (0 until dimOut).map { j =>
+        val s = v.indices.foldLeft(0.0)((acc, i) => acc + v(i) * sm(j)(i))
+        math.rint(s * 1e4) / 1e4
+      }
+    corpus.take(20).foreach { case (i, v) =>
+      assert(proj(i) === replay(v.map(_.toDouble).toSeq), s"vec $i") }
+    assert(proj.values.forall(_.length === dimOut))
+    // JL: projected top-10 by cosine overlaps the raw top-10 substantially
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val q = corpus.head._2.map(_.toDouble).toSeq
+    val rawTop = corpus.tail.map { case (i, v) => (i, cos(v.map(_.toDouble).toSeq, q)) }
+      .sortBy(-_._2).take(10).map(_._1).toSet
+    val projTop = corpus.tail.map { case (i, _) => (i, cos(proj(i), proj(0L))) }
+      .sortBy(-_._2).take(10).map(_._1).toSet
+    assert(rawTop === (1L to 10L).toSet) // sanity: the plant IS the raw top-10
+    assert(rawTop.intersect(projTop).size >= 8,
+      s"JL neighbor preservation collapsed: ${rawTop.intersect(projTop).size}/10")
+  }
+
   test("semDedup: dominance drops within clusters, keep-diverse rank order") {
     import spark.implicits._
     // two well-separated clusters around orthogonal axes; each cluster
