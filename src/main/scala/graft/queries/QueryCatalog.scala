@@ -1154,6 +1154,35 @@ object QueryCatalog {
               count(*) AS n, round(sum(value), 2) AS total
               FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""")),
 
+    // a REAL Structured Streaming run, driver-gated: file-source stream
+    // over the events parquet (executors read splits; no driver-side
+    // MemoryStream), tumbling 1-hour windowed agg with a watermark,
+    // complete-mode memory sink, Trigger.AvailableNow — the stream drains
+    // everything available and stops, and complete mode emits every
+    // window, so the result equals the batch aggregation the DuckDB
+    // oracle computes. This gates the streaming path's ARITHMETIC
+    // (q_ingest_neardup gates the foreachBatch dedup composition;
+    // EventStreamsSpec covers late-data/watermark semantics MemoryStream
+    // can exercise and a batch oracle cannot).
+    Q("q_stream_window_agg",
+      (s, dir) => {
+        val agg = graft.streaming.EventStreams.windowedCounts(
+          Tables.loadEventsStream(s, dir),
+          window = "1 hour", slide = "1 hour", watermark = "2 hours")
+        val qname = "graft_stream_window_" + math.abs(dir.hashCode).toString
+        val query = agg.writeStream.format("memory").queryName(qname)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.table(qname)
+          .orderBy("window_start", "event_type")
+      },
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+              time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+              event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+              FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""")),
+
     // JSON column extraction (events.props holds JSON documents)
     Q("q_json_extract",
       (s, dir) => t(s, dir, "events")

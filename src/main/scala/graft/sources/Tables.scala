@@ -36,29 +36,50 @@ object Tables {
   def loadMerged(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") repairEventsTs(spark.read.parquet(s"$dir/$name.parquet"))
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalize the events table's timestamp — keyed on the table NAME (via
+    * [[load]]/[[loadEventsStream]]), not "any ts column". Two writer
+    * generations exist: TIMESTAMP(NANOS), which Spark 4 only reads as long
+    * (legacy nanosAsLong, set in the session) → divide to micros; and
+    * TIMESTAMP(MICROS) with no tz annotation → TimestampNTZType, which
+    * session-TZ datetime functions (and the TimestampType contract every
+    * downstream operator assumes) don't apply to → reinterpret the same
+    * micros as UTC instants (session TZ is UTC, so wall-clock == instant;
+    * the cell-81 repair of SURVEY.md §1). A future table whose long ts
+    * is already micros/seconds must not be silently divided.
+    */
+  private def repairEventsTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // keyed on the table NAME, not "any ts column": only the events table
-    // gets its timestamp normalized. Two writer generations exist:
-    // TIMESTAMP(NANOS), which Spark 4 only reads as long (legacy
-    // nanosAsLong, set in the session) → divide to micros; and
-    // TIMESTAMP(MICROS) with no tz annotation → TimestampNTZType, which
-    // session-TZ datetime functions (and the TimestampType contract every
-    // downstream operator assumes) don't apply to → reinterpret the same
-    // micros as UTC instants (session TZ is UTC, so wall-clock == instant;
-    // the cell-81 repair of SURVEY.md §1). A future table whose long ts
-    // is already micros/seconds must not be silently divided.
     df.schema.find(_.name == "ts").map(_.dataType) match {
-      case Some(LongType) if name == "events" =>
+      case Some(LongType) =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts DIV 1000")))
-      case Some(TimestampNTZType) if name == "events" =>
+      case Some(TimestampNTZType) =>
         df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
           .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
+  }
+
+  /** FILE-SOURCE streaming read of the events table — the production shape
+    * of a streaming ingest (executors read parquet splits as they are
+    * discovered; nothing routes through the driver, unlike a MemoryStream
+    * harness). File streams require a declared schema: one batch footer
+    * read pins it, then the same ts repair as [[load]] applies — so a
+    * streaming query and its batch oracle see identical rows.
+    */
+  def loadEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file streams watch a DIRECTORY; the fixture lays each table out as a
+    // single file, so watch the fixture dir with a filename glob (a real
+    // ingest would watch a per-table directory that batches append into)
+    repairEventsTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** CSV dimension load with header inference (reference README.md:20). */

@@ -191,4 +191,30 @@ class TablesSpec extends SparkSpec {
     assert(ev.schema("ts").dataType.typeName === "timestamp")
     assert(ev.select(unix_timestamp(col("ts"))).head().getLong(0) === 1704067200L)
   }
+
+  test("file-source events stream: streaming flag, ts repair, batch parity") {
+    val sf = "/root/testdata/sf0.001"
+    val st = Tables.loadEventsStream(spark, sf)
+    assert(st.isStreaming)
+    assert(st.schema("ts").dataType.typeName === "timestamp")
+    // drain with AvailableNow into a memory sink; complete-mode windowed
+    // agg must equal the batch computation over the same table
+    val agg = graft.streaming.EventStreams.windowedCounts(st,
+      window = "1 hour", slide = "1 hour", watermark = "2 hours")
+    val q = agg.writeStream.format("memory").queryName("tables_spec_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("tables_spec_stream")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val want = Tables.load(spark, sf, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("avg_value"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(got.nonEmpty && got === want)
+  }
 }
