@@ -1300,6 +1300,61 @@ object QueryCatalog {
       Some("""SELECT CAST(floor(n_chars / 100.0) * 100 AS INT) AS bucket,
               count(*) AS n FROM documents GROUP BY 1 ORDER BY bucket""")),
 
+    // higher-order array functions (filter/exists/aggregate/zip_with) as a
+    // driver-gated row — the codegen-friendly array algebra the LLM
+    // operators build on, on integer outputs so the compare is exact.
+    // DuckDB replays with list_filter/list_contains/list_sum and a
+    // positional comprehension
+    Q("q_higher_order_funcs",
+      (s, dir) => {
+        val tk = split(trim(col("text")), "\\s+")
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          size(filter(tk, x => length(x) > 5)).cast("long").as("n_long"),
+          exists(tk, x => x === "spark").cast("int").as("has_spark"),
+          aggregate(tk, lit(0L), (a, x) => a + length(x)).as("chars_sum"),
+          aggregate(zip_with(tk, sequence(lit(1), size(tk)),
+              (x, i) => length(x).cast("long") * i),
+            lit(0L), (a, y) => a + y).as("pos_weighted"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+                  regexp_split_to_array(trim(text), '\s+') AS t FROM documents)
+              SELECT doc_id,
+                CAST(len(list_filter(t, x -> length(x) > 5)) AS BIGINT) AS n_long,
+                CAST(list_contains(t, 'spark') AS INT) AS has_spark,
+                CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+                  AS chars_sum,
+                CAST(list_sum([length(t[i]) * i FOR i IN range(1, len(t) + 1)])
+                  AS BIGINT) AS pos_weighted
+              FROM tk ORDER BY doc_id""")),
+
+    // map-typed columns: per-doc token→count map via map_from_entries,
+    // probed with element_at / size — deterministic OUTPUTS (the map's
+    // internal order is not) so the compare stays exact
+    Q("q_map_funcs",
+      (s, dir) => {
+        val tk = split(trim(col("text")), "\\s+")
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(tk).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(map_from_entries(collect_list(struct(col("w"), col("c"))))
+            .as("m"))
+          .select(col("doc_id"),
+            size(col("m")).cast("long").as("n_distinct_tokens"),
+            coalesce(element_at(col("m"), "the"), lit(0L)).as("the_count"),
+            coalesce(element_at(col("m"), "spark"), lit(0L)).as("spark_count"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                count(DISTINCT w) AS n_distinct_tokens,
+                CAST(count(*) FILTER (WHERE w = 'the') AS BIGINT) AS the_count,
+                CAST(count(*) FILTER (WHERE w = 'spark') AS BIGINT) AS spark_count
+              FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                    FROM documents)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
     Q("q_multimodal_binary_meta",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
