@@ -1946,6 +1946,46 @@ object QueryCatalog {
       },
       Some(ingestNeardupOracleSql(numHashes = 64, threshold = 0.5))),
 
+    // PageRank over the customer↔supplier co-order graph (symmetrized
+    // bipartite: node = 2·custkey / 2·suppkey+1), 8 power iterations at
+    // damping 0.85. Every iteration ends on the 7-dp grid (the k-means
+    // float boundary), so the oracle replays the ENTIRE iteration as 8
+    // chained CTEs — every literal is CAST to DOUBLE first (DuckDB parses
+    // bare 0.85 as DECIMAL; 1 - 0.85 must be the IEEE subtraction Spark
+    // performs, not an exact decimal 0.15)
+    Q("q_pagerank",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        val edges = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.GraphRank.pageRank(edges, iterations = 8)
+          .orderBy("node")
+      },
+      Some {
+        val iters = (1 to 8).map { i =>
+          s"""r$i AS (SELECT e.dst AS node,
+                round((1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                      + CAST(0.85 AS DOUBLE) * sum(r.r / d.deg), 7) AS r
+                FROM edges e JOIN r${i - 1} r ON r.node = e.src
+                JOIN deg d ON d.src = e.src GROUP BY e.dst)"""
+        }.mkString(",\n              ")
+        s"""WITH e0 AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              edges AS (SELECT src, dst FROM e0
+                UNION SELECT dst AS src, src AS dst FROM e0),
+              deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+              nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+              r0 AS (SELECT src AS node,
+                round(CAST(1 AS DOUBLE) / (SELECT n FROM nn), 7) AS r FROM deg),
+              $iters
+              SELECT node, r AS rank FROM r8 ORDER BY node"""
+      }),
+
     // bigram PMI collocations (multiword-unit mining): oracle rebuilds the
     // adjacent-pair stream, both frequency tables, and the log2 ratio —
     // count rationals divide to identical doubles in both engines, and the

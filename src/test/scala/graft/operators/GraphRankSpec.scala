@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphRankSpec extends SparkSpec {
+
+  private def ranksOf(edges: Seq[(Long, Long)], iters: Int = 8): Map[Long, Double] = {
+    import spark.implicits._
+    GraphRank.pageRank(edges.toDF("src", "dst"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("symmetric regular graphs stay uniform; mass is conserved") {
+    // a ring (every node degree 2, symmetric): uniform is the fixed point
+    val n = 6L
+    val ring = (0L until n).flatMap(i =>
+      Seq((i, (i + 1) % n), ((i + 1) % n, i)))
+    val r = ranksOf(ring)
+    assert(r.size === n)
+    r.values.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-6, r))
+    assert(math.abs(r.values.sum - 1.0) < 1e-5)
+  }
+
+  test("hub node outranks leaves in a symmetric star") {
+    // star: center 0 <-> leaves 1..5
+    val star = (1L to 5L).flatMap(i => Seq((0L, i), (i, 0L)))
+    val r = ranksOf(star)
+    assert(r(0L) > r(1L) * 2, r)
+    assert((1L to 5L).map(r).distinct.size === 1) // leaves symmetric
+  }
+
+  test("matches an exact driver-side replay on a seeded random graph") {
+    val rnd = new scala.util.Random(17)
+    val edges0 = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val edges = (edges0 ++ edges0.map(_.swap)).distinct // symmetrize
+    val got = ranksOf(edges, iters = 8)
+    // driver replay with the same grid step per iteration
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    val n = deg.size
+    var r = deg.keys.map(_ -> math.rint(1.0 / n * 1e7) / 1e7).toMap
+    for (_ <- 1 to 8) {
+      val in = edges.groupBy(_._2)
+      r = in.map { case (dst, es) =>
+        val s = es.foldLeft(0.0) { case (acc, (src, _)) => acc + r(src) / deg(src) }
+        dst -> math.rint(((1 - 0.85) / n + 0.85 * s) * 1e7) / 1e7
+      }
+    }
+    assert(got.keySet === r.keySet)
+    // same 7-dp grid, summation-order noise only: exact match expected on
+    // this size, allow one ulp of the grid for safety
+    got.foreach { case (k, v) => assert(math.abs(v - r(k)) <= 1e-7 + 1e-12, s"node $k") }
+    OperatorCaches.releaseAll()
+  }
+
+  test("rejects bad parameters and empty graphs") {
+    import spark.implicits._
+    assertThrows[IllegalArgumentException](
+      GraphRank.pageRank(Seq((1L, 2L)).toDF("src", "dst"), iterations = 0))
+    assertThrows[IllegalArgumentException](
+      GraphRank.pageRank(Seq((1L, 2L)).toDF("src", "dst"), damping = 1.0))
+    assertThrows[IllegalArgumentException](
+      GraphRank.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst")))
+    OperatorCaches.releaseAll()
+  }
+}
