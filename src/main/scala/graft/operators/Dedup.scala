@@ -1181,15 +1181,49 @@ object Dedup {
     * either way, so the rightmost-min refinement of the paper changes
     * nothing the fingerprint SET can see.
     *
-    * One narrow projection, zero shuffle: tokens and the gram array are
-    * bound as transform lambda VARIABLES (evaluated once per row) — the
-    * same projection-collapse/HOF-re-eval dodge documented at
-    * [[TextAnalysis.chunkCdc]]; without it the O(T·k) md5 work would
-    * re-run once per window. Short docs (fewer than k tokens / fewer than
-    * w grams) degrade exactly like the gram builders elsewhere: one
-    * whole-doc gram, one whole-array window.
+    * One narrow projection, zero shuffle. Gram hashing runs in the NATIVE
+    * one-pass expression (graftnative.Portable60Grams — byte-level md5,
+    * no hex formatting or BigInteger parsing, ≈20× the HOF form at ×100;
+    * [[winnowFingerprintsHof]] is the lockstep reference), and the
+    * window-min stage binds the gram array as a transform lambda VARIABLE
+    * (the [[TextAnalysis.chunkCdc]] dodge) so it evaluates once per row.
+    * Short docs (fewer than k tokens / fewer than w grams) degrade
+    * exactly like the gram builders elsewhere: one whole-doc gram, one
+    * whole-array window.
     */
   def winnowFingerprints(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 4,
+      w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    df.withColumn("winnow_fps",
+      org.apache.spark.sql.graftnative.WinnowMinSelect(
+        org.apache.spark.sql.graftnative.Portable60Grams(toks(col(textCol)), k), w))
+  }
+
+  /** HOF window-min selection — the lockstep reference for the native
+    * WinnowMinSelect expression. Grams bound as a transform lambda
+    * VARIABLE so the gram expression evaluates once per row (the
+    * chunkCdc dodge).
+    */
+  private def winnowSelectHof(grams: Column, w: Int): Column = {
+    require(w >= 1, "need w >= 1")
+    element_at(transform(array(grams), g => {
+      val nWin = greatest(size(g) - lit(w - 1), lit(1))
+      array_sort(array_distinct(transform(sequence(lit(0), nWin - 1),
+        j => array_min(slice(g, j + 1, lit(w))))))
+    }), 1)
+  }
+
+  /** Reference HOF formulation of [[winnowFingerprints]]'s gram+select
+    * pipeline — the lockstep correctness oracle for the native
+    * Portable60Grams expression (same role GramChainHashes' HOF twin
+    * plays). O(T·k) string/hex work per doc under interpreted lambda
+    * dispatch; never use in the hot path.
+    */
+  private[graft] def winnowFingerprintsHof(
       df: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
@@ -1200,13 +1234,30 @@ object Dedup {
       val nGrams = greatest(size(tk) - lit(k - 1), lit(1))
       val grams = transform(sequence(lit(0), nGrams - 1),
         i => PortableHash.portable60(array_join(slice(tk, i + 1, lit(k)), " ")))
-      element_at(transform(array(grams), g => {
-        val nWin = greatest(size(g) - lit(w - 1), lit(1))
-        array_sort(array_distinct(transform(sequence(lit(0), nWin - 1),
-          j => array_min(slice(g, j + 1, lit(w))))))
-      }), 1)
+      winnowSelectHof(grams, w)
     }), 1)
     df.withColumn("winnow_fps", fps)
+  }
+
+  /** Persisted, exploded fingerprint posting (id, fp) over
+    * [[winnowFingerprints]] — the shape the pairing join and the catalog
+    * entry both consume. The array column is MATERIALIZED before the
+    * explode: Generate plans its generator as Filter(size(e) > 0) +
+    * Generate(e), so exploding the raw winnowing expression evaluates
+    * the O(T·k) portable-hash work TWICE (measured ×100: 28 s raw vs
+    * 14 s materialize + 0.3 s explode-from-cache). Same trap, different
+    * operator, as the projection-collapse persists at ngramJaccard.
+    */
+  def winnowPostings(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 4,
+      w: Int = 8): DataFrame = {
+    val arr = OperatorCaches.persistTracked(
+      winnowFingerprints(df, idCol, textCol, k, w)
+        .select(col(idCol).cast("long").as("id"), col("winnow_fps")))
+    arr.select(col("id"), explode(col("winnow_fps")).as("fp"))
   }
 
   /** MOSS-style near-dup pairs over [[winnowFingerprints]]: documents
@@ -1232,10 +1283,10 @@ object Dedup {
       minShared: Int = 2,
       maxDf: Int = 50): DataFrame = {
     require(minShared >= 1 && maxDf >= 2, "need minShared >= 1 and maxDf >= 2")
-    val fp = OperatorCaches.persistTracked(
-      winnowFingerprints(df, idCol, textCol, k, w)
-        .select(col(idCol).cast("long").as("id"),
-          explode(col("winnow_fps")).as("fp")))
+    // postings re-explode from the persisted ARRAY frame per consumer
+    // (three here) — cheap against cached arrays, and it avoids a second
+    // full-posting persist
+    val fp = winnowPostings(df, idCol, textCol, k, w)
     val keep = fp.groupBy("fp").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2 && col("c") <= maxDf)
     val posting = fp.join(keep.select("fp"), Seq("fp"), "left_semi")

@@ -1659,9 +1659,8 @@ object QueryCatalog {
     // DuckDB list comprehensions (same short-doc clamps as the Spark
     // slices), so every selected fingerprint value is checked
     Q("q_winnow_fingerprint",
-      (s, dir) => Dedup.winnowFingerprints(t(s, dir, "documents"))
-        .select(col("doc_id").cast("long").as("doc_id"),
-          explode(col("winnow_fps")).as("fp"))
+      (s, dir) => Dedup.winnowPostings(t(s, dir, "documents"))
+        .select(col("id").as("doc_id"), col("fp"))
         .orderBy("doc_id", "fp"),
       Some(s"""WITH tk AS (
                 SELECT CAST(doc_id AS BIGINT) AS id,

@@ -290,6 +290,30 @@ class DedupSpec extends SparkSpec {
     assert(again === fps)
   }
 
+  test("native Portable60Grams is lockstep with the HOF winnowing pipeline") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    def words(n: Int) = Seq.fill(n)(s"t${rnd.nextInt(300)}").mkString(" ")
+    val d = ((1L to 40L).map(i => (i, words(1 + rnd.nextInt(60)))) ++
+      Seq((100L, "a"), (101L, "a b"), (102L, "a b c d e f g h"),
+          (103L, "  padded   whitespace  run  "))).toDF("doc_id", "text")
+    for ((k, w) <- Seq((4, 8), (1, 1), (3, 4), (8, 2))) {
+      val native = Dedup.winnowFingerprints(d, k = k, w = w)
+        .select("doc_id", "winnow_fps").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val hof = Dedup.winnowFingerprintsHof(d, k = k, w = w)
+        .select("doc_id", "winnow_fps").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native === hof, s"k=$k w=$w")
+    }
+    // and the native values really are the portable contract: hash of the
+    // gram STRING, so an engine hashing "a b" reproduces element 0
+    val direct = Dedup.winnowFingerprints(
+      Seq((1L, "a b")).toDF("doc_id", "text"), k = 2, w = 1)
+      .select("winnow_fps").head().getSeq[Long](0)
+    assert(direct === Seq(PortableHash.portable60("a b")))
+  }
+
   test("winnowing near-dup pairs find planted dups; maxDf caps hub grams") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
