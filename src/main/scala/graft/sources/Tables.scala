@@ -73,13 +73,24 @@ object Tables {
     * streaming query and its batch oracle see identical rows.
     */
   def loadEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // file streams watch a DIRECTORY; the fixture lays each table out as a
-    // single file, so watch the fixture dir with a filename glob (a real
-    // ingest would watch a per-table directory that batches append into)
-    repairEventsTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // file streams watch a DIRECTORY. Two fixture layouts exist: the
+    // driver's testdata lays each table out as a single FILE (watch the
+    // fixture dir with a filename glob — pathGlobFilter matches file
+    // names, so it must NOT be used when events.parquet is a directory of
+    // part files: it would match nothing and the stream would silently
+    // drain zero rows), and ScaleData writes a normal parquet DIRECTORY
+    // (watch it directly — the shape a real ingest watches too).
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st =
+      if (fs.getFileStatus(new org.apache.hadoop.fs.Path(path)).isDirectory)
+        spark.readStream.schema(schema).parquet(path)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+    repairEventsTs(st)
   }
 
   /** CSV dimension load with header inference (reference README.md:20). */
