@@ -1571,6 +1571,58 @@ object QueryCatalog {
         portable = true).orderBy("id_a", "id_b"),
       Some(minhashOracleSql(numHashes = 64, threshold = 0.5))),
 
+    // LSH recall AUDIT as one driver-checked row (the accuracy-audit
+    // convention of q_approx_distinct / q_decontaminate_bloom_fpr): exact
+    // PPJoin pairs at t = 0.5 vs verified MinHash+LSH pairs at the same
+    // threshold. Banding drops pairs BEFORE verification, so lsh_pairs ⊆
+    // exact_pairs (modulo the documented ~1e-8 shingle-hash-family
+    // collision noise) and recall = true_pos / exact_pairs measures
+    // exactly what auto-banding's 95% design target promises. The oracle
+    // replays BOTH chains — the full banding CTE stack and the exact
+    // shingle-set join — and the division
+    Q("q_lsh_recall_audit",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        // each side feeds two consumers (count + the semi-join); both
+        // operators persist their sketch/prefix internals, so the
+        // recomputed final joins are cheap — no entry-level persist
+        val e = Dedup.ngramJaccard(docs, threshold = 0.5).select("id_a", "id_b")
+        val l = Dedup.minHashLsh(docs, threshold = 0.5, portable = true)
+          .select("id_a", "id_b")
+        e.agg(count(lit(1)).as("exact_pairs"))
+          .crossJoin(l.agg(count(lit(1)).as("lsh_pairs")))
+          .crossJoin(l.join(e, Seq("id_a", "id_b"), "left_semi")
+            .agg(count(lit(1)).as("true_pos")))
+          .withColumn("recall",
+            round(col("true_pos").cast("double") / col("exact_pairs"), 4))
+      },
+      Some(s"""WITH ${minhashPairCtes(64, 0.5)},
+              xtk AS (SELECT doc_id AS id,
+                  regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents),
+              xsh AS (SELECT id, list_distinct(
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]
+                  END) AS s FROM xtk),
+              xsz AS (SELECT id, len(s) AS sz FROM xsh),
+              xp AS (SELECT id, unnest(s) AS g FROM xsh),
+              xcommon AS (
+                SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS DOUBLE) AS inter
+                FROM xp a JOIN xp b ON a.g = b.g AND a.id < b.id
+                GROUP BY 1, 2),
+              exact AS (
+                SELECT id_a, id_b FROM xcommon
+                JOIN xsz sa ON sa.id = id_a JOIN xsz sb ON sb.id = id_b
+                WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.5)
+              SELECT
+                (SELECT count(*) FROM exact) AS exact_pairs,
+                (SELECT count(*) FROM mh_pairs) AS lsh_pairs,
+                (SELECT count(*) FROM mh_pairs SEMI JOIN exact USING (id_a, id_b))
+                  AS true_pos,
+                round(CAST((SELECT count(*) FROM mh_pairs SEMI JOIN exact
+                    USING (id_a, id_b)) AS DOUBLE)
+                  / (SELECT count(*) FROM exact), 4) AS recall""")),
+
     // portable token hashes (md5 top-64, two 32-bit halves) make the whole
     // path engine-replayable: the oracle recomputes per-bit majority votes,
     // packs the fingerprint with explicit two's-complement arithmetic

@@ -86,6 +86,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("array_min(transform("), p)
   }
 
+  test("winnowing computes through BOTH native expressions, gram hash and window-min") {
+    // the 28 s -> 5.9 s x100 path (Portable60Grams byte-level digests +
+    // WinnowMinSelect monotone deque) must not silently regress to the
+    // interpreted HOF pipeline (per-gram hex format/parse, per-window
+    // slice+array_min)
+    val p = planOf("q_winnow_fingerprint")
+    assert(p.contains("portable60_grams"), p)
+    assert(p.contains("winnow_min_select"), p)
+    assert(!p.contains("array_min(slice("), p)
+  }
+
+  test("random projection plans as a narrow literal-matrix map into top-k") {
+    // the sign matrix is spliced as a literal: no hash work, no broadcast,
+    // no shuffle before the TakeOrderedAndProject cut
+    val p = planOf("q_knn_randproj")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("md5"), p) // matrix is literal; no runtime hashing
+  }
+
   test("pair operators plan no global sort: determinism orderBy lives in the catalog") {
     // minHashLsh / simHashPairs / ngramJaccard / fuzzyDedupClusters /
     // cosineNearDupPairs feed CC rounds, ingest anti-joins, and keep-list
