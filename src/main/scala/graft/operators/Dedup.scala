@@ -1260,6 +1260,43 @@ object Dedup {
     arr.select(col("id"), explode(col("winnow_fps")).as("fp"))
   }
 
+  /** Incremental near-dup probe against a PERSISTED winnow fingerprint
+    * index — the at-rest payoff of portable fingerprints (the index is
+    * plain (id, fp) longs any engine can write or probe): flag each new
+    * document sharing ≥ `minShared` selected fingerprints with a base
+    * document, without rescanning base text. The winnowing counterpart of
+    * [[incrementalMinHash]], with a detection GUARANTEE instead of a
+    * recall probability: any base run of ≥ w + k − 1 tokens surviving
+    * verbatim in a new doc forces a shared fingerprint.
+    *
+    * `maxDf` caps BASE-index fingerprint frequency at probe time (one
+    * count over the index — precompute it into the index at build time at
+    * scale) so boilerplate shared by thousands of base docs cannot drive
+    * the probe join quadratic. Only (id, fp) longs shuffle.
+    * Returns (new_id, base_id, shared), unsorted (catalog sorts).
+    */
+  def winnowIncremental(
+      newDocs: DataFrame,
+      baseFps: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 4,
+      w: Int = 8,
+      minShared: Int = 2,
+      maxDf: Int = 50): DataFrame = {
+    require(minShared >= 1 && maxDf >= 1, "need minShared >= 1 and maxDf >= 1")
+    val base = OperatorCaches.persistTracked(
+      baseFps.select(col("id").as("base_id"), col("fp")))
+    val keep = base.groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= maxDf).select("fp")
+    val probe = winnowPostings(newDocs, idCol, textCol, k, w)
+      .select(col("id").as("new_id"), col("fp"))
+    probe.join(base.join(keep, Seq("fp"), "left_semi"), Seq("fp"))
+      .groupBy("new_id", "base_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** MOSS-style near-dup pairs over [[winnowFingerprints]]: documents
     * sharing ≥ `minShared` selected fingerprints, with ubiquitous
     * fingerprints (document frequency > `maxDf`) dropped BEFORE the

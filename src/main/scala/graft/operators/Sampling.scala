@@ -109,6 +109,35 @@ object Sampling {
     df.filter(hashBucket256(col(keyCol), "mix") < thr)
   }
 
+  /** Leakage-safe train/valid/test split: assignment is keyed on the
+    * near-dup CLUSTER representative (the `component` column from
+    * [[Dedup.fuzzyDedupClusters]]), not the document id — with a plain
+    * id-keyed split, a near-duplicate of a training document lands in
+    * test ~25% of the time and silently inflates every evaluation run on
+    * the corpus (the reason dedup must run BEFORE splitting, or the split
+    * must be cluster-aware like this one). Whole clusters move together:
+    * same component ⇒ same split, by construction.
+    *
+    * Same deterministic md5-bucket machinery as [[deterministicSplit]]
+    * (distinct `purpose` salt, so the two splits are independent); the
+    * cluster join is the only extra cost over the plain split, and the
+    * clusters frame is exactly what the dedup pass already produced.
+    */
+  def leakageSafeSplit(
+      clusters: DataFrame,
+      trainBuckets: Int = 12,
+      validBuckets: Int = 2): DataFrame = {
+    require(trainBuckets + validBuckets < 16, "need at least one test bucket")
+    val hexDigits = "0123456789abcdef"
+    val train = hexDigits.take(trainBuckets).map(_.toString)
+    val valid = hexDigits.slice(trainBuckets, trainBuckets + validBuckets).map(_.toString)
+    val b = hashBucket16(col("component"), "lsplit")
+    clusters.withColumn("split",
+      when(b.isin(train: _*), "train")
+        .when(b.isin(valid: _*), "valid")
+        .otherwise("test"))
+  }
+
   /** Temperature (alpha) sampling over strata — the multilingual-LM
     * recipe (e.g. mBERT / XLM-R) for flattening a skewed domain/language
     * distribution without an explicit weight table: target weights

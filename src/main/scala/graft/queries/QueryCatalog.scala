@@ -1759,6 +1759,60 @@ object QueryCatalog {
               GROUP BY 1, 2 HAVING count(*) >= 2
               ORDER BY id_a, id_b""")),
 
+    // incremental winnow probe: re-crawl batch (ids +1000, every 3rd doc
+    // truncated to its first half — the q_ingest_neardup fixture shape)
+    // probed against the base corpus's PERSISTED fingerprint index. The
+    // oracle rebuilds BOTH fingerprint sets (base + transformed batch),
+    // the base-side df cap, and the probe join
+    Q("q_winnow_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = Dedup.winnowPostings(docs)
+        val newBatch = docs.select((col("doc_id") + 1000).as("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            expr("substring(text, 1, CAST(floor(length(text) / 2) AS INT))"))
+            .otherwise(col("text")).as("text"))
+        Dedup.winnowIncremental(newBatch, base)
+          .orderBy("new_id", "base_id")
+      },
+      Some(s"""WITH bt AS (
+                SELECT CAST(doc_id AS BIGINT) AS id,
+                  regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents),
+              bg AS (SELECT id,
+                  [${graft.operators.PortableHash.duckSql(
+                    "array_to_string(t[i:i+3], ' ')")}
+                   FOR i IN range(1, greatest(len(t) - 3, 1) + 1)] AS gh
+                FROM bt),
+              bw AS (SELECT id, list_sort(list_distinct(
+                  [list_min(gh[j:j+7])
+                   FOR j IN range(1, greatest(len(gh) - 7, 1) + 1)])) AS fps
+                FROM bg),
+              bfp AS (SELECT id, unnest(fps) AS fp FROM bw),
+              keep AS (SELECT fp FROM bfp GROUP BY fp HAVING count(*) <= 50),
+              nt AS (SELECT CAST(doc_id + 1000 AS BIGINT) AS id,
+                  regexp_split_to_array(lower(trim(
+                    CASE WHEN doc_id % 3 = 0
+                    THEN substring(text, 1, CAST(floor(length(text) / 2) AS INT))
+                    ELSE text END)), '\\s+') AS t
+                FROM documents),
+              ng AS (SELECT id,
+                  [${graft.operators.PortableHash.duckSql(
+                    "array_to_string(t[i:i+3], ' ')")}
+                   FOR i IN range(1, greatest(len(t) - 3, 1) + 1)] AS gh
+                FROM nt),
+              nw AS (SELECT id, list_sort(list_distinct(
+                  [list_min(gh[j:j+7])
+                   FOR j IN range(1, greatest(len(gh) - 7, 1) + 1)])) AS fps
+                FROM ng),
+              nfp AS (SELECT id, unnest(fps) AS fp FROM nw)
+              SELECT n.id AS new_id, b.id AS base_id, count(*) AS shared
+              FROM nfp n
+              JOIN (SELECT id, fp FROM bfp SEMI JOIN keep USING (fp)) b
+                ON n.fp = b.fp
+              GROUP BY 1, 2 HAVING count(*) >= 2
+              ORDER BY new_id, base_id""")),
+
     // exact repeated-span detection (substring-dedup primitive): oracle
     // rebuilds positional 5-gram strings with a lateral range unnest
     // (DuckDB slices are 1-based → pos - 1 aligns with posexplode)
@@ -2387,6 +2441,37 @@ object QueryCatalog {
                   + (strpos('0123456789abcdef',
                        substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) < t.thr
               ORDER BY d.doc_id""")),
+
+    // leakage-safe split: assignment keyed on the near-dup CLUSTER
+    // representative so a near-duplicate of a training doc can never land
+    // in test. Oracle replays the full minhash clustering (the recursive-
+    // closure CTE stack) AND the md5 bucket CASE — every per-row split
+    // decision checked
+    Q("q_leakage_safe_split",
+      (s, dir) => graft.operators.Sampling.leakageSafeSplit(
+          Dedup.fuzzyDedupClusters(t(s, dir, "documents"),
+            threshold = 0.5, portable = true).select("id", "component"))
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE ${minhashPairCtes(64, 0.5)},
+              edges AS (
+                SELECT id_a AS src, id_b AS dst FROM mh_pairs
+                UNION SELECT id_b, id_a FROM mh_pairs),
+              reach(node, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+              comp AS (SELECT node AS id, min(lbl) AS component
+                FROM reach GROUP BY node),
+              cl AS (SELECT d.id AS id, coalesce(c.component, d.id) AS component
+                FROM (SELECT CAST(doc_id AS BIGINT) AS id FROM documents) d
+                LEFT JOIN comp c ON c.id = d.id)
+              SELECT id, component, CASE
+                WHEN substring(md5('lsplit:' || CAST(component AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                WHEN substring(md5('lsplit:' || CAST(component AS VARCHAR)), 1, 1)
+                  IN ('c','d') THEN 'valid'
+                ELSE 'test' END AS split
+              FROM cl ORDER BY id""")),
 
     // temperature (alpha = 0.5) sampling over sources: w_s ∝ count^alpha,
     // downsample-only ⇒ keep rate = sqrt(c_min/c_s) exactly (scarcest

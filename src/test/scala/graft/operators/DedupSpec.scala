@@ -312,6 +312,43 @@ class DedupSpec extends SparkSpec {
       Seq((1L, "a b")).toDF("doc_id", "text"), k = 2, w = 1)
       .select("winnow_fps").head().getSeq[Long](0)
     assert(direct === Seq(PortableHash.portable60("a b")))
+    // interpreted path (nullSafeEval) agrees with the codegen path both
+    // expressions took above — same lockstep bar as MinHashSignature
+    val conf = spark.conf
+    val underCodegen = Dedup.winnowFingerprints(d, k = 4, w = 8)
+      .select("doc_id", "winnow_fps").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val prevWs = conf.get("spark.sql.codegen.wholeStage")
+    val prevFm = conf.get("spark.sql.codegen.factoryMode")
+    try {
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = Dedup.winnowFingerprints(d, k = 4, w = 8)
+        .select("doc_id", "winnow_fps").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(interpreted === underCodegen)
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", prevWs)
+      conf.set("spark.sql.codegen.factoryMode", prevFm)
+    }
+  }
+
+  test("incremental winnow probe flags re-crawls against a persisted index") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    def words(n: Int) = Seq.fill(n)(s"u${rnd.nextInt(5000)}").mkString(" ")
+    val baseDocs = (1L to 20L).map(i => (i, words(60))).toDF("doc_id", "text")
+    val baseIdx = Dedup.winnowPostings(baseDocs)
+    // new batch: doc 101 = verbatim copy of base 1's tail half (shared run
+    // >> w + k - 1 → guaranteed hit), doc 102 = fresh text (no hit)
+    val tail1 = baseDocs.filter(col("doc_id") === 1).head().getString(1)
+      .split(" ").drop(30).mkString(" ")
+    val batch = Seq((101L, tail1), (102L, words(60))).toDF("doc_id", "text")
+    val hits = Dedup.winnowIncremental(batch, baseIdx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((101L, 1L)), s"guaranteed probe hit missing: $hits")
+    assert(!hits.exists(_._1 == 102L), s"fresh doc flagged: $hits")
+    OperatorCaches.releaseAll()
   }
 
   test("winnowing near-dup pairs find planted dups; maxDf caps hub grams") {

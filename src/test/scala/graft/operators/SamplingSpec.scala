@@ -103,6 +103,30 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureMixture(docs, "lang", "doc_id", alpha = 0.0))
   }
 
+  test("leakage-safe split keeps whole near-dup clusters in one side") {
+    import spark.implicits._
+    // 100 clusters of 3 near-dups each (component = min id of the trio)
+    val clusters = (0L until 300L).map(i => (i, i / 3 * 3)).toDF("id", "component")
+    val split = Sampling.leakageSafeSplit(clusters)
+    // every cluster lands whole: one distinct split value per component
+    val mixed = split.groupBy("component")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(mixed === 0L)
+    // and the proportions still follow the 12/2/2 buckets, roughly
+    val byS = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.values.sum === 300L)
+    assert(byS("train") > 150 && byS("train") < 290, byS)
+    // independent of the plain doc-id split (distinct purpose salt):
+    // an id-keyed split WOULD mix these clusters — demonstrate the hazard
+    val idSplit = Sampling.deterministicSplit(
+      clusters.withColumnRenamed("id", "doc_id"), "doc_id")
+    val idMixed = idSplit.groupBy("component")
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count()
+    assert(idMixed > 0L, "fixture too small to show the leakage hazard")
+  }
+
   test("PII redaction replaces emails, phones, and IPs with typed tokens") {
     import spark.implicits._
     val d = Seq(
