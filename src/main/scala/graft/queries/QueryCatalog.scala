@@ -1183,6 +1183,42 @@ object QueryCatalog {
               event_type, count(*) AS n, round(avg(value), 4) AS avg_value
               FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""")),
 
+    // second driver-gated streaming pattern: stream-STREAM interval join
+    // (click → purchase attribution within 30 min per user), both sides
+    // file-source streams, append-mode memory sink, AvailableNow drain.
+    // Inner stream-stream joins emit on match (the watermark only bounds
+    // join STATE), so the drained sink holds exactly the batch interval
+    // join the oracle computes; the entry aggregates the sink to a
+    // content-checksummed single row so the dump stays bounded
+    Q("q_stream_stream_join",
+      (s, dir) => {
+        val ev = Tables.loadEventsStream(s, dir)
+        val joined = graft.streaming.EventStreams.streamStreamJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          withinMinutes = 30)
+        val qname = "graft_ss_join_" + math.abs(dir.hashCode).toString
+        s.catalog.dropTempView(qname) // append-mode sink: clear prior runs
+        val q = joined.writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname).agg(
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(pmod(col("l_id") * 31 + col("r_id"), lit(1000000007L)))
+            .as("pair_hash_sum"))
+      },
+      Some("""SELECT count(*) AS n_pairs,
+                count(DISTINCT c.user_id) AS n_users,
+                CAST(sum((c.event_id * 31 + p.event_id) % 1000000007) AS BIGINT)
+                  AS pair_hash_sum
+              FROM events c JOIN events p
+                ON c.event_type = 'click' AND p.event_type = 'purchase'
+                AND p.user_id = c.user_id AND p.ts >= c.ts
+                AND p.ts <= c.ts + INTERVAL '30 minutes'""")),
+
     // JSON column extraction (events.props holds JSON documents)
     Q("q_json_extract",
       (s, dir) => t(s, dir, "events")
