@@ -1219,6 +1219,35 @@ object QueryCatalog {
                 AND p.user_id = c.user_id AND p.ts >= c.ts
                 AND p.ts <= c.ts + INTERVAL '30 minutes'""")),
 
+    // third driver-gated streaming pattern: exactly-once-style dedup.
+    // The stream is the events source UNIONED WITH ITSELF (two
+    // independent file-source reads — a replayed-ingest simulation with
+    // every event guaranteed duplicated), so dropDuplicatesWithinWatermark
+    // must collapse 2N arrivals to N. The oracle is the plain distinct
+    // profile of the batch table; any state-machinery failure (missed
+    // dedup, dropped id) breaks the count or the id checksum
+    Q("q_stream_dedup",
+      (s, dir) => {
+        val doubled = Tables.loadEventsStream(s, dir)
+          .unionByName(Tables.loadEventsStream(s, dir))
+        val deduped = graft.streaming.EventStreams.dedupStream(doubled)
+        val qname = "graft_stream_dedup_" + math.abs(dir.hashCode).toString
+        s.catalog.dropTempView(qname)
+        val q = deduped.writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname).agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_distinct"),
+          sum(pmod(col("event_id"), lit(1000000007L))).as("id_hash_sum"))
+      },
+      Some("""SELECT count(*) AS n_events,
+                count(DISTINCT event_id) AS n_distinct,
+                CAST(sum(event_id % 1000000007) AS BIGINT) AS id_hash_sum
+              FROM events""")),
+
     // JSON column extraction (events.props holds JSON documents)
     Q("q_json_extract",
       (s, dir) => t(s, dir, "events")
