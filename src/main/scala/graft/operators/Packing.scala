@@ -55,4 +55,34 @@ object Packing {
       .groupBy("shard", "pack_no")
       .agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len"))
       .orderBy("shard", "pack_no")
+
+  /** WHOLE-document bin assignment for load balancing (GPU data-parallel
+    * readers, shard-balanced exports): bin = the portable hash of the id
+    * mod `nBins`. Unlike [[packSequences]] no document is ever split.
+    *
+    * Deliberately NOT first-fit-decreasing: FFD needs a global
+    * length-sorted sequential pass — at corpus scale that is one task
+    * scanning everything (the same reason packSequences shards its
+    * windows). Hash assignment is a narrow map with no shuffle before the
+    * stats aggregate, deterministic under re-runs and re-sharding, and
+    * its imbalance concentrates like 1/√(docs per bin): at any realistic
+    * corpus/bin ratio the spread is fractions of a percent — the per-bin
+    * (n_docs, total_len) manifest this returns states the achieved
+    * balance instead of assuming it.
+    */
+  def packBins(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      lenCol: String = "n_chars",
+      nBins: Int = 16): DataFrame = {
+    require(nBins >= 1, "need nBins >= 1")
+    df.select(
+        pmod(PortableHash.portable60(
+          concat_ws(":", lit("bin"), col(idCol).cast("string"))),
+          lit(nBins.toLong)).cast("int").as("bin"),
+        col(lenCol).cast("long").as("len"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
+      .orderBy("bin")
+  }
 }

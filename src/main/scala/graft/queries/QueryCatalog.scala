@@ -495,6 +495,23 @@ object QueryCatalog {
               round(quantile_cont(l_extendedprice, 0.999), 2) AS p999
               FROM lineitem""")),
 
+    // approx_percentile accuracy audit (the q_approx_distinct convention:
+    // the sketch value is engine-specific and never compared — the oracle
+    // recomputes the exact side and the rank-error bracket must hold, so
+    // any Spark-side sketch regression breaks the boolean)
+    Q("q_approx_pctl_audit",
+      (s, dir) => Profiling.approxPercentileAudit(t(s, dir, "lineitem"),
+        "l_extendedprice", Seq(0.5, 0.9, 0.99)).orderBy("p_mille"),
+      Some("""SELECT p_mille, exact_pctl, TRUE AS pctl_within_tol FROM (
+                SELECT '500' AS p_mille,
+                  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_pctl
+                FROM lineitem
+                UNION ALL SELECT '900',
+                  round(quantile_cont(l_extendedprice, 0.9), 2) FROM lineitem
+                UNION ALL SELECT '990',
+                  round(quantile_cont(l_extendedprice, 0.99), 2) FROM lineitem)
+              ORDER BY p_mille""")),
+
     // grouped exact percentiles (sort-based interpolating percentile per
     // group — Spark percentile() and DuckDB quantile_cont share the linear
     // interpolation definition, so values match exactly after rounding)
@@ -2668,6 +2685,35 @@ object QueryCatalog {
               SELECT shard, CAST(start_off // 4096 AS BIGINT) AS pack_no,
                 count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_len
               FROM o GROUP BY 1, 2 ORDER BY shard, pack_no""")),
+
+    // whole-document bin packing for reader load balance (no splits):
+    // portable-hash bin + the per-bin manifest stating achieved balance;
+    // oracle replays hash, mod, and both aggregates
+    Q("q_pack_bins",
+      (s, dir) => Packing.packBins(t(s, dir, "documents"), nBins = 16),
+      Some(s"""SELECT CAST(${graft.operators.PortableHash.duckSql(
+                  "'bin:' || CAST(doc_id AS VARCHAR)")} % 16 AS INT) AS bin,
+                count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_len
+              FROM documents GROUP BY 1 ORDER BY bin""")),
+
+    // per-label embedding centroids (the class-prototype aggregate of a
+    // vector corpus): posexplode → two-level groupBy avg on the 4-dp
+    // grid; oracle indexes the array with a lateral range (DuckDB has no
+    // WITH ORDINALITY) — summation-order noise ~1e-15 against the 5e-5
+    // boundary
+    Q("q_label_centroids",
+      (s, dir) => t(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(Similarity.toDouble(col("embedding"))).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(round(avg("x"), 4).as("c"))
+        .orderBy("label", "dim"),
+      Some("""SELECT label, CAST(r.i - 1 AS INT) AS dim,
+                round(avg(e[r.i]), 4) AS c
+              FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings) t,
+                LATERAL unnest(range(1, len(e) + 1)) AS r(i)
+              GROUP BY 1, 2 ORDER BY label, dim""")),
 
     // deterministic epoch shuffle: md5(seed, id) permutation, first 20 rows
     Q("q_global_shuffle",

@@ -106,6 +106,40 @@ class CorpusOpsSpec extends SparkSpec {
       out.map(_.getAs[Long]("len")).sum)
   }
 
+  test("packBins: conservation, determinism, and statistical balance") {
+    import spark.implicits._
+    val docs = (1L to 4000L).map(i => (i, (i * 13 % 97 + 1) * 5)).toDF("doc_id", "n_chars")
+    val bins = Packing.packBins(docs, nBins = 8).collect()
+    assert(bins.length === 8)
+    assert(bins.map(_.getAs[Long]("n_docs")).sum === 4000L)
+    val totals = bins.map(_.getAs[Long]("total_len"))
+    // hash balance: spread within ~4/sqrt(500) of the mean, generously
+    val mean = totals.sum.toDouble / 8
+    totals.foreach(t => assert(math.abs(t - mean) / mean < 0.2,
+      s"bin imbalance: ${totals.toSeq}"))
+    // deterministic under repartition
+    val again = Packing.packBins(docs.repartition(5), nBins = 8).collect()
+    assert(again.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ===
+      bins.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
+  test("approx percentile audit: brackets hold; exact side matches percentile()") {
+    import spark.implicits._
+    val vals = (1L to 10000L).map(i => (i, (i * 37 % 9973).toDouble)).toDF("id", "v")
+    val audit = Profiling.approxPercentileAudit(vals, "v", Seq(0.5, 0.9), accuracy = 1000)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(audit.keySet === Set("500", "900"))
+    // sketch must sit inside the p +- 2/accuracy exact bracket (merge-
+    // compounded rank error; see approxPercentileAudit scaladoc)
+    assert(audit.values.forall(_._2), audit)
+    // and the exact side is the real interpolating percentile
+    val exact = vals.selectExpr("round(percentile(v, 0.5), 2)").head().getDouble(0)
+    assert(audit("500")._1 === exact)
+    assertThrows[IllegalArgumentException](
+      Profiling.approxPercentileAudit(vals, "v", Seq(1.5)))
+  }
+
   test("deterministicShuffle: same seed same order, new seed new order") {
     import spark.implicits._
     val docs = (1L to 100L).map(i => (i, s"d$i")).toDF("doc_id", "text")
