@@ -442,6 +442,91 @@ object TextAnalysis {
         col("__c.n_chunk_tokens").as("n_chunk_tokens"))
   }
 
+  /** BPE merge training (Sennrich et al. 2016) — the tokenizer-training
+    * step of an LLM data pipeline, in its SCALABLE shape: merges are
+    * computed over the WORD-FREQUENCY table, not the corpus. One corpus
+    * aggregation builds (word, freq); every merge round then runs on that
+    * vocabulary-bounded table (pair counts weighted by freq), so the loop
+    * cost is O(vocab · word-length) per round regardless of corpus size —
+    * exactly how reference BPE trainers work, and why this parallelizes:
+    * the corpus is touched once.
+    *
+    * Deterministic throughout: symbols start as the word's characters
+    * plus a '</w>' end marker; each round picks argmax pair by
+    * (weighted count DESC, sym_a ASC, sym_b ASC) — exact integer
+    * arithmetic, total order — and applies it greedily left-to-right
+    * (overlapping matches resolve to run offsets 0, 2, 4…, the classic
+    * greedy semantics, implemented as a per-word left fold). The DuckDB
+    * oracle replays every round with the window-parity closed form of the
+    * same greedy rule, so the two derivations cross-check each other.
+    *
+    * The argmax is collected per round (ONE row — vocabulary-bounded
+    * driver state, like the k-means centroids). Returns the merge table
+    * (round, sym_a, sym_b, merged, pair_count).
+    */
+  def bpeTrain(
+      df: DataFrame,
+      textCol: String = "text",
+      nMerges: Int = 8): DataFrame = {
+    require(nMerges >= 1, "need nMerges >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var syms = OperatorCaches.persistTracked(
+      df.select(explode(wsTokens(lower(col(textCol)))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(col("freq"),
+          concat(split(col("w"), ""), array(lit("</w>"))).as("s")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (r <- 1 to nMerges) {
+      val n = size(col("s"))
+      val pairs = syms.select(col("freq"),
+          explode(zip_with(
+            slice(col("s"), lit(1), greatest(n - 1, lit(0))),
+            slice(col("s"), lit(2), greatest(n - 1, lit(0))),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .select(col("freq"), col("p.a"), col("p.b"))
+      val top = pairs.groupBy("a", "b").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) {
+        // degenerate vocabulary (every word fully merged): stop early
+      } else {
+        val row = top.head
+        val a: String = row.getString(0)
+        val b: String = row.getString(1)
+        val cnt: Long = row.getLong(2)
+        merges += ((r, a, b, a + b, cnt))
+        // greedy left-to-right apply as a left fold: acc = (skipNext, out).
+        // A merge consumes position i+1, so a match at i+1 inside the
+        // consumed span never fires — run offsets 0, 2, 4… merge, the
+        // rest pass through.
+        val applied = syms.select(col("freq"),
+          element_at(transform(array(col("s")), sv => {
+            val idx = sequence(lit(0), size(sv) - 1)
+            aggregate(idx,
+              struct(lit(false).as("skip"),
+                array().cast("array<string>").as("out")),
+              (acc, i) => {
+                val cur = element_at(sv, i + 1)
+                val nxt = element_at(sv, i + 2) // null past the end
+                val isMerge = !acc.getField("skip") &&
+                  cur === lit(a) && nxt.isNotNull && nxt === lit(b)
+                struct(
+                  isMerge.as("skip"),
+                  when(acc.getField("skip"), acc.getField("out"))
+                    .otherwise(concat(acc.getField("out"),
+                      array(when(isMerge, lit(a + b)).otherwise(cur))))
+                    .as("out"))
+              },
+              acc => acc.getField("out"))
+          }), 1).as("s"))
+        val next = OperatorCaches.persistTracked(applied)
+        next.count() // materialize before releasing the parent
+        syms = next
+      }
+    }
+    merges.toSeq.toDF("round", "sym_a", "sym_b", "merged", "pair_count")
+  }
+
   /** Cross-crawl chunk-reuse statistics — the [[chunkCdc]] payoff as one
     * measurable row. Chunk `base` and `edited` (a re-crawl of the same
     * corpus) with BOTH chunkers, digest the chunk texts, and count the

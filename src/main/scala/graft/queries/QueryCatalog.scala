@@ -2133,6 +2133,57 @@ object QueryCatalog {
       },
       Some(ingestNeardupOracleSql(numHashes = 64, threshold = 0.5))),
 
+    // BPE merge training (Sennrich'16): 8 rounds over the word-frequency
+    // table. The oracle unrolls every round — weighted pair counts,
+    // argmax (cnt DESC, a, b), and the greedy left-to-right APPLY via the
+    // window-parity closed form (consecutive-match runs merge at offsets
+    // 0, 2, 4…) — cross-checking the Spark side's per-word left fold:
+    // two independent derivations of the same greedy rule must agree on
+    // every merge of every round
+    Q("q_bpe_merges",
+      (s, dir) => TextAnalysis.bpeTrain(t(s, dir, "documents"), nMerges = 8)
+        .orderBy("round"),
+      Some {
+        val rounds = (1 to 8).map { r =>
+          s"""p$r AS MATERIALIZED (SELECT s[i] AS a, s[i + 1] AS b,
+                  CAST(sum(freq) AS BIGINT) AS cnt
+                FROM v${r - 1}, LATERAL unnest(range(1, len(s))) t(i)
+                GROUP BY 1, 2),
+              m$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+              e$r AS MATERIALIZED (SELECT w, freq, CAST(i AS BIGINT) AS i, s[i] AS sym,
+                  coalesce(i < len(s)
+                    AND s[i] = (SELECT a FROM m$r)
+                    AND s[i + 1] = (SELECT b FROM m$r), FALSE) AS mt
+                FROM v${r - 1}, LATERAL unnest(range(1, len(s) + 1)) t(i)),
+              g$r AS (SELECT *, i - row_number()
+                  OVER (PARTITION BY w, mt ORDER BY i) AS grp FROM e$r),
+              o$r AS (SELECT *, CASE WHEN mt THEN
+                  (i - min(i) OVER (PARTITION BY w, mt, grp)) % 2 = 0
+                  ELSE FALSE END AS mstart FROM g$r),
+              c$r AS (SELECT *, coalesce(lag(mstart)
+                  OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed FROM o$r),
+              v$r AS MATERIALIZED (SELECT w, any_value(freq) AS freq,
+                  list(CASE WHEN mstart THEN sym || (SELECT b FROM m$r)
+                       ELSE sym END ORDER BY i)
+                    FILTER (WHERE NOT consumed) AS s
+                FROM c$r GROUP BY w)"""
+        }.mkString(",\n              ")
+        val out = (1 to 8).map(r =>
+          s"SELECT CAST($r AS INT) AS round, a AS sym_a, b AS sym_b, " +
+            s"a || b AS merged, cnt AS pair_count FROM m$r")
+          .mkString("\n              UNION ALL ")
+        s"""WITH w0 AS MATERIALIZED (SELECT x.w AS w, count(*) AS freq FROM (
+                  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+                  FROM documents) x GROUP BY 1),
+              v0 AS MATERIALIZED (SELECT w, freq,
+                  list_append([substr(w, i, 1) FOR i IN range(1, length(w) + 1)],
+                    '</w>') AS s
+                FROM w0),
+              $rounds
+              $out
+              ORDER BY round"""
+      }),
+
     // PageRank over the customer↔supplier co-order graph (symmetrized
     // bipartite: node = 2·custkey / 2·suppkey+1), 8 power iterations at
     // damping 0.85. Every iteration ends on the 7-dp grid (the k-means

@@ -125,4 +125,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out(102L).isInfinite && !out(102L).isNaN)
     OperatorCaches.releaseAll()
   }
+
+  test("BPE training matches an exact driver-side reference trainer") {
+    import spark.implicits._
+    // reference implementation: word-freq table, weighted pair counts,
+    // argmax (cnt desc, a asc, b asc), greedy left-to-right apply
+    def reference(words: Map[String, Long], nMerges: Int): Seq[(Int, String, String, Long)] = {
+      var vocab = words.map { case (w, f) => (w.map(_.toString) :+ "</w>", f) }.toSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (r <- 1 to nMerges) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (s, f) =>
+          s.zip(s.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f) }
+        if (counts.nonEmpty) {
+          val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+          out += ((r, a, b, c))
+          vocab = vocab.map { case (s, f) =>
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+                buf += (a + b); i += 2
+              } else { buf += s(i); i += 1 }
+            }
+            (buf.toIndexedSeq, f)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(53)
+    val vocabWords = Seq("lower", "lowest", "newer", "newest", "wider",
+      "widest", "low", "new", "aaaa", "aaab") // aaaa: overlapping-run case
+    val docs = (1L to 60L).map(i =>
+      (i, Seq.fill(8)(vocabWords(rnd.nextInt(vocabWords.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val wordFreq = docs.collect().flatMap(_.getString(1).split(" "))
+      .groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+    val want = reference(wordFreq, nMerges = 8)
+    val got = TextAnalysis.bpeTrain(docs, nMerges = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq === want, s"\ngot:  ${got.toSeq}\nwant: $want")
+    // merged column really is the concatenation
+    val merged = TextAnalysis.bpeTrain(docs, nMerges = 2)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    merged.foreach { case (a, b, m) => assert(m === a + b) }
+    OperatorCaches.releaseAll()
+  }
 }
