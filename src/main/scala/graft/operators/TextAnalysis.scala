@@ -495,36 +495,74 @@ object TextAnalysis {
         val b: String = row.getString(1)
         val cnt: Long = row.getLong(2)
         merges += ((r, a, b, a + b, cnt))
-        // greedy left-to-right apply as a left fold: acc = (skipNext, out).
-        // A merge consumes position i+1, so a match at i+1 inside the
-        // consumed span never fires — run offsets 0, 2, 4… merge, the
-        // rest pass through.
         val applied = syms.select(col("freq"),
-          element_at(transform(array(col("s")), sv => {
-            val idx = sequence(lit(0), size(sv) - 1)
-            aggregate(idx,
-              struct(lit(false).as("skip"),
-                array().cast("array<string>").as("out")),
-              (acc, i) => {
-                val cur = element_at(sv, i + 1)
-                val nxt = element_at(sv, i + 2) // null past the end
-                val isMerge = !acc.getField("skip") &&
-                  cur === lit(a) && nxt.isNotNull && nxt === lit(b)
-                struct(
-                  isMerge.as("skip"),
-                  when(acc.getField("skip"), acc.getField("out"))
-                    .otherwise(concat(acc.getField("out"),
-                      array(when(isMerge, lit(a + b)).otherwise(cur))))
-                    .as("out"))
-              },
-              acc => acc.getField("out"))
-          }), 1).as("s"))
+          element_at(transform(array(col("s")),
+            sv => bpeApplyMerge(sv, a, b)), 1).as("s"))
         val next = OperatorCaches.persistTracked(applied)
         next.count() // materialize before releasing the parent
         syms = next
       }
     }
     merges.toSeq.toDF("round", "sym_a", "sym_b", "merged", "pair_count")
+  }
+
+  /** Greedy left-to-right single-merge application over a symbol array
+    * (the BPE apply step) as a left fold: acc = (skipNext, out). A merge
+    * consumes position i+1, so a match at i+1 inside the consumed span
+    * never fires — runs of consecutive matches merge at offsets 0, 2, 4…
+    * `sv` must be a lambda variable or cheap column reference (the fold
+    * evaluates it per element).
+    */
+  private def bpeApplyMerge(sv: Column, a: String, b: String): Column = {
+    val idx = sequence(lit(0), size(sv) - 1)
+    aggregate(idx,
+      struct(lit(false).as("skip"),
+        array().cast("array<string>").as("out")),
+      (acc, i) => {
+        val cur = element_at(sv, i + 1)
+        val nxt = element_at(sv, i + 2) // null past the end
+        val isMerge = !acc.getField("skip") &&
+          cur === lit(a) && nxt.isNotNull && nxt === lit(b)
+        struct(
+          isMerge.as("skip"),
+          when(acc.getField("skip"), acc.getField("out"))
+            .otherwise(concat(acc.getField("out"),
+              array(when(isMerge, lit(a + b)).otherwise(cur))))
+            .as("out"))
+      },
+      acc => acc.getField("out"))
+  }
+
+  /** BPE ENCODE over a trained merge list — the other half of the
+    * tokenizer: per-document subword token counts under the [[bpeTrain]]
+    * vocabulary. Scalable shape mirrors training: the merge sequence is
+    * applied once per DISTINCT word (vocabulary-bounded work — the merge
+    * folds never touch the corpus), and documents join their tokens
+    * against that tiny (word → n_pieces) table; only (doc, word-hash)
+    * pairs shuffle. Returns (idCol, n_ws_tokens, n_bpe_tokens).
+    */
+  def bpeTokenCounts(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "need at least one merge")
+    val words = df.select(col(idCol), explode(wsTokens(lower(col(textCol)))).as("w"))
+    val vocab0 = words.select("w").distinct()
+      .select(col("w"), concat(split(col("w"), ""), array(lit("</w>"))).as("s"))
+    // apply the ranked merges in order, all inside ONE expression: each
+    // fold's input is the previous fold's output bound through the
+    // transform(array(...)) lambda-variable dodge
+    val encoded = merges.foldLeft(vocab0) { case (v, (a, b)) =>
+      v.select(col("w"),
+        element_at(transform(array(col("s")),
+          sv => bpeApplyMerge(sv, a, b)), 1).as("s"))
+    }
+    val pieces = OperatorCaches.persistTracked(
+      encoded.select(col("w"), size(col("s")).cast("long").as("n_pieces")))
+    words.join(pieces, Seq("w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_ws_tokens"), sum("n_pieces").as("n_bpe_tokens"))
   }
 
   /** Cross-crawl chunk-reuse statistics — the [[chunkCdc]] payoff as one

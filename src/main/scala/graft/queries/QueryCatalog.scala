@@ -278,6 +278,51 @@ object QueryCatalog {
               ORDER BY doc_id"""
   }
 
+  /** The BPE training chain as DuckDB CTEs: word-freq table, character
+    * symbol arrays, then `rounds` unrolled merge rounds — weighted pair
+    * counts (p), total-order argmax (m), and the greedy left-to-right
+    * apply via the window-parity closed form (consecutive-match runs
+    * merge at offsets 0, 2, 4…; e/g/o/c stages), producing v{r}. Round
+    * CTEs are MATERIALIZED: v/m are multi-referenced and DuckDB's
+    * inlining otherwise re-evaluates the chain exponentially (hit as fd
+    * exhaustion before it was slow). Shared by q_bpe_merges (reads m1..8)
+    * and q_bpe_token_counts (reads v8).
+    */
+  private def bpeChainCtes(rounds: Int): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT s[i] AS a, s[i + 1] AS b,
+                  CAST(sum(freq) AS BIGINT) AS cnt
+                FROM v${r - 1}, LATERAL unnest(range(1, len(s))) t(i)
+                GROUP BY 1, 2),
+              m$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+              e$r AS MATERIALIZED (SELECT w, freq, CAST(i AS BIGINT) AS i, s[i] AS sym,
+                  coalesce(i < len(s)
+                    AND s[i] = (SELECT a FROM m$r)
+                    AND s[i + 1] = (SELECT b FROM m$r), FALSE) AS mt
+                FROM v${r - 1}, LATERAL unnest(range(1, len(s) + 1)) t(i)),
+              g$r AS (SELECT *, i - row_number()
+                  OVER (PARTITION BY w, mt ORDER BY i) AS grp FROM e$r),
+              o$r AS (SELECT *, CASE WHEN mt THEN
+                  (i - min(i) OVER (PARTITION BY w, mt, grp)) % 2 = 0
+                  ELSE FALSE END AS mstart FROM g$r),
+              c$r AS (SELECT *, coalesce(lag(mstart)
+                  OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed FROM o$r),
+              v$r AS MATERIALIZED (SELECT w, any_value(freq) AS freq,
+                  list(CASE WHEN mstart THEN sym || (SELECT b FROM m$r)
+                       ELSE sym END ORDER BY i)
+                    FILTER (WHERE NOT consumed) AS s
+                FROM c$r GROUP BY w)"""
+    }.mkString(",\n              ")
+    s"""w0 AS MATERIALIZED (SELECT x.w AS w, count(*) AS freq FROM (
+                  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+                  FROM documents) x GROUP BY 1),
+              v0 AS MATERIALIZED (SELECT w, freq,
+                  list_append([substr(w, i, 1) FOR i IN range(1, length(w) + 1)],
+                    '</w>') AS s
+                FROM w0),
+              $rs"""
+  }
+
   private def minhashOracleSql(numHashes: Int, threshold: Double): String =
     s"""WITH ${minhashPairCtes(numHashes, threshold)}
               SELECT id_a, id_b, jaccard FROM mh_pairs ORDER BY id_a, id_b"""
@@ -2144,45 +2189,38 @@ object QueryCatalog {
       (s, dir) => TextAnalysis.bpeTrain(t(s, dir, "documents"), nMerges = 8)
         .orderBy("round"),
       Some {
-        val rounds = (1 to 8).map { r =>
-          s"""p$r AS MATERIALIZED (SELECT s[i] AS a, s[i + 1] AS b,
-                  CAST(sum(freq) AS BIGINT) AS cnt
-                FROM v${r - 1}, LATERAL unnest(range(1, len(s))) t(i)
-                GROUP BY 1, 2),
-              m$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-              e$r AS MATERIALIZED (SELECT w, freq, CAST(i AS BIGINT) AS i, s[i] AS sym,
-                  coalesce(i < len(s)
-                    AND s[i] = (SELECT a FROM m$r)
-                    AND s[i + 1] = (SELECT b FROM m$r), FALSE) AS mt
-                FROM v${r - 1}, LATERAL unnest(range(1, len(s) + 1)) t(i)),
-              g$r AS (SELECT *, i - row_number()
-                  OVER (PARTITION BY w, mt ORDER BY i) AS grp FROM e$r),
-              o$r AS (SELECT *, CASE WHEN mt THEN
-                  (i - min(i) OVER (PARTITION BY w, mt, grp)) % 2 = 0
-                  ELSE FALSE END AS mstart FROM g$r),
-              c$r AS (SELECT *, coalesce(lag(mstart)
-                  OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed FROM o$r),
-              v$r AS MATERIALIZED (SELECT w, any_value(freq) AS freq,
-                  list(CASE WHEN mstart THEN sym || (SELECT b FROM m$r)
-                       ELSE sym END ORDER BY i)
-                    FILTER (WHERE NOT consumed) AS s
-                FROM c$r GROUP BY w)"""
-        }.mkString(",\n              ")
         val out = (1 to 8).map(r =>
           s"SELECT CAST($r AS INT) AS round, a AS sym_a, b AS sym_b, " +
             s"a || b AS merged, cnt AS pair_count FROM m$r")
           .mkString("\n              UNION ALL ")
-        s"""WITH w0 AS MATERIALIZED (SELECT x.w AS w, count(*) AS freq FROM (
-                  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
-                  FROM documents) x GROUP BY 1),
-              v0 AS MATERIALIZED (SELECT w, freq,
-                  list_append([substr(w, i, 1) FOR i IN range(1, length(w) + 1)],
-                    '</w>') AS s
-                FROM w0),
-              $rounds
+        s"""WITH ${bpeChainCtes(8)}
               $out
               ORDER BY round"""
       }),
+
+    // BPE ENCODE under the trained merges — the tokenizer's other half:
+    // per-doc subword counts. Spark trains (collecting the 8-row merge
+    // table) then applies the ranked merges once per DISTINCT word and
+    // joins tokens against the (word → n_pieces) table; the oracle reuses
+    // the SAME training chain and reads n_pieces as len(v8.s)
+    Q("q_bpe_token_counts",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = TextAnalysis.bpeTrain(docs, nMerges = 8)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        TextAnalysis.bpeTokenCounts(docs, merges = merges)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${bpeChainCtes(8)},
+              pieces AS (SELECT w, CAST(len(s) AS BIGINT) AS n_pieces FROM v8),
+              tok AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+                FROM documents)
+              SELECT doc_id, count(*) AS n_ws_tokens,
+                CAST(sum(n_pieces) AS BIGINT) AS n_bpe_tokens
+              FROM tok JOIN pieces USING (w)
+              GROUP BY doc_id ORDER BY doc_id""")),
 
     // PageRank over the customer↔supplier co-order graph (symmetrized
     // bipartite: node = 2·custkey / 2·suppkey+1), 8 power iterations at

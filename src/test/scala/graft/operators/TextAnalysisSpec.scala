@@ -170,6 +170,29 @@ class TextAnalysisSpec extends SparkSpec {
     val merged = TextAnalysis.bpeTrain(docs, nMerges = 2)
       .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
     merged.foreach { case (a, b, m) => assert(m === a + b) }
+    // ENCODE: per-doc subword counts equal a reference apply of the same
+    // ranked merges to every word
+    def applyAll(w: String, ms: Seq[(String, String)]): Int = {
+      var s: Seq[String] = w.map(_.toString) :+ "</w>"
+      ms.foreach { case (a, b) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < s.length) {
+          if (i < s.length - 1 && s(i) == a && s(i + 1) == b) { buf += (a + b); i += 2 }
+          else { buf += s(i); i += 1 }
+        }
+        s = buf.toSeq
+      }
+      s.length
+    }
+    val ms = want.map { case (_, a, b, _) => (a, b) }
+    val counts = TextAnalysis.bpeTokenCounts(docs, merges = ms)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docWords = docs.collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    docWords.foreach { case (id, ws) =>
+      assert(counts(id)._1 === ws.length.toLong, s"doc $id ws")
+      assert(counts(id)._2 === ws.map(w => applyAll(w, ms)).sum.toLong, s"doc $id bpe")
+    }
     OperatorCaches.releaseAll()
   }
 }
