@@ -301,14 +301,20 @@ object Bench {
         else Nil
       val failed = (kept ++ marker).mkString("[", ",", "]")
       // deep-pressure rung: omit the k fastest SUCCESSFUL entries (the
-      // least informative numbers; -1 failure rows always stay, pairing
-      // with "failed") and say so via "omitted":k — a parseable line
-      // missing its cheapest timings beats a mid-JSON driver truncation
-      // losing the whole round
+      // least informative numbers) and say so via "omitted":k — a
+      // parseable line missing its cheapest timings beats a mid-JSON
+      // driver truncation losing the whole round. -1 rows stay for every
+      // failure the failed list still NAMES (row and diagnostic pair up);
+      // failures truncated down to the "+k more" marker shed their -1
+      // rows with them — at a 149-entry catalog failing wholesale, the
+      // all--1 queries map alone overflows the tail budget
+      val truncatedFailures: Set[String] =
+        failures.drop(keepFailed).map(_._1).toSet
       val dropped: Set[String] =
-        if (dropFastest <= 0) Set.empty
-        else results.filter(_._2 >= 0).sortBy { case (k, v) => (v, k) }
-          .take(dropFastest).map(_._1).toSet
+        (if (dropFastest <= 0) Set.empty[String]
+         else results.filter(_._2 >= 0).sortBy { case (k, v) => (v, k) }
+           .take(dropFastest).map(_._1).toSet) ++
+        results.collect { case (k, v) if v < 0 && truncatedFailures(k) => k }
       val qs = results.filterNot(r => dropped.contains(r._1)).map { case (k, v) =>
         "\"" + key(k) + "\":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
       }.mkString("{", ",", "}")
