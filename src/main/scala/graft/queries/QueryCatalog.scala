@@ -1886,6 +1886,56 @@ object QueryCatalog {
               GROUP BY 1, 2 HAVING count(*) >= 2
               ORDER BY id_a, id_b""")),
 
+    // winnow clusters: MOSS pairs fed through the min-label connected
+    // components — the same (pairs → CC → singletons join back) reduction
+    // the minhash cluster entries use, closing the winnowing family
+    // (fingerprint → pairs → incremental → clusters). Oracle: winnow pair
+    // chain + recursive-CTE transitive closure
+    Q("q_winnow_clusters",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.winnowNearDupPairs(docs)
+          .select(col("id_a"), col("id_b"))
+        val comps = Dedup.connectedComponents(pairs)
+        docs.select(col("doc_id").cast("long").as("id"))
+          .join(comps, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("component"), col("id")).as("component"))
+          .orderBy("component", "id")
+      },
+      Some(s"""WITH RECURSIVE tk AS (
+                SELECT CAST(doc_id AS BIGINT) AS id,
+                  regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents),
+              g AS (SELECT id,
+                  [${graft.operators.PortableHash.duckSql(
+                    "array_to_string(t[i:i+3], ' ')")}
+                   FOR i IN range(1, greatest(len(t) - 3, 1) + 1)] AS gh
+                FROM tk),
+              win AS (SELECT id, list_sort(list_distinct(
+                  [list_min(gh[j:j+7])
+                   FOR j IN range(1, greatest(len(gh) - 7, 1) + 1)])) AS fps
+                FROM g),
+              fpx AS (SELECT id, unnest(fps) AS fp FROM win),
+              keep AS (SELECT fp FROM fpx GROUP BY fp
+                HAVING count(*) BETWEEN 2 AND 50),
+              posting AS (SELECT id, fp FROM fpx SEMI JOIN keep USING (fp)),
+              prs AS (SELECT a.id AS id_a, b.id AS id_b
+                FROM posting a JOIN posting b ON a.fp = b.fp AND a.id < b.id
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                UNION SELECT id_b, id_a FROM prs),
+              reach(node, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+              comp AS (SELECT node AS id, min(lbl) AS component
+                FROM reach GROUP BY node)
+              SELECT d.id AS id, coalesce(c.component, d.id) AS component
+              FROM (SELECT CAST(doc_id AS BIGINT) AS id FROM documents) d
+              LEFT JOIN comp c ON c.id = d.id
+              ORDER BY component, id""")),
+
     // incremental winnow probe: re-crawl batch (ids +1000, every 3rd doc
     // truncated to its first half — the q_ingest_neardup fixture shape)
     // probed against the base corpus's PERSISTED fingerprint index. The
