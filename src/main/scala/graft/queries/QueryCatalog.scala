@@ -1639,6 +1639,32 @@ object QueryCatalog {
                   AS text_hash_sum
               FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // CSV sink/source roundtrip, completing the interchange matrix
+    // (parquet/ORC/JSONL/CSV): quoted-header write, explicit-schema read
+    // (inference is an extra pass AND widens types), same portable
+    // text-hash-sum aggregate vs the parquet truth — quoting/escaping
+    // bugs on comma- or quote-bearing text hash-mismatch
+    Q("q_csv_roundtrip",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft-csv-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        docs.write.mode("overwrite").option("header", "true").csv(path)
+        s.read.schema(docs.schema).option("header", "true").csv(path)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(pmod(graft.operators.PortableHash.portable60(md5(col("text"))),
+                lit(1000000007L)))
+              .as("text_hash_sum"))
+          .orderBy("lang")
+      },
+      Some(s"""SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(sum(${graft.operators.PortableHash.duckSql("md5(text)")} % 1000000007) AS BIGINT)
+                  AS text_hash_sum
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
     // bigram Stupid-Backoff surprisal in the CCNet shape: model trains on
     // 80% of docs, scores ALL docs, so held-out docs exercise the real
     // backoff and OOV paths. The oracle replays counts, smoothing,
