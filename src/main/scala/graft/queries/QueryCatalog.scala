@@ -1482,6 +1482,31 @@ object QueryCatalog {
                     FROM documents)
               GROUP BY doc_id ORDER BY doc_id""")),
 
+    // one-row corpus report card — the health summary a pipeline run
+    // logs before/after each stage: cardinalities, exact-dup mass, token
+    // volume. Single scan, one aggregate; every field independently
+    // replayable
+    Q("q_corpus_report",
+      (s, dir) => {
+        val tk = split(trim(col("text")), "\\s+")
+        t(s, dir, "documents").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"),
+          sum(size(tk)).cast("long").as("total_tokens"),
+          round(avg(size(tk)), 2).as("avg_tokens"))
+      },
+      Some("""SELECT count(*) AS n_docs,
+                count(DISTINCT lang) AS n_langs,
+                count(DISTINCT source) AS n_sources,
+                count(*) - count(DISTINCT md5(text)) AS n_exact_dups,
+                CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+                  AS total_tokens,
+                round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 2)
+                  AS avg_tokens
+              FROM documents""")),
+
     Q("q_multimodal_binary_meta",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
