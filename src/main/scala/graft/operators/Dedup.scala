@@ -223,6 +223,50 @@ object Dedup {
       .groupBy("h")
       .agg(min(col(idCol)).cast("long").as("keep_id"), count(lit(1)).as("copies"))
 
+  /** C4-style line-level GLOBAL exact dedup: across the whole corpus, each
+    * distinct line survives only at its first occurrence (ordered by
+    * (id, position)); every later copy — in other documents or later in
+    * the same document — is removed, and documents are reassembled from
+    * their surviving lines. This is the span-level dedup C4 applies to
+    * web text (boilerplate nav lines, cookie banners, quoted reposts);
+    * the caller controls segmentation via `linesCol` (split on '\n' for
+    * real lines, or fixed-width token windows for span dedup of unbroken
+    * text, cf. reference cell 61's distinct() — the only dedup-shaped op
+    * the notebook ships).
+    *
+    * Scale shape (100 TB): document text NEVER enters the dedup shuffle.
+    * Lines are keyed by md5 digest, so the winner computation moves
+    * (16-byte digest, id, idx) triples with a map-side partial min; the
+    * per-document keep-sets (an int array per doc) join back on the id
+    * column — the one full-row exchange, and exchange-free when the
+    * corpus is bucketed by id. Reassembly is a per-row array filter (no
+    * second explode). Digest keying means md5-collision pairs would merge
+    * — at 10^11 lines the 128-bit birthday bound is ~10^-16, the same
+    * trust [[exact]] places in md5.
+    *
+    * Output: input columns plus `n_lines`, `n_kept` (int) and
+    * `text_dedup` (surviving lines joined by '\n').
+    */
+  def lineDedup(df: DataFrame, linesCol: Column, idCol: String = "doc_id"): DataFrame = {
+    val keyed = df
+      .select(col(idCol), posexplode(linesCol).as(Seq("line_idx", "line")))
+      .select(md5(col("line")).as("lh"), col(idCol), col("line_idx"))
+    val winners = keyed
+      .groupBy("lh")
+      .agg(min(struct(col(idCol), col("line_idx"))).as("w"))
+      .select(col("w")(idCol).as(idCol), col("w")("line_idx").as("line_idx"))
+    val keepIdx = winners
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(col("line_idx"))).as("__graft_keep_idx"))
+    df.join(keepIdx, Seq(idCol), "left")
+      .withColumn("__graft_kept",
+        filter(linesCol, (_, i) => array_contains(col("__graft_keep_idx"), i)))
+      .withColumn("n_lines", size(linesCol))
+      .withColumn("n_kept", size(col("__graft_kept")))
+      .withColumn("text_dedup", array_join(col("__graft_kept"), "\n"))
+      .drop("__graft_keep_idx", "__graft_kept")
+  }
+
   /** Incremental exact dedup: keep only the rows of `newDf` whose text does
     * not already appear in `baseDf` — the every-ingest operation of a
     * growing corpus (dedup the new crawl against everything kept so far).

@@ -1386,6 +1386,38 @@ object QueryCatalog {
       Some("""SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,
               count(*) AS copies FROM documents GROUP BY md5(text) ORDER BY h""")),
 
+    // C4-style span-level global dedup: segment each document into 10-token
+    // windows ("lines" of unbroken web text), keep each distinct window only
+    // at its first (doc_id, position) occurrence corpus-wide, reassemble.
+    // The oracle replays the same md5-keyed first-occurrence rule with a
+    // window function — rank over (doc_id, line_idx) within each digest.
+    Q("q_dedup_lines",
+      (s, dir) => {
+        val toksC = split(col("text"), " ")
+        val nWin = ceil(size(toksC).cast("double") / 10.0).cast("int")
+        val linesC = transform(sequence(lit(0), nWin - lit(1)),
+          i => array_join(slice(toksC, i * lit(10) + lit(1), lit(10)), " "))
+        Dedup.lineDedup(t(s, dir, "documents"), linesC)
+          .select("doc_id", "n_lines", "n_kept", "text_dedup")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+              lines AS (
+                SELECT doc_id, CAST(i AS INT) AS line_idx,
+                       array_to_string(t[(10 * i + 1):(10 * i + 10)], ' ') AS line
+                FROM tk, LATERAL unnest(range(CAST(ceil(len(t) / 10.0) AS BIGINT)))
+                     AS r(i)),
+              ranked AS (
+                SELECT doc_id, line_idx, line,
+                       row_number() OVER (PARTITION BY md5(line)
+                                          ORDER BY doc_id, line_idx) AS rn
+                FROM lines)
+              SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
+                     CAST(coalesce(count(*) FILTER (WHERE rn = 1), 0) AS INT) AS n_kept,
+                     coalesce(string_agg(line, chr(10) ORDER BY line_idx)
+                              FILTER (WHERE rn = 1), '') AS text_dedup
+              FROM ranked GROUP BY doc_id ORDER BY doc_id""")),
+
     Q("q_text_quality",
       (s, dir) => TextAnalysis.qualityMetrics(t(s, dir, "documents"))
         .select("doc_id", "n_char", "n_tokens", "alpha_ratio", "digit_ratio")

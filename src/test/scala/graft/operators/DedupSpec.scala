@@ -368,4 +368,22 @@ class DedupSpec extends SparkSpec {
     assert(hubPairs.isEmpty, s"hub-driven pairs leaked: $hubPairs")
     OperatorCaches.releaseAll()
   }
+
+  test("lineDedup keeps each distinct line only at its first occurrence") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha\nboiler\nbeta"),
+      (2L, "boiler\ngamma\nboiler"), // cross-doc dup + in-doc dup of 'boiler'
+      (3L, "boiler"),                // all lines removed
+      (4L, "delta\nalpha")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, split(col("text"), "\n"))
+      .select("doc_id", "n_lines", "n_kept", "text_dedup")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out(0) === ((1L, 3, 3, "alpha\nboiler\nbeta")))
+    assert(out(1) === ((2L, 3, 1, "gamma"))) // both 'boiler' copies struck
+    assert(out(2) === ((3L, 1, 0, "")))      // empty doc survives as a row
+    assert(out(3) === ((4L, 2, 1, "delta"))) // 'alpha' first seen in doc 1
+  }
 }
