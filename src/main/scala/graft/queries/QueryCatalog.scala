@@ -1310,6 +1310,56 @@ object QueryCatalog {
                 CAST(sum(event_id % 1000000007) AS BIGINT) AS id_hash_sum
               FROM events""")),
 
+    // fourth driver-gated streaming pattern: stateful sessionization
+    // (flatMapGroupsWithState + event-time timeout). Sessions are emitted
+    // ONLY when the watermark passes session_end + gap, and with an
+    // AvailableNow drain the final watermark is max(ts) - 1h (the no-data
+    // micro-batch fires the pending state timeouts before termination), so
+    // the emitted set is exactly the batch gap-sessionization restricted to
+    // watermark-closable sessions — which is what the oracle computes.
+    // Events are second-truncated BEFORE the watermark so both engines
+    // reason about identical instants (ms vs micros floors differ).
+    Q("q_stream_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.loadEventsStream(s, dir)
+          .withColumn("ts", date_trunc("second", col("ts")))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.EventStreams.Event]
+        val sessions = graft.streaming.EventStreams.sessionize(
+          ev, gapMinutes = 30, watermark = "1 hour")
+        val qname = "graft_stream_sess_" + math.abs(dir.hashCode).toString
+        s.catalog.dropTempView(qname)
+        val q = sessions.writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname)
+          .withColumn("total_value", round(col("total_value"), 2))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH e AS (SELECT user_id, date_trunc('second', ts) AS sec, value
+                         FROM events),
+              mx AS (SELECT max(sec) AS m FROM e),
+              flag AS (SELECT user_id, sec, value,
+                         CASE WHEN lag(sec) OVER w IS NULL
+                              OR date_diff('second', lag(sec) OVER w, sec) > 1800
+                         THEN 1 ELSE 0 END AS ns
+                       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+              sess AS (SELECT user_id, sec, value,
+                         sum(ns) OVER (PARTITION BY user_id ORDER BY sec
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                       FROM flag),
+              agg AS (SELECT user_id, min(sec) AS session_start,
+                        max(sec) AS session_end, count(*) AS n_events,
+                        round(sum(value), 2) AS total_value
+                      FROM sess GROUP BY user_id, sid)
+              SELECT user_id, session_start, session_end, n_events, total_value
+              FROM agg, mx
+              WHERE session_end + INTERVAL '30 minutes' <= m - INTERVAL '1 hour'
+              ORDER BY user_id, session_start""")),
+
     // JSON column extraction (events.props holds JSON documents)
     Q("q_json_extract",
       (s, dir) => t(s, dir, "events")
