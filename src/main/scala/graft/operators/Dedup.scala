@@ -43,16 +43,22 @@ object Dedup {
     * document. The zip_with form evaluates the token array k+1 times per
     * row, and each lambda touches only its own arguments.
     */
-  def shingles(text: Column, k: Int = 3): Column = {
+  def shingles(text: Column, k: Int = 3): Column =
+    array_distinct(shinglesAll(text, k))
+
+  /** [[shingles]] WITHOUT the distinct — the full gram sequence with
+    * duplicates, for term-frequency consumers (TF-IDF weighting) where
+    * multiplicity is signal, not noise.
+    */
+  def shinglesAll(text: Column, k: Int = 3): Column = {
     val t = toks(text)
     val gramLen = greatest(size(t) - lit(k - 1), lit(1))
     val first = slice(t, lit(1), gramLen)
     // concat_ws skips the nulls zip_with pads short docs with, so a
     // < k-token doc yields its whole token string, as before
-    val grams = (1 until k).foldLeft(first) { (acc, j) =>
+    (1 until k).foldLeft(first) { (acc, j) =>
       zip_with(acc, slice(t, lit(j + 1), gramLen), (a, b) => concat_ws(" ", a, b))
     }
-    array_distinct(grams)
   }
 
   /** Distinct k-shingle HASHES, built from per-token hashes: each gram is

@@ -166,6 +166,50 @@ object TextAnalysis {
       .drop("__n")
   }
 
+  /** Sparse TF-IDF cosine all-pairs similarity join over an inverted
+    * index — the classic sparse counterpart of the dense embedding joins
+    * in [[Similarity]] (Bayardo et al. 2007's all-pairs problem). Each
+    * document becomes an L2-normalized TF-IDF vector over `termsCol`
+    * (weights `tf · ln((N+1)/(df+1))`, zero-weight terms dropped); pairs
+    * sharing a term accumulate the dot product through a posting-list
+    * self-join, and pairs with cosine ≥ `threshold` survive. `maxDf`
+    * drops terms whose document frequency exceeds it BEFORE the join —
+    * hub terms contribute ~zero IDF weight but df² candidate pairs, the
+    * same blowup [[Dedup.ngramJaccard]]'s maxDf cuts — so the cosine is
+    * exact over the capped vocabulary (norms are computed after the cap).
+    *
+    * Scale shape: shuffles carry (term, id, weight) postings, never
+    * documents; the pair aggregation is map-side partial; maxDf bounds
+    * per-term candidate fan-out at maxDf². Cosines are rounded to 6 dp —
+    * the repo's cross-engine float boundary — before the threshold test.
+    */
+  def tfidfCosinePairs(
+      df: DataFrame,
+      termsCol: Column,
+      threshold: Double,
+      maxDf: Long = Long.MaxValue,
+      idCol: String = "doc_id"): DataFrame = {
+    val terms = df.select(col(idCol).as("id"), explode(termsCol).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = broadcast(df.agg(count(lit(1)).cast("double").as("__n")))
+    val w = tf.join(dfreq, Seq("term")).filter(col("df") <= maxDf)
+      .crossJoin(n)
+      .withColumn("w", col("tf") * log((col("__n") + 1.0) / (col("df") + 1.0)))
+      .filter(col("w") > 0) // df == N terms carry no signal and poison norms
+    val nrm = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    // the normalized posting list feeds BOTH sides of the self-join:
+    // persist or Catalyst re-inlines the whole tf-idf subtree per side
+    val wn = OperatorCaches.persistTracked(
+      w.join(nrm, Seq("id"))
+        .select(col("term"), col("id"), (col("w") / col("nrm")).as("wn")))
+    wn.as("a").join(wn.as("b"),
+        col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(round(sum(col("a.wn") * col("b.wn")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Perplexity-style LM quality score from a corpus-trained unigram
     * model: surprisal(doc) = −mean log2 P(token), P(token) = corpus
     * frequency / corpus token count. The degenerate-but-exact member of

@@ -3565,6 +3565,40 @@ object QueryCatalog {
     // top-k similarity JOIN (every query vector against the corpus at
     // once): broadcast the 3-row query side through a nested-loop cross
     // join (narrow — no shuffle of the corpus), then the custom
+    // sparse TF-IDF cosine all-pairs join (Bayardo et al.'s all-pairs
+    // problem, inverted-index formulation): trigram-shingle TF-IDF vectors,
+    // posting-list self-join, df cap on hub terms. The oracle rebuilds the
+    // identical weighted vectors from the gram strings and replays the join
+    Q("q_sim_join_sparse",
+      (s, dir) => TextAnalysis.tfidfCosinePairs(
+          t(s, dir, "documents"), Dedup.shinglesAll(col("text"), 3),
+          threshold = 0.2, maxDf = 100)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH tk AS (SELECT doc_id AS id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                   FROM documents),
+              g AS (SELECT id, unnest(
+                      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                      ELSE [array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, len(t) - 1)] END) AS term
+                    FROM tk),
+              tf AS (SELECT id, term, CAST(count(*) AS DOUBLE) AS tf
+                     FROM g GROUP BY id, term),
+              dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+              w AS (SELECT id, term, tf * ln((n.n + 1.0) / (df + 1.0)) AS w
+                    FROM tf JOIN dfq USING (term), n
+                    WHERE df <= 100
+                      AND tf * ln((n.n + 1.0) / (df + 1.0)) > 0),
+              nrm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
+              wn AS (SELECT term, id, w / nrm AS wn FROM w JOIN nrm USING (id)),
+              p AS (SELECT a.id AS id_a, b.id AS id_b,
+                      round(sum(a.wn * b.wn), 6) AS cosine
+                    FROM wn a JOIN wn b ON a.term = b.term AND a.id < b.id
+                    GROUP BY 1, 2)
+              SELECT id_a, id_b, cosine FROM p
+              WHERE cosine >= 0.2 ORDER BY id_a, id_b""")),
+
     // TopKPerKey operator keeps a bounded heap per query instead of
     // sorting all N·Q scored pairs
     Q("q_sim_join_topk",

@@ -195,4 +195,39 @@ class TextAnalysisSpec extends SparkSpec {
     }
     OperatorCaches.releaseAll()
   }
+
+  test("tfidfCosinePairs finds near-dups, respects the df cap, matches brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def words(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(3000)}").mkString(" ")
+    val shared = words(30)
+    val hub = "common boiler plate" // one trigram carried by every doc
+    val docs = ((1L to 2L).map(i => (i, s"${words(10)} $shared $hub")) ++
+      (3L to 12L).map(i => (i, s"${words(40)} $hub"))).toDF("doc_id", "text")
+    val terms = Dedup.shinglesAll(col("text"), 3)
+    val pairs = TextAnalysis.tfidfCosinePairs(docs, terms, threshold = 0.2, maxDf = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)), s"planted pair missing: ${pairs.keySet}")
+    // the hub trigram (df = 12 > maxDf = 5) is capped away: no hub-only pair
+    assert(!pairs.keySet.exists { case (a, b) => a >= 3L && b >= 3L },
+      s"hub-driven pairs leaked: ${pairs.keySet}")
+    // brute-force the planted pair's cosine over the capped vocabulary
+    def grams(s: String) =
+      s.split(" ").sliding(3).map(_.mkString(" ")).toSeq
+    val all = docs.collect().map(r => r.getLong(0) -> grams(r.getString(1))).toMap
+    val dfq = all.values.flatMap(_.distinct).groupBy(identity).map { case (g, o) => g -> o.size }
+    val n = all.size.toDouble
+    def vec(id: Long) = all(id).groupBy(identity).collect {
+      case (g, o) if dfq(g) <= 5 && math.log((n + 1) / (dfq(g) + 1)) > 0 =>
+        g -> o.size * math.log((n + 1) / (dfq(g) + 1))
+    }.toMap
+    val (v1, v2) = (vec(1L), vec(2L))
+    def nrm(v: Map[String, Double]) = math.sqrt(v.values.map(x => x * x).sum)
+    val dot = v1.keySet.intersect(v2.keySet).toSeq.map(g => v1(g) * v2(g)).sum
+    val want = BigDecimal(dot / (nrm(v1) * nrm(v2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(pairs((1L, 2L)) - want) < 2e-6,
+      s"cosine ${pairs((1L, 2L))} != brute $want")
+    OperatorCaches.releaseAll()
+  }
 }
