@@ -1213,6 +1213,80 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: C(small ⊆ big) =
+    * |sh(small) ∩ sh(big)| / |sh(small)| over distinct k-shingles — the
+    * subset-detection complement of [[ngramJaccard]]. Jaccard misses a
+    * short document quoted whole inside a long one (the union term drowns
+    * the overlap); containment is exactly the "aggregator page contains
+    * the article" / "reply quotes the post" shape a crawl corpus is full
+    * of. Emits (id_small, id_big, containment ≥ threshold); ties in size
+    * orient by id.
+    *
+    * Candidate generation is a LOSSLESS small-side prefix filter: if
+    * |A∩B| ≥ t·|A| then any ⌊(1−t)·|A|⌋+1 shingles of A must hit B, so
+    * only that many grams of A (rare-first ranked, so the join hits the
+    * shortest posting lists) join against the full posting index — the
+    * containment variant of the All-Pairs prefix theorem. Because the
+    * filter is lossless the result set equals brute force, which is what
+    * the DuckDB oracle computes. `maxDf` applies [[ngramJaccard]]'s
+    * deterministic ubiquitous-shingle removal first (containment is then
+    * exact over the reduced sets) — at corpus scale the full-posting side
+    * of the join is df-headed, and cutting the head is the same lever.
+    *
+    * Shuffles carry (gram-hash, id, sz) postings and candidate id pairs;
+    * shingle arrays travel only to verification, once per candidate.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      threshold: Double = 0.7,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh0 = df.select(col(idCol).cast("long").as("id"),
+        hashedShingles(col(textCol), k).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val sh =
+      if (maxDf == Int.MaxValue) OperatorCaches.persistTracked(sh0)
+      else {
+        val p0 = sh0.select(col("id"), explode(col("sh")).as("s"))
+        val keptGrams = p0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("s")
+        OperatorCaches.persistTracked(
+          p0.join(keptGrams, Seq("s"))
+            .groupBy("id").agg(collect_list(col("s")).as("sh"))
+            .withColumn("sz", size(col("sh"))))
+      }
+    val posting = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    val gramDf = posting.groupBy("s").agg(count(lit(1)).as("df"))
+    // rare-first ranked grams; keep only the first ⌊(1−t)·sz⌋+1 per doc
+    val prefix = posting.join(gramDf, Seq("s"))
+      .groupBy("id").agg(first("sz").as("sz"),
+        sort_array(collect_list(struct(col("df"), col("s")))).as("ranked"))
+      .select(col("id"), col("sz"),
+        explode(slice(transform(col("ranked"), r => r("s")), lit(1),
+          least(floor(col("sz") * lit(1.0 - threshold)).cast("int") + 1,
+            col("sz")))).as("s"))
+    val cand = prefix.as("a").join(posting.as("b"),
+        col("a.s") === col("b.s") &&
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))))
+      .select(col("a.id").as("id_small"), col("b.id").as("id_big"))
+      .distinct()
+    val shTbl = sh.select(col("id"), col("sh"), col("sz"))
+    cand
+      .join(shTbl.select(col("id").as("id_small"), col("sh").as("sh_s"),
+        col("sz").as("sz_s")), Seq("id_small"))
+      .join(shTbl.select(col("id").as("id_big"), col("sh").as("sh_b")),
+        Seq("id_big"))
+      .withColumn("containment", round(
+        size(array_intersect(col("sh_s"), col("sh_b"))).cast("double") /
+          col("sz_s"), 4))
+      .filter(col("containment") >= threshold)
+      // UNSORTED on purpose — see minHashLsh; catalog entries sort
+      .select("id_small", "id_big", "containment")
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     * MOSS algorithm): per document, the set of window-minimum k-gram
     * hashes over sliding windows of `w` consecutive grams. Guarantee: any

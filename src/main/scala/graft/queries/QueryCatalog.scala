@@ -1966,6 +1966,35 @@ object QueryCatalog {
               WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.15
               ORDER BY id_a, id_b""")),
 
+    // asymmetric containment pairs (small-in-big subset detection). The
+    // prefix candidate filter is lossless, so the oracle is plain brute
+    // force: every pair's |∩|/|small| over distinct string trigrams
+    Q("q_dedup_containment",
+      (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"), threshold = 0.3)
+        .orderBy("id_small", "id_big"),
+      Some("""WITH tk AS (
+                SELECT doc_id AS id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                FROM documents),
+              sh AS (SELECT id, list_distinct(
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]
+                  END) AS s
+                FROM tk),
+              sz AS (SELECT id, len(s) AS sz FROM sh),
+              p AS (SELECT id, unnest(s) AS g FROM sh),
+              pairs AS (
+                SELECT a.id AS id_small, b.id AS id_big, count(*) AS inter
+                FROM p a JOIN p b ON a.g = b.g AND a.id <> b.id
+                JOIN sz sa ON sa.id = a.id JOIN sz sb ON sb.id = b.id
+                WHERE sa.sz < sb.sz OR (sa.sz = sb.sz AND a.id < b.id)
+                GROUP BY 1, 2)
+              SELECT id_small, id_big,
+                round(inter / CAST(sa.sz AS DOUBLE), 4) AS containment
+              FROM pairs JOIN sz sa ON sa.id = id_small
+              WHERE round(inter / CAST(sa.sz AS DOUBLE), 4) >= 0.3
+              ORDER BY id_small, id_big""")),
+
     // winnowing (MOSS) fingerprint selection: the oracle replays the
     // portable gram hashes and the window-min selection verbatim with
     // DuckDB list comprehensions (same short-doc clamps as the Spark

@@ -369,6 +369,57 @@ class DedupSpec extends SparkSpec {
     OperatorCaches.releaseAll()
   }
 
+  test("containmentPairs catches a short doc quoted inside a long one") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def words(n: Int) = Seq.fill(n)(s"c${rnd.nextInt(4000)}").mkString(" ")
+    val article = words(20)
+    val d = Seq(
+      (1L, article),                                   // the short original
+      (2L, words(80) + " " + article + " " + words(80)), // aggregator quoting it
+      (3L, words(90))                                  // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === 1)
+    assert(got.head._1 === 1L && got.head._2 === 2L && got.head._3 === 1.0)
+    // jaccard at the same threshold misses it: union is dominated by doc 2
+    val j = Dedup.ngramJaccard(d, threshold = 0.7).collect()
+    assert(j.isEmpty)
+    OperatorCaches.releaseAll()
+  }
+
+  test("containmentPairs prefix filter is lossless vs brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vocab = (0 until 60).map(i => s"t$i")
+    def doc() = Seq.fill(12 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val rows = (1L to 40L).map(i => (i, doc()))
+    val d = rows.toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getDouble(2))).toMap
+    def sh(s: String) = {
+      val t = s.split(" ").toSeq
+      (if (t.length < 3) Seq(t.mkString(" "))
+       else t.sliding(3).map(_.mkString(" ")).toSeq).distinct.toSet
+    }
+    val sets = rows.map { case (i, s) => i -> sh(s) }.toMap
+    val brute = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1)
+      if a != b
+      (small, big) = if (sets(a).size < sets(b).size) (a, b)
+        else if (sets(a).size > sets(b).size) (b, a)
+        else (math.min(a, b), math.max(a, b))
+      if (small, big) == (a, b)
+      c = BigDecimal(sets(small).intersect(sets(big)).size.toDouble / sets(small).size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.3
+    } yield (small, big) -> c).toMap
+    assert(got === brute, s"spark=${got.size} brute=${brute.size}")
+    OperatorCaches.releaseAll()
+  }
+
   test("lineDedup keeps each distinct line only at its first occurrence") {
     import spark.implicits._
     val d = Seq(
