@@ -62,6 +62,55 @@ object TextAnalysis {
       round((lenOk + alphaOk + stopOk + meanLenOk) / 4.0, 4))
   }
 
+  /** Gopher-style document filter battery (Rae et al. 2021, §A1.1): the
+    * standard pre-training keep/drop rules as one columnar pass, each rule
+    * surfaced as its own flag so a pipeline can audit WHY a document
+    * dropped (the aggregate-score view is [[qualityScore]]; this is the
+    * hard-gate view). Rules: word count window, mean word length window,
+    * symbol-to-word ratio (# and …), alphabetic-word fraction, and ≥ 2
+    * distinct hits from Gopher's 8-stopword probe list. Zero shuffle —
+    * every rule is a higher-order fold over the token array.
+    */
+  def gopherFilter(
+      df: DataFrame,
+      textCol: String = "text",
+      minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val t = wsTokens(col(textCol))
+    val nW = size(t).cast("double")
+    val meanLen = round(
+      aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / nW, 4)
+    val hashes = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))
+    val ellipses = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / lit(3)
+    val symbolRatio = round((hashes + ellipses).cast("double") / nW, 4)
+    val alphaWords = round(
+      size(filter(t, w => w.rlike("[A-Za-z]"))).cast("double") / nW, 4)
+    val stopHits = size(array_intersect(
+      array_distinct(transform(t, lower _)),
+      array(GopherStops.map(lit): _*)))
+    df.withColumn("n_words", size(t))
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("symbol_ratio", symbolRatio)
+      .withColumn("alpha_word_ratio", alphaWords)
+      .withColumn("stop_hits", stopHits)
+      .withColumn("ok_n_words", col("n_words").between(minWords, maxWords))
+      .withColumn("ok_mean_len", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("ok_symbols", col("symbol_ratio") <= 0.1)
+      .withColumn("ok_alpha", col("alpha_word_ratio") >= 0.8)
+      .withColumn("ok_stops", col("stop_hits") >= 2)
+      .withColumn("keep",
+        col("ok_n_words") && col("ok_mean_len") && col("ok_symbols") &&
+          col("ok_alpha") && col("ok_stops"))
+  }
+
+  /** Gopher's 8-word English stopword probe (a document of real prose
+    * contains at least two of these).
+    */
+  private[graft] val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Token counting: whitespace tokens plus BPE-ish subword count (a cheap
     * proxy for LLM token budget accounting over a corpus).
     */

@@ -1634,6 +1634,46 @@ object QueryCatalog {
     // oracle recomputes the C4/Gopher-style heuristic; intermediates are
     // rounded to 4dp BEFORE the component scores, exactly as qualityScore
     // builds on qualityMetrics' rounded columns
+    // Gopher hard-gate rule battery: every rule's flag + the keep verdict,
+    // each metric recomputed independently by the oracle
+    Q("q_gopher_filter",
+      (s, dir) => TextAnalysis.gopherFilter(t(s, dir, "documents"))
+        .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+          "alpha_word_ratio", "stop_hits", "ok_n_words", "ok_mean_len",
+          "ok_symbols", "ok_alpha", "ok_stops", "keep")
+        .orderBy("doc_id"),
+      Some("""WITH m AS (
+                SELECT doc_id, text,
+                  regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents),
+              v AS (
+                SELECT doc_id,
+                  CAST(len(t) AS INT) AS n_words,
+                  round(list_sum(list_transform(t, w -> length(w)))
+                        / CAST(len(t) AS DOUBLE), 4) AS mean_word_len,
+                  round(((length(text) - length(replace(text, '#', ''))) +
+                         (length(text) - length(replace(text, '...', ''))) / 3)
+                        / CAST(len(t) AS DOUBLE), 4) AS symbol_ratio,
+                  round(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))
+                        / CAST(len(t) AS DOUBLE), 4) AS alpha_word_ratio,
+                  CAST(len(list_intersect(
+                    list_distinct(list_transform(t, w -> lower(w))),
+                    ['the','be','to','of','and','that','have','with']))
+                    AS INT) AS stop_hits
+                FROM m)
+              SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                alpha_word_ratio, stop_hits,
+                n_words BETWEEN 50 AND 100000 AS ok_n_words,
+                mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+                symbol_ratio <= 0.1 AS ok_symbols,
+                alpha_word_ratio >= 0.8 AS ok_alpha,
+                stop_hits >= 2 AS ok_stops,
+                (n_words BETWEEN 50 AND 100000) AND
+                (mean_word_len BETWEEN 3.0 AND 10.0) AND
+                (symbol_ratio <= 0.1) AND (alpha_word_ratio >= 0.8) AND
+                (stop_hits >= 2) AS keep
+              FROM v ORDER BY doc_id""")),
+
     Q("q_quality_score",
       (s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"))
         .select("doc_id", "quality_score")

@@ -196,6 +196,28 @@ class TextAnalysisSpec extends SparkSpec {
     OperatorCaches.releaseAll()
   }
 
+  test("gopherFilter trips each rule on its designed offender") {
+    import spark.implicits._
+    val prose = ("the quick brown fox jumps with energy and that " * 8).trim
+    val docs = Seq(
+      (1L, prose),                                   // passes everything
+      (2L, "too short to keep the and"),             // < 50 words
+      (3L, ("## # ## " * 20).trim + " " + prose),    // symbol-heavy
+      (4L, (("123 456 " * 30).trim + " the and")),   // non-alpha words
+      (5L, ("zz " * 60).trim)                        // no stopword hits, short words
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(docs)
+      .select("doc_id", "ok_n_words", "ok_symbols", "ok_alpha", "ok_stops", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5))).toMap
+    assert(out(1L) === ((true, true, true, true, true)))
+    assert(!out(2L)._1 && !out(2L)._5)
+    assert(!out(3L)._2 && !out(3L)._5)
+    assert(!out(4L)._3 && !out(4L)._5)
+    assert(!out(5L)._4 && !out(5L)._5)
+  }
+
   test("tfidfCosinePairs finds near-dups, respects the df cap, matches brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
