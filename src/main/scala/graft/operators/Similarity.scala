@@ -109,6 +109,95 @@ object Similarity {
   def dequantize(qv: Column, scale: Column): Column =
     transform(qv, q => q.cast("double") * scale)
 
+  // --------------------------------------------------- product quantization
+  // PQ (Jégou et al. 2011): split each d-dim vector into m subvectors,
+  // quantize each against its own k-codeword codebook → an m-byte code per
+  // vector (here 64 bits for d=64, m=8, k=16 — a 64× compression of the
+  // double[] form), and answer queries with an Asymmetric Distance
+  // Computation: a per-query m×k lookup table of exact query-to-codeword
+  // distances, so scoring a vector is m table lookups + adds, never
+  // touching the original vector. THE memory-bound ANN layout at corpus
+  // scale — the scan shuffles codes, not vectors. Codebooks here are the
+  // hash-deterministic sample [[sampleCentroids]] uses (subspace j's
+  // codewords = the j-th subvectors of the SAME k sampled vectors), so an
+  // independent engine re-derives them; swap in per-subspace
+  // [[kmeansCentroids]]-trained codebooks without changing the plan.
+
+  /** m codebooks of k codewords each (m × k × d/m), sampled
+    * hash-deterministically. Driver holds k·d doubles, same bound as IVF.
+    */
+  def pqSampleCodebooks(
+      df: DataFrame,
+      m: Int = 8,
+      k: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Seq[Double]]] = {
+    val samples = sampleCentroids(df, k, idCol, vecCol) // ordered (hash, id)
+    val d = samples.head._2.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    Array.tabulate(m)(j => samples.map(_._2.slice(j * dsub, (j + 1) * dsub)))
+  }
+
+  /** Squared L2 between a vector-expression slice and a literal codeword. */
+  private def l2sqLit(sub: Column, cw: Seq[Double]): Column =
+    aggregate(zip_with(sub, array(cw.map(lit): _*), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, e) => acc + e)
+
+  /** PQ encode: (id, codes array<int> of length m). Each code is the
+    * argmin-distance codeword in its subspace, compared on the 6 dp grid
+    * with index tie-break (the [[assignExpr]] determinism rule). Narrow
+    * map — the codebooks ride along as ~k·d literal doubles.
+    */
+  def pqEncode(
+      df: DataFrame,
+      codebooks: Array[Array[Seq[Double]]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val v = toDouble(col(vecCol))
+    val codes = array((0 until m).map { j =>
+      val sub = slice(v, j * dsub + 1, dsub)
+      array_min(array(codebooks(j).zipWithIndex.map { case (cw, c) =>
+        struct(round(l2sqLit(sub, cw), 6).as("d"), lit(c).as("c"))
+      }.toIndexedSeq: _*)).getField("c")
+    }: _*)
+    df.select(col(idCol).cast("long").as("id"), codes.as("codes"))
+  }
+
+  /** ADC top-k over PQ codes: the query's exact distance to every codeword
+    * (m×k lookup table, computed once driver-side with the same fold order
+    * and 6 dp grid both engines use) makes each row's approximate distance
+    * m `element_at`s + adds — then TakeOrderedAndProject keeps the global
+    * top-k. Returns (vec_id, adc_dist) nearest-first (squared L2).
+    */
+  def pqTopK(
+      encoded: DataFrame,
+      codebooks: Array[Array[Seq[Double]]],
+      queryVec: Seq[Double],
+      topK: Int = 10,
+      idCol: String = "vec_id"): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lut: Array[Array[Double]] = Array.tabulate(m) { j =>
+      val q = queryVec.slice(j * dsub, (j + 1) * dsub)
+      codebooks(j).map(cw =>
+        r6(q.zip(cw).foldLeft(0.0) { case (a, (x, y)) => a + (x - y) * (x - y) }))
+        .toArray
+    }
+    val score = (0 until m).map { j =>
+      element_at(array(lut(j).map(lit).toIndexedSeq: _*),
+        element_at(col("codes"), j + 1) + lit(1))
+    }.reduce(_ + _)
+    encoded
+      .select(col("id").as(idCol), round(score, 4).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(topK)
+  }
+
   /** Seed-derived ±1 sign matrix for [[randomProject]] (dimOut rows ×
     * dimIn cols), from the parity of the portable 60-bit hash of
     * "seed:j:i" — so an independent engine (the DuckDB oracle, a later

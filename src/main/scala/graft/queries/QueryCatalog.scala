@@ -3728,7 +3728,48 @@ object QueryCatalog {
         Similarity.ivfTopK(Similarity.ivfAssignWith(rest, centroids), centroids,
           q, k = 10, nProbe = 4)
       },
-      Some(ivfKmeansOracleSql(k = 16, iters = 3, nProbe = 4, topK = 10, dim = 64)))
+      Some(ivfKmeansOracleSql(k = 16, iters = 3, nProbe = 4, topK = 10, dim = 64))),
+
+    // product quantization ANN (Jégou et al.): 8 subspaces × 16 codewords
+    // (a 64-bit code per vector), ADC scoring via the query's exact
+    // codeword-distance table. The oracle re-derives the sampled
+    // codebooks, replays every per-subspace argmin on the 6 dp grid, and
+    // recomputes the ADC sums — code assignment and the final top-k are
+    // checked end-to-end
+    Q("q_ann_pq",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = Similarity.collectQueryVec(emb, 0)
+        val rest = emb.filter(col("vec_id") =!= 0)
+        val cbs = Similarity.pqSampleCodebooks(rest, m = 8, k = 16)
+        Similarity.pqTopK(Similarity.pqEncode(rest, cbs), cbs, q, topK = 10)
+      },
+      Some(s"""WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              rest AS (SELECT * FROM emb WHERE id <> 0),
+              samp AS (SELECT row_number() OVER (ORDER BY h, id) - 1 AS c, ce
+                FROM (SELECT id, e AS ce,
+                    ${graft.operators.PortableHash.duckSql("CAST(id AS VARCHAR)")} AS h
+                  FROM rest ORDER BY h, id LIMIT 16)),
+              jj AS (SELECT unnest(range(0, 8)) AS j),
+              dist AS (SELECT r.id, jj.j, s.c,
+                  round(list_sum([(r.e[jj.j * 8 + i] - s.ce[jj.j * 8 + i]) *
+                                  (r.e[jj.j * 8 + i] - s.ce[jj.j * 8 + i])
+                                  FOR i IN range(1, 9)]), 6) AS d
+                FROM rest r, jj, samp s),
+              codes AS (SELECT id, j, c FROM (
+                  SELECT id, j, c, row_number() OVER (PARTITION BY id, j
+                    ORDER BY d, c) AS rn FROM dist) WHERE rn = 1),
+              lut AS (SELECT jj.j, s.c,
+                  round(list_sum([(q.e[jj.j * 8 + i] - s.ce[jj.j * 8 + i]) *
+                                  (q.e[jj.j * 8 + i] - s.ce[jj.j * 8 + i])
+                                  FOR i IN range(1, 9)]), 6) AS d
+                FROM (SELECT e FROM emb WHERE id = 0) q, jj, samp s),
+              score AS (SELECT id, round(sum(l.d), 4) AS adc_dist
+                FROM codes c JOIN lut l ON l.j = c.j AND l.c = c.c
+                GROUP BY id)
+              SELECT id AS vec_id, adc_dist FROM score
+              ORDER BY adc_dist, vec_id LIMIT 10"""))
   )
 
   // ------------------------------------------------- perceptual media dedup

@@ -314,4 +314,33 @@ class SimilaritySpec extends SparkSpec {
     assert(twoLevel.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
     OperatorCaches.releaseAll()
   }
+
+  test("PQ encode matches brute-force argmin and ADC ranks a planted near-dup first") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    def vec() = Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
+    val q = vec()
+    // vec 1 = tiny perturbation of the query; the rest random
+    val rows = (1L, q.map(_ + 0.001)) +: (2L to 40L).map(i => (i, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val cbs = Similarity.pqSampleCodebooks(df, m = 4, k = 8)
+    val codes = Similarity.pqEncode(df, cbs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      r6(a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + (x - y) * (x - y) })
+    rows.foreach { case (id, v) =>
+      val want = (0 until 4).map { j =>
+        val sub = v.slice(j * 4, j * 4 + 4)
+        cbs(j).zipWithIndex.map { case (cw, c) => (d2(sub, cw), c) }.min._2
+      }
+      assert(codes(id) === want, s"vec $id codes")
+    }
+    val top = Similarity.pqTopK(Similarity.pqEncode(df, cbs), cbs, q, topK = 5)
+      .collect().map(_.getLong(0))
+    assert(top.head === 1L, s"planted near-dup not first: ${top.toSeq}")
+    OperatorCaches.releaseAll()
+  }
 }
