@@ -1360,6 +1360,34 @@ object QueryCatalog {
               WHERE session_end + INTERVAL '30 minutes' <= m - INTERVAL '1 hour'
               ORDER BY user_id, session_start""")),
 
+    // fifth driver-gated streaming pattern: stream-STATIC broadcast
+    // enrichment (the streaming form of the reference's implied dimension
+    // lookup). The static customer side re-resolves per micro-batch and
+    // broadcasts, so the stream side never shuffles; the drained sink is
+    // aggregated per market segment, which the batch join oracle replays
+    Q("q_stream_enrich",
+      (s, dir) => {
+        val dim = t(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        val enriched = graft.streaming.EventStreams.enriched(
+          Tables.loadEventsStream(s, dir), dim, "user_id")
+        val qname = "graft_stream_enrich_" + math.abs(dir.hashCode).toString
+        s.catalog.dropTempView(qname)
+        val q = enriched.writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname)
+          .groupBy("c_mktsegment", "event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+          .orderBy("c_mktsegment", "event_type")
+      },
+      Some("""SELECT c_mktsegment, event_type, count(*) AS n,
+                round(sum(value), 2) AS total
+              FROM events e JOIN customer c ON c.c_custkey = e.user_id
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // JSON column extraction (events.props holds JSON documents)
     Q("q_json_extract",
       (s, dir) => t(s, dir, "events")
