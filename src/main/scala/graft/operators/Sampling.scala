@@ -286,4 +286,32 @@ object Sampling {
       .orderBy(col("score").desc, col(idCol))
       .limit(n)
   }
+
+  /** Weighted sampling WITHOUT replacement over an arbitrary weight
+    * column — Efraimidis–Spirakis (2006) via the same Gumbel-top-k
+    * identity [[dsirSample]] uses for its learned weights: score =
+    * ln(w) + Gumbel, Gumbel = −ln(−ln(u)), u a portable-hash uniform in
+    * (0,1]; the top-n scores ARE a weight-proportional sample without
+    * replacement. Fully deterministic given the seed (re-runs and
+    * independent engines draw the identical sample — the property that
+    * makes a 100 TB sampling job resumable and auditable), one
+    * TakeOrderedAndProject, no shuffle beyond the top-n.
+    *
+    * Rows with weight ≤ 0 are excluded (ln undefined) — the E-S
+    * convention that zero-weight items are unsampleable.
+    */
+  def weightedSample(
+      df: DataFrame,
+      weightCol: Column,
+      n: Int,
+      seed: String = "wsample",
+      idCol: String = "doc_id"): DataFrame = {
+    val u = (PortableHash.portable60(
+        concat_ws(":", lit(seed), col(idCol).cast("string"))) + 1).cast("double") /
+      lit(math.pow(2, 60))
+    df.filter(weightCol > 0)
+      .withColumn("score", round(log(weightCol) - log(-log(u)), 4))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(n)
+  }
 }

@@ -2956,6 +2956,21 @@ object QueryCatalog {
     // stage: md5 feature buckets, add-one smoothing, the log-ratio table,
     // per-doc weight sums, and the Gumbel draw — the whole selection, not
     // a summary
+    // Efraimidis–Spirakis weighted sample without replacement (weight =
+    // document length): the oracle re-derives the hash uniforms and Gumbel
+    // keys, so the exact sampled set + scores are checked
+    Q("q_weighted_sample",
+      (s, dir) => graft.operators.Sampling.weightedSample(
+          t(s, dir, "documents"), col("n_chars"), n = 25)
+        .select("doc_id", "n_chars", "score"),
+      Some(s"""SELECT doc_id, n_chars, round(ln(n_chars) - ln(-ln(u)), 4) AS score
+              FROM (SELECT doc_id, n_chars,
+                      (${graft.operators.PortableHash.duckSql(
+                        "'wsample:' || CAST(doc_id AS VARCHAR)")} + 1)
+                        / pow(2, 60) AS u
+                    FROM documents WHERE n_chars > 0)
+              ORDER BY score DESC, doc_id LIMIT 25""")),
+
     Q("q_dsir_sample",
       (s, dir) => {
         val docs = t(s, dir, "documents")

@@ -175,4 +175,23 @@ class SamplingSpec extends SparkSpec {
     assert(s1.count(_._1 <= 20L) >= 8, s"off-target docs selected: ${s1.toSeq}")
     OperatorCaches.releaseAll()
   }
+
+  test("weightedSample is deterministic, weight-proportional, excludes w<=0") {
+    import spark.implicits._
+    // ids 1-10 heavy (w=500), 11-100 light (w=5), 101 zero weight
+    val df = ((1L to 10L).map((_, 500L)) ++ (11L to 100L).map((_, 5L)) :+ (101L, 0L))
+      .toDF("doc_id", "w")
+    val s1 = Sampling.weightedSample(df, col("w"), n = 15)
+      .collect().map(_.getLong(0))
+    val s2 = Sampling.weightedSample(df.repartition(7), col("w"), n = 15)
+      .collect().map(_.getLong(0))
+    assert(s1.toSeq === s2.toSeq)
+    assert(!s1.contains(101L))
+    // heavy items are 100x the weight: expect most of the 10 in the top 15
+    assert(s1.count(_ <= 10L) >= 7, s"heavy items under-sampled: ${s1.toSeq}")
+    // different seed draws a different (still deterministic) light tail
+    val s3 = Sampling.weightedSample(df, col("w"), n = 15, seed = "other")
+      .collect().map(_.getLong(0))
+    assert(s3.toSeq !== s1.toSeq)
+  }
 }
