@@ -1203,6 +1203,109 @@ object QueryCatalog {
                 count(*) AS n_events
               FROM flagged GROUP BY user_id ORDER BY user_id""")),
 
+    // ordered conversion funnel (view → click-after-view →
+    // purchase-after-click) over the first 3 days: three chained
+    // conditional-min window passes over ONE user_id partitioning (a
+    // single shuffle — each stage's threshold is the previous stage's
+    // window column), then a global stage-count roll-up
+    Q("q_funnel",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+        val ev = t(s, dir, "events").filter(col("ts") < lit("2024-01-04"))
+        ev.withColumn("tv",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("tc",
+            min(when(col("event_type") === "click" && col("ts") >= col("tv"),
+              col("ts"))).over(w))
+          .withColumn("tp",
+            min(when(col("event_type") === "purchase" && col("ts") >= col("tc"),
+              col("ts"))).over(w))
+          .groupBy()
+          .agg(
+            countDistinct(when(col("tv").isNotNull, col("user_id"))).as("n_view"),
+            countDistinct(when(col("tc").isNotNull, col("user_id"))).as("n_click"),
+            countDistinct(when(col("tp").isNotNull, col("user_id"))).as("n_purchase"))
+          .withColumn("conversion",
+            round(col("n_purchase").cast("double") / col("n_view"), 4))
+      },
+      Some("""WITH ev AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-04'),
+              u AS (SELECT user_id,
+                      min(CASE WHEN event_type = 'view' THEN ts END) AS tv
+                    FROM ev GROUP BY 1),
+              c AS (SELECT e.user_id, min(e.ts) AS tc
+                    FROM ev e JOIN u USING (user_id)
+                    WHERE e.event_type = 'click' AND e.ts >= u.tv GROUP BY 1),
+              p AS (SELECT e.user_id, min(e.ts) AS tp
+                    FROM ev e JOIN c USING (user_id)
+                    WHERE e.event_type = 'purchase' AND e.ts >= c.tc GROUP BY 1)
+              SELECT (SELECT count(*) FROM u WHERE tv IS NOT NULL) AS n_view,
+                     (SELECT count(*) FROM c) AS n_click,
+                     (SELECT count(*) FROM p) AS n_purchase,
+                     round((SELECT count(*) FROM p) /
+                       CAST((SELECT count(*) FROM u WHERE tv IS NOT NULL)
+                         AS DOUBLE), 4) AS conversion""")),
+
+    // cohort retention: users cohorted by FIRST-purchase day, then the
+    // (cohort_day, day_offset) activity matrix over later purchases —
+    // one user_id window for the cohort anchor, one distinct-agg shuffle
+    Q("q_cohort_retention",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+        t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .withColumn("day", to_date(col("ts")))
+          .withColumn("cohort", min("day").over(w))
+          .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort", "day_offset")
+      },
+      Some("""WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day
+                         FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, min(day) AS cohort FROM p GROUP BY 1)
+              SELECT c.cohort, date_diff('day', c.cohort, p.day) AS day_offset,
+                     count(DISTINCT p.user_id) AS n_users
+              FROM p JOIN c USING (user_id)
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // dense time-series gap-fill: an hourly spine (sequence() from the
+    // corpus min/max hour, a 1-row broadcast) cross-joined with the type
+    // dimension, left-joined with hourly counts, zeros filled — the
+    // resample-to-calendar shape every metrics pipeline needs; emits only
+    // the filled gaps plus a checksum row count to keep the dump bounded
+    Q("q_timeseries_gapfill",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("hour", date_trunc("hour", col("ts")))
+        val span = ev.agg(min("hour").as("lo"), max("hour").as("hi"))
+        val spine = broadcast(span)
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 hour"))).as("hour"))
+          .crossJoin(ev.select("event_type").distinct())
+        val counts = ev.groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
+        spine.join(counts, Seq("hour", "event_type"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_hours"),
+            sum(when(col("n") === 0, 1L).otherwise(0L)).as("n_gap_hours"),
+            sum("n").as("n_events"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS hour
+                          FROM events),
+              span AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ev),
+              spine AS (SELECT t.event_type, h.hour
+                        FROM (SELECT DISTINCT event_type FROM ev) t,
+                          span, LATERAL unnest(generate_series(span.lo, span.hi,
+                            INTERVAL '1 hour')) AS h(hour)),
+              counts AS (SELECT event_type, hour, count(*) AS n
+                         FROM ev GROUP BY 1, 2)
+              SELECT s.event_type, count(*) AS n_hours,
+                     CAST(sum(CASE WHEN c.n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_gap_hours,
+                     CAST(coalesce(sum(c.n), 0) AS BIGINT) AS n_events
+              FROM spine s LEFT JOIN counts c USING (event_type, hour)
+              GROUP BY 1 ORDER BY 1""")),
+
     // Batch time-bucketed aggregation (the batch twin of the streaming
     // windowed counts): window() struct's start == DuckDB's time_bucket
     Q("q_time_window_agg",
