@@ -167,4 +167,88 @@ object Profiling {
       // backticks: column names with spaces/dots; round the label (0.95
       // * 1000 is 949.99… as a double — toInt alone would emit p949)
       round(expr(s"percentile(`$c`, $p)"), 2).as("p" + math.round(p * 1000))))
+
+  /** Robust per-group outlier profile via the median / MAD rule: a value
+    * is flagged when |x − median| > k · MAD (MAD = median absolute
+    * deviation — unlike mean/stddev, neither anchor is dragged by the
+    * outliers being hunted). Exact grouped medians: two grouped exact
+    * percentile passes with a join between them (medians are not
+    * algebraic — two shuffles is the honest floor; at 100 TB swap the
+    * exact percentile for percentile_approx and the plan shape is
+    * unchanged). Output: group, n, median, mad, n_outliers.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val vals = df.select(col(groupCol), col(valueCol).cast("double").as("x"))
+    val med = vals.groupBy(groupCol).agg(expr("percentile(x, 0.5)").as("median"))
+    val stats = vals.join(med, Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(expr("percentile(abs(x - median), 0.5)").as("mad"),
+        first("median").as("median"), count(lit(1)).as("n"))
+    // the flag compares on the 6 dp grid: an exact-percentile anchor is
+    // interpolated, and a raw-float > at the fence is ulp-sensitive
+    vals.join(stats, Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(first("n").as("n"),
+        round(first("median"), 4).as("median"),
+        round(first("mad"), 4).as("mad"),
+        sum(when(round(abs(col("x") - col("median")), 6) >
+          round(lit(k) * col("mad"), 6), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
+  /** Shannon entropy (bits) of a column's value distribution — the
+    * profiling signal for key quality (0 = constant column, log2(n) =
+    * unique key). One groupBy + one reduce: shuffles carry (value, count)
+    * pairs, then k-row partials.
+    */
+  def valueEntropy(df: DataFrame, c: String): DataFrame = {
+    val freq = df.groupBy(col(c)).agg(count(lit(1)).cast("double").as("ct"))
+    freq.agg(sum("ct").as("__n"), count(lit(1)).as("n_values"),
+        sum(col("ct") * log2(col("ct"))).as("__sclc"))
+      // H = log2 N − (Σ c·log2 c)/N — one pass, no per-row p division
+      .select(lit(c).as("col_name"), col("n_values"),
+        round(log2(col("__n")) - col("__sclc") / col("__n"), 4).as("entropy_bits"))
+  }
+
+  /** Mutual information (bits) between two categorical columns:
+    * I(X;Y) = Σ p(x,y) log2( p(x,y) / (p(x)p(y)) ) over the joint
+    * contingency table. The column-dependence probe (0 = independent) a
+    * profiler runs before trusting a composite partition key. Shuffles
+    * carry the (x, y, count) table and two marginal tables — never rows.
+    */
+  def mutualInfo(df: DataFrame, a: String, b: String): DataFrame = {
+    val joint = df.groupBy(col(a).as("x"), col(b).as("y"))
+      .agg(count(lit(1)).cast("double").as("cxy"))
+    val ma = joint.groupBy("x").agg(sum("cxy").as("cx"))
+    val mb = joint.groupBy("y").agg(sum("cxy").as("cy"))
+    val n = broadcast(joint.agg(sum("cxy").as("__n")))
+    joint.join(ma, Seq("x")).join(mb, Seq("y")).crossJoin(n)
+      .agg(round(sum(col("cxy") / col("__n") *
+        log2(col("cxy") * col("__n") / (col("cx") * col("cy")))), 4)
+        .as("mi_bits"))
+      .select(lit(a).as("col_a"), lit(b).as("col_b"), col("mi_bits"))
+  }
+
+  /** Join-key skew report: the numbers that predict whether a shuffle on
+    * `keyCol` dies at scale — key cardinality, the heaviest key's row
+    * share, p50/p99 per-key counts and their ratio. One groupBy(key) then
+    * k-row statistics; this is the probe to run BEFORE a 100 TB join to
+    * decide between plain shuffle, AQE skew split, and salting.
+    */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).cast("double").as("ct"))
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum("ct").as("__n"),
+        max("ct").as("__max"),
+        expr("percentile(ct, 0.5)").as("__p50"),
+        expr("percentile(ct, 0.99)").as("__p99"))
+      .select(lit(keyCol).as("key"), col("n_keys"),
+        col("__max").cast("long").as("max_key_rows"),
+        round(col("__max") / col("__n"), 6).as("max_key_share"),
+        round(col("__p99") / col("__p50"), 4).as("p99_over_p50"))
+  }
 }

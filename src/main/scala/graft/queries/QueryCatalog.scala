@@ -540,6 +540,78 @@ object QueryCatalog {
               round(quantile_cont(l_extendedprice, 0.999), 2) AS p999
               FROM lineitem""")),
 
+    // robust grouped outlier profile: median/MAD anchors (exact grouped
+    // percentiles — two shuffles, the honest floor for non-algebraic
+    // medians), flag fence compared on the 6 dp grid
+    Q("q_outlier_mad",
+      (s, dir) => Profiling.madOutliers(
+          t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag"),
+      Some("""WITH v AS (SELECT l_returnflag AS g,
+                     CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+              m AS (SELECT g, quantile_cont(x, 0.5) AS median FROM v GROUP BY g),
+              s AS (SELECT v.g, quantile_cont(abs(v.x - m.median), 0.5) AS mad,
+                      any_value(m.median) AS median, count(*) AS n
+                    FROM v JOIN m ON m.g = v.g GROUP BY v.g)
+              SELECT v.g AS l_returnflag, any_value(s.n) AS n,
+                round(any_value(s.median), 4) AS median,
+                round(any_value(s.mad), 4) AS mad,
+                CAST(sum(CASE WHEN round(abs(v.x - s.median), 6) >
+                  round(3 * s.mad, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+              FROM v JOIN s ON s.g = v.g GROUP BY v.g ORDER BY v.g""")),
+
+    // Shannon entropy per categorical column (key-quality probe): one
+    // (value, count) shuffle per column, H = log2 N − Σc·log2 c / N
+    Q("q_profile_entropy",
+      (s, dir) => Profiling.valueEntropy(t(s, dir, "documents"), "lang")
+        .unionByName(Profiling.valueEntropy(t(s, dir, "documents"), "source"))
+        .unionByName(Profiling.valueEntropy(t(s, dir, "events"), "event_type"))
+        .orderBy("col_name"),
+      Some {
+        def one(table: String, c: String) =
+          s"""SELECT '$c' AS col_name, count(*) AS n_values,
+              round(log2(sum(ct)) - sum(ct * log2(ct)) / sum(ct), 4)
+                AS entropy_bits
+              FROM (SELECT CAST(count(*) AS DOUBLE) AS ct FROM $table
+                    GROUP BY $c)"""
+        Seq(one("documents", "lang"), one("documents", "source"),
+          one("events", "event_type"))
+          .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+      }),
+
+    // mutual information between two categorical columns (dependence
+    // probe for composite keys): joint + marginal count tables only
+    Q("q_mutual_info",
+      (s, dir) => Profiling.mutualInfo(t(s, dir, "documents"), "lang", "source"),
+      Some("""WITH j AS (SELECT lang AS x, source AS y,
+                     CAST(count(*) AS DOUBLE) AS cxy
+                   FROM documents GROUP BY 1, 2),
+              ma AS (SELECT x, sum(cxy) AS cx FROM j GROUP BY 1),
+              mb AS (SELECT y, sum(cxy) AS cy FROM j GROUP BY 1),
+              n AS (SELECT sum(cxy) AS n FROM j)
+              SELECT 'lang' AS col_a, 'source' AS col_b,
+                round(sum(cxy / n.n * log2(cxy * n.n / (cx * cy))), 4) AS mi_bits
+              FROM j JOIN ma USING (x) JOIN mb USING (y), n""")),
+
+    // join-key skew report — the pre-join probe that decides plain
+    // shuffle vs AQE skew split vs salting at scale
+    Q("q_skew_report",
+      (s, dir) => Profiling.skewReport(t(s, dir, "events"), "user_id")
+        .unionByName(Profiling.skewReport(t(s, dir, "lineitem"), "l_orderkey"))
+        .orderBy("key"),
+      Some {
+        def one(table: String, c: String) =
+          s"""SELECT '$c' AS key, count(*) AS n_keys,
+              CAST(max(ct) AS BIGINT) AS max_key_rows,
+              round(max(ct) / sum(ct), 6) AS max_key_share,
+              round(quantile_cont(ct, 0.99) / quantile_cont(ct, 0.5), 4)
+                AS p99_over_p50
+              FROM (SELECT CAST(count(*) AS DOUBLE) AS ct FROM $table
+                    GROUP BY $c)"""
+        Seq(one("events", "user_id"), one("lineitem", "l_orderkey"))
+          .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY key")
+      }),
+
     // approx_percentile accuracy audit (the q_approx_distinct convention:
     // the sketch value is engine-specific and never compared — the oracle
     // recomputes the exact side and the rank-error bracket must hold, so
