@@ -215,6 +215,37 @@ object TextAnalysis {
       .drop("__n")
   }
 
+  /** Per-document (term-hash, tf) pairs with ZERO shuffle: terms are
+    * hashed to [[PortableHash.portable60]] longs (identity-at-rest — the
+    * oracle and any later engine re-derive them; term STRINGS never enter
+    * a shuffle), the per-row hash array is sorted, and run-length
+    * positions yield each distinct term's count in one O(n log n) per-row
+    * pass — no (id, term) groupBy, which at corpus scale is the tokenize
+    * shuffle that dominates TF-IDF. The sorted array is bound ONCE as a
+    * transform lambda variable (the [[chunkCdc]] dodge — a free computed
+    * expression in an HOF lambda re-evaluates per element). Hash-collision
+    * caveat: colliding grams merge (probability ~grams²/2⁶¹, the
+    * [[Dedup.hashedShingles]] trust).
+    */
+  private def hashedTermCounts(
+      df: DataFrame, termsCol: Column, idCol: String): DataFrame = {
+    val pairs = element_at(transform(
+      array(array_sort(transform(termsCol, g => PortableHash.portable60(g)))),
+      s => {
+        val n = size(s)
+        val starts = filter(sequence(lit(1), n), i =>
+          i === 1 || element_at(s, i) =!= element_at(s, i - 1))
+        val nexts = concat(
+          slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+          array(n + 1))
+        when(n === 0, array().cast("array<struct<term:bigint,tf:double>>"))
+          .otherwise(zip_with(starts, nexts, (a, b) =>
+            struct(element_at(s, a).as("term"), (b - a).cast("double").as("tf"))))
+      }), 1)
+    df.select(col(idCol).as("id"), explode(pairs).as("p"))
+      .select(col("id"), col("p.term").as("term"), col("p.tf").as("tf"))
+  }
+
   /** Sparse TF-IDF cosine all-pairs similarity join over an inverted
     * index — the classic sparse counterpart of the dense embedding joins
     * in [[Similarity]] (Bayardo et al. 2007's all-pairs problem). Each
@@ -238,8 +269,7 @@ object TextAnalysis {
       threshold: Double,
       maxDf: Long = Long.MaxValue,
       idCol: String = "doc_id"): DataFrame = {
-    val terms = df.select(col(idCol).as("id"), explode(termsCol).as("term"))
-    val tf = terms.groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val tf = hashedTermCounts(df, termsCol, idCol)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = broadcast(df.agg(count(lit(1)).cast("double").as("__n")))
     val w = tf.join(dfreq, Seq("term")).filter(col("df") <= maxDf)

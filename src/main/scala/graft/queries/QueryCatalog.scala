@@ -1275,6 +1275,33 @@ object QueryCatalog {
                 count(*) AS n_events
               FROM flagged GROUP BY user_id ORDER BY user_id""")),
 
+    // event-type transition matrix (first-order Markov counts): lead()
+    // over the per-user time order, then the (from, to) contingency table
+    // with row-normalized probabilities — the path-analysis primitive
+    Q("q_event_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val ev = t(s, dir, "events")
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+        ev.groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", round(col("n") / sum("n")
+            .over(Window.partitionBy("from_type")), 4))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH seq AS (SELECT event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS next_type
+                   FROM events),
+              m AS (SELECT event_type AS from_type, next_type AS to_type,
+                      count(*) AS n
+                    FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+              SELECT from_type, to_type, n,
+                round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4)
+                  AS p
+              FROM m ORDER BY from_type, to_type""")),
+
     // ordered conversion funnel (view → click-after-view →
     // purchase-after-click) over the first 3 days: three chained
     // conditional-min window passes over ONE user_id partitioning (a
@@ -1538,25 +1565,28 @@ object QueryCatalog {
     // fifth driver-gated streaming pattern: stream-STATIC broadcast
     // enrichment (the streaming form of the reference's implied dimension
     // lookup). The static customer side re-resolves per micro-batch and
-    // broadcasts, so the stream side never shuffles; the drained sink is
-    // aggregated per market segment, which the batch join oracle replays
+    // broadcasts, so the stream side never shuffles; the per-segment
+    // aggregation runs INSIDE the stream (complete-mode state = one row
+    // per (segment, type) — bounded however large the stream; sinking the
+    // raw enriched stream instead was measured dead at ×100: 6M rows
+    // through a driver-side memory sink blow maxResultSize), and the
+    // batch join+agg oracle replays the drained result
     Q("q_stream_enrich",
       (s, dir) => {
         val dim = t(s, dir, "customer")
           .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
         val enriched = graft.streaming.EventStreams.enriched(
           Tables.loadEventsStream(s, dir), dim, "user_id")
+        val agg = enriched.groupBy("c_mktsegment", "event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
         val qname = "graft_stream_enrich_" + math.abs(dir.hashCode).toString
         s.catalog.dropTempView(qname)
-        val q = enriched.writeStream.format("memory").queryName(qname)
-          .outputMode("append")
+        val q = agg.writeStream.format("memory").queryName(qname)
+          .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table(qname)
-          .groupBy("c_mktsegment", "event_type")
-          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
-          .orderBy("c_mktsegment", "event_type")
+        s.table(qname).orderBy("c_mktsegment", "event_type")
       },
       Some("""SELECT c_mktsegment, event_type, count(*) AS n,
                 round(sum(value), 2) AS total
@@ -3861,14 +3891,17 @@ object QueryCatalog {
           t(s, dir, "documents"), Dedup.shinglesAll(col("text"), 3),
           threshold = 0.2, maxDf = 100)
         .orderBy("id_a", "id_b"),
-      Some("""WITH tk AS (SELECT doc_id AS id,
-                     regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      Some(s"""WITH tk AS (SELECT doc_id AS id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS t
                    FROM documents),
-              g AS (SELECT id, unnest(
+              gs AS (SELECT id, unnest(
                       CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
                       ELSE [array_to_string(t[i:i+2], ' ')
-                            FOR i IN range(1, len(t) - 1)] END) AS term
+                            FOR i IN range(1, len(t) - 1)] END) AS term_str
                     FROM tk),
+              g AS (SELECT id,
+                      ${graft.operators.PortableHash.duckSql("term_str")} AS term
+                    FROM gs),
               tf AS (SELECT id, term, CAST(count(*) AS DOUBLE) AS tf
                      FROM g GROUP BY id, term),
               dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
