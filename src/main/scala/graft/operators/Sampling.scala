@@ -287,6 +287,28 @@ object Sampling {
       .limit(n)
   }
 
+  /** Per-domain document cap — at most `cap` documents per group, chosen
+    * by deterministic hash rank (the crawl-pipeline rule that stops one
+    * aggregator domain from dominating a pre-training mix; C4 and
+    * RefinedWeb both ship a variant). Hash-ranked (not first-k) so the
+    * kept set is a uniform sample within each domain, stable across runs
+    * and partitionings. One window shuffle on the group key; groups under
+    * the cap pass through whole.
+    */
+  def domainCap(
+      df: DataFrame,
+      groupCol: String,
+      cap: Int,
+      seed: String = "domaincap",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(PortableHash.portable60(
+        concat_ws(":", lit(seed), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
   /** Weighted sampling WITHOUT replacement over an arbitrary weight
     * column — Efraimidis–Spirakis (2006) via the same Gumbel-top-k
     * identity [[dsirSample]] uses for its learned weights: score =

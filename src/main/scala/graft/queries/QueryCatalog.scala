@@ -3161,6 +3161,63 @@ object QueryCatalog {
     // stage: md5 feature buckets, add-one smoothing, the log-ratio table,
     // per-doc weight sums, and the Gumbel draw — the whole selection, not
     // a summary
+    // per-domain document cap (the C4/RefinedWeb anti-dominance rule):
+    // hash-ranked keep of at most 40 docs per source — the oracle replays
+    // the rank and the cut
+    Q("q_domain_cap",
+      (s, dir) => graft.operators.Sampling.domainCap(
+          t(s, dir, "documents"), "source", cap = 40)
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some(s"""SELECT doc_id, source FROM (
+                SELECT doc_id, source, row_number() OVER (PARTITION BY source
+                  ORDER BY ${graft.operators.PortableHash.duckSql(
+                    "'domaincap:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+                FROM documents)
+              WHERE rk <= 40 ORDER BY doc_id""")),
+
+    // SCD Type-2 dimension merge: a versioned customer dimension takes an
+    // update batch carrying changed segments, no-op re-sends, and
+    // brand-new keys; changed keys close their current row and open a new
+    // one, no-ops are idempotent. The oracle replays the full-join merge
+    Q("q_scd2_merge",
+      (s, dir) => {
+        val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        val dim = graft.operators.Warehouse.scd2Init(cust, "2024-01-01")
+        val updates = cust.filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("_v2")))
+          .unionByName(cust.filter(col("c_custkey") % 10 === 1))
+          .unionByName(cust.filter(col("c_custkey") % 10 === 2)
+            .withColumn("c_custkey", col("c_custkey") + 100000))
+        graft.operators.Warehouse.scd2Merge(
+            dim, updates, "c_custkey", Seq("c_mktsegment"), "2024-02-01")
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("""WITH cur AS (SELECT c_custkey, c_mktsegment FROM customer),
+              upd AS (
+                SELECT c_custkey, c_mktsegment || '_v2' AS c_mktsegment
+                FROM customer WHERE c_custkey % 10 = 0
+                UNION ALL
+                SELECT c_custkey, c_mktsegment FROM customer
+                WHERE c_custkey % 10 = 1
+                UNION ALL
+                SELECT c_custkey + 100000, c_mktsegment FROM customer
+                WHERE c_custkey % 10 = 2),
+              j AS (SELECT cur.c_custkey AS ck, upd.c_custkey AS uk,
+                      cur.c_mktsegment AS cseg, upd.c_mktsegment AS useg
+                    FROM cur FULL JOIN upd ON upd.c_custkey = cur.c_custkey)
+              SELECT * FROM (
+                SELECT ck AS c_custkey, cseg AS c_mktsegment,
+                  DATE '2024-01-01' AS valid_from,
+                  CASE WHEN uk IS NOT NULL AND useg IS DISTINCT FROM cseg
+                    THEN DATE '2024-02-01' ELSE DATE '9999-12-31' END AS valid_to,
+                  NOT (uk IS NOT NULL AND useg IS DISTINCT FROM cseg)
+                    AS is_current
+                FROM j WHERE ck IS NOT NULL
+                UNION ALL
+                SELECT uk, useg, DATE '2024-02-01', DATE '9999-12-31', true FROM j
+                WHERE uk IS NOT NULL AND (ck IS NULL OR useg IS DISTINCT FROM cseg))
+              ORDER BY c_custkey, valid_from""")),
+
     // Efraimidis–Spirakis weighted sample without replacement (weight =
     // document length): the oracle re-derives the hash uniforms and Gumbel
     // keys, so the exact sampled set + scores are checked

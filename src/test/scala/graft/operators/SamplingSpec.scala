@@ -176,6 +176,20 @@ class SamplingSpec extends SparkSpec {
     OperatorCaches.releaseAll()
   }
 
+  test("domainCap keeps at most cap docs per group, deterministically") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, if (i <= 95) "big.com" else "small.com"))
+      .toDF("doc_id", "source")
+    val kept = Sampling.domainCap(df, "source", cap = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("big.com") === 10)    // capped
+    assert(bySrc("small.com") === 5)   // under cap: passes through whole
+    val again = Sampling.domainCap(df.repartition(9), "source", cap = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.sorted.toSeq === kept.sorted.toSeq)
+  }
+
   test("weightedSample is deterministic, weight-proportional, excludes w<=0") {
     import spark.implicits._
     // ids 1-10 heavy (w=500), 11-100 light (w=5), 101 zero weight

@@ -175,6 +175,35 @@ class EventStreamsSpec extends SparkSpec {
       (ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1L)))
   }
 
+  test("sessionize sweep handles a dense single batch (the first-batch open-list regime)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = sessionize(in.toDS(), gapMinutes = 30, watermark = "1 hour")
+      .writeStream.format("memory").queryName("dense_sessions").outputMode("append").start()
+    // 2,000 events for ONE user in ONE batch, alternating 1-min steps and
+    // 2-hour jumps: 1,000 two-event sessions, none closable until the
+    // closing anchor arrives. Watermark 0 during the batch ⇒ the whole
+    // history stays in the open list — the regime that was quadratic
+    val base = ts("2024-01-01 00:00:00").getTime
+    val evs = (0 until 2000).map { i =>
+      val t = base + (i / 2).toLong * 2 * 3600 * 1000 + (i % 2).toLong * 60 * 1000
+      Event(i.toLong, new Timestamp(t), 1L, "click", 1.0)
+    }
+    in.addData(evs: _*)
+    q.processAllAvailable()
+    in.addData(Event(99999L, new Timestamp(base + 3000L * 3600 * 1000), 2L, "click", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(99998L, new Timestamp(base + 4000L * 3600 * 1000), 2L, "click", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("dense_sessions").collect()
+      .filter(_.getAs[Long]("user_id") == 1L)
+    q.stop()
+    assert(rows.length === 1000)
+    assert(rows.forall(_.getAs[Long]("n_events") == 2L))
+  }
+
   test("late events merge with each other, and a late event bridges two sessions") {
     val spark0 = spark
     import spark0.implicits._
