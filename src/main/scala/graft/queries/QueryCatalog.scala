@@ -3161,6 +3161,39 @@ object QueryCatalog {
     // stage: md5 feature buckets, add-one smoothing, the log-ratio table,
     // per-doc weight sums, and the Gumbel draw — the whole selection, not
     // a summary
+    // count-min sketch heavy-hitter audit (the frequency member of the
+    // sketch family beside HLL/Bloom): exact top-15 token counts vs the
+    // portable CMS's estimates — est ≥ true by construction, the
+    // overcount column IS the measured error; the oracle rebuilds the
+    // whole counter table and replays every probe
+    Q("q_cms_heavy_hitters",
+      (s, dir) => graft.operators.Sketches.cmsHeavyHitters(
+        t(s, dir, "documents")
+          .select(explode(TextAnalysis.wsTokens(col("text"))).as("v")),
+        col("v"), topN = 15),
+      Some(s"""WITH tok AS (SELECT unnest(
+                     regexp_split_to_array(trim(text), '\\s+')) AS v
+                   FROM documents),
+              exact AS (SELECT v, count(*) AS exact_ct FROM tok
+                        GROUP BY v ORDER BY exact_ct DESC, v LIMIT 15),
+              dd AS (SELECT unnest(range(0, 4)) AS d),
+              cms AS (SELECT d,
+                        ${graft.operators.PortableHash.duckSql(
+                          "CAST(d AS VARCHAR) || ':' || v")} % 1024 AS slot,
+                        count(*) AS ct
+                      FROM tok, dd GROUP BY 1, 2),
+              probes AS (SELECT e.v, dd.d,
+                           ${graft.operators.PortableHash.duckSql(
+                             "CAST(dd.d AS VARCHAR) || ':' || e.v")} % 1024
+                             AS slot
+                         FROM exact e, dd),
+              est AS (SELECT v, min(ct) AS cms_ct
+                      FROM probes JOIN cms USING (d, slot) GROUP BY v)
+              SELECT v AS token, exact_ct, cms_ct,
+                cms_ct - exact_ct AS overcount
+              FROM exact JOIN est USING (v)
+              ORDER BY exact_ct DESC, token""")),
+
     // per-domain document cap (the C4/RefinedWeb anti-dominance rule):
     // hash-ranked keep of at most 40 docs per source — the oracle replays
     // the rank and the cut
