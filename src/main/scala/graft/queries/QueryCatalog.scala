@@ -1530,14 +1530,22 @@ object QueryCatalog {
           .as[graft.streaming.EventStreams.Event]
         val sessions = graft.streaming.EventStreams.sessionize(
           ev, gapMinutes = 30, watermark = "1 hour")
-        val qname = "graft_stream_sess_" + math.abs(dir.hashCode).toString
-        s.catalog.dropTempView(qname)
-        val q = sessions.writeStream.format("memory").queryName(qname)
+        // FILE sink, not a memory sink: a sparse corpus emits ~one session
+        // per event (measured: 9.5M sessions from 10M ×100 events), and a
+        // memory sink materializes all of them on the driver — executors
+        // write the parquet sink, and the read-back stays distributed
+        val sink = s"/tmp/graft-sess-sink-${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(sink)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(sink), true)
+        fs.delete(new org.apache.hadoop.fs.Path(sink + "-ckpt"), true)
+        val q = sessions.writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", sink + "-ckpt")
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        s.table(qname)
+        s.read.parquet(sink)
           .withColumn("total_value", round(col("total_value"), 2))
           .orderBy("user_id", "session_start")
       },
