@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus-cleaning recipe as ONE call — the composition a
+  * pre-training data pipeline actually runs, chaining operators that are
+  * each individually driver-oracled: Gopher hard gates → span-level
+  * global line dedup → exact dedup → per-domain cap → a one-row report
+  * of what every stage kept. A user of the reference switching here gets
+  * the whole cleaning pass, not just its pieces.
+  *
+  * Scale shape: each stage is the already-audited operator (zero-shuffle
+  * gates, digest-keyed line winners, md5 exact groups, one window for
+  * the cap); intermediates that feed both the next stage and the report
+  * counts are persisted once and released by the caller via
+  * [[OperatorCaches.releaseAll]].
+  */
+object CorpusPipeline {
+
+  /** Run the recipe and return the one-row report. `minStopHits` relaxes
+    * Gopher's stopword probe for corpora whose vocabulary the 8-word
+    * list barely overlaps (synthetic fixtures, non-English).
+    */
+  def cleanReport(
+      docs: DataFrame,
+      windowTokens: Int = 10,
+      cap: Int = 40,
+      minStopHits: Int = 1): DataFrame = {
+    val toksC = split(col("text"), " ")
+    val nWin = ceil(size(toksC).cast("double") / windowTokens).cast("int")
+    val linesC = transform(sequence(lit(0), nWin - lit(1)),
+      i => array_join(slice(toksC, i * lit(windowTokens) + lit(1),
+        lit(windowTokens)), " "))
+
+    val gated = OperatorCaches.persistTracked(
+      TextAnalysis.gopherFilter(docs)
+        .filter(col("ok_n_words") && col("ok_mean_len") && col("ok_symbols") &&
+          col("ok_alpha") && col("stop_hits") >= minStopHits)
+        .select("doc_id", "text", "source"))
+    val lined = OperatorCaches.persistTracked(
+      Dedup.lineDedup(gated, linesC)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("text_dedup"), col("source")))
+    val exact = OperatorCaches.persistTracked(
+      Dedup.exact(lined, textCol = "text_dedup"))
+    val capped = OperatorCaches.persistTracked(
+      Sampling.domainCap(exact, "source", cap))
+
+    val nTok = (c: org.apache.spark.sql.Column) =>
+      sum(size(split(c, "\\s+"))).cast("long") // text_dedup joins lines by \n
+    docs.agg(count(lit(1)).as("n_input"), nTok(col("text")).as("tokens_in"))
+      .crossJoin(gated.agg(count(lit(1)).as("n_quality")))
+      .crossJoin(lined.agg(count(lit(1)).as("n_nonempty")))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(capped.agg(count(lit(1)).as("n_final"),
+        nTok(col("text_dedup")).as("tokens_out")))
+      .select("n_input", "n_quality", "n_nonempty", "n_exact", "n_final",
+        "tokens_in", "tokens_out")
+  }
+}

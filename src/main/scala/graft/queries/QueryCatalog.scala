@@ -1830,6 +1830,61 @@ object QueryCatalog {
                   AS avg_tokens
               FROM documents""")),
 
+    // the end-to-end cleaning recipe as one call: Gopher gates → global
+    // line dedup → exact dedup → domain cap → one-row report. The oracle
+    // replays every stage in one CTE chain (gates as list ops, line
+    // winners as the md5 window rank, exact + cap as QUALIFY ranks)
+    Q("q_corpus_pipeline",
+      (s, dir) => graft.operators.CorpusPipeline.cleanReport(
+        t(s, dir, "documents")),
+      Some(s"""WITH m AS (SELECT doc_id, text, source,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+                   FROM documents),
+              gated AS (SELECT doc_id, text, source FROM m
+                WHERE len(t) BETWEEN 50 AND 100000
+                  AND round(list_sum(list_transform(t, w -> length(w)))
+                        / CAST(len(t) AS DOUBLE), 4) BETWEEN 3.0 AND 10.0
+                  AND round(((length(text) - length(replace(text, '#', ''))) +
+                         (length(text) - length(replace(text, '...', ''))) / 3)
+                        / CAST(len(t) AS DOUBLE), 4) <= 0.1
+                  AND round(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))
+                        / CAST(len(t) AS DOUBLE), 4) >= 0.8
+                  AND len(list_intersect(
+                        list_distinct(list_transform(t, w -> lower(w))),
+                        ['the','be','to','of','and','that','have','with'])) >= 1),
+              gtk AS (SELECT doc_id, source, str_split(text, ' ') AS t FROM gated),
+              lines AS (SELECT doc_id, source, CAST(i AS INT) AS line_idx,
+                       array_to_string(t[(10 * i + 1):(10 * i + 10)], ' ') AS line
+                FROM gtk, LATERAL unnest(range(CAST(ceil(len(t) / 10.0) AS BIGINT)))
+                     AS r(i)),
+              ranked AS (SELECT doc_id, source, line_idx, line,
+                       row_number() OVER (PARTITION BY md5(line)
+                                          ORDER BY doc_id, line_idx) AS rn
+                FROM lines),
+              rebuilt AS (SELECT doc_id, any_value(source) AS source,
+                       coalesce(string_agg(line, chr(10) ORDER BY line_idx)
+                                FILTER (WHERE rn = 1), '') AS text_dedup,
+                       count(*) FILTER (WHERE rn = 1) AS n_kept
+                FROM ranked GROUP BY doc_id),
+              kept2 AS (SELECT doc_id, source, text_dedup FROM rebuilt
+                        WHERE n_kept > 0),
+              ex AS (SELECT * FROM kept2
+                QUALIFY row_number() OVER (PARTITION BY md5(text_dedup)
+                                           ORDER BY doc_id) = 1),
+              capped AS (SELECT * FROM ex
+                QUALIFY row_number() OVER (PARTITION BY source ORDER BY
+                  ${graft.operators.PortableHash.duckSql(
+                    "'domaincap:' || CAST(doc_id AS VARCHAR)")}, doc_id) <= 40)
+              SELECT (SELECT count(*) FROM documents) AS n_input,
+                (SELECT count(*) FROM gated) AS n_quality,
+                (SELECT count(*) FROM kept2) AS n_nonempty,
+                (SELECT count(*) FROM ex) AS n_exact,
+                (SELECT count(*) FROM capped) AS n_final,
+                (SELECT CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                   AS BIGINT) FROM documents) AS tokens_in,
+                (SELECT CAST(sum(len(regexp_split_to_array(text_dedup, '\\s+')))
+                   AS BIGINT) FROM capped) AS tokens_out""")),
+
     Q("q_multimodal_binary_meta",
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
