@@ -72,4 +72,79 @@ object GraphRank {
     }
     ranks.withColumnRenamed("r", "rank")
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over a
+    * SYMMETRIC edge list — community detection as fixed-round iteration:
+    * each node adopts its neighbors' most frequent label, ties to the
+    * SMALLEST label, all nodes updating together. The fixed round count +
+    * deterministic tie rule is what lets an independent engine unroll the
+    * rounds exactly (the [[pageRank]] convention; labels are integers, so
+    * no float grid is even needed). Synchronous LPA can oscillate on
+    * bipartite structure — with a fixed round count that is still a
+    * deterministic, replayable answer; pick odd/even rounds consciously.
+    *
+    * Scale shape: identical to a pageRank round — the |N|-row label
+    * state joins the persisted edge table, one map-side-combined
+    * (dst, label) count, one per-node argmax. Label state broadcasts
+    * under the same 4M-node gate.
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, "need iterations >= 1")
+    val e = OperatorCaches.persistTracked(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct()
+        .repartition(col("src")))
+    val nodes = e.select(col("src").as("node")).distinct()
+    val broadcastLabels = nodes.count() <= 4_000_000L
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iterations) {
+      val l = labels.withColumnRenamed("node", "src")
+      val counted = e.join(if (broadcastLabels) broadcast(l) else l, Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      labels = OperatorCaches.persistTracked(
+        counted.groupBy("node")
+          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("label")))
+    }
+    labels
+  }
+
+  /** Exact triangle count via degree-ordered relabeling (the
+    * compact-forward algorithm): nodes are ranked by (degree, id), each
+    * undirected edge is stored once as (lo-rank, hi-rank), wedges join
+    * low-rank endpoints, and a final edge join closes them. The
+    * orientation bounds the wedge fan-out per node by its FORWARD degree
+    * — Σ fwd² ≪ Σ deg² on skewed graphs, which is why every distributed
+    * triangle counter orients first (hub nodes get rank-high and never
+    * fan out). Returns one row: n_nodes, n_edges, n_triangles.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set (a < b by raw id, deduped)
+    val und = OperatorCaches.persistTracked(
+      edges.select(least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+          greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("deg"), col("n"))
+    // |N|-row global rank — the one total sort; at billions of nodes use
+    // zipWithIndex-style partition offsets, the shape is unchanged
+    val rk = deg.withColumn("rk", row_number().over(w)).select("n", "rk")
+    val er = OperatorCaches.persistTracked(
+      und.join(rk.withColumnRenamed("n", "a").withColumnRenamed("rk", "ra"), Seq("a"))
+        .join(rk.withColumnRenamed("n", "b").withColumnRenamed("rk", "rb"), Seq("b"))
+        .select(least(col("ra"), col("rb")).as("lo"),
+          greatest(col("ra"), col("rb")).as("hi")))
+    val tri = er.as("e1")
+      .join(er.as("e2"), col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+      .join(er.as("e3"),
+        col("e3.lo") === col("e1.hi") && col("e3.hi") === col("e2.hi"))
+      .count()
+    val nN = deg.count()
+    val nE = und.count()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((nN, nE, tri)).toDF("n_nodes", "n_edges", "n_triangles")
+  }
 }

@@ -2810,6 +2810,69 @@ object QueryCatalog {
               SELECT node, r AS rank FROM r8 ORDER BY node"""
       }),
 
+    // synchronous label propagation over the same co-order graph: 4 fixed
+    // rounds, majority label with min-label ties — integer state, so the
+    // oracle unrolls the rounds with no float grid at all
+    Q("q_label_propagation",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        val edges = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.GraphRank.labelPropagation(edges, iterations = 4)
+          .orderBy("node")
+      },
+      Some {
+        val iters = (1 to 4).map { i =>
+          s"""l$i AS (SELECT node, label FROM (
+                SELECT e.dst AS node, l.label, count(*) AS c,
+                  row_number() OVER (PARTITION BY e.dst
+                    ORDER BY count(*) DESC, l.label) AS rn
+                FROM edges e JOIN l${i - 1} l ON l.node = e.src
+                GROUP BY e.dst, l.label) WHERE rn = 1)"""
+        }.mkString(",\n              ")
+        s"""WITH e0 AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              edges AS (SELECT src, dst FROM e0
+                UNION SELECT dst AS src, src AS dst FROM e0),
+              l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+              $iters
+              SELECT node, label FROM l4 ORDER BY node"""
+      }),
+
+    // exact triangle count on the part co-occurrence graph (parts sharing
+    // an order), via degree-ordered relabeling — the oracle replays the
+    // rank, the oriented edge set, and the wedge-close joins
+    Q("q_graph_triangles",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+        graft.operators.GraphRank.triangleCount(pairs)
+      },
+      Some("""WITH und AS (SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a,
+                     CAST(y.l_partkey AS BIGINT) AS b
+                   FROM lineitem x JOIN lineitem y
+                     ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+              deg AS (SELECT n, count(*) AS deg FROM (
+                  SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+                GROUP BY n),
+              rk AS (SELECT n, row_number() OVER (ORDER BY deg, n) AS rk FROM deg),
+              er AS (SELECT least(ra.rk, rb.rk) AS lo, greatest(ra.rk, rb.rk) AS hi
+                     FROM und JOIN rk ra ON ra.n = und.a
+                     JOIN rk rb ON rb.n = und.b)
+              SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                (SELECT count(*) FROM und) AS n_edges,
+                (SELECT count(*) FROM er e1
+                 JOIN er e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+                 JOIN er e3 ON e3.lo = e1.hi AND e3.hi = e2.hi) AS n_triangles""")),
+
     // bigram PMI collocations (multiword-unit mining): oracle rebuilds the
     // adjacent-pair stream, both frequency tables, and the log2 ratio —
     // count rationals divide to identical doubles in both engines, and the

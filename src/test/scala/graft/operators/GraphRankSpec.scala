@@ -54,6 +54,41 @@ class GraphRankSpec extends SparkSpec {
     OperatorCaches.releaseAll()
   }
 
+  test("labelPropagation converges two cliques to their min labels") {
+    import spark.implicits._
+    // two 4-cliques {1,2,3,4} and {10,11,12,13} joined by one bridge 4-10
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a != b) yield (a, b)
+    val e = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((4L, 10L), (10L, 4L))).toDF("src", "dst")
+    val out = GraphRank.labelPropagation(e, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // clique members adopt the clique's minimum label
+    assert(Seq(1L, 2L, 3L).forall(out(_) == 1L), out)
+    assert(Seq(11L, 12L, 13L).forall(n => out(n) == 10L || out(n) == 4L), out)
+    // deterministic under repartition
+    val again = GraphRank.labelPropagation(e.repartition(5), iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === out)
+    OperatorCaches.releaseAll()
+  }
+
+  test("triangleCount is exact on known shapes") {
+    import spark.implicits._
+    // K4 has 4 triangles; adding a pendant edge changes nothing
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+    val e = (k4 :+ (4L, 9L)).toDF("src", "dst")
+    val row = GraphRank.triangleCount(e).head()
+    assert(row.getLong(0) === 5L && row.getLong(1) === 7L && row.getLong(2) === 4L)
+    // a square (4-cycle) has none
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(GraphRank.triangleCount(sq).head().getLong(2) === 0L)
+    // duplicate + reversed edges do not double-count
+    val dup = (k4 ++ k4.map(_.swap)).toDF("src", "dst")
+    assert(GraphRank.triangleCount(dup).head().getLong(2) === 4L)
+    OperatorCaches.releaseAll()
+  }
+
   test("rejects bad parameters and empty graphs") {
     import spark.implicits._
     assertThrows[IllegalArgumentException](
