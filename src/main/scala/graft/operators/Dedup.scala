@@ -1257,22 +1257,37 @@ object Dedup {
             .groupBy("id").agg(collect_list(col("s")).as("sh"))
             .withColumn("sz", size(col("sh"))))
       }
-    val posting = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
-    val gramDf = posting.groupBy("s").agg(count(lit(1)).as("df"))
-    // rare-first ranked grams; keep only the first ⌊(1−t)·sz⌋+1 per doc
-    val prefix = posting.join(gramDf, Seq("s"))
-      .groupBy("id").agg(first("sz").as("sz"),
-        sort_array(collect_list(struct(col("df"), col("s")))).as("ranked"))
-      .select(col("id"), col("sz"),
-        explode(slice(transform(col("ranked"), r => r("s")), lit(1),
-          least(floor(col("sz") * lit(1.0 - threshold)).cast("int") + 1,
-            col("sz")))).as("s"))
+    val posting0 = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    val gramDf = posting0.groupBy("s").agg(count(lit(1)).as("df"))
+    // rare-first ranked POSITIONAL posting (both the prefix and the full
+    // index read it): position feeds PPJoin's overlap upper bound below
+    val posting = OperatorCaches.persistTracked(
+      posting0.join(gramDf, Seq("s"))
+        .groupBy("id").agg(first("sz").as("sz"),
+          sort_array(collect_list(struct(col("df"), col("s")))).as("ranked"))
+        .select(col("id"), col("sz"),
+          posexplode(transform(col("ranked"), r => r("s")))
+            .as(Seq("pos", "s"))))
+    // keep only the first ⌊(1−t)·sz⌋+1 ranked grams on the probe side
+    val prefix = posting.filter(col("pos") <
+      least(floor(col("sz") * lit(1.0 - threshold)).cast("int") + 1, col("sz")))
+    // position prune (PPJoin's second filter, containment form): needed
+    // overlap is t·sz_small; the pair's first common gram minimizes both
+    // positions in the SHARED global (df, hash) order, so the max over
+    // shared occurrences of 1 + min(remaining) upper-bounds |∩| — pairs
+    // that only share deep-tail grams die before their arrays travel
     val cand = prefix.as("a").join(posting.as("b"),
         col("a.s") === col("b.s") &&
           (col("a.sz") < col("b.sz") ||
             (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))))
-      .select(col("a.id").as("id_small"), col("b.id").as("id_big"))
-      .distinct()
+      .select(col("a.id").as("id_small"), col("b.id").as("id_big"),
+        col("a.sz").as("sz_s"),
+        (lit(1) + least(col("a.sz") - col("a.pos") - 1,
+          col("b.sz") - col("b.pos") - 1)).as("ub"))
+      .groupBy("id_small", "id_big")
+      .agg(max(col("ub")).as("ub"), first(col("sz_s")).as("sz_s"))
+      .filter(col("ub") >= lit(threshold) * col("sz_s") - lit(1e-9))
+      .select("id_small", "id_big")
     val shTbl = sh.select(col("id"), col("sh"), col("sz"))
     cand
       .join(shTbl.select(col("id").as("id_small"), col("sh").as("sh_s"),
