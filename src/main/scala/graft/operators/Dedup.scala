@@ -273,6 +273,48 @@ object Dedup {
       .drop("__graft_keep_idx", "__graft_kept")
   }
 
+  /** Distinct line digests of a corpus — the persisted index
+    * [[lineDedupIncremental]] probes on the next crawl (16-byte keys,
+    * never line text; the line analog of the digest table
+    * [[incrementalExactByDigest]] consumes).
+    */
+  def lineDigests(df: DataFrame, linesCol: Column, idCol: String = "doc_id"): DataFrame =
+    df.select(posexplode(linesCol).as(Seq("__i", "__line")))
+      .select(md5(col("__line")).as("digest")).distinct()
+
+  /** Incremental [[lineDedup]]: lines already in the persisted base
+    * digest set are struck EVERYWHERE in the new batch (the base corpus
+    * owns them); base-unseen lines then follow the within-batch
+    * first-occurrence rule. The every-crawl form of C4 span dedup — base
+    * text is never rescanned, the probe is a digest anti-join.
+    */
+  def lineDedupIncremental(
+      newDf: DataFrame,
+      baseDigests: DataFrame,
+      linesCol: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val keyed = newDf
+      .select(col(idCol), posexplode(linesCol).as(Seq("line_idx", "line")))
+      .select(md5(col("line")).as("lh"), col(idCol), col("line_idx"))
+    val fresh = keyed.join(
+      baseDigests.select(col("digest").as("__graft_base_lh")).distinct(),
+      keyed("lh") === col("__graft_base_lh"), "left_anti")
+    val winners = fresh
+      .groupBy("lh")
+      .agg(min(struct(col(idCol), col("line_idx"))).as("w"))
+      .select(col("w")(idCol).as(idCol), col("w")("line_idx").as("line_idx"))
+    val keepIdx = winners
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(col("line_idx"))).as("__graft_keep_idx"))
+    newDf.join(keepIdx, Seq(idCol), "left")
+      .withColumn("__graft_kept",
+        filter(linesCol, (_, i) => array_contains(col("__graft_keep_idx"), i)))
+      .withColumn("n_lines", size(linesCol))
+      .withColumn("n_kept", size(col("__graft_kept")))
+      .withColumn("text_dedup", array_join(col("__graft_kept"), "\n"))
+      .drop("__graft_keep_idx", "__graft_kept")
+  }
+
   /** Incremental exact dedup: keep only the rows of `newDf` whose text does
     * not already appear in `baseDf` — the every-ingest operation of a
     * growing corpus (dedup the new crawl against everything kept so far).

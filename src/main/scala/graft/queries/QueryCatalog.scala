@@ -1709,6 +1709,47 @@ object QueryCatalog {
                               FILTER (WHERE rn = 1), '') AS text_dedup
               FROM ranked GROUP BY doc_id ORDER BY doc_id""")),
 
+    // incremental line dedup: the re-crawl (docs % 3 != 0) probed against
+    // the base corpus's persisted line-digest table — base-owned windows
+    // are struck everywhere, fresh windows keep first occurrence in-batch
+    Q("q_dedup_lines_incr",
+      (s, dir) => {
+        val toksC = split(col("text"), " ")
+        val nWin = ceil(size(toksC).cast("double") / 10.0).cast("int")
+        val linesC = transform(sequence(lit(0), nWin - lit(1)),
+          i => array_join(slice(toksC, i * lit(10) + lit(1), lit(10)), " "))
+        val docs = t(s, dir, "documents")
+        val base = Dedup.lineDigests(docs.filter(col("doc_id") % 3 === 0), linesC)
+        Dedup.lineDedupIncremental(
+            docs.filter(col("doc_id") % 3 =!= 0), base, linesC)
+          .select("doc_id", "n_lines", "n_kept", "text_dedup")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+              lines AS (
+                SELECT doc_id, CAST(i AS INT) AS line_idx,
+                       array_to_string(t[(10 * i + 1):(10 * i + 10)], ' ') AS line
+                FROM tk, LATERAL unnest(range(CAST(ceil(len(t) / 10.0) AS BIGINT)))
+                     AS r(i)),
+              base AS (SELECT DISTINCT md5(line) AS lh FROM lines
+                       WHERE doc_id % 3 = 0),
+              nw AS (SELECT * FROM lines WHERE doc_id % 3 <> 0),
+              fresh AS (SELECT * FROM nw
+                        WHERE md5(line) NOT IN (SELECT lh FROM base)),
+              ranked AS (
+                SELECT doc_id, line_idx,
+                       row_number() OVER (PARTITION BY md5(line)
+                                          ORDER BY doc_id, line_idx) AS rn
+                FROM fresh)
+              SELECT n.doc_id, CAST(count(*) AS INT) AS n_lines,
+                     CAST(coalesce(count(*) FILTER (WHERE r.rn = 1), 0) AS INT)
+                       AS n_kept,
+                     coalesce(string_agg(n.line, chr(10) ORDER BY n.line_idx)
+                              FILTER (WHERE r.rn = 1), '') AS text_dedup
+              FROM nw n LEFT JOIN ranked r
+                ON r.doc_id = n.doc_id AND r.line_idx = n.line_idx
+              GROUP BY n.doc_id ORDER BY n.doc_id""")),
+
     Q("q_text_quality",
       (s, dir) => TextAnalysis.qualityMetrics(t(s, dir, "documents"))
         .select("doc_id", "n_char", "n_tokens", "alpha_ratio", "digit_ratio")

@@ -437,4 +437,21 @@ class DedupSpec extends SparkSpec {
     assert(out(2) === ((3L, 1, 0, "")))      // empty doc survives as a row
     assert(out(3) === ((4L, 2, 1, "delta"))) // 'alpha' first seen in doc 1
   }
+
+  test("lineDedupIncremental strikes base-owned lines everywhere, first-occurrence for fresh") {
+    import spark.implicits._
+    val linesOf = split(col("text"), "\n")
+    val base = Seq((100L, "boiler\nold")).toDF("doc_id", "text")
+    val digests = Dedup.lineDigests(base, linesOf)
+    val batch = Seq(
+      (1L, "boiler\nfresh"), // 'boiler' owned by base; 'fresh' first here
+      (2L, "fresh\nnew")     // 'fresh' already won in doc 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedupIncremental(batch, digests, linesOf)
+      .select("doc_id", "n_kept", "text_dedup")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(out(0) === ((1L, 1, "fresh")))
+    assert(out(1) === ((2L, 1, "new")))
+  }
 }
