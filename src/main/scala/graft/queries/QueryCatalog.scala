@@ -1665,7 +1665,198 @@ object QueryCatalog {
               round(sum(l_extendedprice), 2) AS total
               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
               WHERE o_totalprice > 100000
-              GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // per-group ordinary least squares via the SQL-standard REGR_ family —
+    // one partial-aggregable pass (sums of x, y, x², xy per key), no
+    // per-group collect: the shape that lets a 100-TB fit run as a single
+    // map-side-combined shuffle. Built-in codegen'd aggregates on both
+    // engines; corr's round-4 precedent applies (error ~1e-12 relative).
+    Q("q_regr_per_key",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("icept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("r2"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+              count(*) AS n,
+              round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+              round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+              round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // snapshot diff — the dataset-version audit every recurring crawl /
+    // ingest pipeline runs: classify every key across two table versions
+    // as added / removed / changed / unchanged and aggregate the drift.
+    // Both versions derive deterministically from `orders` (no fixture
+    // mutation): the old snapshot is missing keys ≡0 mod 13 (→ "added"),
+    // carries a stale price on keys ≡1 mod 7 (→ "changed"), and the new
+    // snapshot drops keys ≡3 mod 11 (→ "removed"). ONE full-outer shuffle
+    // join on the key then a partial-aggregated rollup — at 100 TB this
+    // is two bucketed scans + a zero-exchange join when both snapshots
+    // share the key bucketing (Tables.writeBucketed path).
+    Q("q_snapshot_diff",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val old = ord.filter(col("o_orderkey") % 13 =!= 0)
+          .select(col("o_orderkey").as("k"),
+            when(col("o_orderkey") % 7 === 1, col("o_totalprice") - 50.0)
+              .otherwise(col("o_totalprice")).as("old_price"))
+        val nw = ord.filter(col("o_orderkey") % 11 =!= 3)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("new_price"))
+        old.join(nw, Seq("k"), "full_outer")
+          .withColumn("change",
+            when(col("old_price").isNull, lit("added"))
+              .when(col("new_price").isNull, lit("removed"))
+              .when(col("old_price") =!= col("new_price"), lit("changed"))
+              .otherwise(lit("unchanged")))
+          .groupBy("change")
+          .agg(count(lit(1)).as("n"),
+            round(coalesce(sum(col("new_price") - col("old_price")), lit(0.0)), 2)
+              .as("price_drift"))
+          .orderBy("change")
+      },
+      Some("""WITH old AS (
+                SELECT o_orderkey AS k,
+                  CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice - 50.0
+                       ELSE o_totalprice END AS old_price
+                FROM orders WHERE o_orderkey % 13 <> 0),
+              nw AS (
+                SELECT o_orderkey AS k, o_totalprice AS new_price
+                FROM orders WHERE o_orderkey % 11 <> 3)
+              SELECT CASE WHEN old_price IS NULL THEN 'added'
+                          WHEN new_price IS NULL THEN 'removed'
+                          WHEN old_price <> new_price THEN 'changed'
+                          ELSE 'unchanged' END AS change,
+                count(*) AS n,
+                round(coalesce(sum(new_price - old_price), 0.0), 2)
+                  AS price_drift
+              FROM old FULL OUTER JOIN nw USING (k)
+              GROUP BY 1 ORDER BY change""")),
+
+    // blocked entity resolution — the string-similarity complement of the
+    // token/vector dedup families: candidate pairs come from an equi-join
+    // on a cheap blocking key (here the head noun of the name), the
+    // expensive edit-distance verify runs only inside blocks. The classic
+    // ER scale contract: candidates are Σ|block|², so block choice (plus
+    // a maxDf-style cap on hub blocks, same lever as ngramJaccard) is
+    // what keeps 100 TB feasible — never the all-pairs cross join.
+    Q("q_entity_match",
+      (s, dir) => {
+        val names = t(s, dir, "part").select(col("p_name")).distinct()
+          .withColumn("blk", regexp_extract(col("p_name"), "[a-z]+$", 0))
+        val a = names.select(col("p_name").as("name_a"), col("blk"))
+        val b = names.select(col("p_name").as("name_b"), col("blk"))
+        a.join(b, Seq("blk"))
+          .filter(col("name_a") < col("name_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .filter(col("dist") <= 3)
+          .select(col("name_a"), col("name_b"), col("dist").cast("int").as("dist"))
+          .orderBy("name_a", "name_b")
+      },
+      Some("""WITH names AS (
+                SELECT DISTINCT p_name,
+                  regexp_extract(p_name, '[a-z]+$') AS blk FROM part)
+              SELECT a.p_name AS name_a, b.p_name AS name_b,
+                CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+              FROM names a JOIN names b
+                ON a.blk = b.blk AND a.p_name < b.p_name
+              WHERE levenshtein(a.p_name, b.p_name) <= 3
+              ORDER BY name_a, name_b""")),
+
+    // full ER pipeline: block → edit-distance verify → connected
+    // components → one canonical entity id per name group. Reuses the
+    // SAME min-label CC machinery the dedup family oracles (recursive-CTE
+    // closure); singleton names (no match edge) stay their own entity via
+    // the left join + coalesce — the contract a downstream keyed join
+    // needs (every name resolves to exactly one entity, matched or not).
+    Q("q_entity_clusters",
+      (s, dir) => {
+        val nameIds = t(s, dir, "part").groupBy("p_name")
+          .agg(min("p_partkey").as("nid"))
+        val names = nameIds
+          .withColumn("blk", regexp_extract(col("p_name"), "[a-z]+$", 0))
+        val a = names.select(col("nid").as("id_a"), col("p_name").as("name_a"),
+          col("blk"))
+        val b = names.select(col("nid").as("id_b"), col("p_name").as("name_b"),
+          col("blk"))
+        val pairs = a.join(b, Seq("blk"))
+          .filter(col("id_a") < col("id_b") &&
+            levenshtein(col("name_a"), col("name_b")) <= 3)
+          .select("id_a", "id_b")
+        val cc = Dedup.connectedComponents(pairs)
+        nameIds.join(cc.withColumnRenamed("id", "nid"), Seq("nid"), "left")
+          .withColumn("entity", coalesce(col("component"), col("nid")))
+          .groupBy("entity")
+          .agg(count(lit(1)).as("n_names"), min("p_name").as("first_name"))
+          .orderBy("entity")
+      },
+      Some("""WITH RECURSIVE nameids AS (
+                SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS nid
+                FROM part GROUP BY p_name),
+              names AS (
+                SELECT p_name, nid,
+                  regexp_extract(p_name, '[a-z]+$') AS blk FROM nameids),
+              pairs AS (
+                SELECT a.nid AS id_a, b.nid AS id_b
+                FROM names a JOIN names b
+                  ON a.blk = b.blk AND a.nid < b.nid
+                WHERE levenshtein(a.p_name, b.p_name) <= 3),
+              edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+              reach(node, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+              comp AS (SELECT node, min(lbl) AS component
+                FROM reach GROUP BY node)
+              SELECT coalesce(c.component, n.nid) AS entity,
+                count(*) AS n_names, min(n.p_name) AS first_name
+              FROM nameids n LEFT JOIN comp c ON c.node = n.nid
+              GROUP BY 1 ORDER BY entity""")),
+
+    // residual-outlier detection on top of the per-key OLS fit: the
+    // two-pass anomaly shape (coefficients are a 3-row broadcast, the
+    // residual scan is map-only) that stays one-shuffle at any corpus
+    // size. Residuals are rounded to 2 dp BEFORE the ordering so the
+    // top-k frontier is decided over bit-identical values on both
+    // engines (raw slope/intercept differ ~1e-12 relative across
+    // summation orders; at |resid| ~ 1e5 the rounded value is exact).
+    Q("q_regr_residuals",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val coef = li.groupBy("l_returnflag").agg(
+          regr_slope(col("l_extendedprice"), col("l_quantity")).as("slope"),
+          regr_intercept(col("l_extendedprice"), col("l_quantity")).as("icept"))
+        li.join(broadcast(coef), Seq("l_returnflag"))
+          .withColumn("resid", round(col("l_extendedprice") -
+            (col("slope") * col("l_quantity") + col("icept")), 2))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("resid"))
+          .orderBy(abs(col("resid")).desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(10)
+      },
+      Some("""WITH coef AS (
+                SELECT l_returnflag,
+                  regr_slope(l_extendedprice, l_quantity) AS slope,
+                  regr_intercept(l_extendedprice, l_quantity) AS icept
+                FROM lineitem GROUP BY l_returnflag)
+              SELECT l_orderkey, l_linenumber, l_returnflag,
+                round(l_extendedprice - (slope * l_quantity + icept), 2)
+                  AS resid
+              FROM lineitem JOIN coef USING (l_returnflag)
+              ORDER BY abs(round(l_extendedprice - (slope * l_quantity + icept),
+                2)) DESC, l_orderkey, l_linenumber
+              LIMIT 10"""))
   )
 
   // ------------------------------------------------------------- text/docs
@@ -4277,7 +4468,40 @@ object QueryCatalog {
                 FROM codes c JOIN lut l ON l.j = c.j AND l.c = c.c
                 GROUP BY id)
               SELECT id AS vec_id, adc_dist FROM score
-              ORDER BY adc_dist, vec_id LIMIT 10"""))
+              ORDER BY adc_dist, vec_id LIMIT 10""")),
+
+    // embedding norm audit — the QA gate run before any cosine-based
+    // stage: L2-norm distribution + degenerate-vector count. One narrow
+    // per-row fold (no shuffle until the single global aggregate), so it
+    // rides along with ingest at any scale. Norms are rounded to 3 dp
+    // BEFORE aggregating on BOTH engines so the audit statistics are
+    // computed over bit-identical inputs (the fold itself is same-order
+    // double math — left fold in Spark `aggregate`, sequential list_sum
+    // in DuckDB — but rounding first removes even that coupling).
+    Q("q_embed_norm_audit",
+      (s, dir) => {
+        val nrm = round(
+          sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), 3)
+        t(s, dir, "embeddings")
+          .select(nrm.as("nrm"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("nrm")), 3).as("min_norm"),
+            round(max(col("nrm")), 3).as("max_norm"),
+            round(avg(col("nrm")), 4).as("avg_norm"),
+            sum(when(col("nrm") < 0.001, 1L).otherwise(0L)).as("n_degenerate"))
+      },
+      Some("""WITH norms AS (
+                SELECT round(sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS nrm
+                FROM embeddings)
+              SELECT count(*) AS n,
+                round(min(nrm), 3) AS min_norm,
+                round(max(nrm), 3) AS max_norm,
+                round(avg(nrm), 4) AS avg_norm,
+                CAST(sum(CASE WHEN nrm < 0.001 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_degenerate
+              FROM norms"""))
   )
 
   // ------------------------------------------------- perceptual media dedup
