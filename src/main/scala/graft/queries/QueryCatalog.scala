@@ -1601,6 +1601,67 @@ object QueryCatalog {
               FROM events e JOIN customer c ON c.c_custkey = e.user_id
               GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // sixth driver-gated streaming pattern: NATIVE session_window
+    // aggregation — the built-in state-store twin of the
+    // flatMapGroupsWithState entry above. Same gap-merge semantics, same
+    // watermark-closable emission set under the AvailableNow drain, but
+    // the session state lives in Spark's session-window state store
+    // (merging windows on update) instead of user code. The window END is
+    // last-event + gap by definition, so the entry subtracts the gap back
+    // to report the fMGWS-convention session_end and the SAME oracle
+    // applies — any divergence between the two engines' session-merge or
+    // eviction rules lands as a driver hash mismatch. File sink for the
+    // same ×100 reason as q_stream_sessionize (one session per sparse
+    // event; a memory sink would driver-materialize millions).
+    Q("q_stream_session_native",
+      (s, dir) => {
+        val ev = Tables.loadEventsStream(s, dir)
+          .withColumn("ts", date_trunc("second", col("ts")))
+        val sess = ev.withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("value"), 2).as("total_value"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            (col("session_window.end").cast("long") - 1800L)
+              .cast("timestamp").as("session_end"),
+            col("n_events"), col("total_value"))
+        val sink = s"/tmp/graft-sessnat-sink-${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(sink)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(sink), true)
+        fs.delete(new org.apache.hadoop.fs.Path(sink + "-ckpt"), true)
+        val q = sess.writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", sink + "-ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .withColumn("total_value", round(col("total_value"), 2))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH e AS (SELECT user_id, date_trunc('second', ts) AS sec, value
+                         FROM events),
+              mx AS (SELECT max(sec) AS m FROM e),
+              flag AS (SELECT user_id, sec, value,
+                         CASE WHEN lag(sec) OVER w IS NULL
+                              OR date_diff('second', lag(sec) OVER w, sec) > 1800
+                         THEN 1 ELSE 0 END AS ns
+                       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+              sess AS (SELECT user_id, sec, value,
+                         sum(ns) OVER (PARTITION BY user_id ORDER BY sec
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                       FROM flag),
+              agg AS (SELECT user_id, min(sec) AS session_start,
+                        max(sec) AS session_end, count(*) AS n_events,
+                        round(sum(value), 2) AS total_value
+                      FROM sess GROUP BY user_id, sid)
+              SELECT user_id, session_start, session_end, n_events, total_value
+              FROM agg, mx
+              WHERE session_end + INTERVAL '30 minutes' <= m - INTERVAL '1 hour'
+              ORDER BY user_id, session_start""")),
+
     // JSON column extraction (events.props holds JSON documents)
     Q("q_json_extract",
       (s, dir) => t(s, dir, "events")
@@ -4501,7 +4562,41 @@ object QueryCatalog {
                 round(avg(nrm), 4) AS avg_norm,
                 CAST(sum(CASE WHEN nrm < 0.001 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_degenerate
-              FROM norms"""))
+              FROM norms""")),
+
+    // SEMANTIC decontamination — the embedding-space member of the
+    // decontamination family (n-gram exact: q_decontaminate; bloom:
+    // q_decontaminate_bloom): flag corpus vectors within cosine t of ANY
+    // benchmark vector. The scale shape mirrors the n-gram one — the
+    // benchmark side is small and BROADCAST, the corpus side is map-only
+    // (per-row max over the broadcast set, partial-aggregated before the
+    // single shuffle), so the corpus is touched once at any size. A
+    // benchmark too large to broadcast routes through the ANN bucket path
+    // instead (annTopKAuto per benchmark vector — same machinery, already
+    // driver-gated). Benchmark = vec_id ≡ 0 (mod 50); t = 0.4 flags the
+    // planted near-dup structure without sweeping in the background.
+    Q("q_decontaminate_semantic",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val bench = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("bench_id"), col("embedding").as("bvec"))
+        emb.filter(col("vec_id") % 50 =!= 0)
+          .join(broadcast(bench))
+          .groupBy("vec_id")
+          .agg(round(max(Similarity.cosine(col("embedding"), col("bvec"))), 4)
+            .as("max_cos"))
+          .filter(col("max_cos") >= 0.4)
+          .orderBy("vec_id")
+      },
+      Some("""WITH bench AS (SELECT embedding AS bvec
+                FROM embeddings WHERE vec_id % 50 = 0),
+              sims AS (SELECT vec_id,
+                  round(max(list_cosine_similarity(embedding, bvec)), 4)
+                    AS max_cos
+                FROM embeddings, bench
+                WHERE vec_id % 50 <> 0 GROUP BY vec_id)
+              SELECT vec_id, max_cos FROM sims
+              WHERE max_cos >= 0.4 ORDER BY vec_id"""))
   )
 
   // ------------------------------------------------- perceptual media dedup
