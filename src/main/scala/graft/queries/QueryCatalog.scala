@@ -3836,7 +3836,39 @@ object QueryCatalog {
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
                 '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g')) AS digest
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // k-anonymity audit — the privacy family's second member beside PII
+    // redaction: treat (lang, source) as the quasi-identifier and report,
+    // per k in a ladder, how many equivalence classes and how many ROWS
+    // sit below the threshold (a release gate reads the row count at its
+    // k and suppresses or generalizes those classes). One grouped count
+    // then a tiny re-aggregation — partial-aggregable, one shuffle on the
+    // quasi-identifier, audit output is bounded by the ladder size at any
+    // corpus scale.
+    Q("q_k_anonymity",
+      (s, dir) => {
+        val classes = t(s, dir, "documents")
+          .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        val ks = Seq(2, 5, 10)
+        ks.map { k =>
+          classes.agg(
+            lit(k).as("k"),
+            count(lit(1)).as("n_classes"),
+            sum(when(col("n") < k, 1L).otherwise(0L)).as("risky_classes"),
+            sum(when(col("n") < k, col("n")).otherwise(lit(0L))).as("risky_rows"))
+        }.reduce(_ unionByName _).orderBy("k")
+      },
+      Some("""WITH classes AS (
+                SELECT lang, source, count(*) AS n
+                FROM documents GROUP BY 1, 2)
+              SELECT k, count(*) AS n_classes,
+                CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+                  AS risky_classes,
+                CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+                  AS risky_rows
+              FROM classes, (VALUES (2), (5), (10)) ks(k)
+              GROUP BY k ORDER BY k"""))
   )
 
   // ----------------------------------------------------------- embeddings
