@@ -4602,11 +4602,18 @@ object QueryCatalog {
     // benchmark vector. The scale shape mirrors the n-gram one — the
     // benchmark side is small and BROADCAST, the corpus side is map-only
     // (per-row max over the broadcast set, partial-aggregated before the
-    // single shuffle), so the corpus is touched once at any size. A
+    // single shuffle), so cost is corpus × |benchmark| — LINEAR in the
+    // corpus for the production case of a FIXED benchmark suite. A
     // benchmark too large to broadcast routes through the ANN bucket path
     // instead (annTopKAuto per benchmark vector — same machinery, already
-    // driver-gated). Benchmark = vec_id ≡ 0 (mod 50); t = 0.4 flags the
-    // planted near-dup structure without sweeping in the background.
+    // driver-gated). NOTE the ×100 fixture grows BOTH sides (benchmark =
+    // vec_id ≡ 0 mod 50 scales with the corpus), so the measured ×100
+    // number is the quadratic regime by construction — see BENCH_SF10
+    // addendum 11 for the arithmetic; sublinear candidate generation at
+    // t = 0.4 is below the documented GW feasibility boundary, so the
+    // honest scale lever is the fixed benchmark, not LSH.
+    // t = 0.4 flags the planted near-dup structure without sweeping in
+    // the background.
     Q("q_decontaminate_semantic",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
