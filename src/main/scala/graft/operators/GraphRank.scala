@@ -110,6 +110,69 @@ object GraphRank {
     labels
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly delete every
+    * node whose CURRENT degree is below `k` (and its incident edges)
+    * until a fixpoint — the surviving subgraph is the k-core, the
+    * standard density filter for graph-shaped corpora (co-citation
+    * pruning, spam-farm removal, community scaffolding). Deterministic by
+    * construction (the fixpoint is unique regardless of peeling order),
+    * so an independent engine replays it by unrolling rounds; the caller
+    * owns picking `maxIter` ≥ the convergence round count — the operator
+    * `require`s convergence rather than silently returning a half-peeled
+    * graph, so an undersized `maxIter` fails loudly (the catalog entry's
+    * oracle unrolls a fixed round count and extra rounds are no-ops, so
+    * the contract is convergence-within-bound, never truncation).
+    *
+    * Scale shape: each round is one map-side-combined degree count over
+    * the current edge set plus two semi-joins (edge set only ever
+    * SHRINKS); per-round state is the |N'|-row keep set. The round count
+    * is bounded by the peeling depth (typically O(10) on real graphs —
+    * the fixture converges in 6). Each round LINEAGE-CUTS its result
+    * (localCheckpoint, the CC operators' convention) — a persist alone is
+    * NOT enough here because every round references the previous edge set
+    * THREE times (the scan plus both semi-join keep sets), so the logical
+    * plan grows 3^rounds and Catalyst re-analysis OOMs by round ~6
+    * (measured: rounds 1-3 run ~2 s, round 4 10 s, round 5 73 s, round 6
+    * heap death on a 115k-edge fixture).
+    *
+    * Returns (node, deg): the surviving nodes with their within-core
+    * degree (≥ k by construction).
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 20): DataFrame = {
+    require(k >= 1 && maxIter >= 1, "need k >= 1 and maxIter >= 1")
+    def cut(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    var cur = cut(
+      edges.select(least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+          greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    var edgeCount = cur.count()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val keep = cur.select(col("a").as("n"))
+        .unionAll(cur.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+      val next = cut(
+        cur.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+          .select("a", "b"))
+      val nextCount = next.count()
+      converged = nextCount == edgeCount
+      cur.unpersist()
+      cur = next
+      edgeCount = nextCount
+      it += 1
+    }
+    require(converged,
+      s"kCore(k=$k) did not reach a fixpoint within $maxIter rounds")
+    cur.select(col("a").as("n")).unionAll(cur.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .select(col("n").as("node"), col("deg"))
+  }
+
   /** Exact triangle count via degree-ordered relabeling (the
     * compact-forward algorithm): nodes are ranked by (degree, id), each
     * undirected edge is stored once as (lo-rank, hi-rank), wedges join

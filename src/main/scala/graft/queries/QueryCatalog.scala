@@ -1302,6 +1302,44 @@ object QueryCatalog {
                   AS p
               FROM m ORDER BY from_type, to_type""")),
 
+    // rolling-window anomaly detection — the streaming-adjacent QA probe:
+    // each event scored against its user's TRAILING 20-event window
+    // (frame excludes the current row, so the score is a true one-step
+    // forecast residual), |value − μ| / σ > 3 flags it. One window
+    // shuffle on user_id; the z is rounded to 4 dp BEFORE the threshold
+    // so the flag is decided over bit-identical values on both engines
+    // (sliding stddev accumulates in different orders across engines;
+    // ~1e-12 against the 5e-5 grid). Aggregated per event type so the
+    // audit output is bounded at any corpus size.
+    Q("q_rolling_anomaly",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-20, -1)
+        t(s, dir, "events")
+          .withColumn("mu", avg("value").over(w))
+          .withColumn("sd", stddev_samp(col("value")).over(w))
+          .filter(col("sd").isNotNull && col("sd") > 0)
+          .withColumn("z", round(abs(col("value") - col("mu")) / col("sd"), 4))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_scored"),
+            sum(when(col("z") > 3.0, 1L).otherwise(0L)).as("n_anomalies"),
+            round(max("z"), 4).as("max_z"))
+          .orderBy("event_type")
+      },
+      Some("""WITH scored AS (SELECT event_type,
+                  abs(value - avg(value) OVER w) / stddev_samp(value) OVER w AS z0,
+                  stddev_samp(value) OVER w AS sd
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+              z AS (SELECT event_type, round(z0, 4) AS z FROM scored
+                    WHERE sd IS NOT NULL AND sd > 0)
+              SELECT event_type, count(*) AS n_scored,
+                CAST(sum(CASE WHEN z > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_anomalies,
+                round(max(z), 4) AS max_z
+              FROM z GROUP BY event_type ORDER BY event_type""")),
+
     // ordered conversion funnel (view → click-after-view →
     // purchase-after-click) over the first 3 days: three chained
     // conditional-min window passes over ONE user_id partitioning (a
@@ -3165,6 +3203,44 @@ object QueryCatalog {
                 (SELECT count(*) FROM er e1
                  JOIN er e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
                  JOIN er e3 ON e3.lo = e1.hi AND e3.hi = e2.hi) AS n_triangles""")),
+
+    // k-core of the part co-occurrence graph (k = 80 sits inside the
+    // fixture's peeling band: 6 rounds, 1,857 of 2,000 nodes survive —
+    // k ≤ 70 barely peels, k ≥ 85 collapses the whole graph; the sharp
+    // transition is characteristic of quasi-random dense graphs). The
+    // operator requires convergence within maxIter; the oracle unrolls 8
+    // rounds (≥ the 6 needed — extra rounds are fixpoint no-ops)
+    Q("q_graph_kcore",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+        graft.operators.GraphRank.kCore(pairs, k = 80, maxIter = 8)
+          .orderBy("node")
+      },
+      Some {
+        // MATERIALIZED is load-bearing: each round references the previous
+        // edge CTE three times, so default CTE inlining re-expands the
+        // whole chain 3^8 ways (DuckDB dies on file handles before it
+        // finishes planning) — the same blowup the Spark side lineage-cuts
+        val rounds = (1 to 8).map { i =>
+          s"""k$i AS MATERIALIZED (SELECT n, count(*) AS deg FROM (
+                  SELECT a AS n FROM e${i - 1}
+                  UNION ALL SELECT b FROM e${i - 1}) GROUP BY n
+                HAVING count(*) >= 80),
+              e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+                WHERE a IN (SELECT n FROM k$i) AND b IN (SELECT n FROM k$i))"""
+        }.mkString(",\n              ")
+        s"""WITH e0 AS MATERIALIZED (
+                SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a,
+                  CAST(y.l_partkey AS BIGINT) AS b
+                FROM lineitem x JOIN lineitem y
+                  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+              $rounds
+              SELECT n AS node, deg FROM k8 ORDER BY node"""
+      }),
 
     // bigram PMI collocations (multiword-unit mining): oracle rebuilds the
     // adjacent-pair stream, both frequency tables, and the log2 ratio —
