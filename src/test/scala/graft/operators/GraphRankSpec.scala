@@ -99,4 +99,31 @@ class GraphRankSpec extends SparkSpec {
       GraphRank.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst")))
     OperatorCaches.releaseAll()
   }
+
+  test("kCore peels pendant structure and preserves the planted core") {
+    import spark.implicits._
+    // K5 (a 4-core) with a pendant chain 5-10-11-12 hanging off node 5:
+    // peeling at k = 3 must remove the whole chain (its nodes never reach
+    // degree 3) and keep K5 intact with full within-core degrees.
+    val k5 = for (a <- 1L to 5L; b <- 1L to 5L if a < b) yield (a, b)
+    val chain = Seq((5L, 10L), (10L, 11L), (11L, 12L))
+    val got = GraphRank.kCore((k5 ++ chain).toDF("src", "dst"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 5L).map(_ -> 4L).toMap, got)
+    // a 6-cycle IS a 2-core (nothing peels); at k = 3 it vanishes entirely
+    val cyc = (0L until 6L).map(i => (i, (i + 1) % 6))
+    val core2 = GraphRank.kCore(cyc.toDF("src", "dst"), k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(core2 === (0L until 6L).toSet)
+    assert(GraphRank.kCore(cyc.toDF("src", "dst"), k = 3).count() === 0L)
+    // cascade: a chain peels one node per round from each end — an
+    // undersized maxIter must fail loudly, not return a half-peeled graph
+    val longChain = (0L until 12L).map(i => (i, i + 1))
+    assertThrows[IllegalArgumentException](
+      GraphRank.kCore(longChain.toDF("src", "dst"), k = 2, maxIter = 2))
+    // duplicate + reversed edges collapse before peeling
+    val dup = (k5 ++ k5.map(_.swap)).toDF("src", "dst")
+    assert(GraphRank.kCore(dup, k = 4).count() === 5L)
+    OperatorCaches.releaseAll()
+  }
 }
