@@ -385,19 +385,26 @@ object QueryCatalog {
     * and each round's means round to 7 dp before becoming the next
     * round's centroids (see kmeansCentroids scaladoc).
     */
+  /** @param trainPred SQL predicate (over alias-free `emb` columns)
+    *   selecting the k-means TRAINING slice; `corpusPred` selects the
+    *   queryable corpus. Equal by default (the classic trained-index
+    *   entry); the incremental entry trains on the base slice only and
+    *   serves base + new batch through the unchanged centroids.
+    */
   private def ivfKmeansOracleSql(
-      k: Int, iters: Int, nProbe: Int, topK: Int, dim: Int): String = {
+      k: Int, iters: Int, nProbe: Int, topK: Int, dim: Int,
+      trainPred: String = "id <> 0", corpusPred: String = "id <> 0"): String = {
     val hash = graft.operators.PortableHash.duckSql("CAST(id AS VARCHAR)")
-    def assign(name: String, cents: String) =
+    def assign(name: String, cents: String, src: String) =
       s"""$name AS (SELECT id, cid FROM (
                   SELECT r.id, c.cid, row_number() OVER (PARTITION BY r.id
                     ORDER BY COALESCE(round(list_cosine_similarity(r.e, c.ce), 6),
                       -2.0) DESC, c.cid DESC) AS rn
-                  FROM rest r, $cents c) WHERE rn = 1)"""
+                  FROM $src r, $cents c) WHERE rn = 1)"""
     val iterCtes = (1 to iters).map { n =>
-      s"""${assign(s"a$n", s"c${n - 1}")},
+      s"""${assign(s"a$n", s"c${n - 1}", "train")},
               m$n AS (SELECT a.cid, i.i AS pos, round(avg(r.e[i.i]), 7) AS m
-                FROM a$n a, rest r, (SELECT unnest(range(1, ${dim + 1})) AS i) i
+                FROM a$n a, train r, (SELECT unnest(range(1, ${dim + 1})) AS i) i
                 WHERE r.id = a.id GROUP BY a.cid, i.i),
               c$n AS (SELECT p.cid, COALESCE(nm.ml, p.ce) AS ce FROM c${n - 1} p
                 LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS ml
@@ -405,12 +412,13 @@ object QueryCatalog {
     }.mkString(",\n              ")
     s"""WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS id,
                   CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-              rest AS (SELECT * FROM emb WHERE id <> 0),
+              train AS (SELECT * FROM emb WHERE $trainPred),
+              rest AS (SELECT * FROM emb WHERE $corpusPred),
               c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, id) - 1 AS BIGINT)
                   AS cid, ce FROM (
-                  SELECT id, e AS ce, $hash AS h FROM rest ORDER BY h, id LIMIT $k)),
+                  SELECT id, e AS ce, $hash AS h FROM train ORDER BY h, id LIMIT $k)),
               $iterCtes,
-              ${assign("af", s"c$iters")},
+              ${assign("af", s"c$iters", "rest")},
               probes AS (SELECT cid FROM (
                   SELECT cid, round(list_cosine_similarity(ce,
                     (SELECT e FROM emb WHERE id = 0)), 6) AS sim
@@ -4597,6 +4605,29 @@ object QueryCatalog {
           q, k = 10, nProbe = 4)
       },
       Some(ivfKmeansOracleSql(k = 16, iters = 3, nProbe = 4, topK = 10, dim = 64))),
+
+    // incremental IVF index maintenance — the production serving shape: a
+    // NEW vector batch (vec_id ≥ 400) is admitted by assigning it through
+    // the EXISTING centroids (trained on the base slice only, never
+    // retrained); queries serve base + batch through the same partition-
+    // prunable cells. Retraining cost is deferred to an offline cadence —
+    // at 100 TB the assignment of a day's batch is one narrow map over
+    // the batch (k·d broadcast), not a k-means pass over the corpus. The
+    // oracle trains on the base predicate and assigns/probes the full
+    // corpus predicate, so centroid staleness is replayed exactly.
+    Q("q_ann_ivf_incremental",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = Similarity.collectQueryVec(emb, 0)
+        val base = emb.filter(col("vec_id") =!= 0 && col("vec_id") < 400)
+        val batch = emb.filter(col("vec_id") >= 400)
+        val centroids = Similarity.kmeansCentroids(base, k = 16, iters = 3)
+        val assigned = Similarity.ivfAssignWith(base, centroids)
+          .unionByName(Similarity.ivfAssignWith(batch, centroids))
+        Similarity.ivfTopK(assigned, centroids, q, k = 10, nProbe = 4)
+      },
+      Some(ivfKmeansOracleSql(k = 16, iters = 3, nProbe = 4, topK = 10,
+        dim = 64, trainPred = "id <> 0 AND id < 400", corpusPred = "id <> 0"))),
 
     // product quantization ANN (Jégou et al.): 8 subspaces × 16 codewords
     // (a 64-bit code per vector), ADC scoring via the query's exact
