@@ -568,6 +568,50 @@ object QueryCatalog {
                   round(3 * s.mad, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
               FROM v JOIN s ON s.g = v.g GROUP BY v.g ORDER BY v.g""")),
 
+    // winsorization — the clip-at-percentile robust-preprocessing op (the
+    // REPAIR complement of the MAD outlier PROBE above): per-group p01/p99
+    // fences (exact interpolated percentiles, same quantile_cont contract
+    // as q_percentiles), values clipped INTO the fences, and the effect
+    // reported as clip counts + raw-vs-winsorized means. Two shuffles
+    // (the exact-percentile floor) + one broadcast of the per-group
+    // fence table back onto the scan; percentile_approx swaps in at
+    // 100 TB exactly as documented for the MAD entry.
+    Q("q_winsorize",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+          col("l_extendedprice").cast("double").as("x"))
+        val fences = li.groupBy("g").agg(
+          expr("percentile(x, 0.01)").as("p01"),
+          expr("percentile(x, 0.99)").as("p99"))
+        li.join(broadcast(fences), Seq("g"))
+          .withColumn("cx",
+            when(col("x") < col("p01"), col("p01"))
+              .when(col("x") > col("p99"), col("p99"))
+              .otherwise(col("x")))
+          .groupBy("g")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("x") < col("p01"), 1L).otherwise(0L)).as("n_low"),
+            sum(when(col("x") > col("p99"), 1L).otherwise(0L)).as("n_high"),
+            round(avg("x"), 2).as("avg_raw"),
+            round(avg("cx"), 2).as("avg_winsorized"))
+          .orderBy("g")
+      },
+      Some("""WITH v AS (SELECT l_returnflag AS g,
+                  CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+              f AS (SELECT g, quantile_cont(x, 0.01) AS p01,
+                      quantile_cont(x, 0.99) AS p99
+                    FROM v GROUP BY g)
+              SELECT v.g, count(*) AS n,
+                CAST(sum(CASE WHEN v.x < f.p01 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_low,
+                CAST(sum(CASE WHEN v.x > f.p99 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_high,
+                round(avg(v.x), 2) AS avg_raw,
+                round(avg(CASE WHEN v.x < f.p01 THEN f.p01
+                               WHEN v.x > f.p99 THEN f.p99
+                               ELSE v.x END), 2) AS avg_winsorized
+              FROM v JOIN f USING (g) GROUP BY v.g ORDER BY v.g""")),
+
     // Shannon entropy per categorical column (key-quality probe): one
     // (value, count) shuffle per column, H = log2 N − Σc·log2 c / N
     Q("q_profile_entropy",
