@@ -1151,6 +1151,30 @@ object QueryCatalog {
               count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // unpivot/melt — pivot's inverse (Dataset.unpivot, Spark 3.4+): a
+    // wide per-group metric row melted to (group, metric, value) long
+    // form, the reshape every metrics sink wants. Narrow op after the
+    // aggregation: row count multiplies by the melted column count, no
+    // extra shuffle.
+    Q("q_unpivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("qty"),
+          round(sum("l_extendedprice"), 2).as("price"),
+          round(sum("l_discount"), 2).as("disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")), "metric", "value")
+        .orderBy("l_returnflag", "metric"),
+      Some("""WITH agg AS (SELECT l_returnflag,
+                  round(sum(l_quantity), 2) AS qty,
+                  round(sum(l_extendedprice), 2) AS price,
+                  round(sum(l_discount), 2) AS disc
+                FROM lineitem GROUP BY l_returnflag)
+              SELECT l_returnflag, metric, value
+              FROM (UNPIVOT agg ON qty, price, disc
+                    INTO NAME metric VALUE value)
+              ORDER BY l_returnflag, metric""")),
+
     // list aggregation: sorted-distinct collect rendered to a csv string so
     // the value compares bytewise across engines (list encodings differ)
     Q("q_list_agg",
