@@ -361,13 +361,14 @@ object Bench {
       // fastest-omission rungs BEFORE shedding isolated: the cheapest
       // in-run timings (marked "omitted":k, parseable) buy the whole
       // isolated tail — the slowest entries' alone-measured numbers are
-      // worth more than the fastest entries' in-run ones. Capped at HALF
-      // the catalog so the queries map stays the load-bearing bulk (the
-      // r9 third stopped covering once the catalog passed ~165 entries
-      // in the all-4-digit stress regime); beyond that the ladder falls
-      // through to isolated shedding
-      Iterator(2, 4, 8, 16, 24, 32, 48, 64, 96, 128)
-        .filter(k => k < nOk && k <= math.max(16, nOk / 2))
+      // worth more than the fastest entries' in-run ones. Capped at
+      // two-thirds of the catalog so the queries map stays the
+      // load-bearing bulk (the r9 HALF cap stopped covering once the
+      // catalog passed ~188 entries in the all-4-digit stress regime —
+      // the 96 rung that would have saved the tail sat just above nOk/2);
+      // beyond the cap the ladder falls through to isolated shedding
+      Iterator(2, 4, 8, 16, 24, 32, 48, 64, 96, 128, 160)
+        .filter(k => k < nOk && k <= math.max(16, nOk * 2 / 3))
         .map(k => line(true, failures.size, isolated.size, false, tightKeys,
           dropFastest = k)) ++
       (isolated.size - 1 to 0 by -1).iterator

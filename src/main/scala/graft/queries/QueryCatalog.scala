@@ -568,6 +568,66 @@ object QueryCatalog {
                   round(3 * s.mad, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
               FROM v JOIN s ON s.g = v.g GROUP BY v.g ORDER BY v.g""")),
 
+    // Poisson bootstrap confidence interval — THE distributed bootstrap
+    // (per-row independent Poisson(1) weights instead of multinomial
+    // resampling, so no replica ever needs a global pass): B = 100
+    // replicas ride one exploded scan as (replica, Σwx, Σw) partial
+    // aggregates — resamples are never materialized. Weights come from a
+    // portable-hash uniform through the literal Poisson(1) inverse CDF
+    // (truncated at 6, tail mass 6e-5 — deterministic and replayed
+    // verbatim), so an independent engine re-derives every weight.
+    // Replica means round to 6 dp BEFORE the percentile so both engines
+    // interpolate identical inputs. Long→double for the uniform loses
+    // bits below 2^53 identically on both engines (IEEE round-to-nearest
+    // then an exact power-of-two divide).
+    Q("q_bootstrap_ci",
+      (s, dir) => {
+        val b = 100
+        val li = t(s, dir, "lineitem").select(
+          concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("rid"),
+          col("l_quantity").cast("double").as("x"))
+        val u = graft.operators.PortableHash.portable60(
+          concat_ws("#", col("rid"), col("b"))) / lit(1152921504606846976.0)
+        val w = when(u < 0.36788, 0).when(u < 0.73576, 1)
+          .when(u < 0.91970, 2).when(u < 0.98101, 3)
+          .when(u < 0.99634, 4).when(u < 0.99941, 5).otherwise(6)
+        val reps = li
+          .select(col("rid"), col("x"),
+            explode(sequence(lit(0), lit(b - 1))).as("b"))
+          .withColumn("w", w)
+          .groupBy("b")
+          .agg((sum(col("w") * col("x")) / sum(col("w"))).as("m0"))
+          .select(round(col("m0"), 6).as("m"))
+        li.agg(count(lit(1)).as("n"), round(avg("x"), 4).as("mean"))
+          .crossJoin(reps.agg(
+            count(lit(1)).as("n_replicas"),
+            round(expr("percentile(m, 0.025)"), 4).as("ci_lo"),
+            round(expr("percentile(m, 0.975)"), 4).as("ci_hi")))
+      },
+      Some("""WITH li AS (SELECT
+                  CAST(l_orderkey AS VARCHAR) || ':' ||
+                    CAST(l_linenumber AS VARCHAR) AS rid,
+                  CAST(l_quantity AS DOUBLE) AS x FROM lineitem),
+              ex AS (SELECT rid, x, b
+                FROM li, (SELECT unnest(range(0, 100)) AS b) bb),
+              wt AS (SELECT x,
+                  CASE WHEN u < 0.36788 THEN 0 WHEN u < 0.73576 THEN 1
+                       WHEN u < 0.91970 THEN 2 WHEN u < 0.98101 THEN 3
+                       WHEN u < 0.99634 THEN 4 WHEN u < 0.99941 THEN 5
+                       ELSE 6 END AS w, b
+                FROM (SELECT x, b,
+                    CAST(('0x' || substr(md5(rid || '#' ||
+                      CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)
+                      / 1152921504606846976.0 AS u FROM ex)),
+              reps AS (SELECT round(sum(w * x) / sum(w), 6) AS m
+                FROM wt GROUP BY b)
+              SELECT (SELECT count(*) FROM li) AS n,
+                (SELECT round(avg(x), 4) FROM li) AS mean,
+                count(*) AS n_replicas,
+                round(quantile_cont(m, 0.025), 4) AS ci_lo,
+                round(quantile_cont(m, 0.975), 4) AS ci_hi
+              FROM reps""")),
+
     // winsorization — the clip-at-percentile robust-preprocessing op (the
     // REPAIR complement of the MAD outlier PROBE above): per-group p01/p99
     // fences (exact interpolated percentiles, same quantile_cont contract
@@ -723,6 +783,25 @@ object QueryCatalog {
               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // sort-merge join PINNED via hint — the third join strategy beside
+    // broadcast (q_join_broadcast_dims) and shuffle-hash: merge is what a
+    // planner picks when both sides are large and sorted/bucketed
+    // storage can feed it exchange-free. The hint closes the strategy
+    // triad so each physical path carries its own driver row; the plan
+    // shape (SortMergeJoin, no BroadcastExchange on either side) is
+    // asserted in PlanShapeSpec.
+    Q("q_join_sortmerge",
+      (s, dir) => t(s, dir, "orders").hint("merge")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          round(avg("l_discount"), 4).as("avg_disc"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(*) AS n_lines,
+              round(avg(l_discount), 4) AS avg_disc
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     Q("q_join_semi",
       (s, dir) => t(s, dir, "customer")

@@ -39,6 +39,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
       .exists(rev.contains), rev)
     assert(!rev.contains("NestedLoop"), rev)
+    // the merge hint pins the third strategy even where stats would
+    // broadcast — closing the broadcast/shuffle-hash/sort-merge triad
+    val smj = planOf("q_join_sortmerge")
+    assert(smj.contains("SortMergeJoin"), smj)
+    assert(!smj.contains("BroadcastHashJoin"), smj)
   }
 
   test("global top-k plans as TakeOrderedAndProject, never a full sort") {
