@@ -5,6 +5,21 @@ import graft.operators.OperatorCaches
 
 object Bench {
 
+  /** Force FULL evaluation of every output column via the no-op sink.
+    *
+    * `.count()` is NOT a benchmark harness: Catalyst prunes columns the
+    * count doesn't need, and for an entry ending in an aggregate that
+    * prunes the aggregate EXPRESSIONS themselves — a global (no-key)
+    * aggregate's row count is known without computing a single metric, so
+    * count() measures the scan skeleton and skips the operator. Measured
+    * on q_bootstrap_ci at sf0.1: 0.93 s under count() vs 51 s under full
+    * evaluation — a 55× fiction. The noop datasource materializes every
+    * output row on the executors (all columns computed, nothing shipped
+    * to the driver), which is what a user consuming the result pays.
+    */
+  private def exec(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   /** Run-health canary: a fixed, tiny, CPU-bound job (4M xxhash64 over a
     * generated range — no I/O, no cache dependence, overhead+compute in
     * fixed proportion) timed at run start / middle / end. The round-6
@@ -127,7 +142,7 @@ object Bench {
         // masquerade as a slow neighbor. The FIRST failing class is kept:
         // a later sample often fails differently (cache poisoned by the
         // first crash) and would mask the root cause
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { exec(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case t: Throwable =>
           failures.getOrElseUpdate(name, t.getClass.getSimpleName.stripSuffix("$")); -1.0 }
       }
@@ -155,7 +170,7 @@ object Bench {
           System.gc()
           val iso = (1 to passes).map { _ =>
             val t0 = System.nanoTime()
-            try { byName(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+            try { exec(byName(name)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
             // NonFatal only: an OOM/fatal error here means the JVM/Spark
             // state is no longer trustworthy — let it abort the sweep
             // rather than silently publishing numbers from a corrupted run
@@ -183,7 +198,7 @@ object Bench {
       System.gc()
       val iso = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        try { byName(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { exec(byName(name)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         // NonFatal only — same rationale as the family re-measure above
         catch { case scala.util.control.NonFatal(_) => Double.MaxValue }
       }.min

@@ -580,19 +580,30 @@ object QueryCatalog {
     // interpolate identical inputs. Long→double for the uniform loses
     // bits below 2^53 identically on both engines (IEEE round-to-nearest
     // then an exact power-of-two divide).
+    // Cost shape: ONE portable hash per ROW (not per row×replica — the
+    // first cut hashed every exploded pair and cost 51 s at sf0.1; the
+    // affine family over the row hash is pure long arithmetic, the same
+    // trick minhash uses for its 64 hash functions), then B cheap
+    // affine draws per row through the literal (a_b, c_b) constants.
     Q("q_bootstrap_ci",
       (s, dir) => {
         val b = 100
+        val bigP = 2147483647L
+        val params = graft.operators.Dedup.affineParams(b)
+        val aArr = array(params.map(p => lit(p._1)): _*)
+        val cArr = array(params.map(p => lit(p._2)): _*)
         val li = t(s, dir, "lineitem").select(
-          concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("rid"),
+          pmod(graft.operators.PortableHash.portable60(
+            concat_ws(":", col("l_orderkey"), col("l_linenumber"))), lit(bigP))
+            .as("h"),
           col("l_quantity").cast("double").as("x"))
-        val u = graft.operators.PortableHash.portable60(
-          concat_ws("#", col("rid"), col("b"))) / lit(1152921504606846976.0)
+        val u = pmod(element_at(aArr, col("b") + 1) * col("h") +
+          element_at(cArr, col("b") + 1), lit(bigP)) / lit(bigP.toDouble)
         val w = when(u < 0.36788, 0).when(u < 0.73576, 1)
           .when(u < 0.91970, 2).when(u < 0.98101, 3)
           .when(u < 0.99634, 4).when(u < 0.99941, 5).otherwise(6)
         val reps = li
-          .select(col("rid"), col("x"),
+          .select(col("h"), col("x"),
             explode(sequence(lit(0), lit(b - 1))).as("b"))
           .withColumn("w", w)
           .groupBy("b")
@@ -604,21 +615,26 @@ object QueryCatalog {
             round(expr("percentile(m, 0.025)"), 4).as("ci_lo"),
             round(expr("percentile(m, 0.975)"), 4).as("ci_hi")))
       },
-      Some("""WITH li AS (SELECT
-                  CAST(l_orderkey AS VARCHAR) || ':' ||
-                    CAST(l_linenumber AS VARCHAR) AS rid,
+      Some {
+        val fam = graft.operators.Dedup.affineParams(100).zipWithIndex
+          .map { case ((a, c), i) => s"($i, $a, $c)" }
+          .grouped(6).map(_.mkString(", ")).mkString(",\n                  ")
+        s"""WITH li AS (SELECT
+                  CAST(('0x' || substr(md5(
+                    CAST(l_orderkey AS VARCHAR) || ':' ||
+                    CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 2147483647 AS h,
                   CAST(l_quantity AS DOUBLE) AS x FROM lineitem),
-              ex AS (SELECT rid, x, b
-                FROM li, (SELECT unnest(range(0, 100)) AS b) bb),
+              par(b, a, c) AS (VALUES
+                  $fam),
               wt AS (SELECT x,
                   CASE WHEN u < 0.36788 THEN 0 WHEN u < 0.73576 THEN 1
                        WHEN u < 0.91970 THEN 2 WHEN u < 0.98101 THEN 3
                        WHEN u < 0.99634 THEN 4 WHEN u < 0.99941 THEN 5
                        ELSE 6 END AS w, b
                 FROM (SELECT x, b,
-                    CAST(('0x' || substr(md5(rid || '#' ||
-                      CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)
-                      / 1152921504606846976.0 AS u FROM ex)),
+                    ((a * h + c) % 2147483647) / 2147483647.0 AS u
+                  FROM li, par)),
               reps AS (SELECT round(sum(w * x) / sum(w), 6) AS m
                 FROM wt GROUP BY b)
               SELECT (SELECT count(*) FROM li) AS n,
@@ -626,7 +642,8 @@ object QueryCatalog {
                 count(*) AS n_replicas,
                 round(quantile_cont(m, 0.025), 4) AS ci_lo,
                 round(quantile_cont(m, 0.975), 4) AS ci_hi
-              FROM reps""")),
+              FROM reps"""
+      }),
 
     // winsorization — the clip-at-percentile robust-preprocessing op (the
     // REPAIR complement of the MAD outlier PROBE above): per-group p01/p99
