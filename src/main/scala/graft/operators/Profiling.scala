@@ -162,11 +162,19 @@ object Profiling {
     * approxQuantile(relativeError=0) ⇒ exact). `percentile` is the exact
     * aggregate; swap to percentile_approx (GK sketch) at 100 TB.
     */
-  def percentiles(df: DataFrame, c: String, ps: Seq[Double]): DataFrame =
-    aggAll(df, ps.map(p =>
-      // backticks: column names with spaces/dots; round the label (0.95
-      // * 1000 is 949.99… as a double — toInt alone would emit p949)
-      round(expr(s"percentile(`$c`, $p)"), 2).as("p" + math.round(p * 1000))))
+  def percentiles(df: DataFrame, c: String, ps: Seq[Double]): DataFrame = {
+    // ONE percentile buffer for every requested rank — percentile(c,
+    // array(...)) shares the single value multiset; the per-rank form
+    // built and merged one full-size value buffer PER rank (3 ranks over
+    // lineitem = 3× the copy/merge work, measured 6.6 s → see bench note)
+    val one = aggAll(df, Seq(
+      expr(s"percentile(`$c`, array(${ps.mkString(", ")}))").as("__ps")))
+    one.select(ps.zipWithIndex.map { case (p, i) =>
+      // backticks above: column names with spaces/dots; round the label
+      // (0.95 * 1000 is 949.99… as a double — toInt alone would emit p949)
+      round(element_at(col("__ps"), i + 1), 2).as("p" + math.round(p * 1000))
+    }: _*)
+  }
 
   /** Robust per-group outlier profile via the median / MAD rule: a value
     * is flagged when |x − median| > k · MAD (MAD = median absolute
