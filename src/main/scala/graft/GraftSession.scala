@@ -25,6 +25,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // initialPartitionNum is deliberately LEFT UNSET (= shuffle.partitions):
+      // AQE can only coalesce down from it, so raising it is the knob that
+      // would let heavy tiers' sorts shrink below 32-partition size. A/B
+      // at ×1000 (BENCH_SF10 addendum 16): 8×cores initial partitions cut
+      // the full-outer-join sort (snapshot_diff 43.7→24.8 s isolated) but
+      // cost +10–35% on every other shuffle shape at this tier (256-bucket
+      // map-side writes that AQE immediately coalesces away) — net −16%
+      // total. On a cluster, size shuffle.partitions to the data instead;
+      // locally the pinned 32 wins.
       // runtime bloom-filter pruning: for a shuffle join with a selective
       // filter on one side, inject a bloom filter of that side's join keys
       // into the other side's SCAN, so non-matching fact rows die before
