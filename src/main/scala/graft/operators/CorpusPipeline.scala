@@ -27,11 +27,7 @@ object CorpusPipeline {
       windowTokens: Int = 10,
       cap: Int = 40,
       minStopHits: Int = 1): DataFrame = {
-    val toksC = split(col("text"), " ")
-    val nWin = ceil(size(toksC).cast("double") / windowTokens).cast("int")
-    val linesC = transform(sequence(lit(0), nWin - lit(1)),
-      i => array_join(slice(toksC, i * lit(windowTokens) + lit(1),
-        lit(windowTokens)), " "))
+    val linesC = Dedup.tokenWindowLines(col("text"), windowTokens)
 
     val gated = OperatorCaches.persistTracked(
       TextAnalysis.gopherFilter(docs)

@@ -253,6 +253,23 @@ object Dedup {
     * Output: input columns plus `n_lines`, `n_kept` (int) and
     * `text_dedup` (surviving lines joined by '\n').
     */
+  /** Fixed-width token-window "lines" segmentation (C4-style unbroken-web
+    * spans) — the canonical `linesCol` the line-dedup family consumes.
+    * The token array is bound ONCE as a HOF lambda variable (the
+    * [[TextAnalysis.repetitionMetrics]] / chunkCdc dodge): the previous
+    * inline formulation referenced the split expression inside the
+    * window-transform lambda, re-running the full split once per window.
+    */
+  def tokenWindowLines(text: Column, windowTokens: Int = 10): Column = {
+    require(windowTokens >= 1, "need windowTokens >= 1")
+    element_at(transform(array(split(text, " ")), tk => {
+      val nWin = ceil(size(tk).cast("double") / windowTokens).cast("int")
+      transform(sequence(lit(0), nWin - lit(1)),
+        i => array_join(
+          slice(tk, i * lit(windowTokens) + lit(1), lit(windowTokens)), " "))
+    }), 1)
+  }
+
   def lineDedup(df: DataFrame, linesCol: Column, idCol: String = "doc_id"): DataFrame = {
     val keyed = df
       .select(col(idCol), posexplode(linesCol).as(Seq("line_idx", "line")))

@@ -230,10 +230,13 @@ object Similarity {
       dimOut: Int,
       seed: String = "rp"): Column = {
     val sgn = typedLit(signMatrix(dimIn, dimOut, seed))
-    transform(sequence(lit(0), lit(dimOut - 1)), j =>
-      round(aggregate(
-        zip_with(toDouble(v), element_at(sgn, (j + 1).cast("int")), (x, s) => x * s),
-        lit(0.0), (acc, t) => acc + t), 4))
+    // vector cast bound once as a lambda variable: referenced inside the
+    // per-output-dim lambda it would re-run the O(dimIn) cast per dim
+    element_at(transform(array(toDouble(v)), vv =>
+      transform(sequence(lit(0), lit(dimOut - 1)), j =>
+        round(aggregate(
+          zip_with(vv, element_at(sgn, (j + 1).cast("int")), (x, s) => x * s),
+          lit(0.0), (acc, t) => acc + t), 4))), 1)
   }
 
   /** Component-sign binary sketch: bit j = [v_{j+1} ≥ 0], packed into a

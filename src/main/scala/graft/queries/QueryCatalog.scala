@@ -2146,10 +2146,7 @@ object QueryCatalog {
     // window function — rank over (doc_id, line_idx) within each digest.
     Q("q_dedup_lines",
       (s, dir) => {
-        val toksC = split(col("text"), " ")
-        val nWin = ceil(size(toksC).cast("double") / 10.0).cast("int")
-        val linesC = transform(sequence(lit(0), nWin - lit(1)),
-          i => array_join(slice(toksC, i * lit(10) + lit(1), lit(10)), " "))
+        val linesC = Dedup.tokenWindowLines(col("text"), 10)
         Dedup.lineDedup(t(s, dir, "documents"), linesC)
           .select("doc_id", "n_lines", "n_kept", "text_dedup")
           .orderBy("doc_id")
@@ -2176,10 +2173,7 @@ object QueryCatalog {
     // are struck everywhere, fresh windows keep first occurrence in-batch
     Q("q_dedup_lines_incr",
       (s, dir) => {
-        val toksC = split(col("text"), " ")
-        val nWin = ceil(size(toksC).cast("double") / 10.0).cast("int")
-        val linesC = transform(sequence(lit(0), nWin - lit(1)),
-          i => array_join(slice(toksC, i * lit(10) + lit(1), lit(10)), " "))
+        val linesC = Dedup.tokenWindowLines(col("text"), 10)
         val docs = t(s, dir, "documents")
         val base = Dedup.lineDigests(docs.filter(col("doc_id") % 3 === 0), linesC)
         Dedup.lineDedupIncremental(
