@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the crawl-side identity step that runs BEFORE
+  * any content dedup: the same page is fetched as `HTTP://WWW.Site.com:80/
+  * a/?utm_source=feed&id=3` and `http://site.com/a?id=3`, and a corpus
+  * that treats those as two documents double-counts every boilerplate
+  * metric and defeats URL-level dedup entirely. New scope beyond the
+  * reference (its pipeline starts from already-keyed trip records).
+  *
+  * Rules (the standard safe-normalization subset — each one is a pure
+  * function of the URL string, so the whole step is a narrow codegen'd
+  * map with no shuffle and no network):
+  *   - scheme and host lowercased; a leading `www.` stripped
+  *   - default ports dropped (`:80` for http, `:443` for https);
+  *     non-default ports kept
+  *   - trailing `/` stripped from non-root paths; empty path → `/`
+  *   - tracking parameters removed (`utm_*` prefix — the deterministic,
+  *     auditable subset; extend the prefix list per deployment)
+  *   - surviving query parameters sorted (param order is transport
+  *     noise), query dropped entirely when nothing survives
+  *   - fragment dropped (never sent to the server)
+  *
+  * Built on `parse_url` (Spark's codegen'd URL part extractor), so
+  * malformed URLs surface as nulls rather than exceptions — callers
+  * filter `canonical IS NOT NULL` to quarantine junk rows.
+  */
+object Urls {
+
+  /** Lowercased host with any leading `www.` stripped, port excluded.
+    * Null for unparseable URLs.
+    */
+  def canonicalHost(url: Column): Column =
+    regexp_replace(
+      element_at(split(lower(parse_url(url, lit("AUTHORITY"))), ":"), 1),
+      "^www\\.", "")
+
+  /** The canonical URL string under the rules above. Null when the URL
+    * has no parseable scheme/authority.
+    */
+  def canonicalize(url: Column): Column = {
+    val proto = lower(parse_url(url, lit("PROTOCOL")))
+    // AUTHORITY = host[:port]; split rather than HOST so the port rule
+    // sees what was actually written
+    val auth = lower(parse_url(url, lit("AUTHORITY")))
+    val authParts = split(auth, ":")
+    val host = regexp_replace(element_at(authParts, 1), "^www\\.", "")
+    val portStr = when(size(authParts) > 1, element_at(authParts, 2))
+    val defaultPort = when(proto === "http", "80")
+      .when(proto === "https", "443")
+    val port = when(portStr.isNull || portStr === defaultPort, lit(""))
+      .otherwise(concat(lit(":"), portStr))
+    val rawPath = parse_url(url, lit("PATH"))
+    val path = when(rawPath.isNull || rawPath === "", lit("/"))
+      .otherwise(
+        when(regexp_replace(rawPath, "/+$", "") === "", lit("/"))
+          .otherwise(regexp_replace(rawPath, "/+$", "")))
+    val rawQuery = parse_url(url, lit("QUERY")) // fragment already excluded
+    val kept = array_sort(filter(split(rawQuery, "&"),
+      p => !p.startsWith("utm_") && p =!= ""))
+    val query = when(rawQuery.isNull || size(kept) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(kept, "&")))
+    when(proto.isNull || host.isNull, lit(null).cast("string"))
+      .otherwise(concat(proto, lit("://"), host, port, path, query))
+  }
+}

@@ -3697,7 +3697,73 @@ object QueryCatalog {
                 coalesce(round(CAST(agg.mx AS DOUBLE) / agg.nb, 4), 0.0)
                   AS top_bigram_ratio
               FROM toks tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
-              ORDER BY tk.doc_id"""))
+              ORDER BY tk.doc_id""")),
+
+    // URL canonicalization (Urls.canonicalize — the crawl-side identity
+    // step that runs BEFORE any content dedup). Synthetic URLs are
+    // derived closed-form from (doc_id, source) so every rule branch is
+    // exercised: case-varied hosts, www. prefixes, default ports on both
+    // schemes (:443 https / :80 http, both dropped), a kept non-default
+    // :8080, trailing slashes, utm_* tracking params, UNSORTED param
+    // order, fragments. The Spark side must recover the canonical form
+    // VIA parse_url from the assembled string; the oracle writes the
+    // canonical form closed-form from the construction — any parse or
+    // normalization drift hash-mismatches. Narrow codegen'd map, zero
+    // shuffle before the output sort; at 100 TB this runs at scan speed.
+    Q("q_url_canonicalize",
+      (s, dir) => {
+        val d = col("doc_id")
+        val hostCore = concat(col("source"), lit(".example.com"))
+        val scheme = when(d % 2 === 0, "https").otherwise("http")
+        val hostRaw = when(d % 3 === 0, upper(hostCore))
+          .when(d % 3 === 1, concat(lit("www."), hostCore))
+          .otherwise(hostCore)
+        val port = when(d % 4 === 0, ":443") // https default (⇒ dropped)
+          .when(d % 4 === 3, ":80")          // http default (⇒ dropped)
+          .when(d % 4 === 1, ":8080")        // http non-default (⇒ kept)
+          .otherwise(lit(""))
+        val path = concat(lit("/a/"), (d % 7).cast("string"),
+          when(d % 5 === 0, "/").otherwise(""))
+        val query = when(d % 11 === 0, lit(""))
+          .when(d % 2 === 0, concat(lit("?utm_source=feed&id="),
+            (d % 13).cast("string"), lit("&utm_campaign=x")))
+          .otherwise(concat(lit("?ref=rss&id="), (d % 13).cast("string")))
+        val frag = when(d % 6 === 0, lit("#sec")).otherwise(lit(""))
+        t(s, dir, "documents")
+          .select(d.as("doc_id"),
+            concat(scheme, lit("://"), hostRaw, port, path, query, frag)
+              .as("url"))
+          .select(col("doc_id"), col("url"),
+            graft.operators.Urls.canonicalize(col("url")).as("canonical"),
+            graft.operators.Urls.canonicalHost(col("url")).as("host"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+                  || '://' ||
+                (CASE WHEN doc_id % 3 = 0 THEN upper(source || '.example.com')
+                      WHEN doc_id % 3 = 1 THEN 'www.' || source || '.example.com'
+                      ELSE source || '.example.com' END) ||
+                (CASE WHEN doc_id % 4 = 0 THEN ':443'
+                      WHEN doc_id % 4 = 3 THEN ':80'
+                      WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END) ||
+                '/a/' || (doc_id % 7) ||
+                (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+                (CASE WHEN doc_id % 11 = 0 THEN ''
+                      WHEN doc_id % 2 = 0 THEN
+                        '?utm_source=feed&id=' || (doc_id % 13) || '&utm_campaign=x'
+                      ELSE '?ref=rss&id=' || (doc_id % 13) END) ||
+                (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url,
+                (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+                  || '://' || lower(source) || '.example.com' ||
+                (CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END) ||
+                '/a/' || (doc_id % 7) ||
+                (CASE WHEN doc_id % 11 = 0 THEN ''
+                      WHEN doc_id % 2 = 0 THEN '?id=' || (doc_id % 13)
+                      ELSE '?id=' || (doc_id % 13) || '&ref=rss' END)
+                  AS canonical,
+                lower(source) || '.example.com' AS host
+              FROM documents ORDER BY doc_id"""))
   )
 
   private val sampling: Seq[Q] = Seq(

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(Urls.canonicalize(col("url")).as("c"))
+      .as[String].collect().toSeq
+
+  test("each rule: case, www, default ports, trailing slash, utm, sort, fragment") {
+    assert(canon("HTTPS://WWW.Site.COM:443/a/b/?utm_source=x&z=2&a=1#frag") ==
+      Seq("https://site.com/a/b?a=1&z=2"))
+    assert(canon("http://site.com:80/") == Seq("http://site.com/"))
+    // non-default port kept; http's default 80 is https's non-default
+    assert(canon("http://site.com:8080/p") == Seq("http://site.com:8080/p"))
+    assert(canon("https://site.com:80/p") == Seq("https://site.com:80/p"))
+    // empty path normalizes to root; query-only survivors keep order-sorted
+    assert(canon("https://site.com?b=2&a=1") == Seq("https://site.com/?a=1&b=2"))
+    // all params tracking ⇒ query dropped entirely
+    assert(canon("https://site.com/p?utm_a=1&utm_b=2") == Seq("https://site.com/p"))
+  }
+
+  test("www stripped only as a leading label, not inside the host") {
+    assert(canon("https://www.example.com/x") == Seq("https://example.com/x"))
+    assert(canon("https://notwww.example.com/x") == Seq("https://notwww.example.com/x"))
+    assert(canon("https://awww.example.com/x") == Seq("https://awww.example.com/x"))
+  }
+
+  test("idempotent: canonicalizing a canonical URL is a no-op") {
+    val raw = Seq(
+      "HTTP://WWW.A.com:80/x/?utm_c=1&b=2&a=3#f",
+      "https://b.example.org:8443/deep/path/",
+      "http://c.net")
+    val once = canon(raw: _*)
+    assert(canon(once: _*) == once)
+  }
+
+  test("unparseable URLs yield null, not an exception") {
+    val out = Seq("not a url", "", "http//missing.colon/x")
+      .toDF("url").select(Urls.canonicalize(col("url")).as("c"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out.forall(_.isEmpty))
+  }
+
+  test("canonicalHost lowers, strips www and port") {
+    val hosts = Seq("HTTPS://WWW.Site.COM:443/a", "http://plain.org/b")
+      .toDF("url").select(Urls.canonicalHost(col("url")).as("h"))
+      .as[String].collect().toSeq
+    assert(hosts == Seq("site.com", "plain.org"))
+  }
+}
