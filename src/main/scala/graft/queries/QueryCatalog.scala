@@ -3763,7 +3763,49 @@ object QueryCatalog {
                       ELSE '?id=' || (doc_id % 13) || '&ref=rss' END)
                   AS canonical,
                 lower(source) || '.example.com' AS host
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // The canonicalization PAYOFF as one row per host: each page is
+    // fetched twice — once as a shouty tracked variant (uppercase
+    // www-host, explicit default port, trailing slash, utm params), once
+    // clean — and URL-level dedup on the CANONICAL form collapses the
+    // pair that raw-URL dedup cannot (n_canonical ≈ n_raw / 2). The
+    // explode is a narrow 1→2 map; the aggregate is one shuffle on host.
+    Q("q_url_dedup",
+      (s, dir) => {
+        val d = col("doc_id")
+        val hostCore = concat(col("source"), lit(".example.com"))
+        val tracked = concat(lit("HTTPS://WWW."), upper(hostCore),
+          lit(":443/p/"), (d % 7).cast("string"),
+          lit("/?utm_source=feed&id="), (d % 13).cast("string"))
+        val clean = concat(lit("https://"), hostCore, lit("/p/"),
+          (d % 7).cast("string"), lit("?id="), (d % 13).cast("string"))
+        t(s, dir, "documents")
+          .select(d.as("doc_id"), explode(array(tracked, clean)).as("url"))
+          .select(col("url"),
+            graft.operators.Urls.canonicalHost(col("url")).as("host"),
+            graft.operators.Urls.canonicalize(col("url")).as("canonical"))
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_fetches"),
+            countDistinct(col("url")).as("n_raw"),
+            countDistinct(col("canonical")).as("n_canonical"))
+          .orderBy("host")
+      },
+      Some("""WITH u AS (SELECT doc_id, source,
+                  unnest(['HTTPS://WWW.' || upper(source || '.example.com')
+                            || ':443/p/' || (doc_id % 7)
+                            || '/?utm_source=feed&id=' || (doc_id % 13),
+                          'https://' || source || '.example.com' || '/p/'
+                            || (doc_id % 7) || '?id=' || (doc_id % 13)])
+                    AS url,
+                  lower(source) || '.example.com' AS host,
+                  'https://' || source || '.example.com' || '/p/'
+                    || (doc_id % 7) || '?id=' || (doc_id % 13) AS canonical
+                FROM documents)
+              SELECT host, count(*) AS n_fetches,
+                count(DISTINCT url) AS n_raw,
+                count(DISTINCT canonical) AS n_canonical
+              FROM u GROUP BY host ORDER BY host"""))
   )
 
   private val sampling: Seq[Q] = Seq(
