@@ -93,6 +93,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder("graft-bench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional durable checkpoint dir — the CLUSTER shape for the
+    // iterative graph/CC operators (their per-round lineage cuts prefer
+    // checkpoint() when a dir is set; localCheckpoint otherwise). On the
+    // single-JVM harness localCheckpoint keeps every round's state in the
+    // one block manager, which is what walled kcore at ×100
+    // (BENCH_SF10 addendum 12); a disk dir moves round state off-heap.
+    // cleanCheckpoints is on (GraftSession), so superseded rounds delete.
+    sys.env.get("SPARK_GRAFT_CKPT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
     // optional comma-separated query filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // catalog order (stable), so family grouping below is contiguous

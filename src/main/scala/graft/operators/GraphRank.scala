@@ -188,6 +188,53 @@ object GraphRank {
       edges.select(least(col("src").cast("long"), col("dst").cast("long")).as("a"),
           greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
         .filter(col("a") =!= col("b")).distinct())
+    countOriented(und)
+  }
+
+  /** Triangle count with the HUB CAP — the lever [[triangleCount]]'s
+    * scaladoc names actually implemented: nodes whose degree exceeds the
+    * exact `degreePct` quantile of the degree distribution are REMOVED
+    * (with all their edges) before counting. Σ fwd² is dominated by the
+    * high-degree tail, so trimming the top (1 − pct) of nodes cuts the
+    * wedge volume far more than linearly — the triangle twin of
+    * ngramJaccard's maxDf / videoNearDupPairs' maxFrameDf, and like them
+    * it is deterministic SET REDUCTION, not a sampling heuristic: the
+    * result is exactly the triangle count of the reduced graph, and an
+    * oracle replays the quantile, the node cut, and both joins. The cap
+    * is quantile-RELATIVE (not absolute) so the same call is meaningful
+    * at every scale — degrees grow with corpus size, percentiles travel.
+    * Output adds the applied cap (6-dp grid, the winsorize-fence
+    * convention) and the hub count dropped, so the reduction is auditable
+    * in the result row itself.
+    */
+  def triangleCountCapped(edges: DataFrame, degreePct: Double): DataFrame = {
+    require(degreePct > 0 && degreePct <= 1, "need 0 < degreePct <= 1")
+    val und = OperatorCaches.persistTracked(
+      edges.select(least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+          greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    val deg = OperatorCaches.persistTracked(
+      und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg")))
+    // one exact-percentile scalar over |N| degree rows — a bounded
+    // single-row head, the repo's sanctioned collect shape
+    val cap = deg.agg(round(
+      expr(s"percentile(deg, $degreePct)"), 6).as("cap")).head().getDouble(0)
+    val keep = deg.filter(col("deg") <= cap).select("n")
+    val reduced = OperatorCaches.persistTracked(
+      und.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi"))
+    val nHubs = deg.filter(col("deg") > cap).count()
+    countOriented(reduced)
+      .withColumn("deg_cap", lit(cap))
+      .withColumn("n_hubs_dropped", lit(nHubs))
+  }
+
+  /** The compact-forward core over an already-canonical undirected edge
+    * set: rank by (within-set degree, id), orient low→high, wedge join,
+    * closing-edge join. Shared by the exact and hub-capped counters.
+    */
+  private def countOriented(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("deg"), col("n"))
@@ -206,7 +253,7 @@ object GraphRank {
       .count()
     val nN = deg.count()
     val nE = und.count()
-    val spark = edges.sparkSession
+    val spark = und.sparkSession
     import spark.implicits._
     Seq((nN, nE, tri)).toDF("n_nodes", "n_edges", "n_triangles")
   }

@@ -3370,6 +3370,50 @@ object QueryCatalog {
                  JOIN er e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
                  JOIN er e3 ON e3.lo = e1.hi AND e3.hi = e2.hi) AS n_triangles""")),
 
+    // The hub-capped variant — the Σfwd² lever the exact entry's notes
+    // name, implemented: nodes above the exact p90 degree quantile are
+    // removed (deterministic reduced-graph semantics, the triangle twin
+    // of ngramJaccard.maxDf), and the result row carries the applied cap
+    // + hub count so the reduction is auditable. The oracle replays the
+    // quantile (6-dp grid, the winsorize-fence convention), the node cut,
+    // the within-reduced-graph re-rank, and both joins.
+    Q("q_graph_triangles_capped",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+        graft.operators.GraphRank.triangleCountCapped(pairs, 0.9)
+      },
+      Some("""WITH und AS (SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a,
+                     CAST(y.l_partkey AS BIGINT) AS b
+                   FROM lineitem x JOIN lineitem y
+                     ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+              deg AS (SELECT n, count(*) AS deg FROM (
+                  SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+                GROUP BY n),
+              cap AS (SELECT round(quantile_cont(deg, 0.9), 6) AS c FROM deg),
+              keep AS (SELECT n FROM deg, cap WHERE deg <= c),
+              und2 AS (SELECT a, b FROM und
+                       WHERE a IN (SELECT n FROM keep)
+                         AND b IN (SELECT n FROM keep)),
+              deg2 AS (SELECT n, count(*) AS deg FROM (
+                  SELECT a AS n FROM und2 UNION ALL SELECT b FROM und2)
+                GROUP BY n),
+              rk AS (SELECT n, row_number() OVER (ORDER BY deg, n) AS rk FROM deg2),
+              er AS (SELECT least(ra.rk, rb.rk) AS lo, greatest(ra.rk, rb.rk) AS hi
+                     FROM und2 JOIN rk ra ON ra.n = und2.a
+                     JOIN rk rb ON rb.n = und2.b)
+              SELECT (SELECT count(*) FROM deg2) AS n_nodes,
+                (SELECT count(*) FROM und2) AS n_edges,
+                (SELECT count(*) FROM er e1
+                 JOIN er e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+                 JOIN er e3 ON e3.lo = e1.hi AND e3.hi = e2.hi) AS n_triangles,
+                (SELECT c FROM cap) AS deg_cap,
+                (SELECT count(*) FROM deg, cap WHERE deg > c)
+                  AS n_hubs_dropped""")),
+
     // k-core of the part co-occurrence graph (k = 80 sits inside the
     // fixture's peeling band: 6 rounds, 1,857 of 2,000 nodes survive —
     // k ≤ 70 barely peels, k ≥ 85 collapses the whole graph; the sharp

@@ -89,6 +89,31 @@ class GraphRankSpec extends SparkSpec {
     OperatorCaches.releaseAll()
   }
 
+  test("triangleCountCapped removes hubs deterministically") {
+    import spark.implicits._
+    // K4 (degree 3 everywhere) + a hub wired to all of K4 and 6 leaves:
+    // hub degree 10 is the unique tail of the distribution
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val hub = (1L to 4L).map(n => (n, 100L)) ++ (11L to 16L).map(l => (100L, l))
+    val e = (k4 ++ hub).toDF("src", "dst")
+    // uncapped: K4's 4 + C(4,2)=6 hub triangles
+    assert(GraphRank.triangleCount(e).head().getLong(2) === 10L)
+    val capped = GraphRank.triangleCountCapped(e, 0.9).head()
+    // degrees: K4 nodes 4 each (3 in-clique + hub), hub 10, leaves 1;
+    // p90 of (1,1,1,1,1,1,4,4,4,4,10) = 4.0 -> only the hub is dropped
+    assert(capped.getAs[Double]("deg_cap") === 4.0)
+    assert(capped.getAs[Long]("n_hubs_dropped") === 1L)
+    // reduced graph = K4 + isolated leaves: exactly K4's 4 triangles,
+    // 6 edges, and only the 4 K4 nodes still carry an edge
+    assert(capped.getAs[Long]("n_triangles") === 4L)
+    assert(capped.getAs[Long]("n_edges") === 6L)
+    assert(capped.getAs[Long]("n_nodes") === 4L)
+    // pct = 1.0 keeps everything (cap = max degree)
+    assert(GraphRank.triangleCountCapped(e, 1.0).head()
+      .getAs[Long]("n_triangles") === 10L)
+    OperatorCaches.releaseAll()
+  }
+
   test("rejects bad parameters and empty graphs") {
     import spark.implicits._
     assertThrows[IllegalArgumentException](
