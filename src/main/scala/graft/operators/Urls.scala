@@ -29,13 +29,24 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
-  /** Lowercased host with any leading `www.` stripped, port excluded.
-    * Null for unparseable URLs.
+  /** Lowercased host with any leading `www.` stripped, port and userinfo
+    * excluded. Null for unparseable URLs. (IPv6 bracket hosts are out of
+    * scope for the port split — crawl corpora key on registered names;
+    * a bracketed authority passes through with its brackets, still
+    * deterministic.)
     */
   def canonicalHost(url: Column): Column =
     regexp_replace(
-      element_at(split(lower(parse_url(url, lit("AUTHORITY"))), ":"), 1),
+      element_at(split(stripUserinfo(
+        lower(parse_url(url, lit("AUTHORITY")))), ":"), 1),
       "^www\\.", "")
+
+  /** `user:pass@host` → `host`: crawl pipelines drop credentials — they
+    * are fetch transport, never page identity (and a corpus must not
+    * persist them).
+    */
+  private def stripUserinfo(auth: Column): Column =
+    regexp_replace(auth, "^[^@]*@", "")
 
   /** The canonical URL string under the rules above. Null when the URL
     * has no parseable scheme/authority.
@@ -44,7 +55,7 @@ object Urls {
     val proto = lower(parse_url(url, lit("PROTOCOL")))
     // AUTHORITY = host[:port]; split rather than HOST so the port rule
     // sees what was actually written
-    val auth = lower(parse_url(url, lit("AUTHORITY")))
+    val auth = stripUserinfo(lower(parse_url(url, lit("AUTHORITY"))))
     val authParts = split(auth, ":")
     val host = regexp_replace(element_at(authParts, 1), "^www\\.", "")
     val portStr = when(size(authParts) > 1, element_at(authParts, 2))
