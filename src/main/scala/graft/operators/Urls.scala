@@ -48,6 +48,37 @@ object Urls {
   private def stripUserinfo(auth: Column): Column =
     regexp_replace(auth, "^[^@]*@", "")
 
+  /** Common second-level public suffixes for [[registeredDomain]]. An
+    * offline, documented HEURISTIC subset of the public-suffix list —
+    * the full list is data, not code, and slots in as a config column
+    * without changing the expression shape. Covering the high-traffic
+    * ccTLD conventions is what keeps `sub.host.co.uk` from collapsing
+    * into the meaningless group `co.uk`.
+    */
+  private[operators] val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "co.in", "com.cn",
+    "com.mx", "com.ar", "co.za", "co.kr", "com.tr", "co.nz", "com.sg")
+
+  /** Registered domain (eTLD+1) of a host — the aggregation key
+    * per-domain caps and per-domain quality stats actually want:
+    * `cdn.img.site.co.uk` and `www.site.co.uk` are ONE publisher, and
+    * capping on full host would let a subdomain farm evade the cap.
+    * Last two labels, or three when the last two are a known multi-label
+    * public suffix ([[MultiLabelSuffixes]]). Hosts with ≤ 2 labels (and
+    * bare/IP-ish names) pass through unchanged. Pure codegen'd column
+    * expression — no UDF, no shuffle.
+    */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    when(n <= 2, host)
+      .when(array_contains(typedLit(MultiLabelSuffixes), last2),
+        concat_ws(".", element_at(labels, -3), last2))
+      .otherwise(last2)
+  }
+
   /** The canonical URL string under the rules above. Null when the URL
     * has no parseable scheme/authority.
     */

@@ -3849,7 +3849,43 @@ object QueryCatalog {
               SELECT host, count(*) AS n_fetches,
                 count(DISTINCT url) AS n_raw,
                 count(DISTINCT canonical) AS n_canonical
-              FROM u GROUP BY host ORDER BY host"""))
+              FROM u GROUP BY host ORDER BY host""")),
+
+    // Registered-domain (eTLD+1) extraction — the aggregation key
+    // per-domain caps actually want: subdomain farms collapse to one
+    // publisher. Hosts are synthesized across the shapes that matter
+    // (deep subdomain on a multi-label ccTLD suffix, www on .com, bare
+    // 2-label, cdn on com.au); the oracle replays the label logic
+    // closed-form. Per-domain counts = one shuffle on the derived key.
+    Q("q_url_domains",
+      (s, dir) => {
+        val d = col("doc_id")
+        val host = when(d % 4 === 0, concat(lit("a.b."), col("source"), lit(".co.uk")))
+          .when(d % 4 === 1, concat(lit("www."), col("source"), lit(".com")))
+          .when(d % 4 === 2, concat(col("source"), lit(".org")))
+          .otherwise(concat(lit("cdn."), col("source"), lit(".com.au")))
+        t(s, dir, "documents")
+          .select(host.as("host"))
+          .select(col("host"),
+            graft.operators.Urls.registeredDomain(col("host")).as("domain"))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("host")).as("n_hosts"))
+          .orderBy("domain")
+      },
+      Some("""WITH h AS (SELECT
+                  CASE WHEN doc_id % 4 = 0 THEN 'a.b.' || source || '.co.uk'
+                       WHEN doc_id % 4 = 1 THEN 'www.' || source || '.com'
+                       WHEN doc_id % 4 = 2 THEN source || '.org'
+                       ELSE 'cdn.' || source || '.com.au' END AS host,
+                  CASE WHEN doc_id % 4 = 0 THEN source || '.co.uk'
+                       WHEN doc_id % 4 = 1 THEN source || '.com'
+                       WHEN doc_id % 4 = 2 THEN source || '.org'
+                       ELSE source || '.com.au' END AS domain
+                FROM documents)
+              SELECT domain, count(*) AS n_docs,
+                count(DISTINCT host) AS n_hosts
+              FROM h GROUP BY domain ORDER BY domain"""))
   )
 
   private val sampling: Seq[Q] = Seq(

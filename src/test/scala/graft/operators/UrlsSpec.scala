@@ -51,6 +51,15 @@ class UrlsSpec extends SparkSpec {
     assert(canon("http://token@site.com/x") == Seq("http://site.com/x"))
   }
 
+  test("registeredDomain: eTLD+1 across label shapes") {
+    val out = Seq("cdn.img.site.co.uk", "www.site.com", "site.org",
+        "a.b.c.d.example.com.au", "localhost", "co.uk")
+      .toDF("h").select(Urls.registeredDomain(col("h")).as("d"))
+      .as[String].collect().toSeq
+    assert(out == Seq("site.co.uk", "site.com", "site.org",
+      "example.com.au", "localhost", "co.uk"))
+  }
+
   test("canonicalHost lowers, strips www and port") {
     val hosts = Seq("HTTPS://WWW.Site.COM:443/a", "http://plain.org/b")
       .toDF("url").select(Urls.canonicalHost(col("url")).as("h"))
