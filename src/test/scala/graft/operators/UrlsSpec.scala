@@ -38,6 +38,41 @@ class UrlsSpec extends SparkSpec {
     assert(canon(once: _*) == once)
   }
 
+  test("properties on seeded random URLs: idempotent, param-order- and host-case-invariant") {
+    val rnd = new scala.util.Random(20260814L)
+    def randLabel() = {
+      val s = Seq.fill(2 + rnd.nextInt(6))(('a' + rnd.nextInt(26)).toChar).mkString
+      if (rnd.nextBoolean()) s.capitalize else s
+    }
+    val cases = (1 to 60).map { _ =>
+      val scheme = if (rnd.nextBoolean()) "https" else "http"
+      val www = if (rnd.nextBoolean()) "www." else ""
+      val host = www + randLabel() + "." + randLabel() + ".com"
+      val port = rnd.nextInt(4) match {
+        case 0 => if (scheme == "https") ":443" else ":80"
+        case 1 => ":" + (1024 + rnd.nextInt(60000))
+        case _ => ""
+      }
+      val path = "/" + Seq.fill(rnd.nextInt(3))(randLabel()).mkString("/") +
+        (if (rnd.nextBoolean()) "/" else "")
+      val params = Seq.fill(rnd.nextInt(4))(
+        (if (rnd.nextInt(3) == 0) "utm_" else "") + randLabel() + "=" + rnd.nextInt(99))
+      val frag = if (rnd.nextBoolean()) "#x" else ""
+      val q1 = if (params.isEmpty) "" else "?" + params.mkString("&")
+      val q2 = if (params.isEmpty) "" else "?" + rnd.shuffle(params).mkString("&")
+      (scheme + "://" + host + port + path + q1 + frag,
+       scheme + "://" + host.toUpperCase + port + path + q2 + frag)
+    }
+    val a = canon(cases.map(_._1): _*)
+    val b = canon(cases.map(_._2): _*)
+    // param order and host case are transport noise: same canonical form
+    assert(a == b)
+    // idempotence over the whole random batch
+    assert(canon(a: _*) == a)
+    // canonical forms never carry fragments, utm params, or www hosts
+    assert(a.forall(u => !u.contains("#") && !u.contains("utm_") && !u.contains("://www.")))
+  }
+
   test("unparseable URLs yield null, not an exception") {
     val out = Seq("not a url", "", "http//missing.colon/x")
       .toDF("url").select(Urls.canonicalize(col("url")).as("c"))
