@@ -217,9 +217,13 @@ object GraphRank {
       und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg")))
     // one exact-percentile scalar over |N| degree rows — a bounded
-    // single-row head, the repo's sanctioned collect shape
-    val cap = deg.agg(round(
-      expr(s"percentile(deg, $degreePct)"), 6).as("cap")).head().getDouble(0)
+    // single-row head, the repo's sanctioned collect shape. An empty (or
+    // self-loops-only) graph aggregates percentile to null: degrade to
+    // cap 0 and the same (0, 0, 0) row the uncapped twin returns, not an
+    // NPE
+    val capRow = deg.agg(round(
+      expr(s"percentile(deg, $degreePct)"), 6).as("cap")).head()
+    val cap = if (capRow.isNullAt(0)) 0.0 else capRow.getDouble(0)
     val keep = deg.filter(col("deg") <= cap).select("n")
     val reduced = OperatorCaches.persistTracked(
       und.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")

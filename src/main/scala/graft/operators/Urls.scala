@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   * function of the URL string, so the whole step is a narrow codegen'd
   * map with no shuffle and no network):
   *   - scheme and host lowercased; a leading `www.` stripped
-  *   - default ports dropped (`:80` for http, `:443` for https);
-  *     non-default ports kept
+  *   - userinfo dropped (credentials are fetch transport, never page
+  *     identity — and a corpus must not persist them)
+  *   - default ports dropped (`:80` for http, `:443` for https, compared
+  *     NUMERICALLY so `:080` and `:80` are one identity); non-default
+  *     ports kept in canonical integer form
   *   - trailing `/` stripped from non-root paths; empty path → `/`
   *   - tracking parameters removed (`utm_*` prefix — the deterministic,
   *     auditable subset; extend the prefix list per deployment)
@@ -25,28 +28,79 @@ import org.apache.spark.sql.functions._
   *
   * Built on `parse_url` (Spark's codegen'd URL part extractor), so
   * malformed URLs surface as nulls rather than exceptions — callers
-  * filter `canonical IS NOT NULL` to quarantine junk rows.
+  * filter `canonical IS NOT NULL` to quarantine junk rows. Quarantined
+  * (null) shapes beyond parse failures: empty hosts (`https://www./x`),
+  * non-numeric ports, and IPv6 bracket authorities (crawl corpora key on
+  * registered names; a literal-IP URL is junk-binned, never silently
+  * merged with other IPs under a mangled host).
   */
 object Urls {
 
-  /** Lowercased host with any leading `www.` stripped, port and userinfo
-    * excluded. Null for unparseable URLs. (IPv6 bracket hosts are out of
-    * scope for the port split — crawl corpora key on registered names;
-    * a bracketed authority passes through with its brackets, still
-    * deterministic.)
-    */
-  def canonicalHost(url: Column): Column =
-    regexp_replace(
-      element_at(split(stripUserinfo(
-        lower(parse_url(url, lit("AUTHORITY")))), ":"), 1),
-      "^www\\.", "")
-
-  /** `user:pass@host` → `host`: crawl pipelines drop credentials — they
-    * are fetch transport, never page identity (and a corpus must not
-    * persist them).
+  /** `user:pass@host` → `host`. Greedy to the LAST `@` (RFC 3986:
+    * userinfo ends at the final `@`), so a raw `@` inside a password
+    * cannot leave credential residue in the host.
     */
   private def stripUserinfo(auth: Column): Column =
-    regexp_replace(auth, "^[^@]*@", "")
+    regexp_replace(auth, "^.*@", "")
+
+  /** Lowercased `host[:port]` with userinfo removed — the shared
+    * authority derivation for [[canonicalHost]] and [[canonicalize]],
+    * factored so a host rule can never apply to one and not the other.
+    * Null for unparseable URLs and for IPv6 bracket authorities (the
+    * `:`-split port rule cannot see brackets; quarantine beats a
+    * mangled `[` host).
+    */
+  private def cleanAuth(url: Column): Column = {
+    val auth = stripUserinfo(lower(parse_url(url, lit("AUTHORITY"))))
+    when(auth.contains("["), lit(null).cast("string")).otherwise(auth)
+  }
+
+  /** Host from a [[cleanAuth]] authority: port dropped, leading `www.`
+    * stripped. Empty hosts normalize to null (quarantine).
+    */
+  private def hostOf(auth: Column): Column = {
+    val h = regexp_replace(
+      element_at(split(auth, ":"), 1), "^www\\.", "")
+    when(h === "", lit(null).cast("string")).otherwise(h)
+  }
+
+  /** Lowercased host with any leading `www.` stripped, port and userinfo
+    * excluded. Null for unparseable URLs, empty hosts, and IPv6 bracket
+    * authorities.
+    */
+  def canonicalHost(url: Column): Column = hostOf(cleanAuth(url))
+
+  /** The canonical URL string under the rules above. Null when the URL
+    * has no parseable scheme/authority, or the authority is quarantined
+    * (empty host, bracket authority, non-numeric port).
+    */
+  def canonicalize(url: Column): Column = {
+    val proto = lower(parse_url(url, lit("PROTOCOL")))
+    val auth = cleanAuth(url)
+    val authParts = split(auth, ":")
+    val host = hostOf(auth)
+    // numeric port: ":080" and ":80" are the same transport endpoint
+    val portNum = when(size(authParts) > 1,
+      element_at(authParts, 2).cast("int"))
+    val malformedPort = size(authParts) > 1 && portNum.isNull
+    val defaultPort = when(proto === "http", 80)
+      .when(proto === "https", 443)
+    val port = when(portNum.isNull || portNum === defaultPort, lit(""))
+      .otherwise(concat(lit(":"), portNum.cast("string")))
+    val rawPath = parse_url(url, lit("PATH"))
+    val path = when(rawPath.isNull || rawPath === "", lit("/"))
+      .otherwise(
+        when(regexp_replace(rawPath, "/+$", "") === "", lit("/"))
+          .otherwise(regexp_replace(rawPath, "/+$", "")))
+    val rawQuery = parse_url(url, lit("QUERY")) // fragment already excluded
+    val kept = array_sort(filter(split(rawQuery, "&"),
+      p => !p.startsWith("utm_") && p =!= ""))
+    val query = when(rawQuery.isNull || size(kept) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(kept, "&")))
+    when(proto.isNull || host.isNull || malformedPort,
+        lit(null).cast("string"))
+      .otherwise(concat(proto, lit("://"), host, port, path, query))
+  }
 
   /** Common second-level public suffixes for [[registeredDomain]]. An
     * offline, documented HEURISTIC subset of the public-suffix list —
@@ -65,46 +119,22 @@ object Urls {
     * `cdn.img.site.co.uk` and `www.site.co.uk` are ONE publisher, and
     * capping on full host would let a subdomain farm evade the cap.
     * Last two labels, or three when the last two are a known multi-label
-    * public suffix ([[MultiLabelSuffixes]]). Hosts with ≤ 2 labels (and
-    * bare/IP-ish names) pass through unchanged. Pure codegen'd column
+    * public suffix ([[MultiLabelSuffixes]]). The host is lowercased
+    * first (the suffix match must not depend on the caller having
+    * canonicalized), hosts with ≤ 2 labels pass through (lowercased),
+    * and null propagates as null so junk rows stay quarantined instead
+    * of aggregating under an empty-string domain. Pure codegen'd column
     * expression — no UDF, no shuffle.
     */
   def registeredDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
+    val h = lower(host)
+    val labels = split(h, "\\.")
     val n = size(labels)
     val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
-    when(n <= 2, host)
+    when(host.isNull, lit(null).cast("string"))
+      .when(n <= 2, h)
       .when(array_contains(typedLit(MultiLabelSuffixes), last2),
         concat_ws(".", element_at(labels, -3), last2))
       .otherwise(last2)
-  }
-
-  /** The canonical URL string under the rules above. Null when the URL
-    * has no parseable scheme/authority.
-    */
-  def canonicalize(url: Column): Column = {
-    val proto = lower(parse_url(url, lit("PROTOCOL")))
-    // AUTHORITY = host[:port]; split rather than HOST so the port rule
-    // sees what was actually written
-    val auth = stripUserinfo(lower(parse_url(url, lit("AUTHORITY"))))
-    val authParts = split(auth, ":")
-    val host = regexp_replace(element_at(authParts, 1), "^www\\.", "")
-    val portStr = when(size(authParts) > 1, element_at(authParts, 2))
-    val defaultPort = when(proto === "http", "80")
-      .when(proto === "https", "443")
-    val port = when(portStr.isNull || portStr === defaultPort, lit(""))
-      .otherwise(concat(lit(":"), portStr))
-    val rawPath = parse_url(url, lit("PATH"))
-    val path = when(rawPath.isNull || rawPath === "", lit("/"))
-      .otherwise(
-        when(regexp_replace(rawPath, "/+$", "") === "", lit("/"))
-          .otherwise(regexp_replace(rawPath, "/+$", "")))
-    val rawQuery = parse_url(url, lit("QUERY")) // fragment already excluded
-    val kept = array_sort(filter(split(rawQuery, "&"),
-      p => !p.startsWith("utm_") && p =!= ""))
-    val query = when(rawQuery.isNull || size(kept) === 0, lit(""))
-      .otherwise(concat(lit("?"), array_join(kept, "&")))
-    when(proto.isNull || host.isNull, lit(null).cast("string"))
-      .otherwise(concat(proto, lit("://"), host, port, path, query))
   }
 }

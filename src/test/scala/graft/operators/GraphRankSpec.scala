@@ -122,6 +122,18 @@ class GraphRankSpec extends SparkSpec {
       GraphRank.pageRank(Seq((1L, 2L)).toDF("src", "dst"), damping = 1.0))
     assertThrows[IllegalArgumentException](
       GraphRank.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst")))
+    assertThrows[IllegalArgumentException](
+      GraphRank.triangleCountCapped(Seq((1L, 2L)).toDF("src", "dst"), 0.0))
+    // empty / self-loops-only graphs: both counters return the zero row
+    // (the capped twin must not NPE on the null percentile)
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val loops = Seq((3L, 3L)).toDF("src", "dst")
+    for (g <- Seq(empty, loops)) {
+      assert(GraphRank.triangleCount(g).head().getLong(2) === 0L)
+      val r = GraphRank.triangleCountCapped(g, 0.9).head()
+      assert(r.getAs[Long]("n_triangles") === 0L &&
+        r.getAs[Long]("n_hubs_dropped") === 0L)
+    }
     OperatorCaches.releaseAll()
   }
 
