@@ -1037,4 +1037,48 @@ object Similarity {
         round(cosine(col("v_a"), col("v_b")), 4).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Hard-negative mining for contrastive / embedding training: for each
+    * anchor vector, the k corpus vectors MOST similar to it that carry a
+    * DIFFERENT label — the negatives that actually move a contrastive
+    * loss (easy negatives are already far; random negatives waste batch
+    * slots). The anchor side is the (bounded) mining batch — in practice
+    * the anchors of the next training epoch — so it broadcasts; the
+    * corpus side streams map-only through the scan, and the per-anchor
+    * top-k keeps a MAP-SIDE partial heap (graftnative.TopKPerKey), so
+    * the shuffle carries at most k rows per anchor per partition, never
+    * the n_anchors × n_corpus score matrix. At 100 TB this is the exact
+    * mining shape (one corpus pass per batch); when the corpus-side pass
+    * itself must shrink, the ANN bucket operators here ([[annTopK]],
+    * [[ivfTopK]]) compose in front as the candidate generator — same
+    * scores, pruned candidate set.
+    *
+    * Similarities rank on the ROUNDED value (4 dp) with an id tie-break —
+    * the same cross-engine float convention as [[bruteForceTopK]]. Output:
+    * (anchor_id, neg_id, sim), exactly k rows per anchor (fewer only if
+    * the corpus has < k differently-labeled vectors).
+    */
+  def hardNegatives(
+      anchors: DataFrame,
+      corpus: DataFrame,
+      k: Int = 5,
+      idCol: String = "vec_id",
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val a = anchors.select(
+      col(idCol).cast("long").as("anchor_id"),
+      col(labelCol).as("__ay"),
+      toDouble(col(vecCol)).as("__av"))
+    val c = corpus.select(
+      col(idCol).cast("long").as("neg_id"),
+      col(labelCol).as("__cy"),
+      toDouble(col(vecCol)).as("__cv"))
+    val scored = c.crossJoin(broadcast(a))
+      .filter(col("__cy") =!= col("__ay") && col("neg_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("neg_id"),
+        round(cosine(col("__av"), col("__cv")), 4).as("sim"))
+    org.apache.spark.sql.graftnative.TopKPerKey(
+      scored, keyCols = Seq("anchor_id"),
+      orderCols = Seq(col("sim").desc, col("neg_id")), k = k)
+  }
 }

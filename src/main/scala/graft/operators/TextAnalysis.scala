@@ -736,6 +736,89 @@ object TextAnalysis {
       reused(bc, ec).agg(count(lit(1)).as("n_reused_cdc"))).crossJoin(
       reused(fixedDg(base), fixedDg(edited)).agg(count(lit(1)).as("n_reused_fixed")))
   }
+
+  /** Multinomial Naive Bayes text classifier — train on a labeled slice,
+    * score a target slice. The deterministic, count-based member of the
+    * model-based quality/domain-classifier family (the role fastText-style
+    * linear classifiers play in WebText/CCNet-shaped pipelines: label a
+    * reference corpus, score the crawl, gate or re-weight on the
+    * prediction). Gradient-trained classifiers are seed/order-dependent and
+    * could never be oracle-replayed; NB's sufficient statistics are pure
+    * counts, so the full train→score path is exactly reproducible in any
+    * engine — same reason the repo's LM-filter family starts from count
+    * models ([[unigramSurprisal]], [[bigramSurprisal]]).
+    *
+    * Model: P(c) = docs_c / docs_total; add-one-smoothed likelihood
+    * P(w|c) = (count(w, c) + 1) / (tokens_c + V + 1) over the train vocab
+    * of size V, with the +1 bucket absorbing out-of-vocabulary tokens
+    * (an OOV token contributes 1/(tokens_c + V + 1) to every class — never
+    * −log 0). score(d, c) = log2 P(c) + Σ_{w ∈ d} log2 P(w|c); the
+    * prediction is the argmax over scores ROUNDED to 4 dp (cross-engine
+    * float-safe), ties to the lexicographically smallest label.
+    *
+    * Scale shape: the trained model is one (vocab × classes) count table —
+    * vocab-bounded, never corpus-bounded — built by a single (token, class)
+    * shuffle and broadcast to the scoring join; per-class totals, doc
+    * priors, and the class SET are the only driver state (classes are
+    * enum-bounded by definition — a label space that grows with the corpus
+    * is not a classification problem). Scoring is one explode + one
+    * broadcast hash join + one map-side-combined per-doc aggregation: at
+    * 100 TB the crawl side streams through scan-shaped tasks and only
+    * per-doc per-class partial sums shuffle.
+    */
+  def nbClassify(
+      train: DataFrame,
+      test: DataFrame,
+      labelCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    // driver job 1 (tiny): class set + doc priors from one grouped count —
+    // no tokenization touched
+    val docCounts: Map[String, Long] = train
+      .groupBy(col(labelCol).as("y")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    require(docCounts.nonEmpty, "nbClassify: train slice is empty")
+    val labels = docCounts.keys.toSeq.sorted
+    val nTrain = docCounts.values.sum.toDouble
+    // vocab × classes count grid as one row per token (pivot) — the model
+    // table the scoring join broadcasts; absent (w, c) pairs read as 0.
+    // Persisted: the stats aggregate below and the scoring join both read it
+    val counts = OperatorCaches.persistTracked(
+      train.select(col(labelCol).as("y"), explode(wsTokens(col(textCol))).as("w"))
+        .groupBy("w").pivot("y", labels).agg(count(lit(1))))
+    // driver job 2: vocab size + per-class token totals in ONE aggregate
+    // over the (vocab-bounded) model table
+    val statsRow = counts.agg(
+      count(lit(1)).as("__v"),
+      labels.map(c => sum(coalesce(col(s"`$c`"), lit(0L))).as(s"__t_$c")): _*).head()
+    val vocab = statsRow.getLong(0)
+    val classTokens: Map[String, Long] =
+      labels.zipWithIndex.map { case (c, i) => c -> statsRow.getLong(i + 1) }.toMap
+
+    val tokS = test.select(col(idCol), explode(wsTokens(col(textCol))).as("w"))
+    val scored = tokS.join(broadcast(counts), Seq("w"), "left")
+    val nllCols = labels.map { c =>
+      val denom = classTokens.getOrElse(c, 0L).toDouble + vocab + 1
+      sum(-log2((coalesce(col(s"`$c`"), lit(0L)) + 1).cast("double") / lit(denom)))
+        .as(s"__nll_$c")
+    }
+    val perDoc = scored.groupBy(col(idCol)).agg(nllCols.head, nllCols.tail: _*)
+    val withScores = labels.foldLeft(perDoc) { (d, c) =>
+      val logPrior = math.log(docCounts(c) / nTrain) / math.log(2.0)
+      d.withColumn(s"s_$c", round(lit(logPrior) - col(s"__nll_$c"), 4))
+    }
+    val best = greatest(labels.map(c => col(s"s_$c")): _*)
+    // ascending label order in the when-chain = smallest label wins ties
+    val pred = labels.foldRight(lit(null).cast("string")) { (c, els) =>
+      when(col(s"s_$c") === best, lit(c)).otherwise(els)
+    }
+    withScores
+      .select(col(idCol), pred.as("pred"), best.as("score"))
+      .join(test.select(col(idCol), col(labelCol).as("y_true")), Seq(idCol))
+      .withColumn("correct", (col("pred") === col("y_true")).cast("int"))
+  }
 }
 
 /** Minimal per-language stopword profiles (public common-word lists). */

@@ -3885,7 +3885,49 @@ object QueryCatalog {
                 FROM documents)
               SELECT domain, count(*) AS n_docs,
                 count(DISTINCT host) AS n_hosts
-              FROM h GROUP BY domain ORDER BY domain"""))
+              FROM h GROUP BY domain ORDER BY domain""")),
+
+    // model-based quality/domain classifier (the fastText/WebText role) in
+    // its deterministic count form: multinomial NB trained on the labeled
+    // 2/3 slice, scoring the held-out 1/3 — so OOV tokens and unseen
+    // (class, token) pairs actually fire. The oracle retrains the model
+    // from raw counts and replays every per-class score and the rounded
+    // argmax (ties → smallest label on BOTH engines).
+    Q("q_nb_classifier",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextAnalysis.nbClassify(
+            docs.filter(col("doc_id") % 3 =!= 0),
+            docs.filter(col("doc_id") % 3 === 0))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tr AS (SELECT lang AS y, text FROM documents WHERE doc_id % 3 <> 0),
+              te AS (SELECT doc_id, lang AS y_true, text FROM documents WHERE doc_id % 3 = 0),
+              tokT AS (SELECT y, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM tr),
+              cwc AS (SELECT y, w, count(*) AS c FROM tokT GROUP BY 1, 2),
+              ct AS (SELECT y, count(*) AS n FROM tokT GROUP BY 1),
+              v AS (SELECT count(DISTINCT w) AS v FROM tokT),
+              pri AS (SELECT y, count(*) AS dc FROM tr GROUP BY 1),
+              nd AS (SELECT count(*) AS n FROM tr),
+              tokS AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM te),
+              sc AS (
+                SELECT s.doc_id, ct.y,
+                  round(log2(CAST(pri.dc AS DOUBLE) / nd.n)
+                    + sum(log2((COALESCE(cwc.c, 0) + 1) / (ct.n + v.v + 1.0))), 4) AS score
+                FROM tokS s
+                CROSS JOIN ct CROSS JOIN v CROSS JOIN nd
+                JOIN pri ON pri.y = ct.y
+                LEFT JOIN cwc ON cwc.w = s.w AND cwc.y = ct.y
+                GROUP BY s.doc_id, ct.y, pri.dc, nd.n),
+              best AS (
+                SELECT doc_id, y AS pred, score
+                FROM sc
+                QUALIFY row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, y) = 1)
+              SELECT b.doc_id, b.pred, b.score, te.y_true,
+                CAST(b.pred = te.y_true AS INT) AS correct
+              FROM best b JOIN te ON te.doc_id = b.doc_id
+              ORDER BY b.doc_id"""))
   )
 
   private val sampling: Seq[Q] = Seq(
@@ -5088,7 +5130,31 @@ object QueryCatalog {
                 FROM embeddings, bench
                 WHERE vec_id % 50 <> 0 GROUP BY vec_id)
               SELECT vec_id, max_cos FROM sims
-              WHERE max_cos >= 0.4 ORDER BY vec_id"""))
+              WHERE max_cos >= 0.4 ORDER BY vec_id""")),
+
+    // hard-negative mining for contrastive training: per anchor, the 5
+    // most-similar DIFFERENT-label corpus vectors — broadcast anchor
+    // batch, map-side partial top-k heap (TopKPerKey), shuffle carries at
+    // most k rows per (anchor, partition). Oracle brute-forces the same
+    // rounded-sim ranking with the identical (sim DESC, id) tie-break.
+    Q("q_hard_negatives",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.hardNegatives(emb.filter(col("vec_id") < 20), emb, k = 5)
+          .orderBy("anchor_id", "neg_id")
+      },
+      Some("""SELECT anchor_id, neg_id, sim FROM (
+                SELECT a.vec_id AS anchor_id, c.vec_id AS neg_id,
+                  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])), 4) AS sim,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                          CAST(c.embedding AS DOUBLE[])), 4) DESC,
+                             c.vec_id) AS rn
+                FROM embeddings a, embeddings c
+                WHERE a.vec_id < 20 AND c.label <> a.label
+                  AND c.vec_id <> a.vec_id)
+              WHERE rn <= 5 ORDER BY anchor_id, neg_id"""))
   )
 
   // ------------------------------------------------- perceptual media dedup

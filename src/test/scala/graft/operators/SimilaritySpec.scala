@@ -343,4 +343,40 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head === 1L, s"planted near-dup not first: ${top.toSeq}")
     OperatorCaches.releaseAll()
   }
+
+  test("hardNegatives: cross-label top-k, never self/same-label, matches brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(6)(rnd.nextDouble() * 2 - 1)
+    val rows = (0L until 60L).map(i => (i, vec(), (i % 3).toInt))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val anchors = df.filter(col("vec_id") < 4)
+    val got = Similarity.hardNegatives(anchors, df, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    val byAnchor = got.groupBy(_._1)
+    assert(byAnchor.keySet === Set(0L, 1L, 2L, 3L))
+    assert(byAnchor.values.forall(_.length == 5))
+
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val all = rows.map { case (id, v, y) => (id, v, y) }
+    (0L until 4L).foreach { aId =>
+      val (_, av, ay) = all(aId.toInt)
+      val want = all
+        .filter { case (id, _, y) => y != ay && id != aId }
+        .map { case (id, v, _) => (r4(cos(av, v)), id) }
+        .sortBy { case (s, id) => (-s, id) }
+        .take(5).map { case (s, id) => (aId, id, s) }
+      val g = byAnchor(aId).sortBy { case (_, id, s) => (-s, id) }.toSeq
+      assert(g === want, s"anchor $aId")
+      // every mined negative carries a different label than the anchor
+      g.foreach { case (_, id, _) => assert(all(id.toInt)._3 != ay) }
+    }
+    OperatorCaches.releaseAll()
+  }
 }

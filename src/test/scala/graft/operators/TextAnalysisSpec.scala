@@ -252,4 +252,59 @@ class TextAnalysisSpec extends SparkSpec {
       s"cosine ${pairs((1L, 2L))} != brute $want")
     OperatorCaches.releaseAll()
   }
+
+  test("nbClassify matches a driver-side reference model exactly") {
+    import spark.implicits._
+    // two sharply separable classes + one OOV-heavy test doc
+    val train = Seq(
+      (1L, "spark shuffle partition executor", "tech"),
+      (2L, "executor codegen shuffle spark spark", "tech"),
+      (3L, "sonnet meter rhyme stanza", "poetry"),
+      (4L, "rhyme stanza verse meter meter", "poetry")
+    ).toDF("doc_id", "text", "lang")
+    val test0 = Seq(
+      (10L, "spark executor shuffle", "tech"),
+      (11L, "stanza rhyme verse", "poetry"),
+      (12L, "zzz qqq unseen tokens", "tech") // all OOV -> prior decides
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.nbClassify(train, test0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getInt(4))).toMap
+
+    // driver-side reference: same counts, same smoothing, same rounding
+    val trainRows = Seq(
+      ("tech", "spark shuffle partition executor"),
+      ("tech", "executor codegen shuffle spark spark"),
+      ("poetry", "sonnet meter rhyme stanza"),
+      ("poetry", "rhyme stanza verse meter meter"))
+    val toks = trainRows.map { case (y, t) => y -> t.split("\\s+").toSeq }
+    val cwc = toks.flatMap { case (y, ws) => ws.map(y -> _) }
+      .groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    val ct = toks.groupBy(_._1).map { case (y, o) => y -> o.flatMap(_._2).size.toLong }
+    val vocab = toks.flatMap(_._2).distinct.size.toLong
+    val pri = toks.groupBy(_._1).map { case (y, o) => y -> o.size.toLong }
+    val n = pri.values.sum.toDouble
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    def score(text: String, y: String): Double = {
+      val s = log2(pri(y) / n) + text.split("\\s+").map { w =>
+        log2((cwc.getOrElse((y, w), 0L) + 1).toDouble / (ct(y) + vocab + 1))
+      }.sum
+      BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    Seq(10L -> "spark executor shuffle", 11L -> "stanza rhyme verse",
+      12L -> "zzz qqq unseen tokens").foreach { case (id, text) =>
+      val byClass = Seq("poetry", "tech").map(y => y -> score(text, y))
+      val best = byClass.map(_._2).max
+      val wantPred = byClass.filter(_._2 == best).map(_._1).min
+      val (gotPred, gotScore, _) = got(id)
+      assert(gotPred === wantPred, s"doc $id pred")
+      assert(gotScore === best, s"doc $id score")
+    }
+    assert(got(10L)._1 === "tech" && got(11L)._1 === "poetry")
+    // OOV-only doc: every class scores it identically except the prior;
+    // equal priors here -> 4dp tie -> smallest label wins on both engines
+    assert(got(12L)._1 === "poetry")
+    assert(got(10L)._3 === 1 && got(12L)._3 === 0) // correct flags
+    OperatorCaches.releaseAll()
+  }
 }
