@@ -336,4 +336,67 @@ object Sampling {
       .orderBy(col("score").desc, col(idCol))
       .limit(n)
   }
+
+  /** Token-budget-constrained corpus selection — the data-selection
+    * primitive: keep the highest-quality documents whose cumulative cost
+    * (token count) fits a budget. Semantics are the greedy relaxation
+    * every selection paper uses: order by (score rounded to 4 dp DESC,
+    * id ASC), take the longest prefix with Σ cost ≤ budget.
+    *
+    * The naive form is a GLOBAL-order running sum — one partition doing
+    * all the work, dead at corpus scale. This implementation computes the
+    * SAME selection in the distributed shape: (1) one shuffle builds a
+    * per-score-bucket cost histogram (bounded by the 4-dp grid — distinct
+    * rounded scores, NOT rows); (2) the driver walks the histogram
+    * descending to find the threshold bucket and its residual budget
+    * (grid-bounded work); (3) everything above the threshold keeps with a
+    * narrow filter, and ONLY the threshold bucket pays a running-sum
+    * window, partitioned to that single score value. At 100 TB steps 1
+    * and 3 are scan-shaped; the only caveat is a degenerate corpus where
+    * most mass shares one rounded score (then the boundary window is the
+    * global sort again — pre-sharpen the score or widen the grid).
+    *
+    * Returns the selected rows as (id, score4, cost). Deterministic and
+    * engine-replayable end to end: an oracle reproduces the identical set
+    * with a global window over (score4 DESC, id).
+    */
+  def budgetSelect(
+      df: DataFrame,
+      scoreCol: Column,
+      costCol: Column,
+      budget: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val scored = OperatorCaches.persistTracked(
+      df.select(col(idCol), round(scoreCol, 4).as("score4"),
+        costCol.cast("long").as("cost")))
+    // per-bucket cost totals to the driver: bounded by the score GRID
+    val hist = scored.groupBy("score4").agg(sum("cost").as("bc"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy { case (s, _) => -s }
+    var remaining = budget
+    var threshold = Double.NegativeInfinity // buckets strictly above keep whole
+    var boundaryBudget = 0L
+    val it = hist.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val (s, bc) = it.next()
+      if (bc <= remaining) { remaining -= bc; threshold = s }
+      else { boundaryBudget = remaining; threshold = s; done = true }
+      // done=false at loop end: every bucket fit — threshold = lowest score
+    }
+    val full =
+      if (done) scored.filter(col("score4") > threshold)
+      else scored.filter(col("score4") >= threshold)
+    val boundary = if (!done) scored.limit(0) else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("score4").orderBy(col(idCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      scored.filter(col("score4") === threshold)
+        .withColumn("__cum", sum("cost").over(w))
+        .filter(col("__cum") <= boundaryBudget)
+        .drop("__cum")
+    }
+    full.unionByName(boundary)
+  }
 }

@@ -75,4 +75,42 @@ object Sketches {
       .groupBy("value")
       .agg(min("ct").as("cms_ct"))
   }
+
+  /** Per-group HyperLogLog sketch TABLE (Apache DataSketches via Spark's
+    * `hll_sketch_agg`) — the persistable distinct-count state for
+    * incremental corpora: each crawl/batch contributes one bounded binary
+    * sketch row per group, and corpus-lifetime distinct counts come from
+    * merging sketch rows ([[hllMergeEstimate]]) WITHOUT ever rescanning
+    * earlier crawls' bodies. The distinct-count member of the
+    * sketch-as-a-table family beside the CMS counter table (frequency)
+    * and the Bloom position table (membership). Sketch size is
+    * 2^lgK registers regardless of stream cardinality, so the table is
+    * (groups × 2^lgK)-bounded at any corpus size and the merge is a
+    * tiny aggregation over it.
+    *
+    * Unlike the CMS/Bloom tables the sketch BYTES are engine-specific
+    * (DataSketches binary format), so catalog gating follows the
+    * `q_approx_distinct` audit convention: the oracle recomputes the
+    * exact side and the estimate must land inside the published error
+    * bracket — never a byte compare.
+    */
+  def hllSketchTable(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(valueCol, lit(lgK)).as("hll"))
+
+  /** Merge sketch rows down to `groupCols` and estimate distincts —
+    * the read path of [[hllSketchTable]]: reads ONLY the sketch table
+    * (never the source), so a corpus-lifetime distinct count over N
+    * crawls costs one aggregation of N×groups bounded rows.
+    */
+  def hllMergeEstimate(
+      sketches: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll")))
+        .as("approx_distinct"))
 }

@@ -4340,7 +4340,72 @@ object QueryCatalog {
                 CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
                   AS risky_rows
               FROM classes, (VALUES (2), (5), (10)) ks(k)
-              GROUP BY k ORDER BY k"""))
+              GROUP BY k ORDER BY k""")),
+
+    // incremental distinct via a persisted HLL sketch TABLE: each crawl
+    // (doc_id parity) contributes one bounded DataSketches sketch row per
+    // lang; the corpus-lifetime distinct-page count merges sketch rows
+    // only — earlier crawls' bodies are never rescanned. Sketch bytes are
+    // engine-specific, so this follows the q_approx_distinct AUDIT
+    // convention: the oracle recomputes the exact side and the estimate
+    // must land inside the published bracket (lgK=12 → ~1.6% std err;
+    // 5% + 16 absolute is ~3σ-safe at any fixture size).
+    Q("q_hll_crawl_union",
+      (s, dir) => {
+        val pages = t(s, dir, "documents")
+          .select(col("lang"), (col("doc_id") % 2).as("crawl"),
+            md5(col("text")).as("pg"))
+        val sketches = graft.operators.Sketches.hllSketchTable(
+          pages, Seq("crawl", "lang"), col("pg"))
+        val est = graft.operators.Sketches.hllMergeEstimate(sketches, Seq("lang"))
+        val exact = pages.groupBy("lang")
+          .agg(countDistinct("pg").as("exact_distinct"))
+        est.join(exact, Seq("lang"))
+          .select(col("lang"), col("exact_distinct"),
+            (abs(col("approx_distinct") - col("exact_distinct").cast("double")) <=
+              col("exact_distinct") * 0.05 + lit(16.0)).as("hll_within_tol"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(DISTINCT md5(text)) AS exact_distinct,
+                TRUE AS hll_within_tol
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // token-budget-constrained selection (greedy by quality score): the
+    // distributed histogram-threshold form must reproduce EXACTLY the
+    // global running-sum prefix the oracle computes — bucket walk,
+    // residual budget, and the boundary-bucket id-order window all
+    // replayed by one DuckDB window over (score DESC, doc_id)
+    Q("q_budget_select",
+      (s, dir) => {
+        val scored = TextAnalysis.qualityScore(t(s, dir, "documents"))
+        graft.operators.Sampling.budgetSelect(
+            scored, col("quality_score"), col("n_tokens"), budget = 12000L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (
+                SELECT doc_id,
+                  CAST(length(text) AS DOUBLE) AS n_char,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+                  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+                  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be'],
+                      lower(w)))) AS DOUBLE) AS stop
+                FROM documents),
+              c AS (SELECT doc_id, round((
+                  (CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+                  least(round(alpha/n_char,4)/0.6, 1.0) +
+                  least(round(stop/n_tok,4)/0.05, 1.0) +
+                  (CASE WHEN round((n_char-(n_tok-1))/n_tok,4) BETWEEN 2.0 AND 12.0
+                   THEN 1.0 ELSE 0.0 END)
+                  )/4.0, 4) AS score4,
+                  CAST(n_tok AS BIGINT) AS cost
+                FROM m),
+              r AS (SELECT doc_id, score4, cost,
+                  sum(cost) OVER (ORDER BY score4 DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM c)
+              SELECT doc_id, score4, cost FROM r
+              WHERE cum <= 12000 ORDER BY doc_id"""))
   )
 
   // ----------------------------------------------------------- embeddings

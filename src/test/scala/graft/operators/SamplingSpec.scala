@@ -208,4 +208,35 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(s3.toSeq !== s1.toSeq)
   }
+
+  test("budgetSelect reproduces the global greedy prefix, incl. boundary ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // coarse score grid forces ties (boundary-bucket window path fires)
+    val rows = (0L until 400L).map { i =>
+      (i, (rnd.nextInt(8) / 8.0), 10L + rnd.nextInt(90)) }
+    val df = rows.toDF("doc_id", "q", "cost")
+
+    def brute(budget: Long): Set[Long] = {
+      var rem = budget
+      rows.sortBy { case (id, s, _) => (-s, id) }
+        .takeWhile { case (_, _, c) => val ok = c <= rem; if (ok) rem -= c; ok }
+        .map(_._1).toSet
+    }
+    Seq(0L, 500L, 7_000L, 13_500L, 1_000_000L).foreach { budget =>
+      val got = Sampling.budgetSelect(df, col("q"), col("cost"), budget)
+        .collect().map(_.getLong(0)).toSet
+      assert(got === brute(budget), s"budget $budget")
+    }
+    // budget >= total keeps everything; 0 keeps nothing
+    assert(Sampling.budgetSelect(df, col("q"), col("cost"), 1_000_000L).count() === 400L)
+    assert(Sampling.budgetSelect(df, col("q"), col("cost"), 0L).count() === 0L)
+    // determinism under repartition (histogram + window paths both stable)
+    val a = Sampling.budgetSelect(df, col("q"), col("cost"), 7000L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.budgetSelect(df.repartition(13), col("q"), col("cost"), 7000L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    OperatorCaches.releaseAll()
+  }
 }

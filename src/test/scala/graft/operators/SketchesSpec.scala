@@ -31,4 +31,29 @@ class SketchesSpec extends SparkSpec {
     assert(again.toSeq === tight.toSeq)
     OperatorCaches.releaseAll()
   }
+
+  test("HLL sketch table: merge matches exact within bracket, never rescans, idempotent") {
+    import spark.implicits._
+    // two "crawls" with a planted overlap: crawl 0 sees values 0..2999,
+    // crawl 1 sees 2000..5999 -> exact distinct of the union is 6000
+    val rows = (0 until 3000).map(v => (0, "g", s"v$v")) ++
+      (2000 until 6000).map(v => (1, "g", s"v$v"))
+    val df = rows.toDF("crawl", "grp", "v")
+    val sketches = Sketches.hllSketchTable(df, Seq("crawl", "grp"), col("v"))
+    assert(sketches.count() === 2L) // one bounded row per (crawl, group)
+    val est = Sketches.hllMergeEstimate(sketches, Seq("grp"))
+      .head().getLong(1)
+    assert(math.abs(est - 6000.0) <= 6000 * 0.05 + 16,
+      s"union estimate $est outside bracket around 6000")
+    // idempotent: unioning a crawl's sketch with itself changes nothing
+    val doubled = Sketches.hllMergeEstimate(
+      sketches.unionByName(sketches), Seq("grp")).head().getLong(1)
+    assert(doubled === est, s"re-merged estimate drifted: $doubled != $est")
+    // incrementality: merging per-crawl sketches equals sketching the
+    // concatenated stream (the never-rescan-the-base claim)
+    val direct = Sketches.hllMergeEstimate(
+      Sketches.hllSketchTable(df, Seq("grp"), col("v")), Seq("grp"))
+      .head().getLong(1)
+    assert(direct === est, s"merge path $est != direct path $direct")
+  }
 }
