@@ -737,6 +737,43 @@ object TextAnalysis {
       reused(fixedDg(base), fixedDg(edited)).agg(count(lit(1)).as("n_reused_fixed")))
   }
 
+  /** CCNet-style perplexity partitioning (Wenzek et al. 2020): score every
+    * document with the corpus LM ([[unigramSurprisal]] here — swap in
+    * [[bigramSurprisal]] or imported KenLM scores and nothing else
+    * changes), then cut each language into head / middle / tail at the
+    * per-language surprisal terciles. The head (lowest perplexity ≈ most
+    * reference-like) is what CCNet keeps or upweights; the tail is
+    * gibberish-leaning. Returning the bucket WITH the score and the cut
+    * points keeps the decision auditable per document.
+    *
+    * Scale shape: the scoring pass is [[unigramSurprisal]]'s (one token
+    * shuffle, model table vocab-bounded); the cuts are one exact grouped
+    * percentile per language (two boundary values per language — a
+    * lang-bounded frame broadcast back onto the scored rows). At 100 TB
+    * swap the exact percentile for percentile_approx — the only change.
+    * Boundary semantics: bucket by (surprisal ≤ p33) → head,
+    * (≤ p66) → middle, else tail, with both cut points rounded to 4 dp so
+    * any engine replaying the comparison decides identically.
+    */
+  def perplexityBuckets(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val scored = OperatorCaches.persistTracked(
+      unigramSurprisal(df, idCol, textCol)
+        .join(df.select(col(idCol), col(langCol)), Seq(idCol)))
+    val cuts = scored.groupBy(langCol).agg(
+      round(expr("percentile(surprisal, 0.3333)"), 4).as("p33"),
+      round(expr("percentile(surprisal, 0.6667)"), 4).as("p66"))
+    scored.join(broadcast(cuts), Seq(langCol))
+      .select(col(idCol), col(langCol), col("surprisal"),
+        col("p33"), col("p66"),
+        when(col("surprisal") <= col("p33"), "head")
+          .when(col("surprisal") <= col("p66"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Multinomial Naive Bayes text classifier — train on a labeled slice,
     * score a target slice. The deterministic, count-based member of the
     * model-based quality/domain-classifier family (the role fastText-style

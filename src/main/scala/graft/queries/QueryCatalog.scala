@@ -3887,6 +3887,35 @@ object QueryCatalog {
                 count(DISTINCT host) AS n_hosts
               FROM h GROUP BY domain ORDER BY domain""")),
 
+    // CCNet head/middle/tail partitioning: per-language surprisal terciles
+    // over the unigram LM — the oracle retrains the LM, recomputes every
+    // score, replays both quantile cuts (quantile_cont == percentile's
+    // linear interpolation) and every bucket decision on the 4-dp grid
+    Q("q_ccnet_buckets",
+      (s, dir) => TextAnalysis.perplexityBuckets(t(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                FROM documents),
+              freq AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+              total AS (SELECT sum(cnt) AS t FROM freq),
+              surp AS (SELECT doc_id,
+                  round(avg(-log2(CAST(cnt AS DOUBLE) / (SELECT t FROM total))), 4)
+                    AS surprisal
+                FROM tok JOIN freq USING (w) GROUP BY doc_id),
+              sl AS (SELECT s.doc_id, d.lang, s.surprisal
+                FROM surp s JOIN documents d USING (doc_id)),
+              cuts AS (SELECT lang,
+                  round(quantile_cont(surprisal, 0.3333), 4) AS p33,
+                  round(quantile_cont(surprisal, 0.6667), 4) AS p66
+                FROM sl GROUP BY lang)
+              SELECT sl.doc_id, sl.lang, sl.surprisal, cuts.p33, cuts.p66,
+                CASE WHEN surprisal <= p33 THEN 'head'
+                     WHEN surprisal <= p66 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+              FROM sl JOIN cuts ON cuts.lang = sl.lang
+              ORDER BY sl.doc_id""")),
+
     // model-based quality/domain classifier (the fastText/WebText role) in
     // its deterministic count form: multinomial NB trained on the labeled
     // 2/3 slice, scoring the held-out 1/3 — so OOV tokens and unseen

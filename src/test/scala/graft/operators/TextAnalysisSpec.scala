@@ -253,6 +253,42 @@ class TextAnalysisSpec extends SparkSpec {
     OperatorCaches.releaseAll()
   }
 
+  test("perplexityBuckets: per-lang tercile cut, head<=middle<=tail, cuts replayed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val common = Seq("data", "table", "query", "scan", "join")
+    def doc(i: Long, rare: Int) = {
+      val toks = Seq.fill(12)(common(rnd.nextInt(common.size))) ++
+        Seq.fill(rare)(s"rare${i}_${rnd.nextInt(1000)}")
+      (i, toks.mkString(" "), if (i % 2 == 0) "aa" else "bb")
+    }
+    // rare-token density drives surprisal: i%3 docs get 0/4/12 rare tokens
+    val docs = (0L until 90L).map(i => doc(i, ((i % 3) * 4).toInt))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.perplexityBuckets(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getString(5)))
+    assert(out.length === 90)
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      // cut points are per-lang constants and the bucket rule is replayed
+      assert(rows.map(r => (r._4, r._5)).distinct.size === 1, s"$lang cuts")
+      val (p33, p66) = (rows.head._4, rows.head._5)
+      rows.foreach { case (id, _, s, _, _, b) =>
+        val want = if (s <= p33) "head" else if (s <= p66) "middle" else "tail"
+        assert(b === want, s"doc $id bucket")
+      }
+      // ordering: every head surprisal <= every middle <= every tail
+      def maxOf(b: String) = rows.filter(_._6 == b).map(_._3).maxOption
+      def minOf(b: String) = rows.filter(_._6 == b).map(_._3).minOption
+      for (h <- maxOf("head"); m <- minOf("middle")) assert(h <= m)
+      for (m <- maxOf("middle"); t <- minOf("tail")) assert(m <= t)
+      // terciles: no bucket hoards the language (45 docs per lang)
+      val sizes = rows.groupBy(_._6).view.mapValues(_.size)
+      assert(sizes.values.forall(n => n >= 9 && n <= 21), s"$lang $sizes")
+    }
+    OperatorCaches.releaseAll()
+  }
+
   test("nbClassify matches a driver-side reference model exactly") {
     import spark.implicits._
     // two sharply separable classes + one OOV-heavy test doc
