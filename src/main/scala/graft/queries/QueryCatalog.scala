@@ -771,6 +771,43 @@ object QueryCatalog {
               round(quantile_cont(n_chars, 0.95), 2) AS p95
               FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // true Z-order (Morton) curve key — the layout math behind the
+    // reference's Delta ZORDER (cell 132), driver-gated on the VALUES:
+    // both engines derive the min/max grids from the data and replay the
+    // exact-double normalization + 16-bit interleave; the layout payoff
+    // (multi-dim file skipping) is ZOrderSpec's measured assertion
+    Q("q_zorder_curve",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val st = li.agg(
+          min(col("l_orderkey")).cast("long"), max(col("l_orderkey")).cast("long"),
+          min(col("l_partkey")).cast("long"), max(col("l_partkey")).cast("long")).head()
+        val z = graft.sources.Tables.zValue(
+          Seq(col("l_orderkey"), col("l_partkey")),
+          Seq(st.getLong(0), st.getLong(2)), Seq(st.getLong(1), st.getLong(3)))
+        li.select(col("l_orderkey"), col("l_partkey"), z.as("zval"))
+          .orderBy(col("zval"), col("l_orderkey"), col("l_partkey"))
+          .limit(20)
+      },
+      Some {
+        val interleave = (0 until 16).map(j =>
+          s"((((s0 >> $j) & 1) << ${2 * j}) + (((s1 >> $j) & 1) << ${2 * j + 1}))")
+          .mkString(" + ")
+        s"""WITH st AS (SELECT
+                  CAST(min(l_orderkey) AS BIGINT) AS mn0, CAST(max(l_orderkey) AS BIGINT) AS mx0,
+                  CAST(min(l_partkey) AS BIGINT) AS mn1, CAST(max(l_partkey) AS BIGINT) AS mx1
+                FROM lineitem),
+              sc AS (SELECT l_orderkey, l_partkey,
+                  least(greatest(CAST(floor(CAST(l_orderkey - mn0 AS DOUBLE) * 65535.0
+                    / CAST(greatest(mx0 - mn0, 1) AS DOUBLE)) AS BIGINT), 0), 65535) AS s0,
+                  least(greatest(CAST(floor(CAST(l_partkey - mn1 AS DOUBLE) * 65535.0
+                    / CAST(greatest(mx1 - mn1, 1) AS DOUBLE)) AS BIGINT), 0), 65535) AS s1
+                FROM lineitem, st)
+              SELECT l_orderkey, l_partkey,
+                CAST($interleave AS BIGINT) AS zval
+              FROM sc ORDER BY zval, l_orderkey, l_partkey LIMIT 20"""
+      }),
+
     // ---------------------------------------------------------------- joins
     // (reference SURVEY.md §2c: capability parity — broadcast dim join,
     // shuffle join, semi/anti for lookup-filter semantics)
