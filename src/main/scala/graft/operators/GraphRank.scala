@@ -261,4 +261,50 @@ object GraphRank {
     import spark.implicits._
     Seq((nN, nE, tri)).toDF("n_nodes", "n_edges", "n_triangles")
   }
+
+  /** Multi-source BFS — hop distance from every reachable node to its
+    * NEAREST landmark (crawl-frontier depth, link-distance-to-seed-set
+    * features, landmark sketches for approximate shortest paths). Fixed
+    * `maxHops` rounds, no early exit: an unreachable-within-bound node is
+    * simply absent, extra rounds are exact no-ops, and the fixed unroll
+    * is what lets an independent engine replay the computation
+    * round-for-round (the LPA/kCore convention). Distances follow edge
+    * direction — symmetrize first for undirected semantics.
+    *
+    * Scale shape: classic frontier expansion — round h joins ONLY the
+    * frontier (nodes first seen at h−1) against the persisted edge
+    * table, dedups the neighbor set, and anti-joins the visited state;
+    * the shuffled payload is (node) longs bounded by |frontier|·deg,
+    * never the whole graph per round. Both per-round outputs LINEAGE-CUT
+    * (checkpoint dir if set, else localCheckpoint): state is referenced
+    * twice per round (anti-join probe + union), so persists alone would
+    * grow the plan 2^rounds — the measured kCore failure mode.
+    *
+    * Returns (node, dist): every node within `maxHops` of a source, with
+    * its minimal hop count (sources themselves at 0).
+    */
+  def multiSourceBfs(
+      edges: DataFrame, sources: DataFrame, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, "need maxHops >= 1")
+    def cut(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val e = OperatorCaches.persistTracked(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct()
+        .repartition(col("src")))
+    var state = cut(sources.select(col("node").cast("long").as("node"))
+      .distinct().withColumn("dist", lit(0)))
+    var frontier = state.select("node")
+    for (h <- 1 to maxHops) {
+      val next = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(state, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+      val f = cut(next)
+      state = cut(state.unionByName(f))
+      frontier = f.select("node")
+    }
+    state
+  }
 }

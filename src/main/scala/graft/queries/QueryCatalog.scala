@@ -3347,6 +3347,47 @@ object QueryCatalog {
     // synchronous label propagation over the same co-order graph: 4 fixed
     // rounds, majority label with min-label ties — integer state, so the
     // oracle unrolls the rounds with no float grid at all
+    // multi-source BFS over the same customer-supplier graph: hop
+    // distance to the nearest of the two smallest landmark nodes, 4
+    // fixed rounds — the oracle unrolls frontier/visited CTEs
+    // (MATERIALIZED, the kCore lesson) and must agree node-for-node
+    Q("q_graph_bfs",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        val edges = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        val landmarks = edges.select(col("src").as("node"))
+          .distinct().orderBy("node").limit(2)
+        graft.operators.GraphRank.multiSourceBfs(edges, landmarks, maxHops = 4)
+          .orderBy("node")
+      },
+      Some {
+        val rounds = (1 to 4).map { h =>
+          s"""f$h AS MATERIALIZED (SELECT DISTINCT e.dst AS node
+                FROM edges e JOIN f${h - 1} f ON f.node = e.src
+                WHERE e.dst NOT IN (SELECT node FROM d${h - 1})),
+              d$h AS MATERIALIZED (SELECT * FROM d${h - 1}
+                UNION ALL SELECT node, $h AS dist FROM f$h)"""
+        }.mkString(",\n              ")
+        s"""WITH pairs AS MATERIALIZED (
+                SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              edges AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM (
+                  SELECT src, dst FROM pairs
+                  UNION ALL SELECT dst AS src, src AS dst FROM pairs)),
+              srcs AS MATERIALIZED (SELECT DISTINCT src AS node
+                FROM edges ORDER BY node LIMIT 2),
+              d0 AS MATERIALIZED (SELECT node, 0 AS dist FROM srcs),
+              f0 AS MATERIALIZED (SELECT node FROM srcs),
+              $rounds
+              SELECT node, dist FROM d4 ORDER BY node"""
+      }),
+
     Q("q_label_propagation",
       (s, dir) => {
         val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))

@@ -163,4 +163,27 @@ class GraphRankSpec extends SparkSpec {
     assert(GraphRank.kCore(dup, k = 4).count() === 5L)
     OperatorCaches.releaseAll()
   }
+
+  test("multiSourceBfs: nearest-landmark distances, bound respected, direction honored") {
+    import spark.implicits._
+    // two chains meeting at 100: 0->1->2->3->4 and 10->11->100, plus an
+    // edge 4->100 and an isolated pair 200->201
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 100L),
+      (10L, 11L), (11L, 100L), (200L, 201L)).toDF("src", "dst")
+    val srcs = Seq(0L, 10L).toDF("node")
+    val got = GraphRank.multiSourceBfs(edges, srcs, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // nearest of the two sources wins: 100 is 2 hops via 10->11->100,
+    // not 5 via the long chain
+    assert(got === Map(0L -> 0, 10L -> 0, 1L -> 1, 11L -> 1,
+      2L -> 2, 100L -> 2, 3L -> 3, 4L -> 4))
+    // direction honored: nothing upstream of a source is reached, and
+    // the disconnected component (200, 201) never appears
+    assert(!got.contains(200L) && !got.contains(201L))
+    // tighter bound truncates the frontier, never mislabels it
+    val h2 = GraphRank.multiSourceBfs(edges, srcs, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(h2 === got.filter { case (_, d) => d <= 2 })
+    OperatorCaches.releaseAll()
+  }
 }
