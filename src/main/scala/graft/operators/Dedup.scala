@@ -859,6 +859,30 @@ object Dedup {
         (col("id") === col("keeper")).as("keep"))
   }
 
+  /** Repetition-aware sampling weights — the SOFT alternative to keeping
+    * one member per dup cluster ([[keepBest]]): every document stays in
+    * the corpus with weight 1/|its near-dup cluster|, so a page crawled
+    * 400 times contributes ONE document's worth of expected training
+    * mass instead of 400 (the "keep all, downweight" policy discussed in
+    * the SemDeDup/data-ablation literature — preserves within-cluster
+    * variation that hard dedup throws away, while removing the frequency
+    * bias). Composes with any clustering here (minhash, SimHash, star,
+    * embedding) and feeds [[Sampling.weightedSample]] /
+    * [[Sampling.budgetSelect]] directly.
+    *
+    * One per-component count (components ≪ corpus after partial
+    * aggregation) joined back — no window over the full corpus. Weight
+    * is round(1.0/size, 6): the IEEE division is identical in any
+    * engine, the 6-dp grid is the repo's standard float boundary.
+    */
+  def clusterWeights(clusters: DataFrame): DataFrame = {
+    val sz = clusters.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    clusters.select(col("id"), col("component"))
+      .join(sz, Seq("component"))
+      .select(col("id"), col("component"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+  }
+
   /** Bloom-filter decontamination — the [[decontaminate]] shape for when
     * the BENCHMARK gram set itself is too large to broadcast: the filter
     * state is `2^bitsLog2` BITS regardless of benchmark size (size m for

@@ -349,6 +349,31 @@ object QueryCatalog {
               LEFT JOIN comp c ON c.id = d.id
               ORDER BY component, d.id"""
 
+  /** Same clustering, weights = 1/|component| on the 6-dp grid — the
+    * [[graft.operators.Dedup.clusterWeights]] soft-dedup policy.
+    */
+  private def minhashClusterWeightsOracleSql(
+      numHashes: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${minhashPairCtes(numHashes, threshold)},
+              edges AS (
+                SELECT id_a AS src, id_b AS dst FROM mh_pairs
+                UNION SELECT id_b, id_a FROM mh_pairs),
+              reach(node, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+              comp AS (SELECT node AS id, min(lbl) AS component
+                FROM reach GROUP BY node),
+              cl AS (SELECT d.id AS id, coalesce(c.component, d.id) AS component
+                FROM (SELECT CAST(doc_id AS BIGINT) AS id FROM documents) d
+                LEFT JOIN comp c ON c.id = d.id),
+              sz AS (SELECT component, count(*) AS cluster_size
+                FROM cl GROUP BY component)
+              SELECT cl.id, cl.component, sz.cluster_size,
+                round(1.0 / sz.cluster_size, 6) AS weight
+              FROM cl JOIN sz USING (component)
+              ORDER BY component, id"""
+
   /** Same clustering, keeper = per-component argmax (token count, id-min
     * tiebreak) — the [[graft.operators.Dedup.keepBest]] policy replayed
     * verbatim.
@@ -3085,6 +3110,17 @@ object QueryCatalog {
         Dedup.keepBest(clusters, quality).orderBy("component", "id")
       },
       Some(minhashKeepBestOracleSql(numHashes = 64, threshold = 0.5))),
+
+    // soft-dedup policy over the same clusters: keep EVERY member at
+    // weight 1/|cluster| (a 400-copy page contributes one doc of expected
+    // mass; within-cluster variation survives) — oracle replays the
+    // clustering, the component counts, and the 6-dp weight
+    Q("q_dedup_cluster_weights",
+      (s, dir) => Dedup.clusterWeights(
+          Dedup.fuzzyDedupClusters(t(s, dir, "documents"), threshold = 0.5,
+            portable = true))
+        .orderBy("component", "id"),
+      Some(minhashClusterWeightsOracleSql(numHashes = 64, threshold = 0.5))),
 
     // same clustering via large-star/small-star (O(log n) rounds) — labels
     // must equal q_dedup_clusters exactly (same independent oracle)

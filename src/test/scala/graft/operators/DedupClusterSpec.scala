@@ -121,4 +121,26 @@ class DedupClusterSpec extends SparkSpec {
       (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
       (4L, 4L, true), (5L, 5L, false), (6L, 5L, true)))
   }
+
+  test("clusterWeights: 1/size per member, singletons at 1, mass = component count") {
+    import spark.implicits._
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), // size 4 -> 0.25 each
+      (5L, 5L),                               // singleton -> 1.0
+      (6L, 6L), (7L, 6L), (8L, 6L)            // size 3 -> round(1/3, 6)
+    ).toDF("id", "component")
+    val rows = Dedup.clusterWeights(clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val out = rows.map { case (id, sz, w) => id -> ((sz, w)) }.toList
+    val byId = rows.map { case (id, _, w) => id -> w }.toMap
+    assert(out.size === 8)
+    assert(byId(1L) === 0.25 && byId(5L) === 1.0)
+    assert(byId(6L) === BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // expected total training mass = one doc per distinct page
+    val mass = out.map(_._2._2).sum
+    assert(math.abs(mass - 3.0) < 1e-4, s"mass $mass != 3 components")
+    // sizes reported correctly
+    assert(out.collect { case (id, (sz, _)) if id <= 4 => sz }.forall(_ == 4L))
+  }
 }
