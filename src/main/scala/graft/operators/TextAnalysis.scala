@@ -737,6 +737,36 @@ object TextAnalysis {
       reused(fixedDg(base), fixedDg(edited)).agg(count(lit(1)).as("n_reused_fixed")))
   }
 
+  /** Vocabulary-coverage audit: fix the vocabulary to the corpus's top-K
+    * tokens (count DESC, token ASC — fully deterministic) and report, per
+    * language, total tokens, out-of-vocabulary tokens, and the OOV rate.
+    * The pre-tokenizer QA gate: a language whose OOV rate spikes under a
+    * candidate vocabulary will fragment into subwords (high fertility) or
+    * degrade to UNK — this measures that BEFORE committing a tokenizer.
+    *
+    * Scale: one (token) count shuffle builds the frequency table; the
+    * vocabulary is a K-row TakeOrdered result broadcast into a left-semi
+    * probe; the per-language report is a partial-aggregable conditional
+    * count. Nothing grows with the corpus except the one scan.
+    */
+  def vocabCoverage(
+      df: DataFrame,
+      topK: Int,
+      textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val tok = OperatorCaches.persistTracked(
+      df.select(col(langCol).as("lang"), explode(wsTokens(col(textCol))).as("w")))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(topK)
+      .select(col("w"), lit(1).as("__in"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
   /** CCNet-style perplexity partitioning (Wenzek et al. 2020): score every
     * document with the corpus LM ([[unigramSurprisal]] here — swap in
     * [[bigramSurprisal]] or imported KenLM scores and nothing else

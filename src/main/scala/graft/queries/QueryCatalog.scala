@@ -4001,6 +4001,27 @@ object QueryCatalog {
                 count(DISTINCT host) AS n_hosts
               FROM h GROUP BY domain ORDER BY domain""")),
 
+    // vocabulary-coverage audit: vocab = top-30 corpus tokens
+    // (count DESC, token ASC), per-lang OOV counts + rate — the
+    // pre-tokenizer QA gate; oracle rebuilds the vocab cut and replays
+    // every membership probe
+    Q("q_vocab_coverage",
+      (s, dir) => TextAnalysis.vocabCoverage(t(s, dir, "documents"), topK = 30)
+        .orderBy("lang"),
+      Some("""WITH tok AS (
+                SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                FROM documents),
+              vocab AS (
+                SELECT w FROM (
+                  SELECT w, count(*) AS cnt FROM tok GROUP BY w
+                  QUALIFY row_number() OVER (ORDER BY cnt DESC, w) <= 30))
+              SELECT lang, count(*) AS n_tokens,
+                CAST(sum(CASE WHEN w NOT IN (SELECT w FROM vocab)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                round(CAST(sum(CASE WHEN w NOT IN (SELECT w FROM vocab)
+                  THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS oov_rate
+              FROM tok GROUP BY lang ORDER BY lang""")),
+
     // CCNet head/middle/tail partitioning: per-language surprisal terciles
     // over the unigram LM — the oracle retrains the LM, recomputes every
     // score, replays both quantile cuts (quantile_cont == percentile's

@@ -253,6 +253,28 @@ class TextAnalysisSpec extends SparkSpec {
     OperatorCaches.releaseAll()
   }
 
+  test("vocabCoverage: top-K cut is deterministic, OOV counted per lang") {
+    import spark.implicits._
+    // 'aa' speaks only in-vocab tokens; 'bb' mixes in uniques
+    val rows = (0L until 20L).map(i => (i, "alpha beta gamma alpha", "aa")) ++
+      (20L until 30L).map(i => (i, s"alpha beta rare$i", "bb"))
+    val df = rows.toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.vocabCoverage(df, topK = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // vocab = {alpha, beta, gamma} (counts 50/30/20 beat each rare-1)
+    assert(out("aa") === ((80L, 0L, 0.0)))
+    val (nb, oovB, rateB) = out("bb")
+    assert(nb === 30L && oovB === 10L)
+    assert(rateB === BigDecimal(10.0 / 30)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // shrinking K pushes gamma out: 'aa' now has OOV mass too
+    val tight = TextAnalysis.vocabCoverage(df, topK = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tight("aa") === 20L, s"gamma should fall out at K=2: $tight")
+    OperatorCaches.releaseAll()
+  }
+
   test("perplexityBuckets: per-lang tercile cut, head<=middle<=tail, cuts replayed") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
