@@ -2641,6 +2641,45 @@ object QueryCatalog {
                   AS text_hash_sum
               FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // corrupt-record QUARANTINE on JSONL ingest — the crawl-robustness
+    // path the roundtrip entry can't show: every doc_id % 7 == 0 line is
+    // deterministically truncated (a strict prefix of minified JSON is
+    // never valid JSON), the PERMISSIVE read routes those lines whole
+    // into _corrupt_record with null fields, and clean rows must STILL
+    // hash-match the parquet truth (JSON escaping fidelity under real
+    // breakage). Oracle derives both populations from the parquet truth.
+    Q("q_jsonl_quarantine",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val path = System.getProperty("java.io.tmpdir") +
+          "/graft-jsonlq-" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+        docs.select(col("doc_id"),
+            to_json(struct(col("doc_id"), col("lang"), col("text"))).as("l"))
+          .select(when(col("doc_id") % 7 === 0,
+              expr("substring(l, 1, length(l) - 5)"))
+            .otherwise(col("l")).as("value"))
+          .write.mode("overwrite").text(path)
+        s.read
+          .schema("doc_id LONG, lang STRING, text STRING, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(path)
+          .groupBy(coalesce(col("lang"), lit("__quarantined")).as("lang_grp"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(pmod(graft.operators.PortableHash.portable60(md5(col("text"))),
+                lit(1000000007L)))
+              .as("text_hash_sum"))
+          .orderBy("lang_grp")
+      },
+      Some(s"""SELECT lang AS lang_grp, count(*) AS n_docs,
+                CAST(sum(${graft.operators.PortableHash.duckSql("md5(text)")} % 1000000007) AS BIGINT)
+                  AS text_hash_sum
+              FROM documents WHERE doc_id % 7 <> 0 GROUP BY lang
+              UNION ALL
+              SELECT '__quarantined', count(*), CAST(NULL AS BIGINT)
+              FROM documents WHERE doc_id % 7 = 0
+              ORDER BY lang_grp""")),
+
     // CSV sink/source roundtrip, completing the interchange matrix
     // (parquet/ORC/JSONL/CSV): quoted-header write, explicit-schema read
     // (inference is an extra pass AND widens types), same portable
