@@ -191,4 +191,46 @@ object MediaGen {
   /** One 4-frame GIF per doc id from the shared frame pool. */
   def videoItems(docs: DataFrame): Dataset[MediaItem] =
     items(docs, "video", id => gifOf(videoFrameIndices(id).map(gridFrame)))
+
+  /** Dimension-carrying payloads for the header-sniff entry: real encoded
+    * containers whose dims/sample shape are CLOSED-FORM in doc_id, so the
+    * oracle recomputes what [[Multimodal.sniffMeta]] must read from the
+    * header bytes. Content is blank/silent — the sniff never decodes it.
+    *  - id % 3 == 0 → PNG,  w = 8 + id % 24,        h = 8 + (id / 24) % 24
+    *  - id % 3 == 1 → JPEG, w = 16 + id % 16,       h = 16 + (id * 3) % 16
+    *  - id % 3 == 2 → WAV,  rate = 8000 + (id % 10) * 500, ch = 1 + id % 2
+    */
+  def sniffItems(docs: DataFrame): Dataset[MediaItem] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = (id % 3) match {
+          case 0 => encodeImage((8 + id % 24).toInt, (8 + (id / 24) % 24).toInt, "png")
+          case 1 => encodeImage((16 + id % 16).toInt, (16 + (id * 3) % 16).toInt, "jpg")
+          case _ => silentWav((8000 + (id % 10) * 500).toInt, (1 + id % 2).toInt)
+        }
+        MediaItem(id, if (id % 3 == 2) "audio" else "image", bytes, "gen")
+      })
+  }
+
+  private def encodeImage(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  private def silentWav(rate: Int, channels: Int): Array[Byte] = {
+    val nFrames = 64
+    val pcm = new Array[Byte](nFrames * 2 * channels)
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
 }

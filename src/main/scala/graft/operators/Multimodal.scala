@@ -270,6 +270,82 @@ object Multimodal {
       embedding = emb)
   }
 
+  final case class SniffedMeta(
+      media_id: Long, format: String, width: Int, height: Int)
+
+  /** Header-only metadata SNIFF — the scale fast path the full decoders
+    * deliberately are not: dimensions / sample shape read straight from
+    * the container header bytes (PNG IHDR, GIF logical screen descriptor,
+    * JPEG SOF marker walk, RIFF/WAVE fmt chunk) with NO pixel/PCM decode.
+    * At 100 TB of media you sniff everything and decode selectively —
+    * sniffing touches tens of bytes per file where ImageIO materializes
+    * megapixel rasters (and the full payload still streams through the
+    * binaryFile scan either way, so the win is CPU + allocation, not IO;
+    * with a manifest of (path, offset) the same parsers run on ranged
+    * reads and the IO win follows). For audio, width carries the sample
+    * rate and height the channel count — the [[decode]] convention.
+    * Unparseable payloads drop out. MultimodalSpec pins sniff == full
+    * decode on every planted payload; the catalog oracle replays the
+    * planted dimensions closed-form.
+    */
+  def sniffMeta(items: Dataset[MediaItem]): Dataset[SniffedMeta] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions(_.flatMap { item =>
+      val b = if (item.bytes == null) Array.emptyByteArray else item.bytes
+      sniffBytes(b).map { case (f, w, h) => SniffedMeta(item.media_id, f, w, h) }
+    })
+  }
+
+  private[operators] def sniffBytes(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(o: Int) = b(o) & 0xff
+    def be16(o: Int) = (u8(o) << 8) | u8(o + 1)
+    def be32(o: Int) = (u8(o) << 24) | (u8(o + 1) << 16) | (u8(o + 2) << 8) | u8(o + 3)
+    def le16(o: Int) = u8(o) | (u8(o + 1) << 8)
+    if (b.length >= 24 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a)
+      // PNG: 8-byte signature, IHDR is always the first chunk → width at
+      // offset 16, height at 20 (big-endian, spec-guaranteed ordering)
+      Some(("png", be32(16), be32(20)))
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      // GIF: logical screen descriptor right after "GIF87a"/"GIF89a"
+      Some(("gif", le16(6), le16(8)))
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk marker segments to the first frame header (SOF0..SOF15
+      // minus DHT/JPG/DAC which share the range but aren't frames)
+      var off = 2
+      var out: Option[(String, Int, Int)] = None
+      while (out.isEmpty && off + 9 <= b.length && u8(off) == 0xff) {
+        val marker = u8(off + 1)
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) off += 2
+        else {
+          val len = be16(off + 2)
+          if (len < 2 || off + 2 + len > b.length) off = b.length
+          else if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+            out = Some(("jpeg", be16(off + 7), be16(off + 5)))
+          else off += 2 + len
+        }
+      }
+      out
+    } else if (b.length >= 36 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+      // WAVE: walk chunks to "fmt " (usually immediate), no data scan
+      var off = 12
+      var out: Option[(String, Int, Int)] = None
+      while (out.isEmpty && off + 8 <= b.length) {
+        val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = le16(off + 4).toLong | (le16(off + 6).toLong << 16)
+        if (id == "fmt " && size >= 16 && off + 8 + 16 <= b.length)
+          out = Some(("wav",
+            le16(off + 12) | (le16(off + 14) << 16), // sample rate (LE u32)
+            le16(off + 10)))                          // channels
+        else if (size < 0 || off + 8 + size > b.length) off = b.length
+        else off += 8 + size.toInt + (size.toInt & 1)
+      }
+      out
+    } else None
+  }
+
   /** Decode + feature-extract over partitions. Iterator-in/iterator-out so
     * a real decoder can batch per partition (model load once per task).
     */

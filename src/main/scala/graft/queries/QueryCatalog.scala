@@ -5474,6 +5474,26 @@ object QueryCatalog {
       // PNG → ImageIO decode → 9×8 bilinear luma grid → dHash →
       // value-banded hamming join. The PNG is lossless and IS the dHash
       // grid, so decode must reproduce the planted 60-bit sketch exactly.
+      // header-only metadata sniff: real encoded PNG/JPEG/WAV payloads
+      // whose dims/sample shape are closed-form in doc_id — sniffMeta
+      // reads container headers (IHDR / SOF walk / fmt chunk), never
+      // decodes, and must reproduce the construction exactly
+      Q("q_media_sniff",
+        (s, dir) => Multimodal.sniffMeta(MediaGen.sniffItems(t(s, dir, "documents")))
+          .toDF().orderBy("media_id"),
+        Some("""SELECT CAST(doc_id AS BIGINT) AS media_id,
+                  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+                    WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+                  CAST(CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 8 + doc_id % 24
+                    WHEN 1 THEN 16 + doc_id % 16
+                    ELSE 8000 + (doc_id % 10) * 500 END AS INT) AS width,
+                  CAST(CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 8 + (doc_id // 24) % 24
+                    WHEN 1 THEN 16 + (doc_id * 3) % 16
+                    ELSE 1 + doc_id % 2 END AS INT) AS height
+                FROM documents ORDER BY media_id""")),
+
       Q("q_media_image_neardup",
         (s, dir) => Multimodal.imageNearDupPairs(
             MediaGen.imageItems(t(s, dir, "documents")), maxHamming = 6)

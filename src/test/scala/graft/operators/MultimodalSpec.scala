@@ -386,4 +386,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.fastWavProfile("not a riff at all".getBytes, 8).isEmpty)
     assert(Multimodal.fastWavProfile(Array.emptyByteArray, 8).isEmpty)
   }
+
+  test("sniffBytes agrees with the full decoders on every container, sans decode") {
+    def png(w: Int, h: Int, fmt: String) = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x123456) // non-blank: sniff must not care
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    assert(Multimodal.sniffBytes(png(37, 19, "png")) === Some(("png", 37, 19)))
+    assert(Multimodal.sniffBytes(png(640, 480, "jpg")) === Some(("jpeg", 640, 480)))
+    assert(Multimodal.sniffBytes(png(25, 13, "gif")) === Some(("gif", 25, 13)))
+    // WAV: rate/channels from the fmt chunk only
+    val fmt = new javax.sound.sampled.AudioFormat(11025f, 16, 2, true, false)
+    val pcm = new Array[Byte](11025 * 2 * 2) // a full second: sniff stays O(header)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 11025L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    assert(Multimodal.sniffBytes(out.toByteArray) === Some(("wav", 11025, 2)))
+    // junk, truncation, and empties drop out rather than guessing
+    assert(Multimodal.sniffBytes("plain text".getBytes).isEmpty)
+    assert(Multimodal.sniffBytes(png(37, 19, "png").take(20)).isEmpty)
+    assert(Multimodal.sniffBytes(Array.emptyByteArray).isEmpty)
+  }
 }
