@@ -3422,6 +3422,37 @@ object QueryCatalog {
     // synchronous label propagation over the same co-order graph: 4 fixed
     // rounds, majority label with min-label ties — integer state, so the
     // oracle unrolls the rounds with no float grid at all
+    // user-journey path mining: each user's first-4-event-type prefix
+    // (deterministic (ts, event_id) order), top-10 paths by user count —
+    // the onboarding/funnel-shape probe beside q_funnel/q_event_transitions.
+    // One window shuffle + two partial-aggregable counts; the path string
+    // is assembled from a sorted struct array, never an unordered
+    // collect_list
+    Q("q_user_paths",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 4)
+          .groupBy("user_id")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            e => e.getField("event_type")), ">").as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path"))
+          .limit(10)
+      },
+      Some("""WITH r AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rn
+                FROM events),
+              p AS (SELECT user_id,
+                  string_agg(event_type, '>' ORDER BY rn) AS path
+                FROM r WHERE rn <= 4 GROUP BY user_id)
+              SELECT path, count(*) AS n_users FROM p GROUP BY path
+              ORDER BY n_users DESC, path LIMIT 10""")),
+
     // multi-source BFS over the same customer-supplier graph: hop
     // distance to the nearest of the two smallest landmark nodes, 4
     // fixed rounds — the oracle unrolls frontier/visited CTEs
