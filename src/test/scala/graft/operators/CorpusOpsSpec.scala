@@ -172,4 +172,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(exact.subsetOf(tiny))
     OperatorCaches.releaseAll()
   }
+
+  test("standardize: 6dp-anchored z-scores, constant column -> null, repartition-stable") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0, 5.0), (2L, 20.0, 5.0), (3L, 30.0, 5.0), (4L, 40.0, 5.0))
+      .toDF("id", "x", "konst")
+    val out = Profiling.standardize(df, Seq("x", "konst"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), Option(r.get(4)))).toMap
+    // mean 25, stddev_samp = sqrt(500/3) ~ 12.909944 -> anchors round 6dp
+    def z(x: Double) = BigDecimal((x - 25.0) / 12.909944)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq(1L -> 10.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0).foreach { case (id, x) =>
+      assert(out(id)._1 === z(x), s"id $id")
+      assert(out(id)._2 === None, s"constant column must scale to null, id $id")
+    }
+    val again = Profiling.standardize(df.repartition(5), Seq("x"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(again === out.view.mapValues(_._1).toMap)
+  }
 }
