@@ -283,6 +283,49 @@ object GraphRank {
     * Returns (node, dist): every node within `maxHops` of a source, with
     * its minimal hop count (sources themselves at 0).
     */
+  /** Deterministic negative sampling for link-prediction training data:
+    * per node, k NON-edges (src, dst) drawn by portable hash — the
+    * negatives a GNN/embedding link predictor trains against. Candidate
+    * dst = portable60(seed:src:j) mod (maxId+1) for j < 2k+margin draws,
+    * kept only if it is (a) a real node (left-semi against the node set —
+    * sparse id spaces just consume margin), (b) not src itself, and
+    * (c) NOT an edge (left-anti against the edge set — the property that
+    * makes it a negative); the first k survivors in draw order win.
+    * Hash-seeded and order-free, so the sample is reproducible across
+    * runs, partitionings, and engines — resumable training data, the
+    * same rationale as [[Sampling.weightedSample]]'s Gumbel keys.
+    *
+    * Scale shape: candidates are |N|·(2k+margin) rows of three longs;
+    * the semi/anti joins shuffle on (dst) / (src, dst) against tables the
+    * graph already has; the per-node top-k window partitions by src.
+    * Dense nodes (degree ≈ |N|) can exhaust the margin and yield < k
+    * negatives — deterministically, and an oracle replays exactly that.
+    */
+  def negativeSamples(
+      edges: DataFrame, k: Int, seed: String = "negs", margin: Int = 3): DataFrame = {
+    require(k >= 1 && margin >= 0, "need k >= 1, margin >= 0")
+    val e = OperatorCaches.persistTracked(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct())
+    val nodes = OperatorCaches.persistTracked(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct())
+    val maxId = nodes.agg(max("node")).head().getLong(0)
+    val m = 2 * k + margin
+    val cands = nodes.select(col("node").as("src"),
+        explode(array((0 until m).map(lit): _*)).as("j"))
+      .withColumn("dst", pmod(PortableHash.portable60(
+          concat_ws(":", lit(seed), col("src"), col("j"))), lit(maxId + 1)))
+      .filter(col("dst") =!= col("src"))
+      .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .join(e, Seq("src", "dst"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy("j")
+    cands.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("dst").as("neg_dst"), col("j").as("draw"))
+  }
+
   def multiSourceBfs(
       edges: DataFrame, sources: DataFrame, maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1, "need maxHops >= 1")

@@ -3455,6 +3455,45 @@ object QueryCatalog {
     // synchronous label propagation over the same co-order graph: 4 fixed
     // rounds, majority label with min-label ties — integer state, so the
     // oracle unrolls the rounds with no float grid at all
+    // deterministic negative sampling for link prediction: per node, 3
+    // hash-drawn non-edges (real-node semi-join, edge anti-join, first-3
+    // in draw order) — the oracle replays every md5 draw, both joins,
+    // and the windowed cut
+    Q("q_negative_samples",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        val edges = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.GraphRank.negativeSamples(edges, k = 3)
+          .orderBy("src", "draw")
+      },
+      Some(s"""WITH pairs AS MATERIALIZED (
+                SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              edges AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM (
+                  SELECT src, dst FROM pairs
+                  UNION ALL SELECT dst AS src, src AS dst FROM pairs)),
+              nodes AS MATERIALIZED (
+                SELECT DISTINCT src AS node FROM edges
+                UNION SELECT DISTINCT dst FROM edges),
+              mx AS (SELECT max(node) AS mx FROM nodes),
+              cand AS (SELECT n.node AS src, r.j,
+                  ${graft.operators.PortableHash.duckSql(
+                    "'negs:' || n.node || ':' || r.j")} % (mx.mx + 1) AS dst
+                FROM nodes n, range(9) r(j), mx),
+              ok AS (SELECT src, dst, j FROM cand
+                WHERE dst <> src AND dst IN (SELECT node FROM nodes)
+                  AND NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.src = cand.src AND e.dst = cand.dst))
+              SELECT src, dst AS neg_dst, j AS draw FROM ok
+              QUALIFY row_number() OVER (PARTITION BY src ORDER BY j) <= 3
+              ORDER BY src, draw""")),
+
     // user-journey path mining: each user's first-4-event-type prefix
     // (deterministic (ts, event_id) order), top-10 paths by user count —
     // the onboarding/funnel-shape probe beside q_funnel/q_event_transitions.

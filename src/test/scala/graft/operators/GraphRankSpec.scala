@@ -164,6 +164,32 @@ class GraphRankSpec extends SparkSpec {
     OperatorCaches.releaseAll()
   }
 
+  test("negativeSamples: never an edge, never self, real nodes, deterministic") {
+    import spark.implicits._
+    // near-complete graph on 0..5 missing only (0,5),(5,0),(2,4),(4,2)
+    val all = for (a <- 0L to 5L; b <- 0L to 5L
+      if a != b && !(a == 0 && b == 5) && !(a == 5 && b == 0) &&
+        !(a == 2 && b == 4) && !(a == 4 && b == 2)) yield (a, b)
+    val edges = all.toDF("src", "dst")
+    val got = GraphRank.negativeSamples(edges, k = 2, margin = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edgeSet = all.toSet
+    got.foreach { case (s0, d) =>
+      assert(s0 != d, s"self pair $s0")
+      assert(!edgeSet.contains((s0, d)), s"($s0, $d) is a real edge")
+      assert(d >= 0L && d <= 5L, s"dst $d not a node")
+    }
+    // node 0's only possible negative is 5 (and vice versa); 2<->4 likewise
+    val bySrc = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(bySrc.getOrElse(0L, Set()) === Set(5L))
+    assert(bySrc.getOrElse(2L, Set()) === Set(4L))
+    // deterministic under repartition
+    val again = GraphRank.negativeSamples(edges.repartition(7), k = 2, margin = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(again.toSeq === got.sorted.toSeq)
+    OperatorCaches.releaseAll()
+  }
+
   test("multiSourceBfs: nearest-landmark distances, bound respected, direction honored") {
     import spark.implicits._
     // two chains meeting at 100: 0->1->2->3->4 and 10->11->100, plus an
