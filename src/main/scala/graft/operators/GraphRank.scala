@@ -326,6 +326,39 @@ object GraphRank {
       .select(col("src"), col("dst").as("neg_dst"), col("j").as("draw"))
   }
 
+  /** Link-prediction pair scores over shared neighborhoods (Liben-Nowell
+    * & Kleinberg 2003) — the SCORING complement of [[negativeSamples]]'
+    * training negatives: for every source pair (u < v) sharing at least
+    * one destination, the common-neighbor count and the Adamic-Adar
+    * weight Σ_w 1/ln(deg(w)) over the shared destinations w (rarer
+    * shared neighbors carry more signal than ubiquitous ones — the same
+    * insight behind idf). Degrees are destination posting-list sizes in
+    * the DEDUPED edge set.
+    *
+    * `maxDegree` is the hub cap, same deterministic reduced-graph
+    * semantics as ngramJaccard.maxDf / triangleCountCapped: destinations
+    * with more than maxDegree sources are removed BEFORE pairing (their
+    * AA summand ~1/ln(huge) is noise, their candidate volume is deg² —
+    * all cost, no signal), so scores are exactly the scores of the
+    * reduced graph and an oracle replays them. Candidate volume is
+    * Σ deg² over surviving destinations — the cap, not the join, is the
+    * 100-TB lever. Degree-1 destinations drop too (they cannot pair, and
+    * 1/ln(1) is undefined).
+    */
+  def linkScores(edges: DataFrame, maxDegree: Long = Long.MaxValue): DataFrame = {
+    val e = OperatorCaches.persistTracked(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct())
+    val deg = e.groupBy("dst").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2 && col("deg") <= maxDegree)
+    val posting = OperatorCaches.persistTracked(e.join(deg, Seq("dst")))
+    posting.as("a").join(posting.as("b"),
+        col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("common"),
+        round(sum(lit(1.0) / log(col("a.deg"))), 6).as("adamic_adar"))
+  }
+
   def multiSourceBfs(
       edges: DataFrame, sources: DataFrame, maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1, "need maxHops >= 1")

@@ -113,4 +113,102 @@ object Sketches {
     sketches.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("hll")))
         .as("approx_distinct"))
+
+  // ---------------------------------------------------------------------
+  // Log-linear histogram quantile sketch — the QUANTILE member of the
+  // sketch-as-a-table family (CMS = frequency, HLL = distinct, Bloom =
+  // membership). Same family as HdrHistogram / DDSketch (Masson et al.,
+  // VLDB 2019): log2 major buckets with 2^subBits linear sub-buckets give
+  // a relative-error guarantee of 2^-(subBits+1) on any quantile, and the
+  // sketch is a (groups × buckets)-bounded counter TABLE that merges by
+  // summing counts — per-crawl/per-partition sketch rows roll up to
+  // corpus-lifetime quantiles WITHOUT rescanning the source, the exact
+  // contract hllSketchTable has for distincts.
+  //
+  // Unlike t-digest/GK (value-dependent centroids, engine-specific state)
+  // every step here is INTEGER-exact and engine-portable: values quantize
+  // to a cents grid (floor(v*100 + 0.5)), the major bucket is
+  // length(bin(cents)) - 1 (floor-log2 with no floating log anywhere —
+  // both Spark and DuckDB expose minimal-length bin()), and the
+  // sub-bucket is a right-shift. A second engine replays the whole
+  // sketch from the data bit-for-bit, so the catalog entry gets a full
+  // hash-compare oracle where HLL only gets an error-bracket audit.
+  // ---------------------------------------------------------------------
+
+  /** Quantized cents key: floor(v·100 + 0.5). The sketch's input grid —
+    * ≤ half-cent absolute quantization, negligible relative to the
+    * 2^-(subBits+1) bucket bound for values ≥ 1.
+    */
+  private def cents(v: Column): Column =
+    floor(v * 100 + 0.5).cast("long")
+
+  /** Build the histogram sketch table: one (groupCols…, bhi, blo, ct) row
+    * per occupied bucket. bhi = floor(log2(cents)) via bin-string length
+    * (integer-exact), blo = the top `subBits` bits (cents >> (bhi -
+    * subBits); small values bhi < subBits keep cents verbatim — exact).
+    * (bhi, blo) is lexicographically monotone in the value, which is what
+    * makes rank selection over cumulative counts correct. Non-positive
+    * cents take the reserved bucket (-1, 0). Map-side combined groupBy;
+    * the shuffle carries bounded counter rows, never values.
+    */
+  def logHistSketch(
+      df: DataFrame,
+      valueCol: Column,
+      groupCols: Seq[String],
+      subBits: Int = 4): DataFrame = {
+    val c = cents(valueCol)
+    val bhi = when(c <= 0, lit(-1))
+      .otherwise(length(bin(c)) - 1).cast("int")
+    val blo = when(c <= 0, lit(0L))
+      .otherwise(call_function("shiftright", c, greatest(bhi - subBits, lit(0))))
+    df.select((groupCols.map(col) :+ bhi.as("bhi") :+ blo.as("blo")): _*)
+      .groupBy((groupCols :+ "bhi" :+ "blo").map(col): _*)
+      .agg(count(lit(1)).as("ct"))
+  }
+
+  /** Merge sketch rows down to `groupCols`: counts sum per bucket. The
+    * read path never touches the source — N crawls' sketches roll up in
+    * one bounded aggregation, and building per-partition then merging is
+    * exactly equal to building once (the catalog entry proves it against
+    * a direct-build oracle).
+    */
+  def logHistMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy((groupCols :+ "bhi" :+ "blo").map(col): _*)
+      .agg(sum("ct").as("ct"))
+
+  /** Quantile estimates from a merged sketch: for each q, the midpoint of
+    * the bucket holding rank ceil(q·n) (disc convention, rank ≥ 1). The
+    * bucket's integer range is [blo·w, (blo+1)·w) with w = 2^max(bhi −
+    * subBits, 0); midpoint (2·blo·w + w − 1)/2 cents, so the estimate is
+    * within 2^-(subBits+1) relative of the true disc-quantile value
+    * (exact for cents < 2^subBits, where w = 1). Cost: one window pass
+    * over the BOUNDED sketch table — never a sort of the data.
+    */
+  def logHistQuantiles(
+      sketch: DataFrame,
+      groupCols: Seq[String],
+      qs: Seq[Double],
+      subBits: Int = 4): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs in (0, 1]")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val gcols = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col("bhi"), col("blo"))
+    val cum = sketch
+      .withColumn("cum", sum("ct").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("ct").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(gcols: _*)))
+    val width = call_function("shiftleft", lit(1L),
+      greatest(col("bhi") - subBits, lit(0)))
+    cum.crossJoin(
+        qs.toDF("q").hint("broadcast"))
+      .withColumn("rank", greatest(ceil(col("q") * col("n")), lit(1L)))
+      .filter(col("cum") >= col("rank") && col("cum") - col("ct") < col("rank"))
+      .select((gcols :+ col("q") :+
+        when(col("bhi") === -1, lit(0.0))
+          .otherwise(round((col("blo") * 2 * width + width - 1) / lit(2.0) / 100.0, 6))
+          .as("est")): _*)
+  }
 }

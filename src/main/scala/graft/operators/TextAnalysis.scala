@@ -305,6 +305,57 @@ object TextAnalysis {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Okapi BM25 scored retrieval (Robertson et al., TREC-3) — the
+    * ranked-retrieval complement of [[tfidfCosinePairs]]'s symmetric
+    * similarity join: score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf +
+    * k1·(1 − b + b·dl/avgdl)) with idf(t) = ln(1 + (N − df + 0.5) /
+    * (df + 0.5)). Returns the topK (id, score) rows for the query-term
+    * bag, score desc / id asc.
+    *
+    * Scale shape: the query terms are a literal predicate pushed into the
+    * exploded token stream (everything not in the query dies in the
+    * narrow map — df/tf aggregate ONLY query-term postings), doc length
+    * and corpus stats are map-side-combined single-row aggregates
+    * broadcast back, and the final ranking is a top-k
+    * (TakeOrderedAndProject), never a corpus sort. Per-term summands
+    * round at 6 dp inside the final sum's round, the repo's standard
+    * order-independence grid for double sums.
+    */
+  def bm25TopK(
+      df: DataFrame,
+      queryTerms: Seq[String],
+      topK: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    // exact average doc length: integer sum / count (no double-sum order
+    // dependence), one bounded row broadcast everywhere
+    val stats = broadcast(dl.agg(
+      count(lit(1)).cast("double").as("__n"),
+      (sum("dl").cast("double") / count(lit(1))).as("__avgdl")))
+    val qtf = toks.filter(col("tok").isin(queryTerms: _*))
+      .groupBy("id", "tok").agg(count(lit(1)).cast("double").as("tf"))
+    val qdf = qtf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    qtf.join(qdf, Seq("tok"))
+      .join(dl, Seq("id"))
+      .crossJoin(stats)
+      .withColumn("idf",
+        log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("summand",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("__avgdl"))))
+      .groupBy("id")
+      .agg(round(sum("summand"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("id"))
+      .limit(topK)
+  }
+
   /** Perplexity-style LM quality score from a corpus-trained unigram
     * model: surprisal(doc) = −mean log2 P(token), P(token) = corpus
     * frequency / corpus token count. The degenerate-but-exact member of

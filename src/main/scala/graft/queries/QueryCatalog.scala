@@ -5778,6 +5778,288 @@ object QueryCatalog {
         Some(TaxiOracle.zoneJoin)))
   }
 
+  // ------------------------------------------------- round-9 session 8
+  // New operator families: the quantile member of the sketch-as-a-table
+  // family, BM25 retrieval + hybrid rank fusion, link-prediction scoring,
+  // dictionary taxonomy tagging, time-decayed aggregates, l-diversity.
+
+  private val session8: Seq[Q] = Seq(
+
+    // log-linear histogram quantile sketch (HdrHistogram / DDSketch
+    // family): per-(returnflag, ship-month) sketch rows MERGED to
+    // per-returnflag — the Spark side exercises the incremental merge
+    // path while the oracle builds the sketch directly from the data, so
+    // a green row PROVES merge == direct build (counts sum per bucket)
+    // on top of the bucket math itself. p50/p95/p99 estimates audited
+    // against the exact disc quantile with the published relative bound
+    // 2^-(subBits+1) = 0.03125 (+ half-cent grid slack).
+    Q("q_quantile_sketch",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val monthly = graft.operators.Sketches.logHistSketch(
+          li.withColumn("mth", month(col("l_shipdate"))),
+          col("l_extendedprice"), Seq("l_returnflag", "mth"))
+        val merged = graft.operators.Sketches.logHistMerge(
+          monthly, Seq("l_returnflag"))
+        val est = graft.operators.Sketches.logHistQuantiles(
+          merged, Seq("l_returnflag"), Seq(0.5, 0.95, 0.99))
+        // exact-disc audit (fixture-scale QA side; the sketch path above
+        // never sorts the data)
+        val wr = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        val ranked = li.select(col("l_returnflag"), col("l_extendedprice"))
+          .withColumn("rn", row_number().over(wr))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+        import s.implicits._
+        val exact = ranked
+          .crossJoin(broadcast(Seq(0.5, 0.95, 0.99).toDF("q")))
+          .filter(col("rn") === greatest(ceil(col("q") * col("n")), lit(1L)))
+          .select(col("l_returnflag"), col("q"),
+            col("l_extendedprice").as("exact_v"))
+        est.join(exact, Seq("l_returnflag", "q"))
+          .withColumn("rel_err", round(abs(col("est") - col("exact_v")) / col("exact_v"), 6))
+          .select(col("l_returnflag"), col("q"), col("est"), col("exact_v"),
+            col("rel_err"), (col("rel_err") <= 0.0315).as("within_bound"))
+          .orderBy("l_returnflag", "q")
+      },
+      Some("""WITH c AS (SELECT l_returnflag AS rf,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+                  l_extendedprice AS v
+                FROM lineitem),
+              b AS (SELECT rf,
+                  CAST(CASE WHEN c <= 0 THEN -1
+                    ELSE length(bin(c)) - 1 END AS INT) AS bhi,
+                  CASE WHEN c <= 0 THEN CAST(0 AS BIGINT)
+                    ELSE c >> greatest(length(bin(c)) - 1 - 4, 0) END AS blo
+                FROM c),
+              sk AS (SELECT rf, bhi, blo, count(*) AS ct FROM b GROUP BY 1, 2, 3),
+              cum AS (SELECT rf, bhi, blo, ct,
+                  sum(ct) OVER (PARTITION BY rf ORDER BY bhi, blo
+                    ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(ct) OVER (PARTITION BY rf) AS n
+                FROM sk),
+              qs AS (SELECT CAST(q AS DOUBLE) AS q
+                FROM (VALUES (0.5), (0.95), (0.99)) t(q)),
+              est AS (SELECT rf, q,
+                  CASE WHEN bhi = -1 THEN 0.0 ELSE
+                    round((blo * 2 * (CAST(1 AS BIGINT) << greatest(bhi - 4, 0))
+                      + (CAST(1 AS BIGINT) << greatest(bhi - 4, 0)) - 1)
+                      / 2.0 / 100.0, 6) END AS est
+                FROM cum, qs
+                WHERE cum >= greatest(CAST(ceil(q * n) AS BIGINT), 1)
+                  AND cum - ct < greatest(CAST(ceil(q * n) AS BIGINT), 1)),
+              rk AS (SELECT rf, v,
+                  row_number() OVER (PARTITION BY rf ORDER BY v) AS rn,
+                  count(*) OVER (PARTITION BY rf) AS n
+                FROM c),
+              ex AS (SELECT rk.rf, q, v AS exact_v FROM rk, qs
+                WHERE rn = greatest(CAST(ceil(q * n) AS BIGINT), 1))
+              SELECT est.rf AS l_returnflag, est.q AS q, est.est, ex.exact_v,
+                round(abs(est.est - ex.exact_v) / ex.exact_v, 6) AS rel_err,
+                (round(abs(est.est - ex.exact_v) / ex.exact_v, 6) <= 0.0315)
+                  AS within_bound
+              FROM est JOIN ex ON est.rf = ex.rf AND est.q = ex.q
+              ORDER BY l_returnflag, est.q""")),
+
+    // Okapi BM25 ranked retrieval: 'dup' is the rare high-idf
+    // discriminator (df 26/500 vs ~450 for the common terms), so the
+    // ranking is dominated by dup-bearing docs — a real relevance
+    // ordering, not a length artifact. Constants are spliced from the
+    // same Scala doubles the Spark expression uses.
+    Q("q_bm25_topk",
+      (s, dir) => TextAnalysis.bm25TopK(
+          t(s, dir, "documents"), Seq("dup", "join", "hash"), topK = 15)
+        .select(col("id").as("doc_id"), col("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")),
+      Some(s"""WITH tk AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                  list_filter(regexp_split_to_array(text, ' '), x -> x <> '') AS t
+                FROM documents),
+              dl AS (SELECT id, len(t) AS dl FROM tk
+                WHERE t IS NOT NULL AND len(t) > 0),
+              st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+              tf AS (SELECT id, tok, CAST(count(*) AS DOUBLE) AS tf
+                FROM (SELECT id, unnest(t) AS tok FROM tk)
+                WHERE tok IN ('dup', 'join', 'hash') GROUP BY id, tok),
+              dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+              SELECT id AS doc_id,
+                round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * (tf * ${1.2 + 1}) / (tf + ${1.2} * (1 - ${0.75} + ${0.75} * dl / avgdl))), 6)
+                  AS bm25
+              FROM tf JOIN dfq USING (tok) JOIN dl USING (id), st
+              GROUP BY id ORDER BY bm25 DESC, doc_id LIMIT 15""")),
+
+    // hybrid retrieval via reciprocal-rank fusion (Cormack et al., SIGIR
+    // 2009): the BM25 lexical ranking and the embedding cosine ranking
+    // fuse as Σ 1/(60 + rank) — rank arithmetic only, so the fusion is
+    // exactly replayable even though the two source scores live on
+    // different scales. doc_id and vec_id share the fixture id space by
+    // construction (TESTDATA.md). Lists are top-50 each; absent-from-a-
+    // list contributes 0 — the standard RRF convention.
+    Q("q_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val qv = Similarity.collectQueryVec(emb, 0)
+        val cosTop = Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") =!= 0), qv, k = 50)
+          .withColumn("r_cos", row_number().over(
+            Window.orderBy(col("sim").desc, col("vec_id"))))
+          .select(col("vec_id").as("id"), col("r_cos"))
+        val bmTop = TextAnalysis.bm25TopK(
+            t(s, dir, "documents"), Seq("dup", "join", "hash"), topK = 50)
+          .withColumn("r_bm", row_number().over(
+            Window.orderBy(col("bm25").desc, col("id"))))
+          .select(col("id"), col("r_bm"))
+        cosTop.join(bmTop, Seq("id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("r_bm")), lit(0.0)), 6))
+          .select(col("id").as("doc_id"), col("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""WITH cos AS (SELECT vec_id AS id, round(sim_raw, 4) AS sim FROM (
+                  SELECT vec_id, list_cosine_similarity(
+                    CAST(embedding AS DOUBLE[]),
+                    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+                  ) AS sim_raw FROM embeddings WHERE vec_id <> 0)
+                ORDER BY sim DESC, id LIMIT 50),
+              rc AS (SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS r_cos
+                FROM cos),
+              tk AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                  list_filter(regexp_split_to_array(text, ' '), x -> x <> '') AS t
+                FROM documents),
+              dl AS (SELECT id, len(t) AS dl FROM tk
+                WHERE t IS NOT NULL AND len(t) > 0),
+              st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+              tf AS (SELECT id, tok, CAST(count(*) AS DOUBLE) AS tf
+                FROM (SELECT id, unnest(t) AS tok FROM tk)
+                WHERE tok IN ('dup', 'join', 'hash') GROUP BY id, tok),
+              dfq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+              bm AS (SELECT id,
+                  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                    * (tf * ${1.2 + 1}) / (tf + ${1.2} * (1 - ${0.75} + ${0.75} * dl / avgdl))), 6)
+                    AS bm25
+                FROM tf JOIN dfq USING (tok) JOIN dl USING (id), st
+                GROUP BY id ORDER BY bm25 DESC, id LIMIT 50),
+              rb AS (SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS r_bm
+                FROM bm)
+              SELECT coalesce(rc.id, rb.id) AS doc_id,
+                round(coalesce(1.0 / (60 + r_cos), 0.0)
+                  + coalesce(1.0 / (60 + r_bm), 0.0), 6) AS rrf
+              FROM rc FULL OUTER JOIN rb ON rc.id = rb.id
+              ORDER BY rrf DESC, doc_id LIMIT 10""")),
+
+    // link-prediction scoring: supplier pairs ranked by Adamic-Adar over
+    // shared customers (the customer-supplier graph q_graph_bfs walks).
+    // maxDegree = 60 exercises the hub cap — customers buying from more
+    // than 60 suppliers are boilerplate, all candidate volume and no
+    // signal, and drop with reduced-graph semantics the oracle replays.
+    Q("q_link_scores",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
+        graft.operators.GraphRank.linkScores(edges, maxDegree = 60)
+          .orderBy(col("adamic_adar").desc, col("src_a"), col("src_b"))
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              deg AS (SELECT dst, count(*) AS deg FROM e GROUP BY dst
+                HAVING count(*) >= 2 AND count(*) <= 60),
+              p AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (dst))
+              SELECT a.src AS src_a, b.src AS src_b,
+                count(*) AS common,
+                round(sum(1.0 / ln(a.deg)), 6) AS adamic_adar
+              FROM p a JOIN p b ON a.dst = b.dst AND a.src < b.src
+              GROUP BY 1, 2
+              ORDER BY adamic_adar DESC, src_a, src_b LIMIT 20""")),
+
+    // dictionary taxonomy tagging: a broadcast (term -> topic) dictionary
+    // against the token stream — the flashtext/Aho-Corasick shape at
+    // unigram granularity (phrase dicts swap the token stream for a
+    // gram-window stream, same join). Per-topic doc and hit counts; text
+    // never shuffles, only (id, topic) pairs do.
+    Q("q_dict_tags",
+      (s, dir) => {
+        import s.implicits._
+        val dict = broadcast(Seq(
+          ("join", "exec"), ("hash", "exec"), ("merge", "exec"), ("sort", "exec"),
+          ("scan", "storage"), ("table", "storage"), ("row", "storage"),
+          ("column", "storage"), ("stream", "streaming"), ("window", "streaming"),
+          ("batch", "streaming"), ("dup", "quality"), ("slow", "quality"),
+          ("fast", "quality")).toDF("tok", "topic"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .join(dict, Seq("tok"))
+          .groupBy("topic")
+          .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_hits"))
+          .orderBy("topic")
+      },
+      Some("""WITH dict(tok, topic) AS (VALUES
+                ('join', 'exec'), ('hash', 'exec'), ('merge', 'exec'),
+                ('sort', 'exec'), ('scan', 'storage'), ('table', 'storage'),
+                ('row', 'storage'), ('column', 'storage'), ('stream', 'streaming'),
+                ('window', 'streaming'), ('batch', 'streaming'), ('dup', 'quality'),
+                ('slow', 'quality'), ('fast', 'quality')),
+              tok AS (SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(text, ' '), x -> x <> '')) AS tok
+                FROM documents)
+              SELECT topic, count(DISTINCT doc_id) AS n_docs,
+                count(*) AS n_hits
+              FROM tok JOIN dict USING (tok)
+              GROUP BY topic ORDER BY topic""")),
+
+    // exponentially time-decayed aggregates (half-life 24 h against the
+    // corpus max timestamp): the recency-weighted engagement metric shape.
+    // Δt is an exact integer of epoch seconds, so the only float work is
+    // exp and the sum — rounded on the repo's 4-dp double-sum grid.
+    Q("q_decayed_value",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val tmax = broadcast(ev.agg(max(unix_timestamp(col("ts"))).as("tmax")))
+        ev.crossJoin(tmax)
+          .withColumn("w", exp(lit(-math.log(2.0) / 86400.0) *
+            (col("tmax") - unix_timestamp(col("ts")))))
+          .groupBy("event_type")
+          .agg(round(sum(col("w") * col("value")), 4).as("decayed_value"),
+            round(sum(col("w")), 4).as("decayed_count"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH se AS (SELECT event_type, value,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+              tm AS (SELECT max(sec) AS tmax FROM se)
+              SELECT event_type,
+                round(sum(exp(${-math.log(2.0) / 86400.0} * (tmax - sec)) * value), 4)
+                  AS decayed_value,
+                round(sum(exp(${-math.log(2.0) / 86400.0} * (tmax - sec))), 4)
+                  AS decayed_count
+              FROM se, tm
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // l-diversity audit (Machanavajjhala et al. 2006) — the k-anonymity
+    // companion: per quasi-identifier group (mktsegment × nation), the
+    // count of DISTINCT sensitive values (account-balance kilobucket);
+    // groups below l = 3 are re-identification risks even when k is
+    // satisfied (everyone in the group shares the sensitive value).
+    Q("q_l_diversity",
+      (s, dir) => t(s, dir, "customer")
+        .withColumn("bal_kb", floor(col("c_acctbal") / 1000).cast("long"))
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("k"), countDistinct("bal_kb").as("l"))
+        .withColumn("at_risk", col("l") < 3)
+        .orderBy("c_mktsegment", "c_nationkey"),
+      Some("""SELECT c_mktsegment, c_nationkey, count(*) AS k,
+                count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l,
+                (count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 3)
+                  AS at_risk
+              FROM customer GROUP BY 1, 2 ORDER BY 1, 2""")))
+
   val all: Seq[Q] =
-    relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++ taxi
+    relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++
+      taxi ++ session8
 }

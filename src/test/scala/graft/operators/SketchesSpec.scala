@@ -56,4 +56,61 @@ class SketchesSpec extends SparkSpec {
       .head().getLong(1)
     assert(direct === est, s"merge path $est != direct path $direct")
   }
+
+  test("log-hist quantile sketch: bound holds, merge == direct, small values exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // heavy-tailed positive values across 5 decades, 2 groups
+    val rows = (0 until 4000).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      val v = math.exp(rnd.nextDouble() * 11.5) / 100.0 // 0.01 .. ~1e3
+      (g, i % 7, v)
+    }
+    val df = rows.toDF("grp", "part", "v")
+    val qs = Seq(0.1, 0.5, 0.9, 0.95, 0.99, 1.0)
+
+    val direct = Sketches.logHistSketch(df, col("v"), Seq("grp"))
+    val merged = Sketches.logHistMerge(
+      Sketches.logHistSketch(df, col("v"), Seq("grp", "part")), Seq("grp"))
+    // merge path == direct build, bucket for bucket
+    assert(merged.orderBy("grp", "bhi", "blo").collect().toSeq ===
+      direct.orderBy("grp", "bhi", "blo").collect().toSeq)
+
+    val est = Sketches.logHistQuantiles(merged, Seq("grp"), qs)
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2))).toMap
+    assert(est.size === 12) // 2 groups x 6 qs, exactly one bucket wins per (g, q)
+
+    // exact disc quantiles per group on the cents grid the sketch sees
+    val byGroup = rows.groupBy(_._1).view
+      .mapValues(_.map(t => math.floor(t._3 * 100 + 0.5) / 100.0).sorted.toIndexedSeq)
+    for (g <- Seq("a", "b"); q <- qs) {
+      val xs = byGroup(g)
+      val exact = xs(math.max(math.ceil(q * xs.size).toInt, 1) - 1)
+      val e = est((g, q))
+      assert(math.abs(e - exact) <= exact * 0.03125 + 1e-9,
+        s"($g, $q): est $e vs exact $exact breaks the 2^-5 bound")
+    }
+
+    // cents below 2^subBits land in width-1 buckets: estimate == value
+    val tiny = Seq(("t", 0.01), ("t", 0.05), ("t", 0.15), ("t", 0.15)).toDF("grp", "v")
+    val tinyEst = Sketches.logHistQuantiles(
+        Sketches.logHistSketch(tiny, col("v"), Seq("grp")), Seq("grp"), Seq(0.5, 1.0))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toMap
+    assert(tinyEst(0.5) === 0.05 && tinyEst(1.0) === 0.15)
+
+    // non-positive values take the reserved bucket and estimate 0
+    val zeros = Seq(("z", 0.0), ("z", -3.0), ("z", 12.0)).toDF("grp", "v")
+    val zEst = Sketches.logHistQuantiles(
+        Sketches.logHistSketch(zeros, col("v"), Seq("grp")), Seq("grp"), Seq(0.5))
+      .head().getDouble(2)
+    assert(zEst === 0.0)
+
+    // deterministic under repartition
+    val again = Sketches.logHistQuantiles(
+        Sketches.logHistMerge(
+          Sketches.logHistSketch(df.repartition(13), col("v"), Seq("grp", "part")),
+          Seq("grp")), Seq("grp"), qs)
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2))).toMap
+    assert(again === est)
+  }
 }

@@ -365,4 +365,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(10L)._3 === 1 && got(12L)._3 === 0) // correct flags
     OperatorCaches.releaseAll()
   }
+
+  test("bm25TopK matches a driver-side reference and ranks rare-term docs first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join hash join table"),   // tf(hash)=2 in a short doc
+      (2L, "table scan scan scan scan scan scan scan"),
+      (3L, "needle hash table"),           // rare term + hash
+      (4L, "needle needle scan"),          // rare term twice, short
+      (5L, "scan table row group window sort agg value key part")
+    ).toDF("doc_id", "text")
+    val terms = Seq("needle", "hash")
+    val got = TextAnalysis.bm25TopK(docs, terms, topK = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+
+    // driver-side reference with the same constants and 6dp grid
+    val toks = Seq(1L -> 5, 2L -> 8, 3L -> 3, 4L -> 3, 5L -> 10)
+    val n = 5.0
+    val avgdl = toks.map(_._2).sum.toDouble / n
+    val tf = Map((1L, "hash") -> 2.0, (3L, "hash") -> 1.0,
+      (3L, "needle") -> 1.0, (4L, "needle") -> 2.0)
+    val df = Map("hash" -> 2.0, "needle" -> 2.0)
+    def idf(t: String) = math.log(1 + (n - df(t) + 0.5) / (df(t) + 0.5))
+    def score(id: Long): Double = {
+      val dl = toks.toMap.apply(id)
+      val s = terms.flatMap { t =>
+        tf.get((id, t)).map { f =>
+          idf(t) * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        }
+      }.sum
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = Seq(1L, 3L, 4L).map(id => id -> score(id))
+      .sortBy { case (id, sc) => (-sc, id) }
+    assert(got.toSeq === want, s"got ${got.toSeq} want $want")
+    // both-terms doc wins; the short rare-term doc outranks the long
+    // common-term doc (the length normalization doing its job)
+    assert(got.map(_._1).toSeq === Seq(3L, 4L, 1L))
+    // docs with no query terms never appear
+    assert(!got.exists(p => p._1 == 2L || p._1 == 5L))
+  }
 }
