@@ -359,6 +359,49 @@ object GraphRank {
         round(sum(lit(1.0) / log(col("a.deg"))), 6).as("adamic_adar"))
   }
 
+  /** Newman modularity (Newman & Girvan 2004) of a community assignment —
+    * the quality audit for [[labelPropagation]] / connected-components
+    * partitions: Q = |intra|/m − Σ_c d_c² / (4m²) over the undirected
+    * deduped edge set (m edges, d_c = total degree of community c).
+    * Q ≈ 0 means the partition is no better than random wiring; well-
+    * separated communities push toward 1.
+    *
+    * Determinism: both numerators are INTEGER aggregates (intra-edge
+    * count; sum over communities of squared degree sums), so Q is two
+    * exact divisions and one subtraction — identical in any engine, no
+    * float-sum order dependence to round away. Scale shape: two joins of
+    * the edge table against the (node, community) map on node keys, one
+    * bounded per-community aggregate; nothing holds the graph in memory.
+    *
+    * `communities` is (node, label). Nodes missing from the map drop with
+    * their edges (reduced-graph semantics). Returns one row:
+    * (n_communities, m_edges, intra_edges, modularity 6 dp).
+    */
+  def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val cm = communities.select(col("node").cast("long").as("node"),
+      col("label").cast("long").as("label"))
+    val und = edges.select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val lab = und
+      .join(cm.select(col("node").as("a"), col("label").as("la")), Seq("a"))
+      .join(cm.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
+    val labeled = OperatorCaches.persistTracked(lab)
+    val deg = labeled.select(col("la").as("l"))
+      .unionByName(labeled.select(col("lb").as("l")))
+      .groupBy("l").agg(count(lit(1)).as("d"))
+    val dc2 = deg.agg(count(lit(1)).as("n_communities"),
+      sum(col("d") * col("d")).as("sum_d2"))
+    val base = labeled.agg(count(lit(1)).as("m_edges"),
+      sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("intra_edges"))
+    base.crossJoin(dc2)
+      .select(col("n_communities"), col("m_edges"), col("intra_edges"),
+        round(col("intra_edges") / col("m_edges").cast("double") -
+          col("sum_d2") / (col("m_edges") * col("m_edges") * 4).cast("double"), 6)
+          .as("modularity"))
+  }
+
   def multiSourceBfs(
       edges: DataFrame, sources: DataFrame, maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1, "need maxHops >= 1")

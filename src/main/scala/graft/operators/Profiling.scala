@@ -290,4 +290,42 @@ object Profiling {
         else round((col(c) - lit(mean)) / lit(std), 4))
     }
   }
+
+  /** Seeded differentially-private counts (Dwork et al., TCC 2006): per
+    * group, count + Laplace(sensitivity/ε) noise — the release shape for
+    * publishing aggregate corpus statistics (per-domain doc counts,
+    * per-language token totals) without exposing individual membership.
+    * A groupBy count has sensitivity 1 (one record moves one group's
+    * count by 1), so noise scale is 1/ε.
+    *
+    * The noise is SEEDED, not sampled: u = (portable60(seed:group) +
+    * 0.5)/2^60 − 0.5 ∈ (−0.5, 0.5) strictly, then the Laplace inverse
+    * CDF −(1/ε)·sgn(u)·ln(1 − 2|u|). Fixing the draw per (seed, group)
+    * is what makes a DP release REPRODUCIBLE (re-running the pipeline
+    * republishes the identical numbers rather than spending fresh ε —
+    * the standard practice for versioned data releases), and is also
+    * what lets an independent engine replay the release byte-for-byte:
+    * the noise is as portable as the counts. Privacy holds against
+    * consumers who don't hold the seed; rotate the seed to re-randomize.
+    * One map-side-combined aggregate, then a narrow literal projection —
+    * scan-shaped at any scale.
+    */
+  def dpNoisyCounts(
+      df: DataFrame,
+      groupCols: Seq[String],
+      epsilon: Double,
+      seed: String = "dp"): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    val u = (PortableHash.portable60(
+        concat_ws(":", lit(seed) +: groupCols.map(col): _*)) + 0.5) /
+      lit(math.pow(2.0, 60)) - 0.5
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("true_count"))
+      .withColumn("__u", u)
+      .withColumn("noisy_count", round(
+        col("true_count") +
+          lit(-1.0 / epsilon) * signum(col("__u")) * log(lit(1.0) - abs(col("__u")) * 2),
+        4))
+      .drop("__u")
+  }
 }

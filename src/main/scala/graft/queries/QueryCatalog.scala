@@ -6057,7 +6057,160 @@ object QueryCatalog {
                 count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l,
                 (count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 3)
                   AS at_risk
-              FROM customer GROUP BY 1, 2 ORDER BY 1, 2""")))
+              FROM customer GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // pairwise association rules (Apriori tier 2) over order baskets:
+    // parts co-purchased in one order, support/confidence/lift, top-20
+    // by lift. minPairCount = 3 is the absolute-support gate; the
+    // maxItemDf hub cap stays open on the fixture (every item is rare)
+    // but is the documented 100-TB lever.
+    Q("q_assoc_rules",
+      (s, dir) => graft.operators.Associations.pairRules(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minPairCount = 3)
+        .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+        .limit(20),
+      Some("""WITH bi AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS b,
+                  CAST(l_partkey AS BIGINT) AS i FROM lineitem),
+              dfq AS (SELECT i, count(*) AS n_i FROM bi GROUP BY i),
+              p AS (SELECT bi.b, bi.i, dfq.n_i FROM bi JOIN dfq USING (i)),
+              n AS (SELECT count(DISTINCT b) AS n FROM p),
+              pr AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_ab,
+                  any_value(a.n_i) AS n_a, any_value(c.n_i) AS n_b
+                FROM p a JOIN p c ON a.b = c.b AND a.i < c.i
+                GROUP BY 1, 2 HAVING count(*) >= 3)
+              SELECT item_a, item_b, n_ab,
+                round(n_ab / CAST(n AS DOUBLE), 6) AS support,
+                round(n_ab / CAST(n_a AS DOUBLE), 6) AS conf_a_to_b,
+                round(n_ab / CAST(n_b AS DOUBLE), 6) AS conf_b_to_a,
+                round(n_ab * CAST(n AS DOUBLE) / (n_a * n_b), 6) AS lift
+              FROM pr, n
+              ORDER BY lift DESC, item_a, item_b LIMIT 20""")),
+
+    // seeded differentially-private release of per-(lang, source) doc
+    // counts: Laplace(1/eps) noise from the portable-hash inverse CDF —
+    // reproducible release (fixed seed = fixed draw, the versioned-
+    // data-release convention), replayed noise-for-noise by the oracle.
+    // true_count rides beside noisy_count because this is the QA view;
+    // the publishable view drops it.
+    Q("q_dp_counts",
+      (s, dir) => Profiling.dpNoisyCounts(
+          t(s, dir, "documents"), Seq("lang", "source"), epsilon = 1.0)
+        .orderBy("lang", "source"),
+      Some(s"""WITH g AS (SELECT lang, source, count(*) AS true_count
+                FROM documents GROUP BY 1, 2),
+              u AS (SELECT lang, source, true_count,
+                  (CAST(('0x' || substr(md5('dp:' || lang || ':' || source), 1, 15))
+                    AS BIGINT) + 0.5) / ${math.pow(2.0, 60)} - 0.5 AS u
+                FROM g)
+              SELECT lang, source, true_count,
+                round(true_count + ${-1.0 / 1.0} * sign(u) * ln(1.0 - abs(u) * 2), 4)
+                  AS noisy_count
+              FROM u ORDER BY lang, source""")),
+
+    // sketch-driven equi-depth binning: decile boundaries come from the
+    // log-hist quantile sketch (never a data sort), bin assignment is a
+    // narrow map against the 9 broadcast boundary literals — the scale
+    // path for feature discretization. Bin populations are equi-depth
+    // within the sketch's 2^-5 relative bound; per-bin min/max audit the
+    // monotone cut.
+    Q("q_sketch_bins",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val sk = graft.operators.Sketches.logHistSketch(
+          li.withColumn("g", lit("all")), col("l_extendedprice"), Seq("g"))
+        val qs = (1 to 9).map(_ / 10.0)
+        val bounds = graft.operators.Sketches.logHistQuantiles(sk, Seq("g"), qs)
+          .orderBy("q").collect().map(_.getDouble(2)) // 9 doubles: bounded collect
+        val barr = array(bounds.map(lit): _*)
+        li.select(col("l_extendedprice").as("v"))
+          .withColumn("bin", size(filter(barr, b => col("v") > b)))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            round(min("v"), 2).as("lo"), round(max("v"), 2).as("hi"))
+          .orderBy("bin")
+      },
+      Some("""WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+                  l_extendedprice AS v FROM lineitem),
+              b AS (SELECT v,
+                  CAST(CASE WHEN c <= 0 THEN -1
+                    ELSE length(bin(c)) - 1 END AS INT) AS bhi,
+                  CASE WHEN c <= 0 THEN CAST(0 AS BIGINT)
+                    ELSE c >> greatest(length(bin(c)) - 1 - 4, 0) END AS blo
+                FROM c),
+              sk AS (SELECT bhi, blo, count(*) AS ct FROM b GROUP BY 1, 2),
+              cum AS (SELECT bhi, blo, ct,
+                  sum(ct) OVER (ORDER BY bhi, blo ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(ct) OVER () AS n
+                FROM sk),
+              qs AS (SELECT CAST(q AS DOUBLE) / 10 AS q
+                FROM (SELECT unnest(range(1, 10)) AS q)),
+              bnd AS (SELECT q,
+                  CASE WHEN bhi = -1 THEN 0.0 ELSE
+                    round((blo * 2 * (CAST(1 AS BIGINT) << greatest(bhi - 4, 0))
+                      + (CAST(1 AS BIGINT) << greatest(bhi - 4, 0)) - 1)
+                      / 2.0 / 100.0, 6) END AS est
+                FROM cum, qs
+                WHERE cum >= greatest(CAST(ceil(q * n) AS BIGINT), 1)
+                  AND cum - ct < greatest(CAST(ceil(q * n) AS BIGINT), 1)),
+              binned AS (SELECT v,
+                  (SELECT count(*) FROM bnd WHERE v > est) AS bin
+                FROM (SELECT v FROM c))
+              SELECT CAST(bin AS INT) AS bin, count(*) AS n,
+                round(min(v), 2) AS lo, round(max(v), 2) AS hi
+              FROM binned GROUP BY bin ORDER BY bin""")),
+
+    // Newman modularity of the 4-round label-propagation communities on
+    // the customer-supplier graph — the partition-quality audit. Both
+    // numerators are integer aggregates, so Q is exact in any engine;
+    // the oracle replays LPA round-for-round, then the two counts.
+    Q("q_modularity",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        val edges = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        val comms = graft.operators.GraphRank.labelPropagation(edges, iterations = 4)
+        graft.operators.GraphRank.modularity(edges, comms)
+      },
+      Some {
+        val iters = (1 to 4).map { i =>
+          s"""l$i AS (SELECT node, label FROM (
+                SELECT e.dst AS node, l.label, count(*) AS c,
+                  row_number() OVER (PARTITION BY e.dst
+                    ORDER BY count(*) DESC, l.label) AS rn
+                FROM edges e JOIN l${i - 1} l ON l.node = e.src
+                GROUP BY e.dst, l.label) WHERE rn = 1)"""
+        }.mkString(",\n              ")
+        s"""WITH e0 AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              edges AS (SELECT src, dst FROM e0
+                UNION SELECT dst AS src, src AS dst FROM e0),
+              l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+              $iters,
+              und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM edges WHERE src <> dst),
+              lab AS (SELECT und.a, und.b, ca.label AS la, cb.label AS lb
+                FROM und JOIN l4 ca ON ca.node = und.a
+                JOIN l4 cb ON cb.node = und.b),
+              deg AS (SELECT l, count(*) AS d FROM (
+                  SELECT la AS l FROM lab UNION ALL SELECT lb FROM lab)
+                GROUP BY l),
+              dc2 AS (SELECT count(*) AS n_communities,
+                  CAST(sum(d * d) AS BIGINT) AS sum_d2 FROM deg),
+              base AS (SELECT count(*) AS m_edges,
+                  CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+                    AS intra_edges
+                FROM lab)
+              SELECT n_communities, m_edges, intra_edges,
+                round(intra_edges / CAST(m_edges AS DOUBLE)
+                  - sum_d2 / CAST(m_edges * m_edges * 4 AS DOUBLE), 6)
+                  AS modularity
+              FROM base, dc2"""
+      }))
 
   val all: Seq[Q] =
     relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++

@@ -191,4 +191,37 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(again === out.view.mapValues(_._1).toMap)
   }
+
+  test("dpNoisyCounts: seeded Laplace replays scalar-side, seed rotates, eps scales") {
+    import spark.implicits._
+    val df = (0 until 90).map(i => (s"g${i % 3}", i)).toDF("g", "x")
+    def scalarNoise(seed: String, g: String, eps: Double): Double = {
+      val u = (graft.operators.PortableHash.portable60(s"$seed:$g") + 0.5) /
+        math.pow(2.0, 60) - 0.5
+      -1.0 / eps * math.signum(u) * math.log(1.0 - math.abs(u) * 2)
+    }
+    val got = Profiling.dpNoisyCounts(df, Seq("g"), epsilon = 1.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === Set("g0", "g1", "g2"))
+    got.foreach { case (g, (tc, nc)) =>
+      assert(tc === 30L)
+      val want = BigDecimal(30.0 + scalarNoise("dp", g, 1.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(nc === want, s"group $g")
+      assert(nc !== 30.0, s"group $g drew zero noise — hash degenerate?")
+    }
+    // a different seed draws different noise; a bigger epsilon shrinks it
+    val rot = Profiling.dpNoisyCounts(df, Seq("g"), 1.0, seed = "dp2")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rot !== got.view.mapValues(_._2).toMap)
+    val tight = Profiling.dpNoisyCounts(df, Seq("g"), 100.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    tight.foreach { case (g, nc) =>
+      assert(math.abs(nc - 30.0) <= math.abs(got(g)._2 - 30.0) + 1e-9, g)
+    }
+    // deterministic under repartition
+    val again = Profiling.dpNoisyCounts(df.repartition(7), Seq("g"), 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(again === got.view.mapValues(_._2).toMap)
+  }
 }
