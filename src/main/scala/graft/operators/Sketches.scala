@@ -211,4 +211,59 @@ object Sketches {
           .otherwise(round((col("blo") * 2 * width + width - 1) / lit(2.0) / 100.0, 6))
           .as("est")): _*)
   }
+
+  /** EXACT disc quantiles via sketch-guided selection — the two-pass scale
+    * path for exact percentiles (the approxQuantile(relErr=0) job without
+    * its global per-group sort): pass 1 builds the bounded sketch and
+    * locates, per (group, q), the bucket holding rank ceil(q·n) plus the
+    * within-bucket offset; pass 2 re-scans, keeps ONLY rows landing in a
+    * winning bucket (a broadcast semi-join against groups×qs bucket ids),
+    * and sorts just those. The sort input shrinks from n to the winning
+    * buckets' population (≤ qs · max bucket share — the sketch bound
+    * says no bucket exceeds ~2^-(subBits+1) relative width, and heavy
+    * buckets are exactly what the log grid splits), which is what makes
+    * this viable where `Window.orderBy(value)` over the full group is a
+    * measured ×100 wall (90.8 s vs the sketch path's scan).
+    *
+    * Correct because bucketing is monotone non-strict in the value:
+    * every row in a lower bucket is ≤ every row in the winning bucket,
+    * so the global rank-r value is the (r − cum_before)-th smallest
+    * within its bucket. Returns (groupCols…, q, exact_v).
+    */
+  def exactQuantilesViaSketch(
+      df: DataFrame,
+      valueCol: Column,
+      groupCols: Seq[String],
+      qs: Seq[Double],
+      subBits: Int = 4): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gcols = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col("bhi"), col("blo"))
+    val win = logHistSketch(df, valueCol, groupCols, subBits)
+      .withColumn("cum", sum("ct").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("ct").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(gcols: _*)))
+      .crossJoin(qs.toDF("q").hint("broadcast"))
+      .withColumn("rank", greatest(ceil(col("q") * col("n")), lit(1L)))
+      .filter(col("cum") >= col("rank") && col("cum") - col("ct") < col("rank"))
+      .select((gcols :+ col("bhi") :+ col("blo") :+ col("q") :+
+        (col("rank") - (col("cum") - col("ct"))).as("need")): _*)
+    // pass 2: bucket every row (narrow map), keep winners, sort tiny sets
+    val c = cents(valueCol)
+    val bhi = when(c <= 0, lit(-1)).otherwise(length(bin(c)) - 1).cast("int")
+    val blo = when(c <= 0, lit(0L))
+      .otherwise(call_function("shiftright", c, greatest(bhi - subBits, lit(0))))
+    val rows = df.select((gcols :+ valueCol.as("__v") :+
+      bhi.as("bhi") :+ blo.as("blo")): _*)
+    val sel = org.apache.spark.sql.expressions.Window
+      .partitionBy((gcols :+ col("q")): _*).orderBy(col("__v"))
+    rows.join(broadcast(win), groupCols ++ Seq("bhi", "blo"))
+      .withColumn("rn", row_number().over(sel))
+      .filter(col("rn") === col("need"))
+      .select((gcols :+ col("q") :+ col("__v").as("exact_v")): _*)
+  }
 }

@@ -5803,18 +5803,17 @@ object QueryCatalog {
           monthly, Seq("l_returnflag"))
         val est = graft.operators.Sketches.logHistQuantiles(
           merged, Seq("l_returnflag"), Seq(0.5, 0.95, 0.99))
-        // exact-disc audit (fixture-scale QA side; the sketch path above
-        // never sorts the data)
-        val wr = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-        val ranked = li.select(col("l_returnflag"), col("l_extendedprice"))
-          .withColumn("rn", row_number().over(wr))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
-        import s.implicits._
-        val exact = ranked
-          .crossJoin(broadcast(Seq(0.5, 0.95, 0.99).toDF("q")))
-          .filter(col("rn") === greatest(ceil(col("q") * col("n")), lit(1L)))
-          .select(col("l_returnflag"), col("q"),
-            col("l_extendedprice").as("exact_v"))
+        // exact-disc audit via sketch-guided selection (two passes, sorts
+        // ONLY the winning buckets — the per-group full sort this audit
+        // first shipped with was a measured 90.8 s ×100 wall; the whole
+        // entry now reads 11.3 s at ×100, see BENCH_SF10 addendum 28)
+        // subBits = 8 here: the selection pass wants the FINEST buckets
+        // (winning-bucket population ~2^-9 of the group feeds the only
+        // sort); the estimate path above keeps subBits = 4 to match the
+        // published 2^-5 bound the oracle asserts
+        val exact = graft.operators.Sketches.exactQuantilesViaSketch(
+          li, col("l_extendedprice"), Seq("l_returnflag"), Seq(0.5, 0.95, 0.99),
+          subBits = 8)
         est.join(exact, Seq("l_returnflag", "q"))
           .withColumn("rel_err", round(abs(col("est") - col("exact_v")) / col("exact_v"), 6))
           .select(col("l_returnflag"), col("q"), col("est"), col("exact_v"),
@@ -5956,6 +5955,10 @@ object QueryCatalog {
     // maxDegree = 60 exercises the hub cap — customers buying from more
     // than 60 suppliers are boilerplate, all candidate volume and no
     // signal, and drop with reduced-graph semantics the oracle replays.
+    // RETAINED AS A MEASURED SCALE COUNTER-EXAMPLE: all-pairs enumeration
+    // is Σ deg² candidates (~1.8B at ×100 — measured heap death on the
+    // 32-partition single-box bench, BENCH_SF10); the scale-safe path is
+    // q_link_scores_candidates (score a bounded candidate list).
     Q("q_link_scores",
       (s, dir) => {
         val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
@@ -5976,7 +5979,48 @@ object QueryCatalog {
                 round(sum(1.0 / ln(a.deg)), 6) AS adamic_adar
               FROM p a JOIN p b ON a.dst = b.dst AND a.src < b.src
               GROUP BY 1, 2
-              ORDER BY adamic_adar DESC, src_a, src_b LIMIT 20""")),
+              ORDER BY adamic_adar DESC, src_a, src_b LIMIT 20"""),
+      counterExample = true),
+
+    // the scale path q_link_scores' counter-example note names: score a
+    // BOUNDED candidate list (here: consecutive-suppkey pairs standing in
+    // for a blocking stage's output) against the graph — |candidates|·d̄
+    // posting rows through two src-keyed joins, linear at any graph
+    // size. Zero-common candidates come back scored (0, 0.0).
+    Q("q_link_scores_candidates",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
+        val sup = t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+        val cands = sup.as("a").join(sup.as("b"), col("b.k") === col("a.k") + 1)
+          .select(col("a.k").as("src_a"), col("b.k").as("src_b"))
+        graft.operators.GraphRank.scoreCandidatePairs(cands, edges, maxDegree = 60)
+          .orderBy(col("adamic_adar").desc, col("src_a"))
+          .limit(15)
+      },
+      Some("""WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                  CAST(o_custkey AS BIGINT) AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              deg AS (SELECT dst, count(*) AS deg FROM e GROUP BY dst
+                HAVING count(*) <= 60),
+              p AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (dst)),
+              sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+              cands AS (SELECT a.k AS src_a, b.k AS src_b
+                FROM sup a JOIN sup b ON b.k = a.k + 1),
+              sc AS (SELECT src_a, src_b, count(*) AS common,
+                  round(sum(1.0 / ln(pa.deg)), 6) AS adamic_adar
+                FROM cands
+                JOIN p pa ON pa.src = src_a
+                JOIN p pb ON pb.src = src_b AND pb.dst = pa.dst
+                GROUP BY 1, 2)
+              SELECT c.src_a, c.src_b,
+                coalesce(common, CAST(0 AS BIGINT)) AS common,
+                coalesce(adamic_adar, 0.0) AS adamic_adar
+              FROM cands c LEFT JOIN sc
+                ON sc.src_a = c.src_a AND sc.src_b = c.src_b
+              ORDER BY adamic_adar DESC, c.src_a LIMIT 15""")),
 
     // dictionary taxonomy tagging: a broadcast (term -> topic) dictionary
     // against the token stream — the flashtext/Aho-Corasick shape at

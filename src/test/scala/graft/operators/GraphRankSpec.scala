@@ -247,6 +247,17 @@ class GraphRankSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
       .toMap
     assert(again === capped)
+
+    // the candidate-list scale path agrees with all-pairs on shared pairs
+    // and returns (0, 0.0) for candidates with no common neighbor
+    val cands = Seq((1L, 2L), (1L, 3L), (7L, 8L)).toDF("src_a", "src_b")
+    val scored = GraphRank.scoreCandidatePairs(cands, edges, 3L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(scored((1L, 2L)) === capped((1L, 2L)))
+    assert(scored((1L, 3L)) === capped((1L, 3L)))
+    assert(scored((7L, 8L)) === ((0L, 0.0)))
+    assert(scored.size === 3)
     OperatorCaches.releaseAll()
   }
 }

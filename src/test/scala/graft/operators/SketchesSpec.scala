@@ -113,4 +113,30 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2))).toMap
     assert(again === est)
   }
+
+  test("exactQuantilesViaSketch equals brute-force disc quantiles on raw values") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 3000).map { i =>
+      val g = s"g${i % 3}"
+      // mix of scales plus planted ties and tiny values
+      val v = rnd.nextInt(4) match {
+        case 0 => rnd.nextInt(20) / 100.0          // sub-2^subBits cents
+        case 1 => 7.77                              // heavy tie
+        case _ => math.exp(rnd.nextDouble() * 9) / 10.0
+      }
+      (g, v)
+    }
+    val df = rows.toDF("grp", "v").repartition(11)
+    val qs = Seq(0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = Sketches.exactQuantilesViaSketch(df, col("v"), Seq("grp"), qs)
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2))).toMap
+    assert(got.size === 18)
+    val byGroup = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq)
+    for (g <- Seq("g0", "g1", "g2"); q <- qs) {
+      val xs = byGroup(g)
+      val want = xs(math.max(math.ceil(q * xs.size).toInt, 1) - 1)
+      assert(got((g, q)) === want, s"($g, $q)")
+    }
+  }
 }
