@@ -38,17 +38,34 @@ object Associations {
     val bi = baskets
       .select(col(basketCol).cast("long").as("b"), col(itemCol).cast("long").as("i"))
       .distinct()
-    val df_ = bi.groupBy("i").agg(count(lit(1)).as("n_i"))
-      .filter(col("n_i") <= maxItemDf)
-    val posting = OperatorCaches.persistTracked(bi.join(df_, Seq("i")))
+    val df_ = OperatorCaches.persistTracked(
+      bi.groupBy("i").agg(count(lit(1)).as("n_i"))
+        .filter(col("n_i") <= maxItemDf))
+    // posting rows stay (basket, item) — two longs. Item dfs join back
+    // AFTER the support cut: the pair aggregate then carries only a
+    // count (no first() payload widening every shuffled row), and the
+    // df joins touch the ~minPairCount-surviving pairs, not the raw
+    // candidate stream. The pair-candidate posting additionally applies
+    // Apriori's downward closure (LOSSLESS, unlike the maxItemDf cap):
+    // n_ab ≤ min(n_a, n_b), so an item in fewer than minPairCount
+    // baskets cannot appear in any surviving pair — pruning it cuts
+    // candidates without touching the result or the basket universe N
+    // (which stays defined by the maxItemDf-capped table alone).
+    val capped = OperatorCaches.persistTracked(
+      bi.join(df_.select(col("i")), Seq("i"), "left_semi"))
     val nBaskets = broadcast(
-      posting.select(col("b")).distinct().agg(count(lit(1)).as("__n")))
-    posting.as("a").join(posting.as("b"),
+      capped.select(col("b")).distinct().agg(count(lit(1)).as("__n")))
+    val posting = capped.join(
+      df_.filter(col("n_i") >= minPairCount).select(col("i")),
+      Seq("i"), "left_semi")
+    val pairs = posting.as("a").join(posting.as("b"),
         col("a.b") === col("b.b") && col("a.i") < col("b.i"))
       .groupBy(col("a.i").as("item_a"), col("b.i").as("item_b"))
-      .agg(count(lit(1)).as("n_ab"),
-        first(col("a.n_i")).as("n_a"), first(col("b.n_i")).as("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairCount)
+    pairs
+      .join(df_.select(col("i").as("item_a"), col("n_i").as("n_a")), Seq("item_a"))
+      .join(df_.select(col("i").as("item_b"), col("n_i").as("n_b")), Seq("item_b"))
       .crossJoin(nBaskets)
       .select(col("item_a"), col("item_b"), col("n_ab"),
         round(col("n_ab") / col("__n").cast("double"), 6).as("support"),

@@ -73,6 +73,60 @@ object GraphRank {
     ranks.withColumnRenamed("r", "rank")
   }
 
+  /** Personalized PageRank (random walk with restart to a SEED set —
+    * Jeh & Widom 2003): rank mass teleports to the seeds instead of
+    * uniformly, so scores measure proximity-to-the-seeds — the "similar
+    * nodes / related items / trusted neighborhood" feature beside global
+    * [[pageRank]] importance. Same fixed-round 7-dp-grid convention
+    * (engine-replayable), same persisted degree-joined edge table.
+    *
+    * Scale shape beyond pageRank: the rank state is SPARSE — it starts
+    * as |seeds| rows and grows only with the walk frontier (nodes beyond
+    * `iterations` hops never materialize a row), so seed-local queries
+    * on a huge graph never hold |N| rank rows. Each round is one join of
+    * the nonzero rank state onto the edge table + one map-side-combined
+    * sum + a full-outer stitch with the constant teleport rows.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iterations: Int = 6,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && damping > 0 && damping < 1,
+      "need iterations >= 1 and 0 < damping < 1")
+    val e = OperatorCaches.persistTracked(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct())
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = OperatorCaches.persistTracked(
+      e.join(deg, Seq("src")).repartition(col("src")))
+    val sd = seeds.select(col("node").cast("long").as("node")).distinct()
+    val nS = sd.count()
+    require(nS > 0, "personalizedPageRank needs at least one seed")
+    val tp = OperatorCaches.persistTracked(
+      sd.withColumn("tp", lit((1 - damping) / nS)))
+    var ranks = sd.select(col("node"), round(lit(1.0 / nS), 7).as("r"))
+    for (_ <- 1 to iterations) {
+      val contribs = ed
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("r") / col("deg")).as("sc"))
+      // stitch contribs and teleport as a UNION + re-keyed sum, not a
+      // full-outer join: Spark has no broadcast full-outer (hint warns
+      // "build right for full outer join" and the planner's fallback
+      // tried to broadcast-build the 1.6M-row contrib side at ×100 —
+      // measured "Not enough memory to build and broadcast"). The union
+      // shuffles ≤2 bounded addends per node and, because IEEE addition
+      // of two terms is commutative, is bit-identical to the
+      // coalesce(tp, 0) + d·coalesce(sc, 0) form the oracle replays.
+      ranks = OperatorCaches.persistTracked(
+        contribs.select(col("node"), (lit(damping) * col("sc")).as("m"))
+          .unionByName(tp.select(col("node"), col("tp").as("m")))
+          .groupBy("node").agg(round(sum("m"), 7).as("r")))
+    }
+    ranks.withColumnRenamed("r", "rank")
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) over a
     * SYMMETRIC edge list — community detection as fixed-round iteration:
     * each node adopts its neighbors' most frequent label, ties to the

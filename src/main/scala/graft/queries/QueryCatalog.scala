@@ -6085,6 +6085,133 @@ object QueryCatalog {
               FROM se, tm
               GROUP BY event_type ORDER BY event_type""")),
 
+    // personalized PageRank: random walk with restart to the two smallest
+    // customer nodes — proximity-to-seed features on the q_graph_bfs
+    // graph. Rank state is SPARSE (starts at 2 rows, grows with the
+    // frontier); 4 fixed rounds on the 7-dp grid, unrolled by the oracle
+    // contrib-CTE + full-outer-teleport-stitch per round.
+    Q("q_ppr",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        val edges = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = edges.select(col("src").as("node"))
+          .distinct().orderBy("node").limit(2)
+        graft.operators.GraphRank.personalizedPageRank(
+            edges, seeds, iterations = 4)
+          .orderBy("node")
+      },
+      Some {
+        val rounds = (1 to 4).map { i =>
+          s"""c$i AS (SELECT e.dst AS node, sum(r.r / d.deg) AS sc
+                FROM edges e JOIN r${i - 1} r ON r.node = e.src
+                JOIN deg d ON d.src = e.src GROUP BY e.dst),
+              r$i AS (SELECT coalesce(c.node, t.node) AS node,
+                  round(coalesce(t.tp, 0) + CAST(0.85 AS DOUBLE)
+                    * coalesce(c.sc, 0), 7) AS r
+                FROM c$i c FULL OUTER JOIN tp t ON t.node = c.node)"""
+        }.mkString(",\n              ")
+        s"""WITH e0 AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              edges AS (SELECT src, dst FROM e0
+                UNION SELECT dst AS src, src AS dst FROM e0),
+              deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+              seeds AS (SELECT DISTINCT src AS node FROM edges
+                ORDER BY node LIMIT 2),
+              tp AS (SELECT node,
+                  (1 - CAST(0.85 AS DOUBLE)) / 2 AS tp FROM seeds),
+              r0 AS (SELECT node, round(CAST(1 AS DOUBLE) / 2, 7) AS r
+                FROM seeds),
+              $rounds
+              SELECT node, r AS rank FROM r4 ORDER BY node"""
+      }),
+
+    // CUPED variance reduction (Deng et al., WSDM 2013) — the
+    // experimentation-analytics shape: per-user pre/post period value
+    // sums split at the corpus time midpoint, theta = cov(x,y)/var(x)
+    // from 6-dp-anchored moments (the standardize convention: anchored
+    // moments make every downstream adjusted value an IEEE-exact
+    // function of numbers both engines agree on), adjusted post-period
+    // means per deterministic variant (user_id parity). One grouped
+    // pass + one single-row moment aggregate broadcast back.
+    Q("q_cuped",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("sec", unix_timestamp(col("ts")))
+        val mid = broadcast(ev.agg(
+          ((min("sec") + max("sec")) / lit(2L)).cast("long").as("mid")))
+        val byUser = ev.crossJoin(mid)
+          .groupBy("user_id")
+          .agg(
+            round(coalesce(sum(when(col("sec") <= col("mid"), col("value"))),
+              lit(0.0)), 6).as("x"),
+            round(coalesce(sum(when(col("sec") > col("mid"), col("value"))),
+              lit(0.0)), 6).as("y"))
+        val moments = broadcast(byUser.agg(
+          round(covar_samp("x", "y"), 6).as("cv"),
+          round(var_samp("x"), 6).as("vx"),
+          round(avg("x"), 6).as("mx")))
+        byUser.crossJoin(moments)
+          .withColumn("theta", col("cv") / col("vx"))
+          .withColumn("y_adj", col("y") - col("theta") * (col("x") - col("mx")))
+          .groupBy(pmod(col("user_id"), lit(2)).as("variant"))
+          .agg(count(lit(1)).as("n_users"),
+            round(avg("y"), 4).as("mean_y"),
+            round(avg("y_adj"), 4).as("mean_y_adj"))
+          .orderBy("variant")
+      },
+      Some("""WITH se AS (SELECT user_id, value,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+              md AS (SELECT (min(sec) + max(sec)) // 2 AS mid FROM se),
+              bu AS (SELECT user_id,
+                  round(coalesce(sum(CASE WHEN sec <= mid THEN value END), 0.0), 6) AS x,
+                  round(coalesce(sum(CASE WHEN sec > mid THEN value END), 0.0), 6) AS y
+                FROM se, md GROUP BY user_id),
+              mo AS (SELECT round(covar_samp(x, y), 6) AS cv,
+                  round(var_samp(x), 6) AS vx,
+                  round(avg(x), 6) AS mx FROM bu)
+              SELECT user_id % 2 AS variant, count(*) AS n_users,
+                round(avg(y), 4) AS mean_y,
+                round(avg(y - (cv / vx) * (x - mx)), 4) AS mean_y_adj
+              FROM bu, mo GROUP BY 1 ORDER BY variant""")),
+
+    // EWMA smoothing / one-step forecast per event-type hourly series:
+    // the per-series state is a bounded sorted array (collect_list of
+    // hourly buckets), the recursion folds on a 6-dp grid each step so
+    // an independent engine's list_reduce replays it term-for-term.
+    // Series parallelize across the groupBy; state never exceeds the
+    // series length.
+    Q("q_ewma_forecast",
+      (s, dir) => {
+        val hourly = t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).cast("double").as("n"))
+        hourly.groupBy("event_type")
+          .agg(sort_array(collect_list(struct(col("hr"), col("n")))).as("sl"))
+          .withColumn("xs", transform(col("sl"), e => e.getField("n")))
+          .select(col("event_type"), size(col("xs")).as("n_buckets"),
+            aggregate(
+              slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+              element_at(col("xs"), 1),
+              (acc, x) => round(lit(0.3) * x + lit(0.7) * acc, 6)).as("ewma"))
+          .orderBy("event_type")
+      },
+      Some("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                  CAST(count(*) AS DOUBLE) AS n
+                FROM events GROUP BY 1, 2),
+              s AS (SELECT event_type, list(n ORDER BY hr) AS xs
+                FROM h GROUP BY 1)
+              SELECT event_type, CAST(len(xs) AS INT) AS n_buckets,
+                list_reduce(xs, (acc, x) ->
+                  round(CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc, 6))
+                  AS ewma
+              FROM s ORDER BY event_type""")),
+
     // l-diversity audit (Machanavajjhala et al. 2006) — the k-anonymity
     // companion: per quasi-identifier group (mktsegment × nation), the
     // count of DISTINCT sensitive values (account-balance kilobucket);

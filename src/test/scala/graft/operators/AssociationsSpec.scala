@@ -29,11 +29,17 @@ class AssociationsSpec extends SparkSpec {
     // (1,9): lift = 3*4/(3*4) = 1 — the ubiquitous item carries no signal
     assert(got((1L, 9L))._5 === 1.0)
 
-    // minPairCount gates absolute support
+    // minPairCount gates absolute support, and the Apriori downward-
+    // closure prune it triggers is LOSSLESS: the gated result equals the
+    // ungated result filtered to n_ab >= 2 (identical metrics — N is
+    // untouched by the frequency prune)
     val gated = Associations.pairRules(baskets, "order_id", "item_id",
         minPairCount = 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
     assert(!gated.contains((1L, 3L)) && gated.contains((1L, 2L)))
+    assert(gated === got.filter(_._2._1 >= 2L))
 
     // maxItemDf drops the hub item AND re-bases N on surviving baskets:
     // basket 400 only had items {3, 9}; with 9 capped it still holds 3

@@ -260,4 +260,41 @@ class GraphRankSpec extends SparkSpec {
     assert(scored.size === 3)
     OperatorCaches.releaseAll()
   }
+
+  test("personalizedPageRank: seed locality, sparse state, grid replay") {
+    import spark.implicits._
+    // path 1-2-3-4 plus an isolated pair 8-9 the walk can never reach
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = GraphRank.personalizedPageRank(edges, seeds, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // sparse state: only nodes within 3 hops of the seed appear
+    assert(!got.contains(8L) && !got.contains(9L))
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    // driver-side replay of the same 7-dp-grid recursion
+    def r7(x: Double) = BigDecimal(x)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val deg = Map(1L -> 1.0, 2L -> 2.0, 3L -> 2.0, 4L -> 1.0)
+    val tp = Map(1L -> (1 - 0.85) / 1)
+    val nbrsIn = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L, 4L),
+      4L -> Seq(3L))
+    var r = Map(1L -> r7(1.0))
+    for (_ <- 1 to 3) {
+      val touched = r.keySet.flatMap(n => n match {
+        case 1L => Seq(2L); case 2L => Seq(1L, 3L); case 3L => Seq(2L, 4L)
+        case _ => Seq(3L)
+      }) ++ tp.keySet
+      r = touched.map { n =>
+        val sc = nbrsIn(n).flatMap(m => r.get(m).map(_ / deg(m))).sum
+        n -> r7(tp.getOrElse(n, 0.0) + 0.85 * sc)
+      }.toMap
+    }
+    assert(got === r)
+    // every reached node carries positive mass (synchronous rounds
+    // oscillate on a path graph, so no per-hop ordering is asserted —
+    // the grid replay above IS the exact contract)
+    assert(got.values.forall(_ > 0.0))
+    OperatorCaches.releaseAll()
+  }
 }
