@@ -6085,6 +6085,105 @@ object QueryCatalog {
               FROM se, tm
               GROUP BY event_type ORDER BY event_type""")),
 
+    // class-characteristic terms (the c-TF-IDF/BERTopic job on a corpus
+    // whose tiny shared vocabulary makes classic idf degenerate): per
+    // source, each token's share LIFT vs its corpus-wide share — what
+    // characterizes this subcorpus. Two bounded aggregates + a window
+    // rank over the (classes × vocab) table; the token stream shuffles
+    // once.
+    Q("q_class_terms",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val byClass = toks.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+          .withColumn("cls_total", sum("tf").over(Window.partitionBy("source")))
+        val overall = toks.groupBy("tok").agg(count(lit(1)).as("gtf"))
+          .crossJoin(broadcast(toks.agg(count(lit(1)).as("gtotal"))))
+        byClass.join(overall, Seq("tok"))
+          .withColumn("lift", round(
+            (col("tf") / col("cls_total").cast("double")) /
+              (col("gtf") / col("gtotal").cast("double")), 6))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(col("lift").desc, col("tok"))))
+          .filter(col("rk") <= 3)
+          .select(col("source"), col("rk"), col("tok"), col("lift"))
+          .orderBy("source", "rk")
+      },
+      Some("""WITH tok AS (SELECT source, unnest(list_filter(
+                  regexp_split_to_array(text, ' '), x -> x <> '')) AS tok
+                FROM documents),
+              bc AS (SELECT source, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+              ct AS (SELECT source, tok, tf,
+                  sum(tf) OVER (PARTITION BY source) AS cls_total FROM bc),
+              ov AS (SELECT tok, count(*) AS gtf,
+                  (SELECT count(*) FROM tok) AS gtotal FROM tok GROUP BY tok),
+              lf AS (SELECT ct.source, ct.tok,
+                  round((tf / CAST(cls_total AS DOUBLE))
+                    / (gtf / CAST(gtotal AS DOUBLE)), 6) AS lift
+                FROM ct JOIN ov ON ov.tok = ct.tok),
+              rk AS (SELECT source, tok, lift, row_number() OVER (
+                  PARTITION BY source ORDER BY lift DESC, tok) AS rk FROM lf)
+              SELECT source, CAST(rk AS INT) AS rk, tok, lift FROM rk
+              WHERE rk <= 3 ORDER BY source, rk""")),
+
+    // inter-arrival-time behavior features: per event type, how long
+    // since the same user's PREVIOUS event (any type) — one lag window
+    // keyed by user, integer-second gaps, bounded per-type aggregate.
+    Q("q_interarrival",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        t(s, dir, "events")
+          .withColumn("sec", unix_timestamp(col("ts")))
+          .withColumn("gap", col("sec") - lag("sec", 1).over(w))
+          .filter(col("gap").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            round(sum("gap") / count(lit(1)).cast("double"), 4).as("avg_gap_s"),
+            max("gap").as("max_gap_s"))
+          .orderBy("event_type")
+      },
+      Some("""WITH se AS (SELECT event_id, user_id, event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+              g AS (SELECT event_type,
+                  sec - lag(sec) OVER (PARTITION BY user_id
+                    ORDER BY sec, event_id) AS gap
+                FROM se)
+              SELECT event_type, count(*) AS n_gaps,
+                round(sum(gap) / CAST(count(*) AS DOUBLE), 4) AS avg_gap_s,
+                max(gap) AS max_gap_s
+              FROM g WHERE gap IS NOT NULL
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // Zipf-law audit over the token frequency table: least-squares slope
+    // of ln(freq) on ln(rank) for the top-30 tokens — the corpus-
+    // statistics sanity gate (natural text runs slope ≈ −1; synthetic or
+    // templated corpora flatten). regr_slope/intercept over 30 rows.
+    Q("q_zipf",
+      (s, dir) => {
+        val freq = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("tok").agg(count(lit(1)).as("f"))
+          .orderBy(col("f").desc, col("tok")).limit(30)
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("f").desc, col("tok"))))
+        freq.agg(count(lit(1)).as("n_tokens"),
+            round(expr("regr_slope(ln(f), ln(r))"), 4).as("zipf_slope"),
+            round(expr("regr_intercept(ln(f), ln(r))"), 4).as("zipf_intercept"))
+      },
+      Some("""WITH f AS (SELECT tok, count(*) AS f FROM (
+                  SELECT unnest(list_filter(regexp_split_to_array(text, ' '),
+                    x -> x <> '')) AS tok FROM documents)
+                GROUP BY tok ORDER BY f DESC, tok LIMIT 30),
+              r AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r
+                FROM f)
+              SELECT count(*) AS n_tokens,
+                round(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
+                round(regr_intercept(ln(f), ln(r)), 4) AS zipf_intercept
+              FROM r""")),
+
     // personalized PageRank: random walk with restart to the two smallest
     // customer nodes — proximity-to-seed features on the q_graph_bfs
     // graph. Rank state is SPARSE (starts at 2 rows, grows with the
