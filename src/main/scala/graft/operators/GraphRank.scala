@@ -518,4 +518,85 @@ object GraphRank {
     }
     state
   }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999, JACM 46(5)) over a
+    * DIRECTED edge list — the query-dependent centrality pair beside
+    * global [[pageRank]]: auth(v) sums the hub scores pointing AT v,
+    * hub(u) sums the authority scores u points TO, each half-step
+    * L2-normalized. Fixed iteration count + the 7-dp per-round grid
+    * (the [[pageRank]] replay convention) so an independent engine can
+    * unroll the rounds as chained CTEs: raw sums are IEEE-deterministic
+    * up to summation order (~1e-14) against the 5e-8 grid boundary, and
+    * the L2 norm is a sqrt of those sums (correctly rounded, engine-
+    * independent).
+    *
+    * Scale shape: the edge table is deduped once and persisted TWICE,
+    * pre-partitioned by src and by dst — the auth half-step joins hub
+    * state on src, the hub half-step joins auth state on dst, so
+    * neither copy ever re-exchanges across rounds. Score state is one
+    * row per distinct src (hubs) or dst (auths) and broadcasts under
+    * the same 4M-node gate as pageRank; past it the |state|-row side
+    * shuffles onto the stationary edge copies. The final hub/auth
+    * stitch is the PPR union + re-keyed sum (no broadcast full-outer
+    * in Spark), exact because each node contributes at most one hub
+    * and one auth addend.
+    */
+  def hits(edges: DataFrame, iterations: Int = 6): DataFrame = {
+    require(iterations >= 1, "need iterations >= 1")
+    val e = OperatorCaches.persistTracked(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct())
+    val eBySrc = OperatorCaches.persistTracked(e.repartition(col("src")))
+    val eByDst = OperatorCaches.persistTracked(e.repartition(col("dst")))
+    val srcs = e.select(col("src").as("node")).distinct()
+    val nSrc = srcs.count()
+    require(nSrc > 0, "hits on an empty edge list")
+    val broadcastState = nSrc <= 4_000_000L
+    def side(df: DataFrame): DataFrame =
+      if (broadcastState) broadcast(df) else df
+    // Per-half-step state is LINEAGE-CUT (checkpoint dir if set, else
+    // localCheckpoint — the kCore/CC convention), not merely persisted:
+    // a persist keeps the full logical plan, and every nested
+    // InMemoryRelation/AQE level re-prints its cached child plan, so 12
+    // half-steps of nesting make plan STRINGS (UI listener, explain)
+    // grow multiplicatively — the driver heap-dies in explainString at
+    // sf0.01 before any data moves (measured this session). The cut
+    // replaces each state's plan with a flat scanned-RDD leaf; per-round
+    // plan size is then constant.
+    def cut(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    // L2-normalize a raw (node, x) score table on the shared grid. The
+    // norm is COLLECTED as one driver double (bounded, the centroid-
+    // collect precedent) rather than stitched in as a scalar subquery —
+    // a subquery would reference the previous state's plan a second time
+    // per half-step (2^12 plan blowup); with the literal each round
+    // references its predecessor once.
+    def l2(raw0: DataFrame, outCol: String): DataFrame = {
+      val raw = OperatorCaches.persistTracked(raw0)
+      val nrm = raw.agg(sqrt(sum(col("x") * col("x")))).head().getDouble(0)
+      require(nrm > 0, "HITS iterate collapsed to the zero vector")
+      cut(raw.select(col("node"), round(col("x") / lit(nrm), 7).as(outCol)))
+    }
+    // uniform init is already unit-norm; rounded on the grid like every
+    // subsequent state so round 1 reads replayable inputs
+    var hub = cut(
+      srcs.withColumn("h", round(lit(1.0) / sqrt(lit(nSrc.toDouble)), 7)))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val aRaw = eBySrc
+        .join(side(hub.withColumnRenamed("node", "src")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("x"))
+      auth = l2(aRaw, "a")
+      val hRaw = eByDst
+        .join(side(auth.withColumnRenamed("node", "dst")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("x"))
+      hub = l2(hRaw, "h")
+    }
+    hub.select(col("node"), col("h").as("hub"), lit(0.0).as("auth"))
+      .unionByName(
+        auth.select(col("node"), lit(0.0).as("hub"), col("a").as("auth")))
+      .groupBy("node")
+      .agg(sum("hub").as("hub"), sum("auth").as("auth"))
+  }
 }

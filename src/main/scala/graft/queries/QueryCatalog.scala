@@ -6482,7 +6482,360 @@ object QueryCatalog {
               FROM base, dc2"""
       }))
 
+  /** Round-9 session-9 additions: spectral/second-moment decompositions
+    * over the embedding corpus (one distributed moments pass, driver-side
+    * d×d eigenwork, fully unrolled DuckDB replay), HITS centrality, the
+    * t-closeness member of the privacy-audit trio, Kaplan–Meier survival,
+    * a two-proportion experiment z-test, and an HLL inclusion–exclusion
+    * intersection audit.
+    */
+  private val session9: Seq[Q] = Seq(
+
+    // HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    // customer→supplier co-order graph — the query-dependent centrality
+    // pair beside global q_pagerank. 6 rounds on the shared 7-dp grid;
+    // the oracle unrolls both half-steps of every round as chained CTEs
+    // (raw sums + one L2 scalar each — same replay doctrine as pagerank).
+    Q("q_hits",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        graft.operators.GraphRank.hits(edges, iterations = 6).orderBy("node")
+      },
+      Some {
+        val rounds = (1 to 6).map { i =>
+          val ph = if (i == 1) "h0" else s"h${i - 1}"
+          s"""a${i}r AS MATERIALIZED (SELECT e.dst AS node, sum(h.h) AS x
+                FROM e JOIN $ph h ON h.node = e.src GROUP BY e.dst),
+              a$i AS MATERIALIZED (SELECT node,
+                round(x / (SELECT sqrt(sum(x*x)) FROM a${i}r), 7) AS a
+                FROM a${i}r),
+              h${i}r AS MATERIALIZED (SELECT e.src AS node, sum(a.a) AS x
+                FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+              h$i AS MATERIALIZED (SELECT node,
+                round(x / (SELECT sqrt(sum(x*x)) FROM h${i}r), 7) AS h
+                FROM h${i}r)"""
+        }.mkString(",\n              ")
+        s"""WITH e AS MATERIALIZED (
+                SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              srcs AS (SELECT DISTINCT src FROM e),
+              ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM srcs),
+              h0 AS (SELECT src AS node,
+                round(CAST(1 AS DOUBLE) / sqrt((SELECT n FROM ns)), 7) AS h
+                FROM srcs),
+              $rounds
+              SELECT coalesce(h6.node, a6.node) AS node,
+                coalesce(h6.h, CAST(0 AS DOUBLE)) AS hub,
+                coalesce(a6.a, CAST(0 AS DOUBLE)) AS auth
+              FROM h6 FULL OUTER JOIN a6 ON h6.node = a6.node
+              ORDER BY node"""
+      }),
+
+    // t-closeness audit (Li et al., ICDE 2007) — the third member of the
+    // privacy trio beside q_k_anonymity / q_l_diversity, on the SAME
+    // quasi-identifier/sensitive attributes as l-diversity so the three
+    // audits read as one release gate. EMD over the ordered global
+    // support; cumulative sums run in the one canonical value order, so
+    // they are bit-identical cross-engine under the 6-dp output grid.
+    Q("q_t_closeness",
+      (s, dir) => graft.operators.Privacy.tCloseness(
+          t(s, dir, "customer"),
+          Seq("c_mktsegment", "c_nationkey"),
+          floor(col("c_acctbal") / 1000))
+        .withColumn("t_exceeds", col("emd") > 0.2)
+        .orderBy("c_mktsegment", "c_nationkey"),
+      Some("""WITH vals AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+                  CAST(floor(c_acctbal / 1000) AS BIGINT) AS v FROM customer),
+              cv AS (SELECT seg, nat, v, count(*) AS cnt
+                FROM vals GROUP BY 1, 2, 3),
+              cls AS (SELECT seg, nat, CAST(sum(cnt) AS BIGINT) AS n_class
+                FROM cv GROUP BY 1, 2),
+              g AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS g_cnt
+                FROM cv GROUP BY 1),
+              tot AS (SELECT CAST(sum(g_cnt) AS BIGINT) AS n_total,
+                  count(*) AS m_vals FROM g),
+              grid AS (SELECT cls.seg, cls.nat, cls.n_class, g.v, g.g_cnt,
+                  coalesce(cv.cnt, 0) AS cnt
+                FROM cls CROSS JOIN g
+                LEFT JOIN cv ON cv.seg = cls.seg AND cv.nat = cls.nat
+                  AND cv.v = g.v),
+              cum AS (SELECT seg, nat, n_class,
+                  sum(cnt / CAST(n_class AS DOUBLE)
+                    - g_cnt / CAST((SELECT n_total FROM tot) AS DOUBLE))
+                    OVER (PARTITION BY seg, nat ORDER BY v) AS cd
+                FROM grid),
+              emd AS (SELECT seg, nat, n_class AS k,
+                  round(sum(abs(cd))
+                    / greatest((SELECT m_vals FROM tot) - 1, 1), 6) AS emd
+                FROM cum GROUP BY 1, 2, 3)
+              SELECT seg AS c_mktsegment, nat AS c_nationkey, k, emd,
+                emd > 0.2 AS t_exceeds
+              FROM emd ORDER BY 1, 2""")),
+
+    // Kaplan–Meier survival over customer order lifetimes: duration =
+    // days between first and last order, censored when the last order is
+    // within 30 days of the dataset horizon (the subject may still be
+    // active). The estimator the censoring makes necessary — a plain
+    // duration histogram reads censored subjects as churned-early.
+    Q("q_survival_km",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val mx = o.agg(max(to_date(col("o_orderdate"))).as("maxd"))
+        val subj = o.groupBy("o_custkey")
+          .agg(min(to_date(col("o_orderdate"))).as("fd"),
+            max(to_date(col("o_orderdate"))).as("ld"))
+          .crossJoin(broadcast(mx))
+          .select(datediff(col("ld"), col("fd")).cast("long").as("duration"),
+            when(datediff(col("maxd"), col("ld")) > 30, 1L).otherwise(0L)
+              .as("event"))
+        graft.operators.Survival.kaplanMeier(subj).orderBy("t")
+      },
+      Some("""WITH per AS (SELECT o_custkey,
+                  min(CAST(o_orderdate AS DATE)) AS fd,
+                  max(CAST(o_orderdate AS DATE)) AS ld
+                FROM orders GROUP BY 1),
+              mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+              subj AS (SELECT CAST(date_diff('day', fd, ld) AS BIGINT)
+                    AS duration,
+                  CASE WHEN date_diff('day', ld, (SELECT maxd FROM mx)) > 30
+                    THEN 1 ELSE 0 END AS event
+                FROM per),
+              byt AS (SELECT duration AS t, count(*) AS n_at_t,
+                  CAST(sum(event) AS BIGINT) AS d_events
+                FROM subj GROUP BY 1),
+              curve AS (SELECT t, d_events,
+                  CAST(sum(n_at_t) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                    AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+                FROM byt),
+              fac AS (SELECT t, n_risk, d_events,
+                  CAST(1 AS DOUBLE) - d_events / CAST(n_risk AS DOUBLE) AS f
+                FROM curve),
+              lg AS (SELECT *, CASE WHEN f > 0 THEN round(ln(f), 10)
+                  ELSE NULL END AS logf FROM fac),
+              cum AS (SELECT t, n_risk, d_events,
+                  CASE WHEN min(f) OVER w = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE round(exp(sum(logf) OVER w), 6) END AS survival
+                FROM lg
+                WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW))
+              SELECT t, n_risk, d_events, survival
+              FROM cum WHERE d_events > 0 ORDER BY t""")),
+
+    // two-proportion z-test over an event-log experiment (variant =
+    // user_id parity, conversion = a HIGH-VALUE purchase — plain "any
+    // purchase" saturates at p = 1 on this fixture, collapsing se to 0):
+    // the inference step the CUPED entry's variance reduction feeds.
+    // Every term is a correctly-rounded function of exact integer counts
+    // — the z statistic is IEEE-deterministic cross-engine; 6-dp rounding
+    // is cosmetic. A degenerate pool (p ∈ {0,1}) yields NULL z by an
+    // explicit guard in BOTH engines rather than an engine-specific
+    // NaN/null split.
+    Q("q_ab_ztest",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase" &&
+              col("value") > 150, 1L).otherwise(0L))
+            .as("conv"))
+          .withColumn("g", col("user_id") % 2)
+        per.agg(
+            sum(when(col("g") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("g") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+            sum(when(col("g") === 1, 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("g") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+          .withColumn("p_pool",
+            (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")))
+          .withColumn("se",
+            sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+          .withColumn("z",
+            when(col("se") > 0,
+              round((col("conv_b") / col("n_b") - col("conv_a") / col("n_a"))
+                / col("se"), 6)))
+          .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+            round(col("conv_a") / col("n_a"), 6).as("p_a"),
+            round(col("conv_b") / col("n_b"), 6).as("p_b"),
+            col("z"), (abs(col("z")) > 1.96).as("significant"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' AND value > 150
+                    THEN 1 ELSE 0 END) AS conv,
+                  user_id % 2 AS g
+                FROM events GROUP BY user_id),
+              st AS (SELECT
+                  CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_a,
+                  CAST(sum(CASE WHEN g = 0 THEN conv ELSE 0 END) AS BIGINT)
+                    AS conv_a,
+                  CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_b,
+                  CAST(sum(CASE WHEN g = 1 THEN conv ELSE 0 END) AS BIGINT)
+                    AS conv_b
+                FROM per),
+              d AS (SELECT *,
+                  (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) AS p_pool
+                FROM st),
+              e AS (SELECT *, sqrt(p_pool * (CAST(1 AS DOUBLE) - p_pool)
+                  * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+                  AS se FROM d),
+              f AS (SELECT n_a, conv_a, n_b, conv_b,
+                  round(conv_a / CAST(n_a AS DOUBLE), 6) AS p_a,
+                  round(conv_b / CAST(n_b AS DOUBLE), 6) AS p_b,
+                  CASE WHEN se > 0 THEN
+                    round((conv_b / CAST(n_b AS DOUBLE)
+                      - conv_a / CAST(n_a AS DOUBLE)) / se, 6)
+                  ELSE NULL END AS z
+                FROM e)
+              SELECT n_a, conv_a, n_b, conv_b, p_a, p_b, z,
+                abs(z) > 1.96 AS significant
+              FROM f""")),
+
+    // HLL inclusion–exclusion intersection: |A∩B| estimated from three
+    // sketch estimates (crawl A, crawl B, merged union) — the overlap
+    // question the sketch TABLE answers without rescanning either crawl.
+    // AUDIT convention (q_approx_distinct precedent): sketch bytes are
+    // engine-specific, so the oracle recomputes the exact side and the
+    // estimate must land inside the published bracket. Error compounds
+    // across three ~1.6%-σ estimates, so the bracket is 10% of the exact
+    // UNION (the scale of all three operands) + 48 absolute.
+    Q("q_hll_intersect",
+      (s, dir) => {
+        val pages = t(s, dir, "documents")
+          .select(col("lang"), (col("doc_id") % 2).as("crawl"),
+            md5(col("text")).as("pg"))
+        val sk = graft.operators.Sketches.hllSketchTable(
+          pages, Seq("crawl", "lang"), col("pg"))
+        val a = graft.operators.Sketches
+          .hllMergeEstimate(sk.filter(col("crawl") === 0), Seq("lang"))
+          .withColumnRenamed("approx_distinct", "est_a")
+        val b = graft.operators.Sketches
+          .hllMergeEstimate(sk.filter(col("crawl") === 1), Seq("lang"))
+          .withColumnRenamed("approx_distinct", "est_b")
+        val u = graft.operators.Sketches
+          .hllMergeEstimate(sk, Seq("lang"))
+          .withColumnRenamed("approx_distinct", "est_u")
+        val exact = pages.distinct()
+          .groupBy("lang", "pg")
+          .agg(max(when(col("crawl") === 0, 1).otherwise(0)).as("ia"),
+            max(when(col("crawl") === 1, 1).otherwise(0)).as("ib"))
+          .groupBy("lang")
+          .agg(sum(when(col("ia") === 1 && col("ib") === 1, 1L)
+              .otherwise(0L)).as("exact_intersect"),
+            count(lit(1)).as("exact_union"))
+        a.join(b, Seq("lang")).join(u, Seq("lang")).join(exact, Seq("lang"))
+          .select(col("lang"), col("exact_intersect"),
+            (abs(col("est_a") + col("est_b") - col("est_u")
+              - col("exact_intersect"))
+              <= col("exact_union") * 0.1 + 48).as("hll_within_tol"))
+          .orderBy("lang")
+      },
+      Some("""WITH p AS (SELECT DISTINCT lang, doc_id % 2 AS crawl,
+                  md5(text) AS pg FROM documents),
+              ab AS (SELECT lang, pg,
+                  max(CASE WHEN crawl = 0 THEN 1 ELSE 0 END) AS ia,
+                  max(CASE WHEN crawl = 1 THEN 1 ELSE 0 END) AS ib
+                FROM p GROUP BY 1, 2)
+              SELECT lang,
+                CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS exact_intersect,
+                TRUE AS hll_within_tol
+              FROM ab GROUP BY lang ORDER BY lang""")),
+
+    // top principal component of the embedding corpus by power iteration:
+    // ONE distributed pass folds the corpus into d(d+3)/2 packed moments
+    // (typed Aggregator, map-side combined), the d×d eigenwork runs on
+    // the driver (k-means-centroid precedent), and the oracle replays the
+    // WHOLE chain — moments from raw vectors, covariance on the 6-dp
+    // anchor, 8 matvec+normalize rounds on the 7-dp grid, Rayleigh
+    // eigenvalue on the 6-dp output grid — as chained CTEs.
+    Q("q_pca_power",
+      (s, dir) => graft.operators.Decomp.pcaTopComponent(
+          t(s, dir, "embeddings"), "embedding", dim = 64, rounds = 8)
+        .orderBy("dim"),
+      Some {
+        val rounds = (1 to 8).map { i =>
+          val pv = if (i == 1) "p0" else s"p${i - 1}"
+          s"""p${i}r AS MATERIALIZED (SELECT cov.i AS d, sum(cov.c * p.v) AS w
+                FROM cov JOIN $pv p ON p.d = cov.j GROUP BY cov.i),
+              p$i AS MATERIALIZED (SELECT d,
+                round(w / (SELECT sqrt(sum(w*w)) FROM p${i}r), 7) AS v
+                FROM p${i}r)"""
+        }.mkString(",\n              ")
+        s"""WITH v AS MATERIALIZED (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) = 64),
+              nn AS MATERIALIZED (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) = 64),
+              s AS MATERIALIZED (SELECT i, sum(x) AS si FROM v GROUP BY i),
+              cp AS MATERIALIZED (
+                SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS pij
+                FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
+                GROUP BY 1, 2),
+              cov0 AS (SELECT cp.i, cp.j,
+                  round(cp.pij / (SELECT n FROM nn)
+                    - (sa.si / (SELECT n FROM nn))
+                      * (sb.si / (SELECT n FROM nn)), 6) AS c
+                FROM cp JOIN s sa ON sa.i = cp.i JOIN s sb ON sb.i = cp.j),
+              cov AS MATERIALIZED (SELECT i, j, c FROM cov0
+                UNION ALL SELECT j AS i, i AS j, c FROM cov0 WHERE i <> j),
+              p0 AS (SELECT i AS d,
+                round(CAST(1 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)), 7) AS v
+                FROM s),
+              $rounds,
+              cvf AS (SELECT cov.i AS d, sum(cov.c * p.v) AS w
+                FROM cov JOIN p8 p ON p.d = cov.j GROUP BY cov.i),
+              lam AS (SELECT round(
+                  (SELECT sum(p8.v * cvf.w) FROM p8
+                    JOIN cvf ON cvf.d = p8.d)
+                  / (SELECT sum(v * v) FROM p8), 6) AS eigenvalue)
+              SELECT p8.d AS dim, p8.v AS loading,
+                (SELECT eigenvalue FROM lam) AS eigenvalue
+              FROM p8 ORDER BY dim"""
+      }),
+
+    // top-15 most correlated embedding-dimension pairs from the SAME
+    // one-pass packed moments — the feature-redundancy audit that shares
+    // its corpus scan with q_pca_power. Unrounded covariances inside the
+    // ratio (a grid snap would amplify through the division), 6-dp output.
+    Q("q_corr_matrix",
+      (s, dir) => graft.operators.Decomp.corrTopPairs(
+          t(s, dir, "embeddings"), "embedding", dim = 64, k = 15),
+      Some("""WITH v AS MATERIALIZED (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) = 64),
+              nn AS MATERIALIZED (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) = 64),
+              s AS MATERIALIZED (SELECT i, sum(x) AS si FROM v GROUP BY i),
+              cp AS MATERIALIZED (
+                SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS pij
+                FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
+                GROUP BY 1, 2),
+              corr0 AS (SELECT cp.i, cp.j,
+                  round((cp.pij / nn.n - (sa.si / nn.n) * (sb.si / nn.n))
+                    / sqrt((pa.pij / nn.n - (sa.si / nn.n) * (sa.si / nn.n))
+                      * (pb.pij / nn.n - (sb.si / nn.n) * (sb.si / nn.n))),
+                    6) AS corr
+                FROM cp CROSS JOIN nn
+                JOIN s sa ON sa.i = cp.i
+                JOIN s sb ON sb.i = cp.j
+                JOIN cp pa ON pa.i = cp.i AND pa.j = cp.i
+                JOIN cp pb ON pb.i = cp.j AND pb.j = cp.j
+                WHERE cp.i < cp.j)
+              SELECT i, j, corr FROM corr0
+              ORDER BY abs(corr) DESC, i, j LIMIT 15""")))
+
   val all: Seq[Q] =
     relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++
-      taxi ++ session8
+      taxi ++ session8 ++ session9
 }

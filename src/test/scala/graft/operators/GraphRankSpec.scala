@@ -297,4 +297,65 @@ class GraphRankSpec extends SparkSpec {
     assert(got.values.forall(_ > 0.0))
     OperatorCaches.releaseAll()
   }
+
+  private def r7d(x: Double): Double =
+    BigDecimal(x).setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def hitsOf(edges: Seq[(Long, Long)], iters: Int = 6): Map[Long, (Double, Double)] = {
+    import spark.implicits._
+    GraphRank.hits(edges.toDF("src", "dst"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+  }
+
+  test("hits: the popular authority and the prolific hub dominate a bipartite graph") {
+    // hubs 1..3 -> authorities 10..12; 10 is cited by all three, 12 only
+    // by 3; hub 3 cites everything, hub 1 only cites 10
+    val edges = Seq(1L -> 10L, 2L -> 10L, 2L -> 11L,
+      3L -> 10L, 3L -> 11L, 3L -> 12L)
+    val got = hitsOf(edges)
+    assert(got.keySet === Set(1L, 2L, 3L, 10L, 11L, 12L))
+    assert(got(10L)._2 > got(11L)._2 && got(11L)._2 > got(12L)._2, got)
+    assert(got(3L)._1 > got(2L)._1 && got(2L)._1 > got(1L)._1, got)
+    // pure sources/sinks carry zero on the other side
+    assert(Seq(1L, 2L, 3L).forall(got(_)._2 === 0.0))
+    assert(Seq(10L, 11L, 12L).forall(got(_)._1 === 0.0))
+  }
+
+  test("hits: a node that is both source and sink gets both scores in one row") {
+    val got = hitsOf(Seq(1L -> 2L, 2L -> 3L))
+    assert(got(2L)._1 > 0.0 && got(2L)._2 > 0.0, got)
+    // each half-step state is unit-norm on the grid
+    val h2 = got.values.map(v => v._1 * v._1).sum
+    val a2 = got.values.map(v => v._2 * v._2).sum
+    assert(math.abs(h2 - 1.0) < 1e-5 && math.abs(a2 - 1.0) < 1e-5, (h2, a2))
+  }
+
+  test("hits: matches an exact driver-side grid replay on a seeded random digraph") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(250)((rnd.nextInt(30).toLong, (30 + rnd.nextInt(30)).toLong))
+      .distinct
+    val got = hitsOf(edges, iters = 6)
+    // replay: uniform unit init over srcs, 12 half-steps, 7-dp grid each
+    val srcs = edges.map(_._1).distinct
+    var hub = srcs.map(_ -> r7d(1.0 / math.sqrt(srcs.size.toDouble))).toMap
+    var auth = Map.empty[Long, Double]
+    for (_ <- 1 to 6) {
+      val aRaw = edges.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => hub(s) }.sum).toMap
+      val aN = math.sqrt(aRaw.values.map(x => x * x).sum)
+      auth = aRaw.view.mapValues(x => r7d(x / aN)).toMap
+      val hRaw = edges.groupBy(_._1).view
+        .mapValues(_.map { case (_, d) => auth(d) }.sum).toMap
+      val hN = math.sqrt(hRaw.values.map(x => x * x).sum)
+      hub = hRaw.view.mapValues(x => r7d(x / hN)).toMap
+    }
+    val exp = (hub.keySet ++ auth.keySet).map(n =>
+      n -> (hub.getOrElse(n, 0.0), auth.getOrElse(n, 0.0))).toMap
+    assert(got.keySet === exp.keySet)
+    got.foreach { case (k, (h, a)) =>
+      assert(math.abs(h - exp(k)._1) <= 1e-7 + 1e-12, s"hub of $k")
+      assert(math.abs(a - exp(k)._2) <= 1e-7 + 1e-12, s"auth of $k")
+    }
+    OperatorCaches.releaseAll()
+  }
 }

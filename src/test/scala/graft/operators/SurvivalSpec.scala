@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SurvivalSpec extends SparkSpec {
+
+  private def km(rows: Seq[(Long, Int)]): Seq[(Long, Long, Long, Double)] = {
+    import spark.implicits._
+    Survival.kaplanMeier(rows.toDF("duration", "event"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+  }
+
+  test("no censoring: KM equals the empirical survival function") {
+    // 4 subjects dying at t = 1, 2, 3, 4 -> S = 0.75, 0.5, 0.25, 0
+    val got = km(Seq(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1))
+    assert(got === Seq(
+      (1L, 4L, 1L, 0.75), (2L, 3L, 1L, 0.5),
+      (3L, 2L, 1L, 0.25), (4L, 1L, 1L, 0.0)))
+  }
+
+  test("censoring removes subjects from the risk set without an event") {
+    // classic: deaths at 1 and 3; censor at 2 shrinks the risk set at 3.
+    // S(1) = 1 - 1/3 = 2/3; at t=3 risk set is {3} -> S(3) = 2/3 * 0 = 0...
+    // use 4 subjects so the tail stays positive:
+    // (1,died)(2,censored)(3,died)(5,censored): S(1)=3/4, S(3)=3/4*(1-1/2)=3/8
+    val got = km(Seq(1L -> 1, 2L -> 0, 3L -> 1, 5L -> 0))
+    assert(got.map(_._1) === Seq(1L, 3L)) // censoring times emit no row
+    assert(got(0) === ((1L, 4L, 1L, 0.75)))
+    assert(got(1)._2 === 2L)
+    assert(math.abs(got(1)._4 - 0.375) <= 1e-6)
+  }
+
+  test("a wipe-out time pins survival to exactly 0 afterwards") {
+    // everyone at risk dies at t=2 (log(0) guard), nothing after
+    val got = km(Seq(1L -> 1, 2L -> 1, 2L -> 1))
+    assert(got(0)._4 === BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(1) === ((2L, 2L, 2L, 0.0)))
+  }
+
+  test("matches a driver replay with the same log/exp grid on seeded data") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(500)((1L + rnd.nextInt(30), rnd.nextInt(3) min 1))
+    val got = km(rows)
+    // replay: exact integer d/n per time, 10-dp log grid, 6-dp output
+    val byT = rows.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.count(_._2 == 1).toLong)).toMap
+    val times = byT.keys.toSeq.sorted
+    var logAcc = 0.0
+    var wiped = false
+    val exp = times.flatMap { t =>
+      val nRisk = rows.count(_._1 >= t).toLong
+      val d = byT(t)._2
+      val f = 1.0 - d.toDouble / nRisk
+      if (f == 0.0) wiped = true
+      else logAcc += BigDecimal(math.log(f))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val s = if (wiped) 0.0
+        else BigDecimal(math.exp(logAcc))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (d > 0) Some((t, nRisk, d, s)) else None
+    }
+    assert(got === exp)
+  }
+}
