@@ -119,6 +119,17 @@ object Decomp {
     val spark = df.sparkSession
     import spark.implicits._
     val cov = covariance6(packedMoments(df, vecCol, dim), dim)
+    val (v, lambda) = powerIterate(cov, dim, rounds)
+    v.zipWithIndex
+      .map { case (l, i) => (i + 1L, l, lambda) }
+      .toSeq
+      .toDF("dim", "loading", "eigenvalue")
+  }
+
+  private def powerIterate(
+      cov: Array[Array[Double]],
+      dim: Int,
+      rounds: Int): (Array[Double], Double) = {
     var v = Array.fill(dim)(round(1.0 / math.sqrt(dim.toDouble), 7))
     for (_ <- 1 to rounds) {
       val w = Array.tabulate(dim) { i =>
@@ -139,10 +150,40 @@ object Decomp {
     }
     val lambda = round(
       v.zip(cv).map { case (a, b) => a * b }.sum / v.map(x => x * x).sum, 6)
-    v.zipWithIndex
-      .map { case (l, i) => (i + 1L, l, lambda) }
-      .toSeq
-      .toDF("dim", "loading", "eigenvalue")
+    (v, lambda)
+  }
+
+  /** Top-k principal components by power iteration WITH HOTELLING
+    * DEFLATION: after extracting (v, λ), the next component runs on
+    * cov' = round(cov - λ·v·vᵀ, 6) — deflated back onto the SAME 6-dp
+    * anchor grid the first covariance sits on, so each component's
+    * iteration reads a fully replayable matrix (an engine can chain
+    * k × rounds CTEs without ever seeing an unrounded intermediate).
+    * The grid snap costs ~1e-6 of orthogonality per deflation — the
+    * price of exactness-by-construction, documented rather than hidden.
+    *
+    * Corpus cost is IDENTICAL to [[pcaTopComponent]]: the one moments
+    * pass; everything after is driver d×d work, k·rounds matvecs.
+    * Returns (component 1-based, dim 1-based, loading, eigenvalue).
+    */
+  def pcaTopComponents(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      rounds: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cov = covariance6(packedMoments(df, vecCol, dim), dim)
+    val rows = (1 to k).flatMap { c =>
+      val (v, lambda) = powerIterate(cov, dim, rounds)
+      if (c < k)
+        cov = Array.tabulate(dim, dim)((i, j) =>
+          round(cov(i)(j) - lambda * v(i) * v(j), 6))
+      v.zipWithIndex.map { case (l, i) => (c.toLong, i + 1L, l, lambda) }
+    }
+    rows.toDF("component", "dim", "loading", "eigenvalue")
   }
 
   /** Top-k most correlated dimension pairs from the same one-pass moments:

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation and distribution-drift statistics over scored /
+  * labeled corpora. Both operators reduce the corpus to a GROUPED
+  * support table first (one map-side-combined shuffle keyed by the
+  * score/bin value), so the rank and CDF arithmetic that follows runs
+  * over the bounded distinct-value support — never a global sort of
+  * subjects, which is what naive rank-based implementations (ntile,
+  * row_number over everything) would shuffle at 100 TB.
+  */
+object ModelEval {
+
+  /** Exact ROC AUC via the Mann–Whitney rank-sum identity, with midranks
+    * for ties:
+    *   AUC = (sum of positive midranks - nPos(nPos+1)/2) / (nPos * nNeg)
+    *
+    * Distributed shape: ONE groupBy(score) with map-side combine folds
+    * the corpus to (score, cnt, pos) — bounded by the score support, not
+    * the subject count — and the midrank of every row sharing score s is
+    * derivable from counts alone: cumLess(s) + (cnt(s)+1)/2. The
+    * cumulative window therefore runs over distinct scores only.
+    *
+    * Cross-engine determinism: everything is INTEGER until the final
+    * division — midranks are half-integers, so the sum is carried as
+    * 2×midrank in BIGINT (posRankSum2). One correctly-rounded division
+    * at the end, 6-dp output grid. BIGINT bounds: posRankSum2 ≤
+    * 2·nPos·nSubjects ≈ 2e18 at a billion subjects — inside int64; past
+    * that, swap the sum to DecimalType.
+    *
+    * `scoreCol` must be integral (bucket continuous scores first —
+    * binned AUC is the standard large-scale form); `labelCol` is 0/1.
+    * Returns one row: (n_pos, n_neg, auc).
+    */
+  def aucFromScores(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val byScore = df
+      .groupBy(scoreCol.cast("long").as("s"))
+      .agg(count(lit(1)).as("cnt"), sum(labelCol.cast("long")).as("pos"))
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("cum_less", sum("cnt").over(w) - col("cnt"))
+      .withColumn("midrank2", lit(2L) * col("cum_less") + col("cnt") + 1L)
+      .agg(sum("pos").as("n_pos"),
+        (sum("cnt") - sum("pos")).as("n_neg"),
+        sum(col("pos") * col("midrank2")).as("pos_rank_sum2"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("pos_rank_sum2") - col("n_pos") * (col("n_pos") + 1L))
+          .cast("double")
+          / (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** sqrt(-ln(0.05/2)/2): the two-sample KS critical coefficient at
+    * α = 0.05 — spliced as the SAME Scala-printed literal into the
+    * oracle SQL (the constant-splice convention), never re-derived.
+    */
+  val KsCrit05: Double = math.sqrt(-math.log(0.025) / 2.0)
+
+  /** Two-sample Kolmogorov–Smirnov statistic between group 0 and group 1
+    * over a BINNED value support: D = max_b |F0(b) - F1(b)| with the
+    * empirical CDFs evaluated on the shared ordered bin support. Binning
+    * (the caller supplies an integral bin column) is what bounds the
+    * support — raw continuous values would make the CDF window as wide
+    * as the corpus; binned KS is the standard drift-monitor form and is
+    * exact for the binned distributions.
+    *
+    * Cross-engine determinism: cumulative counts are exact integers, each
+    * CDF value is one correctly-rounded division, |F0-F1| and the max are
+    * order-free. Output: one row (n_a, n_b, d, d_crit, significant) with
+    * d and the α=0.05 critical value d_crit = c·sqrt((n_a+n_b)/(n_a·n_b))
+    * both on the 6-dp grid, compared AFTER rounding so both engines
+    * decide `significant` over identical values.
+    */
+  def ksTest(df: DataFrame, binCol: Column, groupCol: Column): DataFrame = {
+    val byBin = df
+      .groupBy(binCol.cast("long").as("b"))
+      .agg(sum(when(groupCol === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(groupCol === 1, 1L).otherwise(0L)).as("cb"))
+    val tot = broadcast(byBin.agg(
+      sum("ca").as("n_a"), sum("cb").as("n_b")))
+    val w = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byBin.crossJoin(tot)
+      .withColumn("gap",
+        abs(sum("ca").over(w) / col("n_a") - sum("cb").over(w) / col("n_b")))
+      .groupBy("n_a", "n_b")
+      .agg(round(max("gap"), 6).as("d"))
+      .withColumn("d_crit", round(lit(KsCrit05) *
+        sqrt((col("n_a") + col("n_b")).cast("double")
+          / (col("n_a") * col("n_b"))), 6))
+      .withColumn("significant", col("d") > col("d_crit"))
+  }
+}

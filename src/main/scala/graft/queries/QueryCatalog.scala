@@ -6835,7 +6835,314 @@ object QueryCatalog {
               SELECT i, j, corr FROM corr0
               ORDER BY abs(corr) DESC, i, j LIMIT 15""")))
 
+  /** Round-9 session-9 batch 2: the drift-detection / model-evaluation
+    * suite — exact distributed AUC (rank-sum over the score support, never
+    * a subject sort), binned two-sample KS, PSI with integer add-one
+    * smoothing, chi-squared + Cramér's V, per-dimension Fisher LDA ratio,
+    * and top-2 PCA via grid-snapped Hotelling deflation.
+    */
+  private val session9b: Seq[Q] = Seq(
+
+    // exact ROC AUC of an engagement score against conversion, via the
+    // Mann-Whitney rank-sum identity with midranks for ties. INTEGER until
+    // the final division: midranks carried as 2x in BIGINT, so the value
+    // is bit-replayable and the corpus never sees a global subject sort —
+    // the cumulative window runs over distinct scores only.
+    Q("q_auc",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("score"),
+            max(when(col("event_type") === "purchase" &&
+              col("value") > 150, 1L).otherwise(0L)).as("label"))
+        graft.operators.ModelEval.aucFromScores(per, col("score"), col("label"))
+      },
+      Some("""WITH per AS (SELECT user_id, count(*) AS s,
+                  max(CASE WHEN event_type = 'purchase' AND value > 150
+                    THEN 1 ELSE 0 END) AS y
+                FROM events GROUP BY 1),
+              bys AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(y) AS BIGINT) AS pos
+                FROM per GROUP BY 1),
+              r AS (SELECT *,
+                  CAST(sum(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) - cnt AS cum_less
+                FROM bys),
+              ag AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                  CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+                  CAST(sum(pos * (2 * cum_less + cnt + 1)) AS BIGINT) AS prs2
+                FROM r)
+              SELECT n_pos, n_neg,
+                round(CAST(prs2 - n_pos * (n_pos + 1) AS DOUBLE)
+                  / (2.0 * n_pos * n_neg), 6) AS auc
+              FROM ag""")),
+
+    // two-sample KS drift test between the experiment variants over the
+    // per-user total-value distribution, binned to the integer grid (the
+    // binning is what bounds the CDF support at corpus scale). The
+    // critical coefficient is the Scala-printed literal spliced into both
+    // engines; d and d_crit compare after the 6-dp snap.
+    Q("q_ks_drift",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(round(sum("value"), 6).as("tot"))
+          .select(floor(col("tot")).cast("long").as("bin"),
+            pmod(col("user_id"), lit(2)).as("g"))
+        graft.operators.ModelEval.ksTest(per, col("bin"), col("g"))
+      },
+      Some(s"""WITH per AS (SELECT user_id,
+                  CAST(floor(round(sum(value), 6)) AS BIGINT) AS bin,
+                  user_id % 2 AS g
+                FROM events GROUP BY user_id),
+              byb AS (SELECT bin,
+                  CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS ca,
+                  CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS cb
+                FROM per GROUP BY 1),
+              tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                  CAST(sum(cb) AS BIGINT) AS n_b FROM byb),
+              cum AS (SELECT
+                  abs(sum(ca) OVER w / CAST((SELECT n_a FROM tot) AS DOUBLE)
+                    - sum(cb) OVER w
+                      / CAST((SELECT n_b FROM tot) AS DOUBLE)) AS gap
+                FROM byb
+                WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW)),
+              d AS (SELECT (SELECT n_a FROM tot) AS n_a,
+                  (SELECT n_b FROM tot) AS n_b,
+                  round(max(gap), 6) AS d FROM cum),
+              e AS (SELECT *, round(${graft.operators.ModelEval.KsCrit05}
+                  * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b)), 6)
+                  AS d_crit FROM d)
+              SELECT n_a, n_b, d, d_crit, d > d_crit AS significant
+              FROM e""")),
+
+    // Population Stability Index between the early and late halves of the
+    // event log (the CUPED midpoint split) over fixed-width value bins,
+    // with INTEGER add-one smoothing over the union support — the
+    // deterministic form of the zero-bin epsilon every PSI monitor needs.
+    Q("q_psi_drift",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .withColumn("sec", unix_timestamp(col("ts")))
+        val mid = broadcast(ev.agg(
+          ((min("sec") + max("sec")) / lit(2L)).cast("long").as("mid")))
+        val byBin = ev.crossJoin(mid)
+          .groupBy(floor(col("value") / 25).cast("long").as("bin"))
+          .agg(sum(when(col("sec") <= col("mid"), 1L).otherwise(0L)).as("ce"),
+            sum(when(col("sec") > col("mid"), 1L).otherwise(0L)).as("cl"))
+        val tot = broadcast(byBin.agg(sum("ce").as("n_early"),
+          sum("cl").as("n_late"), count(lit(1)).as("n_bins")))
+        byBin.crossJoin(tot)
+          .withColumn("p", (col("ce") + 1L).cast("double")
+            / (col("n_early") + col("n_bins")))
+          .withColumn("q", (col("cl") + 1L).cast("double")
+            / (col("n_late") + col("n_bins")))
+          .groupBy("n_early", "n_late", "n_bins")
+          .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))),
+            6).as("psi"))
+      },
+      Some("""WITH se AS (SELECT value,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                FROM events WHERE value IS NOT NULL),
+              md AS (SELECT (min(sec) + max(sec)) // 2 AS mid FROM se),
+              byb AS (SELECT CAST(floor(value / 25) AS BIGINT) AS bin,
+                  CAST(sum(CASE WHEN sec <= (SELECT mid FROM md)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+                  CAST(sum(CASE WHEN sec > (SELECT mid FROM md)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS cl
+                FROM se GROUP BY 1),
+              tot AS (SELECT CAST(sum(ce) AS BIGINT) AS n_early,
+                  CAST(sum(cl) AS BIGINT) AS n_late,
+                  CAST(count(*) AS BIGINT) AS n_bins FROM byb),
+              pq AS (SELECT
+                  CAST(ce + 1 AS DOUBLE)
+                    / ((SELECT n_early FROM tot) + (SELECT n_bins FROM tot))
+                    AS p,
+                  CAST(cl + 1 AS DOUBLE)
+                    / ((SELECT n_late FROM tot) + (SELECT n_bins FROM tot))
+                    AS q
+                FROM byb)
+              SELECT (SELECT n_early FROM tot) AS n_early,
+                (SELECT n_late FROM tot) AS n_late,
+                (SELECT n_bins FROM tot) AS n_bins,
+                round(sum((p - q) * ln(p / q)), 6) AS psi
+              FROM pq""")),
+
+    // chi-squared independence + Cramér's V between document language and
+    // source — the categorical-association audit. The FULL contingency
+    // grid (absent cells at O = 0, E > 0 still contribute) from exact
+    // integer marginals; every cell term is arithmetic over identical
+    // doubles in both engines.
+    Q("q_chi2_assoc",
+      (s, dir) => {
+        val o = t(s, dir, "documents")
+          .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+        val rt = o.groupBy("lang").agg(sum("o").as("rt"))
+        val ct = o.groupBy("source").agg(sum("o").as("ct"))
+        val n = broadcast(o.agg(sum("o").as("n"),
+          countDistinct("lang").as("r"), countDistinct("source").as("c")))
+        rt.crossJoin(broadcast(ct)).crossJoin(n)
+          .join(o, Seq("lang", "source"), "left").na.fill(0L, Seq("o"))
+          .withColumn("e", col("rt") * col("ct") / col("n"))
+          .groupBy("n", "r", "c")
+          .agg(round(sum(pow(col("o") - col("e"), 2) / col("e")), 6)
+            .as("chi2"))
+          .withColumn("cramers_v", round(sqrt(col("chi2") /
+            (col("n") * (least(col("r"), col("c")) - 1L))), 6))
+          .select("n", "r", "c", "chi2", "cramers_v")
+      },
+      Some("""WITH o AS (SELECT lang, source, count(*) AS o
+                FROM documents GROUP BY 1, 2),
+              rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt
+                FROM o GROUP BY 1),
+              ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct
+                FROM o GROUP BY 1),
+              n AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                  count(DISTINCT lang) AS r, count(DISTINCT source) AS c
+                FROM o),
+              grid AS (SELECT rt.rt, ct.ct, coalesce(o.o, 0) AS o,
+                  rt.rt * ct.ct / CAST((SELECT n FROM n) AS DOUBLE) AS e
+                FROM rt CROSS JOIN ct
+                LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source)
+              SELECT (SELECT n FROM n) AS n, (SELECT r FROM n) AS r,
+                (SELECT c FROM n) AS c,
+                round(sum((o - e) * (o - e) / e), 6) AS chi2,
+                round(sqrt(sum((o - e) * (o - e) / e)
+                  / ((SELECT n FROM n)
+                    * (least((SELECT r FROM n), (SELECT c FROM n)) - 1))),
+                  6) AS cramers_v
+              FROM grid""")),
+
+    // per-dimension Fisher LDA ratio (between-class / within-class
+    // variance) of the embedding space against the fixture labels — the
+    // feature-discriminability audit. Per-(class, dim) moments are 6-dp
+    // anchored BEFORE the scatter derivation (the standardize/CUPED
+    // convention); top-10 dims by ratio.
+    Q("q_fisher_lda",
+      (s, dir) => {
+        val v = t(s, dir, "embeddings")
+          .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+          .select(col("label").cast("long").as("cls"),
+            posexplode(col("embedding")))
+          .select(col("cls"), (col("pos") + 1).cast("long").as("dim"),
+            col("col").cast("double").as("x"))
+        val per = v.groupBy("cls", "dim")
+          .agg(count(lit(1)).as("cn"), round(avg("x"), 6).as("mu"),
+            round(avg(col("x") * col("x")), 6).as("m2"))
+        val perD = per.groupBy("dim")
+          .agg(sum("cn").as("nn"),
+            round(sum(col("cn") * col("mu")) / sum("cn"), 6).as("gmu"))
+        per.join(perD, Seq("dim"))
+          .groupBy("dim")
+          .agg(
+            round(sum(col("cn") * pow(col("mu") - col("gmu"), 2))
+              / max("nn"), 6).as("between_var"),
+            round(sum(col("cn") * (col("m2") - col("mu") * col("mu")))
+              / max("nn"), 6).as("within_var"))
+          .withColumn("fisher_ratio",
+            round(col("between_var") / col("within_var"), 6))
+          .orderBy(col("fisher_ratio").desc, col("dim"))
+          .limit(10)
+      },
+      Some("""WITH v AS (SELECT CAST(label AS BIGINT) AS cls,
+                  generate_subscripts(embedding, 1) AS dim,
+                  CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) = 64),
+              per AS (SELECT cls, CAST(dim AS BIGINT) AS dim,
+                  CAST(count(*) AS BIGINT) AS cn,
+                  round(avg(x), 6) AS mu, round(avg(x * x), 6) AS m2
+                FROM v GROUP BY 1, 2),
+              perd AS (SELECT dim, CAST(sum(cn) AS BIGINT) AS nn,
+                  round(sum(cn * mu) / CAST(sum(cn) AS DOUBLE), 6) AS gmu
+                FROM per GROUP BY 1),
+              sc AS (SELECT per.dim,
+                  round(sum(cn * (mu - gmu) * (mu - gmu))
+                    / CAST(max(nn) AS DOUBLE), 6) AS between_var,
+                  round(sum(cn * (m2 - mu * mu))
+                    / CAST(max(nn) AS DOUBLE), 6) AS within_var
+                FROM per JOIN perd ON perd.dim = per.dim
+                GROUP BY per.dim)
+              SELECT dim, between_var, within_var,
+                round(between_var / within_var, 6) AS fisher_ratio
+              FROM sc ORDER BY fisher_ratio DESC, dim LIMIT 10""")),
+
+    // top-2 principal components via grid-snapped Hotelling deflation:
+    // the oracle chains BOTH components' 8 power rounds — component 2
+    // iterates on cov2 = round(cov - lam1 * v1 v1', 6), the deflation
+    // landing back on the same 6-dp anchor the first covariance sits on,
+    // so no unrounded intermediate ever crosses engines.
+    Q("q_pca_deflate",
+      (s, dir) => graft.operators.Decomp.pcaTopComponents(
+          t(s, dir, "embeddings"), "embedding", dim = 64, k = 2, rounds = 8)
+        .orderBy("component", "dim"),
+      Some {
+        def rounds(prefix: String, covName: String): String =
+          (1 to 8).map { i =>
+            val pv = if (i == 1) s"${prefix}0" else s"$prefix${i - 1}"
+            s"""$prefix${i}r AS MATERIALIZED (SELECT $covName.i AS d,
+                  sum($covName.c * p.v) AS w
+                FROM $covName JOIN $pv p ON p.d = $covName.j GROUP BY 1),
+              $prefix$i AS MATERIALIZED (SELECT d,
+                round(w / (SELECT sqrt(sum(w*w)) FROM $prefix${i}r), 7) AS v
+                FROM $prefix${i}r)"""
+          }.mkString(",\n              ")
+        s"""WITH v AS MATERIALIZED (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) = 64),
+              nn AS MATERIALIZED (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+                WHERE embedding IS NOT NULL AND len(embedding) = 64),
+              s AS MATERIALIZED (SELECT i, sum(x) AS si FROM v GROUP BY i),
+              cp AS MATERIALIZED (
+                SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS pij
+                FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
+                GROUP BY 1, 2),
+              cov0 AS (SELECT cp.i, cp.j,
+                  round(cp.pij / (SELECT n FROM nn)
+                    - (sa.si / (SELECT n FROM nn))
+                      * (sb.si / (SELECT n FROM nn)), 6) AS c
+                FROM cp JOIN s sa ON sa.i = cp.i JOIN s sb ON sb.i = cp.j),
+              cov1 AS MATERIALIZED (SELECT i, j, c FROM cov0
+                UNION ALL SELECT j AS i, i AS j, c FROM cov0 WHERE i <> j),
+              pa0 AS (SELECT i AS d,
+                round(CAST(1 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)), 7) AS v
+                FROM s),
+              ${rounds("pa", "cov1")},
+              cvfa AS (SELECT cov1.i AS d, sum(cov1.c * p.v) AS w
+                FROM cov1 JOIN pa8 p ON p.d = cov1.j GROUP BY 1),
+              lam1 AS MATERIALIZED (SELECT round(
+                  (SELECT sum(pa8.v * cvfa.w) FROM pa8
+                    JOIN cvfa ON cvfa.d = pa8.d)
+                  / (SELECT sum(v * v) FROM pa8), 6) AS ev),
+              cov2 AS MATERIALIZED (SELECT c1.i, c1.j,
+                  round(c1.c - (SELECT ev FROM lam1) * va.v * vb.v, 6) AS c
+                FROM cov1 c1 JOIN pa8 va ON va.d = c1.i
+                JOIN pa8 vb ON vb.d = c1.j),
+              pb0 AS (SELECT i AS d,
+                round(CAST(1 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)), 7) AS v
+                FROM s),
+              ${rounds("pb", "cov2")},
+              cvfb AS (SELECT cov2.i AS d, sum(cov2.c * p.v) AS w
+                FROM cov2 JOIN pb8 p ON p.d = cov2.j GROUP BY 1),
+              lam2 AS MATERIALIZED (SELECT round(
+                  (SELECT sum(pb8.v * cvfb.w) FROM pb8
+                    JOIN cvfb ON cvfb.d = pb8.d)
+                  / (SELECT sum(v * v) FROM pb8), 6) AS ev)
+              SELECT CAST(1 AS BIGINT) AS component, d AS dim, v AS loading,
+                (SELECT ev FROM lam1) AS eigenvalue FROM pa8
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), d, v, (SELECT ev FROM lam2) FROM pb8
+              ORDER BY component, dim"""
+      }))
+
   val all: Seq[Q] =
     relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++
-      taxi ++ session8 ++ session9
+      taxi ++ session8 ++ session9 ++ session9b
 }

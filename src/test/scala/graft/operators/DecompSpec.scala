@@ -82,6 +82,45 @@ class DecompSpec extends SparkSpec {
     assert(lambda.head === lam, "Rayleigh quotient replay exact")
   }
 
+  test("pcaTopComponents: deflation finds both planted directions in order") {
+    val out = Decomp.pcaTopComponents(corpus, "vec", 3, k = 2, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.length === 6)
+    val c1 = out.filter(_._1 == 1L)
+    val c2 = out.filter(_._1 == 2L)
+    // component 1 == the single-component API (same grid, same rounds)
+    val single = Decomp.pcaTopComponent(corpus, "vec", 3, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(c1.map(t => (t._2, t._3, t._4)).toSeq === single.toSeq)
+    // component 2 is the residual direction (dim 3), near-orthogonal to c1
+    assert(math.abs(math.abs(c2(2)._3) - 1.0) < 0.02, c2.toSeq)
+    val dot = c1.zip(c2).map { case (a, b) => a._3 * b._3 }.sum
+    assert(math.abs(dot) < 1e-3, s"near-orthogonal, got $dot")
+    // eigenvalues in decreasing order, both positive
+    assert(c1.head._4 > c2.head._4 && c2.head._4 > 0.0)
+    // exact replay: deflate the 6-dp covariance with component 1 and
+    // re-run the driver iteration — must equal component 2 bit-for-bit
+    val cov = Decomp.covariance6(Decomp.packedMoments(corpus, "vec", 3), 3)
+    var v = Array.fill(3)(rnd7(1.0 / math.sqrt(3.0)))
+    for (_ <- 1 to 8) {
+      val w = Array.tabulate(3)(i => (0 until 3).map(j => cov(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(x => rnd7(x / nrm))
+    }
+    val cv = Array.tabulate(3)(i => (0 until 3).map(j => cov(i)(j) * v(j)).sum)
+    val lam1 = rnd6(v.zip(cv).map { case (a, b) => a * b }.sum / v.map(x => x * x).sum)
+    val cov2 = Array.tabulate(3, 3)((i, j) => rnd6(cov(i)(j) - lam1 * v(i) * v(j)))
+    var u = Array.fill(3)(rnd7(1.0 / math.sqrt(3.0)))
+    for (_ <- 1 to 8) {
+      val w = Array.tabulate(3)(i => (0 until 3).map(j => cov2(i)(j) * u(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      u = w.map(x => rnd7(x / nrm))
+    }
+    assert(c2.map(_._3).toSeq === u.toSeq, "deflated grid replay exact")
+  }
+
   test("corrTopPairs ranks the perfectly-correlated planted pair first") {
     val top = Decomp.corrTopPairs(corpus, "vec", 3, k = 3).collect()
     assert(top.length === 3)

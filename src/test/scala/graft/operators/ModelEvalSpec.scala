@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ModelEvalSpec extends SparkSpec {
+
+  test("aucFromScores: perfect separation = 1, reversed = 0, random-ish in between") {
+    import spark.implicits._
+    val perfect = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1)).toDF("s", "y")
+    val auc1 = ModelEval.aucFromScores(perfect, col("s"), col("y")).head()
+    assert((auc1.getLong(0), auc1.getLong(1), auc1.getDouble(2)) === ((2L, 2L, 1.0)))
+    val reversed = Seq((1L, 1), (2L, 1), (3L, 0), (4L, 0)).toDF("s", "y")
+    assert(ModelEval.aucFromScores(reversed, col("s"), col("y"))
+      .head().getDouble(2) === 0.0)
+  }
+
+  test("aucFromScores: ties get midranks — all-tied scores give AUC 0.5 exactly") {
+    import spark.implicits._
+    val tied = Seq((5L, 0), (5L, 0), (5L, 1), (5L, 1), (5L, 1)).toDF("s", "y")
+    assert(ModelEval.aucFromScores(tied, col("s"), col("y"))
+      .head().getDouble(2) === 0.5)
+  }
+
+  test("aucFromScores: matches the O(n^2) pairwise probability on seeded data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // scores correlated with labels but with heavy ties
+    val rows = Seq.fill(300) {
+      val y = rnd.nextInt(2)
+      val s = (rnd.nextInt(8) + 3 * y).toLong
+      (s, y)
+    }
+    val got = ModelEval.aucFromScores(rows.toDF("s", "y"), col("s"), col("y"))
+      .head().getDouble(2)
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val exp = BigDecimal(wins / (pos.size.toDouble * neg.size))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got - exp) <= 1e-6 + 1e-12, s"got $got exp $exp")
+  }
+
+  test("ksTest: identical distributions give d = 0; disjoint supports give d = 1") {
+    import spark.implicits._
+    val same = Seq((1L, 0), (2L, 0), (1L, 1), (2L, 1)).toDF("b", "g")
+    val r0 = ModelEval.ksTest(same, col("b"), col("g")).head()
+    assert(r0.getDouble(2) === 0.0 && !r0.getBoolean(4))
+    val disjoint = (1L to 30L).map(i => (i, 0)) ++ (31L to 60L).map(i => (i, 1))
+    val r1 = ModelEval.ksTest(disjoint.toDF("b", "g"), col("b"), col("g")).head()
+    assert(r1.getDouble(2) === 1.0 && r1.getBoolean(4))
+  }
+
+  test("ksTest: matches a brute-force CDF sweep on seeded skewed samples") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val a = Seq.fill(400)((rnd.nextInt(20).toLong, 0))
+    val b = Seq.fill(300)(((rnd.nextInt(20) + rnd.nextInt(6)).toLong, 1))
+    val rows = a ++ b
+    val got = ModelEval.ksTest(rows.toDF("b", "g"), col("b"), col("g")).head()
+    val support = rows.map(_._1).distinct.sorted
+    var (cumA, cumB, d) = (0.0, 0.0, 0.0)
+    for (v <- support) {
+      cumA += a.count(_._1 == v).toDouble / a.size
+      cumB += b.count(_._1 == v).toDouble / b.size
+      d = math.max(d, math.abs(cumA - cumB))
+    }
+    val exp = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) === a.size.toLong && got.getLong(1) === b.size.toLong)
+    assert(math.abs(got.getDouble(2) - exp) <= 1e-6 + 1e-12)
+    val crit = BigDecimal(ModelEval.KsCrit05 *
+      math.sqrt((a.size + b.size).toDouble / (a.size.toLong * b.size)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getDouble(3) === crit)
+    assert(got.getBoolean(4) === (got.getDouble(2) > crit))
+  }
+}
