@@ -6843,6 +6843,139 @@ object QueryCatalog {
     */
   private val session9b: Seq[Q] = Seq(
 
+    // Welch's unequal-variance t-test on per-user total value between the
+    // experiment variants — the continuous-metric companion to
+    // q_ab_ztest's proportion test. Moments are 6-dp anchored BEFORE the
+    // statistic (the CUPED convention); Welch–Satterthwaite df is a
+    // derived double on the same grid. No t-distribution CDF offline, so
+    // the decision uses the large-sample |t| > 1.96 gate, stated in-band.
+    Q("q_welch_ttest",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(round(sum("value"), 6).as("y"))
+          .withColumn("g", pmod(col("user_id"), lit(2)))
+        val st = per.groupBy("g")
+          .agg(count(lit(1)).as("n"), round(avg("y"), 6).as("m"),
+            round(var_samp("y"), 6).as("v"))
+        val a = st.filter(col("g") === 0)
+          .select(col("n").as("n_a"), col("m").as("m_a"), col("v").as("v_a"))
+        val b = st.filter(col("g") === 1)
+          .select(col("n").as("n_b"), col("m").as("m_b"), col("v").as("v_b"))
+        a.crossJoin(b)
+          .withColumn("se2", col("v_a") / col("n_a") + col("v_b") / col("n_b"))
+          .withColumn("t_stat",
+            round((col("m_b") - col("m_a")) / sqrt(col("se2")), 6))
+          .withColumn("df", round(pow(col("se2"), 2) /
+            (pow(col("v_a") / col("n_a"), 2) / (col("n_a") - 1L) +
+              pow(col("v_b") / col("n_b"), 2) / (col("n_b") - 1L)), 2))
+          .select(col("n_a"), col("m_a"), col("n_b"), col("m_b"),
+            col("t_stat"), col("df"),
+            (abs(col("t_stat")) > 1.96).as("significant"))
+      },
+      Some("""WITH per AS (SELECT user_id, round(sum(value), 6) AS y,
+                  user_id % 2 AS g
+                FROM events GROUP BY user_id),
+              st AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                  round(avg(y), 6) AS m, round(var_samp(y), 6) AS v
+                FROM per GROUP BY g),
+              ab AS (SELECT
+                  (SELECT n FROM st WHERE g = 0) AS n_a,
+                  (SELECT m FROM st WHERE g = 0) AS m_a,
+                  (SELECT v FROM st WHERE g = 0) AS v_a,
+                  (SELECT n FROM st WHERE g = 1) AS n_b,
+                  (SELECT m FROM st WHERE g = 1) AS m_b,
+                  (SELECT v FROM st WHERE g = 1) AS v_b),
+              d AS (SELECT *, v_a / n_a + v_b / n_b AS se2 FROM ab),
+              e AS (SELECT *,
+                  round((m_b - m_a) / sqrt(se2), 6) AS t_stat,
+                  round(se2 * se2 / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+                    + (v_b / n_b) * (v_b / n_b) / (n_b - 1)), 2) AS df
+                FROM d)
+              SELECT n_a, m_a, n_b, m_b, t_stat, df,
+                abs(t_stat) > 1.96 AS significant
+              FROM e""")),
+
+    // sample-ratio-mismatch check — the FIRST gate a real experiment
+    // readout runs: chi-squared goodness-of-fit of the observed variant
+    // counts against the designed 50/50 split, 1-dof critical value
+    // 3.841 spliced as a literal in both engines. An SRM flag means the
+    // assignment mechanism is broken and every downstream test is void.
+    Q("q_srm_check",
+      (s, dir) => t(s, dir, "events")
+        .select(col("user_id")).distinct()
+        .groupBy(pmod(col("user_id"), lit(2)).as("g"))
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(when(col("g") === 0, col("n"))).as("n_a"),
+          sum(when(col("g") === 1, col("n"))).as("n_b"))
+        .withColumn("expected", (col("n_a") + col("n_b")) / lit(2.0))
+        .withColumn("chi2", round(
+          pow(col("n_a") - col("expected"), 2) / col("expected") +
+            pow(col("n_b") - col("expected"), 2) / col("expected"), 6))
+        .select(col("n_a"), col("n_b"), col("chi2"),
+          (col("chi2") > 3.841).as("srm_detected")),
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+              c AS (SELECT
+                  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+                FROM u),
+              d AS (SELECT *, (n_a + n_b) / 2.0 AS expected FROM c),
+              e AS (SELECT n_a, n_b, round(
+                  (n_a - expected) * (n_a - expected) / expected
+                  + (n_b - expected) * (n_b - expected) / expected, 6)
+                  AS chi2 FROM d)
+              SELECT n_a, n_b, chi2, chi2 > 3.841 AS srm_detected
+              FROM e""")),
+
+    // standardized Pearson residuals per contingency cell — WHICH
+    // (lang, source) cells drive the q_chi2_assoc association: residual =
+    // (O - E) / sqrt(E (1 - rt/n)(1 - ct/n)), |residual| > 2 ≈ a cell
+    // off its independence expectation at ~95%. Same exact-integer
+    // marginals; top-10 cells by |residual|.
+    Q("q_chi2_residuals",
+      (s, dir) => {
+        val o = t(s, dir, "documents")
+          .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+        val rt = o.groupBy("lang").agg(sum("o").as("rt"))
+        val ct = o.groupBy("source").agg(sum("o").as("ct"))
+        val n = broadcast(o.agg(sum("o").as("n")))
+        rt.crossJoin(broadcast(ct)).crossJoin(n)
+          .join(o, Seq("lang", "source"), "left").na.fill(0L, Seq("o"))
+          .withColumn("e", col("rt") * col("ct") / col("n"))
+          .withColumn("residual", round((col("o") - col("e")) /
+            sqrt(col("e") * (lit(1.0) - col("rt") / col("n"))
+              * (lit(1.0) - col("ct") / col("n"))), 6))
+          .select(col("lang"), col("source"), col("o"),
+            round(col("e"), 6).as("e"), col("residual"),
+            (abs(col("residual")) > 2.0).as("off_expectation"))
+          .orderBy(abs(col("residual")).desc, col("lang"), col("source"))
+          .limit(10)
+      },
+      Some("""WITH o AS (SELECT lang, source, count(*) AS o
+                FROM documents GROUP BY 1, 2),
+              rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt
+                FROM o GROUP BY 1),
+              ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct
+                FROM o GROUP BY 1),
+              n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+              grid AS (SELECT rt.lang, ct.source, rt.rt, ct.ct,
+                  coalesce(o.o, 0) AS o,
+                  rt.rt * ct.ct / CAST((SELECT n FROM n) AS DOUBLE) AS e
+                FROM rt CROSS JOIN ct
+                LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source),
+              res AS (SELECT lang, source, o, round(e, 6) AS e,
+                  round((o - e) / sqrt(e
+                    * (1 - rt / CAST((SELECT n FROM n) AS DOUBLE))
+                    * (1 - ct / CAST((SELECT n FROM n) AS DOUBLE))), 6)
+                    AS residual
+                FROM grid)
+              SELECT lang, source, o, e, residual,
+                abs(residual) > 2.0 AS off_expectation
+              FROM res
+              ORDER BY abs(residual) DESC, lang, source LIMIT 10""")),
+
     // exact ROC AUC of an engagement score against conversion, via the
     // Mann-Whitney rank-sum identity with midranks for ties. INTEGER until
     // the final division: midranks carried as 2x in BIGINT, so the value
