@@ -519,6 +519,166 @@ object GraphRank {
     state
   }
 
+  /** Strongly connected components of a DIRECTED graph — the directed
+    * counterpart of the dedup CC operators (those treat edges as
+    * undirected; mutual reachability is a strictly finer partition).
+    * FW-BW-Trim shape (Hong et al. PPoPP'13 made it canonical for
+    * parallel SCC; the pieces here are the repo's own primitives):
+    *
+    *   1. TRIM to fixpoint: a node with in-degree 0 or out-degree 0 in
+    *      the remaining graph is its own SCC — peel, repeat. On real
+    *      crawl/web graphs this removes most nodes in a few cheap
+    *      degree-count rounds (the kCore loop shape), and it is what
+    *      keeps the coloring phase from wasting rounds on singleton
+    *      chains (a DAG path would otherwise cost one coloring round
+    *      per node).
+    *   2. COLOR: forward min-label propagation to fixpoint — f(u) = the
+    *      smallest node id that reaches u (pageRank's join+groupBy per
+    *      step). Convergence is detected by the strictly-decreasing
+    *      sum(f) (one tiny agg per step, no row-diff join).
+    *   3. MEMBERSHIP: a root r (f(r) = r) and every u with f(u) = r
+    *      that reaches r through same-color nodes form exactly SCC(r)
+    *      (any u→r path stays inside color r: each hop x has f(x) = r
+    *      because whatever reaches x also reaches r). Backward frontier
+    *      propagation from the roots, converged when the marked count
+    *      stops growing.
+    *   4. Assign marked nodes scc = f, remove them, repeat from 1.
+    *
+    * SEMANTICS ARE A FIXPOINT, NOT A ROUND COUNT — unlike pageRank/HITS
+    * there is no per-round grid to replay, so an independent engine can
+    * verify with its own algorithm (the oracle runs a recursive-CTE
+    * mutual-reachability closure); `require` guards every fixpoint
+    * against silent truncation, the kCore convention.
+    *
+    * Scale shape: per-step state is (node, label) rows keyed by node;
+    * every step lineage-cuts (state is re-referenced across steps — the
+    * measured kCore 3^rounds plan-growth mode); the remaining edge set
+    * only shrinks. Labels propagate one hop per step, so the coloring
+    * cost is O(diameter of the largest remaining SCC) joins — the same
+    * bound every label-propagation CC in the repo carries.
+    *
+    * Returns (node, scc) for every node of the edge list, scc = min node
+    * id of its component.
+    */
+  def stronglyConnected(
+      edges: DataFrame,
+      maxRounds: Int = 12,
+      maxSteps: Int = 60): DataFrame = {
+    require(maxRounds >= 1 && maxSteps >= 1, "need positive round budgets")
+    def cut(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    var remaining = cut(
+      edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    // self-loop-only nodes are singleton SCCs of themselves; the generic
+    // union below folds them in via the trivial (node, node) seed
+    val allNodes = cut(
+      edges.select(col("src").cast("long").as("node"))
+        .unionAll(edges.select(col("dst").cast("long").as("node")))
+        .distinct())
+    var assigned = allNodes.filter(lit(false))
+      .select(col("node"), col("node").as("scc"))
+    var unassigned = allNodes
+    var round = 0
+    var nUnassigned = unassigned.count()
+    while (nUnassigned > 0 && round < maxRounds) {
+      // -- 1. trim trivial SCCs to fixpoint
+      var trimmed = true
+      var step = 0
+      while (trimmed && step < maxSteps) {
+        val inDeg = remaining.select(col("dst").as("node")).distinct()
+        val outDeg = remaining.select(col("src").as("node")).distinct()
+        val both = inDeg.join(outDeg, Seq("node"), "left_semi")
+        val trivia = cut(unassigned.join(both, Seq("node"), "left_anti"))
+        val nTrivia = trivia.count()
+        trimmed = nTrivia > 0
+        if (trimmed) {
+          assigned = cut(assigned.unionAll(
+            trivia.select(col("node"), col("node").as("scc"))))
+          unassigned = cut(unassigned.join(trivia, Seq("node"), "left_anti"))
+          remaining = cut(remaining
+            .join(trivia.select(col("node").as("src")), Seq("src"), "left_anti")
+            .join(trivia.select(col("node").as("dst")), Seq("dst"), "left_anti")
+            .select("src", "dst"))
+          nUnassigned -= nTrivia
+        }
+        step += 1
+      }
+      require(!trimmed, s"SCC trim did not reach a fixpoint in $maxSteps steps")
+      if (nUnassigned > 0) {
+        // -- 2. forward min-label coloring to fixpoint — FRONTIER-DRIVEN:
+        // a label can only decrease through an in-neighbor whose own
+        // label decreased last step, so each step joins the edges against
+        // the (geometrically shrinking) changed-set, not the full state.
+        var f = cut(unassigned.withColumn("lbl", col("node")))
+        var frontier = f
+        var nFrontier = nUnassigned
+        step = 0
+        while (nFrontier > 0 && step < maxSteps) {
+          val prop = remaining
+            .join(frontier.select(col("node").as("src"), col("lbl").as("slbl")),
+              Seq("src"))
+            .groupBy(col("dst").as("node")).agg(min("slbl").as("plbl"))
+          val dec = cut(prop.join(f, Seq("node"))
+            .filter(col("plbl") < col("lbl"))
+            .select(col("node"), col("plbl").as("lbl")))
+          nFrontier = dec.count()
+          if (nFrontier > 0)
+            f = cut(f.join(dec.select(col("node"), col("lbl").as("nl")),
+                Seq("node"), "left")
+              .select(col("node"), coalesce(col("nl"), col("lbl")).as("lbl")))
+          frontier = dec
+          step += 1
+        }
+        require(nFrontier == 0,
+          s"SCC coloring did not reach a fixpoint in $maxSteps steps")
+        // -- 3. backward membership: pre-restrict the edges to same-color
+        // pairs ONCE (each step is then one semi-join + one anti-join),
+        // seed with the roots, grow by the newly-marked delta only.
+        val colorEdges = cut(remaining
+          .join(f.select(col("node").as("src"), col("lbl").as("sl")), Seq("src"))
+          .join(f.select(col("node").as("dst"), col("lbl").as("dl")), Seq("dst"))
+          .filter(col("sl") === col("dl"))
+          .select("src", "dst"))
+        var mark = cut(f.filter(col("lbl") === col("node")).select("node"))
+        var nMark = mark.count()
+        var delta = mark
+        var nDelta = nMark
+        step = 0
+        while (nDelta > 0 && step < maxSteps) {
+          val viaEdge = colorEdges
+            .join(delta.select(col("node").as("dst")), Seq("dst"), "left_semi")
+            .select(col("src").as("node")).distinct()
+          delta = cut(viaEdge.join(mark, Seq("node"), "left_anti"))
+          nDelta = delta.count()
+          if (nDelta > 0) {
+            mark = cut(mark.unionAll(delta))
+            nMark += nDelta
+          }
+          step += 1
+        }
+        require(nDelta == 0,
+          s"SCC membership did not reach a fixpoint in $maxSteps steps")
+        // -- 4. assign and peel
+        val found = cut(f.join(mark, Seq("node"), "left_semi")
+          .select(col("node"), col("lbl").as("scc")))
+        assigned = cut(assigned.unionAll(found))
+        unassigned = cut(unassigned.join(found, Seq("node"), "left_anti"))
+        remaining = cut(remaining
+          .join(found.select(col("node").as("src")), Seq("src"), "left_anti")
+          .join(found.select(col("node").as("dst")), Seq("dst"), "left_anti")
+          .select("src", "dst"))
+        nUnassigned -= nMark
+      }
+      round += 1
+    }
+    require(nUnassigned == 0,
+      s"SCC peeling did not converge within $maxRounds rounds")
+    assigned
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999, JACM 46(5)) over a
     * DIRECTED edge list — the query-dependent centrality pair beside
     * global [[pageRank]]: auth(v) sums the hub scores pointing AT v,

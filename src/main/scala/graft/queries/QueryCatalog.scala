@@ -6843,6 +6843,45 @@ object QueryCatalog {
     */
   private val session9b: Seq[Q] = Seq(
 
+    // strongly connected components of the DIRECTED trade graph (edge
+    // direction flips with order parity so real cycles exist): the
+    // directed counterpart of the dedup CC family — mutual reachability
+    // is a strictly finer partition than undirected connectivity. The
+    // operator is FW-BW-Trim to a FIXPOINT (not a round count), so the
+    // oracle verifies with a different algorithm entirely: a recursive
+    // mutual-reachability closure.
+    Q("q_scc",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(
+            when(col("o_orderkey") % 2 === 0, col("o_custkey") * 2)
+              .otherwise(col("l_suppkey") * 2 + 1).cast("long").as("src"),
+            when(col("o_orderkey") % 2 === 0, col("l_suppkey") * 2 + 1)
+              .otherwise(col("o_custkey") * 2).cast("long").as("dst"))
+        graft.operators.GraphRank.stronglyConnected(edges).orderBy("node")
+      },
+      Some("""WITH e AS MATERIALIZED (
+                SELECT DISTINCT
+                  CAST(CASE WHEN o_orderkey % 2 = 0 THEN o_custkey * 2
+                    ELSE l_suppkey * 2 + 1 END AS BIGINT) AS src,
+                  CAST(CASE WHEN o_orderkey % 2 = 0 THEN l_suppkey * 2 + 1
+                    ELSE o_custkey * 2 END AS BIGINT) AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+              reach AS MATERIALIZED (
+                WITH RECURSIVE r AS (
+                  SELECT src AS a, dst AS b FROM e
+                  UNION
+                  SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b)
+                SELECT a, b FROM r),
+              mutual AS (SELECT r1.a AS u, r1.b AS v
+                FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a)
+              SELECT n AS node, least(n, coalesce(min(m.v), n)) AS scc
+              FROM nodes LEFT JOIN mutual m ON m.u = n
+              GROUP BY n ORDER BY node""")),
+
     // Welch's unequal-variance t-test on per-user total value between the
     // experiment variants — the continuous-metric companion to
     // q_ab_ztest's proportion test. Moments are 6-dp anchored BEFORE the

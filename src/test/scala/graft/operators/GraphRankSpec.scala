@@ -298,6 +298,63 @@ class GraphRankSpec extends SparkSpec {
     OperatorCaches.releaseAll()
   }
 
+  private def sccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    GraphRank.stronglyConnected(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  // brute force: mutual reachability via driver-side transitive closure
+  private def sccBrute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val adj = edges.filter(e => e._1 != e._2).distinct.groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def reach(s: Long): Set[Long] = {
+      var seen = Set(s)
+      var frontier = Set(s)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      seen
+    }
+    val r = nodes.map(n => n -> reach(n)).toMap
+    nodes.map(n =>
+      n -> (nodes.filter(m => r(n).contains(m) && r(m).contains(n)) :+ n).min
+    ).toMap
+  }
+
+  test("stronglyConnected: two cycles over a one-way bridge stay separate") {
+    // cycle {1,2,3} -> bridge 3->10 -> cycle {10,11}
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 10L, 10L -> 11L, 11L -> 10L)
+    val got = sccOf(edges)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("stronglyConnected: a DAG is all singletons; self-loops are singletons") {
+    val dag = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 4L)
+    val got = sccOf(dag)
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("stronglyConnected: undirected CC would merge what direction separates") {
+    // 1->2 and 2->1 cycle; 2->3 only: SCC splits {1,2} from {3},
+    // undirected CC would put all three together
+    val got = sccOf(Seq(1L -> 2L, 2L -> 1L, 2L -> 3L))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("stronglyConnected: matches brute-force mutual reachability on seeded digraphs") {
+    val rnd = new scala.util.Random(41)
+    // sparse enough for nontrivial SCC structure (not one giant SCC)
+    val edges = Seq.fill(90)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val got = sccOf(edges)
+    val exp = sccBrute(edges)
+    assert(got === exp)
+    OperatorCaches.releaseAll()
+  }
+
   private def r7d(x: Double): Double =
     BigDecimal(x).setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
 
