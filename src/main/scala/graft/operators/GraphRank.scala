@@ -519,6 +519,56 @@ object GraphRank {
     state
   }
 
+  /** GraphSAGE-style two-hop neighborhood feature aggregation with
+    * DETERMINISTIC neighbor sampling (Hamilton et al. NeurIPS'17's
+    * sample-and-aggregate, hash-seeded like [[negativeSamples]] so the
+    * training features are reproducible across runs, partitionings, and
+    * engines): per node, keep the ≤k out-neighbors ranked by
+    * portable60(seed:src:dst) (dst tiebreak), then
+    *   h1(u) = round(mean x over sampled nbrs, 6)
+    *   h2(u) = round(mean h1 over sampled nbrs, 6)
+    * — mean skips neighbors with no value of their own (a sampled
+    * neighbor with no out-edges has no h1), the same null-skipping avg
+    * in any engine; a node whose whole sample lacks values gets NULL.
+    *
+    * Scale shape: sampling is one per-src window over the edge list (the
+    * heavy-hub fan-out is CAPPED at k by construction — that is the
+    * point of sampled aggregation); each hop is one node-keyed join +
+    * map-side-combined mean. The sampled edge list is persisted once and
+    * reused by both hops.
+    *
+    * Returns (node, x, h1, h2) for every node of `feats`.
+    */
+  def neighborhoodFeatures(
+      edges: DataFrame,
+      feats: DataFrame,
+      k: Int,
+      seed: String = "sage"): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src")
+      .orderBy(col("h"), col("dst"))
+    val sampled = OperatorCaches.persistTracked(
+      e.withColumn("h", PortableHash.portable60(
+          concat_ws(":", lit(seed), col("src"), col("dst"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select("src", "dst"))
+    val f = feats.select(col("node").cast("long").as("node"),
+      col("x").cast("double").as("x"))
+    val h1 = sampled
+      .join(f.select(col("node").as("dst"), col("x")), Seq("dst"))
+      .groupBy(col("src").as("node")).agg(round(avg("x"), 6).as("h1"))
+    val h2 = sampled
+      .join(h1.select(col("node").as("dst"), col("h1")), Seq("dst"))
+      .groupBy(col("src").as("node")).agg(round(avg("h1"), 6).as("h2"))
+    f.join(h1, Seq("node"), "left")
+      .join(h2, Seq("node"), "left")
+      .select(col("node"), col("x"), col("h1"), col("h2"))
+  }
+
   /** Strongly connected components of a DIRECTED graph — the directed
     * counterpart of the dedup CC operators (those treat edges as
     * undirected; mutual reachability is a strictly finer partition).

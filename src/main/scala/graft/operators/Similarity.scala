@@ -68,6 +68,64 @@ object Similarity {
       .limit(k)
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    * traversal) over cosine distance — the diverse-subset selector for
+    * training-data curation: each round adds the corpus point FARTHEST
+    * from the chosen set, so k points 2-approximate the optimal k-center
+    * cover. The emitted `radius` sequence (distance of each pick at
+    * selection time) is the classic G(k) coverage curve — read it to
+    * choose k.
+    *
+    * Distributed shape: the chosen centers are k·d driver doubles (the
+    * assignExpr/k-means-centroid precedent); each round is ONE narrow
+    * corpus pass — min over ≤k literal-center cosine distances — plus a
+    * top-1 TakeOrderedAndProject. No per-round shuffle, no state between
+    * rounds beyond the center list. k rounds total; cost k·|corpus|·d
+    * multiply-adds, embarrassingly parallel.
+    *
+    * Determinism contract: per-center distance is round(1 - cos, 4) (the
+    * bruteForceTopK grid), the running min is over ROUNDED values, and
+    * the argmax tiebreaks on min id — so the selection chain replays
+    * engine-for-engine. Seed = the minimum id (no RNG). Zero vectors sit
+    * at distance 1 from everything (explicit guard, same CASE in the
+    * oracle).
+    *
+    * Returns (rank 1-based, vec_id, radius) — radius of rank 1 is 0.
+    */
+  def kCenterCoreset(
+      df: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = OperatorCaches.persistTracked(
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"),
+          toDouble(col(vecCol)).as("v")))
+    def distTo(center: Seq[Double]): Column = {
+      val c = array(center.map(lit): _*)
+      val nc = math.sqrt(center.map(x => x * x).sum)
+      if (nc == 0) lit(1.0)
+      else when(l2Norm(col("v")) === 0.0, lit(1.0))
+        .otherwise(round(lit(1.0) - cosine(col("v"), c), 4))
+    }
+    val first = base.orderBy("id").limit(1).head()
+    var centers = Vector((first.getLong(0),
+      first.getSeq[Double](1).toVector, 0.0))
+    while (centers.size < k) {
+      val d = centers.map(c => distTo(c._2)).reduce(least(_, _))
+      val nxt = base.select(col("id"), col("v"), d.as("d"))
+        .orderBy(col("d").desc, col("id")).limit(1).head()
+      centers = centers :+ ((nxt.getLong(0),
+        nxt.getSeq[Double](1).toVector, nxt.getDouble(2)))
+    }
+    centers.zipWithIndex
+      .map { case ((id, _, r), i) => (i + 1L, id, r) }
+      .toDF("rank", idCol, "radius")
+  }
+
   /** Per-vector symmetric int8 scalar quantization for embedding columns —
     * the storage/shuffle compression lever for vector corpora at scale:
     * 8x smaller than the DOUBLE[] Spark would otherwise shuffle (4x vs

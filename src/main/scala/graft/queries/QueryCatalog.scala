@@ -7015,6 +7015,242 @@ object QueryCatalog {
               FROM res
               ORDER BY abs(residual) DESC, lang, source LIMIT 10""")),
 
+    // greedy k-center coreset (Gonzalez farthest-point) over the
+    // embedding corpus — the diverse-subset selector: each round one
+    // narrow corpus pass against ≤k literal centers + a top-1. The
+    // oracle replays the whole selection chain round-for-round; the
+    // radius column is the G(k) coverage curve.
+    Q("q_kcenter_coreset",
+      (s, dir) => graft.operators.Similarity.kCenterCoreset(
+        t(s, dir, "embeddings"), k = 8),
+      Some {
+        val rounds = (2 to 8).map { i =>
+          val prev = s"d${i - 1}"
+          s"""c$i AS MATERIALIZED (SELECT id, vv, d FROM $prev
+                ORDER BY d DESC, id LIMIT 1),
+              d$i AS MATERIALIZED (SELECT p.id, p.vv, p.nrm,
+                least(p.d, CASE WHEN p.nrm = 0 THEN CAST(1 AS DOUBLE)
+                  ELSE round(1.0 - list_cosine_similarity(p.vv,
+                    (SELECT vv FROM c$i)), 4) END) AS d
+                FROM $prev p)"""
+        }.mkString(",\n              ")
+        val sel = (2 to 8).map(i =>
+          s"""UNION ALL SELECT CAST($i AS BIGINT),
+              (SELECT id FROM c$i), (SELECT d FROM c$i)""").mkString("\n              ")
+        s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
+                  CAST(embedding AS DOUBLE[]) AS vv,
+                  sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                FROM embeddings WHERE embedding IS NOT NULL),
+              c1 AS MATERIALIZED (SELECT id, vv FROM v ORDER BY id LIMIT 1),
+              d1 AS MATERIALIZED (SELECT v.id, v.vv, v.nrm,
+                  CASE WHEN v.nrm = 0 THEN CAST(1 AS DOUBLE)
+                    ELSE round(1.0 - list_cosine_similarity(v.vv,
+                      (SELECT vv FROM c1)), 4) END AS d
+                FROM v),
+              $rounds
+              SELECT CAST(1 AS BIGINT) AS rank, (SELECT id FROM c1) AS vec_id,
+                CAST(0 AS DOUBLE) AS radius
+              $sel
+              ORDER BY rank"""
+      }),
+
+    // GraphSAGE-style two-hop sampled neighborhood aggregation over the
+    // bidirectional trade graph, node feature = account balance: the
+    // graph-learning feature-prep job. Neighbor sampling is hash-seeded
+    // (the negativeSamples convention) so the features replay across
+    // engines; hub fan-out is capped at k = 5 by construction.
+    Q("q_graph_sage",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val fwd = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+        val edges = fwd.unionByName(
+          fwd.select(col("dst").as("src"), col("src").as("dst")))
+        val feats = t(s, dir, "customer")
+          .select((col("c_custkey") * 2).cast("long").as("node"),
+            round(col("c_acctbal"), 6).as("x"))
+          .unionByName(t(s, dir, "supplier")
+            .select((col("s_suppkey") * 2 + 1).cast("long").as("node"),
+              round(col("s_acctbal"), 6).as("x")))
+        graft.operators.GraphRank.neighborhoodFeatures(edges, feats, k = 5)
+          .orderBy("node")
+      },
+      Some("""WITH p AS (SELECT DISTINCT
+                  CAST(o_custkey * 2 AS BIGINT) AS c,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              e AS (SELECT c AS src, s AS dst FROM p
+                UNION SELECT s, c FROM p),
+              f AS (SELECT CAST(c_custkey * 2 AS BIGINT) AS node,
+                  round(c_acctbal, 6) AS x FROM customer
+                UNION ALL SELECT CAST(s_suppkey * 2 + 1 AS BIGINT),
+                  round(s_acctbal, 6) FROM supplier),
+              h AS (SELECT src, dst,
+                  CAST(('0x' || substr(md5('sage:' || src || ':' || dst),
+                    1, 15)) AS BIGINT) AS hh
+                FROM e),
+              samp AS (SELECT src, dst FROM (
+                  SELECT src, dst, row_number() OVER
+                    (PARTITION BY src ORDER BY hh, dst) AS rn
+                  FROM h) WHERE rn <= 5),
+              h1 AS (SELECT samp.src AS node, round(avg(f.x), 6) AS h1
+                FROM samp JOIN f ON f.node = samp.dst GROUP BY 1),
+              h2 AS (SELECT samp.src AS node, round(avg(h1.h1), 6) AS h2
+                FROM samp JOIN h1 ON h1.node = samp.dst GROUP BY 1)
+              SELECT f.node AS node, f.x, h1.h1, h2.h2
+              FROM f LEFT JOIN h1 ON h1.node = f.node
+              LEFT JOIN h2 ON h2.node = f.node
+              ORDER BY f.node""")),
+
+    // delta-method variance of a RATIO metric (value per event) — the
+    // estimator user-level averages get wrong: the metric's denominator
+    // is itself random, so Var(X̄/Ȳ) needs the first-order Taylor
+    // expansion (vx/my² − 2·mx·cxy/my³ + mx²·vy/my⁴)/n. Per-variant
+    // moments 6-dp anchored before the expansion (the CUPED convention).
+    Q("q_delta_method",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(round(sum("value"), 6).as("x"),
+            count(lit(1)).cast("double").as("y"))
+          .withColumn("g", pmod(col("user_id"), lit(2)))
+        per.groupBy("g")
+          .agg(count(lit(1)).as("n"),
+            round(avg("x"), 6).as("mx"), round(avg("y"), 6).as("my"),
+            round(var_samp("x"), 6).as("vx"), round(var_samp("y"), 6).as("vy"),
+            round(covar_samp("x", "y"), 6).as("cxy"))
+          .withColumn("ratio", round(col("mx") / col("my"), 6))
+          .withColumn("se_delta", round(sqrt(
+            (col("vx") / pow(col("my"), 2)
+              - lit(2.0) * col("mx") * col("cxy") / pow(col("my"), 3)
+              + pow(col("mx"), 2) * col("vy") / pow(col("my"), 4))
+              / col("n")), 6))
+          .select("g", "n", "ratio", "se_delta")
+          .orderBy("g")
+      },
+      Some("""WITH per AS (SELECT user_id, round(sum(value), 6) AS x,
+                  CAST(count(*) AS DOUBLE) AS y, user_id % 2 AS g
+                FROM events GROUP BY user_id),
+              st AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                  round(avg(x), 6) AS mx, round(avg(y), 6) AS my,
+                  round(var_samp(x), 6) AS vx, round(var_samp(y), 6) AS vy,
+                  round(covar_samp(x, y), 6) AS cxy
+                FROM per GROUP BY g)
+              SELECT g, n, round(mx / my, 6) AS ratio,
+                round(sqrt((vx / (my * my)
+                  - 2.0 * mx * cxy / (my * my * my)
+                  + mx * mx * vy / (my * my * my * my)) / n), 6) AS se_delta
+              FROM st ORDER BY g""")),
+
+    // bucketed (delete-one-bucket) jackknife for the SAME ratio metric —
+    // the assumption-free twin of the delta method and the estimator
+    // big experimentation platforms actually run: users hash to B = 32
+    // deterministic buckets, each leave-one-out ratio is exact arithmetic
+    // over per-bucket sums, variance = (B-1)/B · Σ(θ_i − θ̄)². Per-bucket
+    // sums are 6-dp anchored; everything after is identical doubles in
+    // both engines.
+    Q("q_jackknife",
+      (s, dir) => {
+        val buck = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(sum("value").as("xv"), count(lit(1)).as("yv"))
+          .groupBy(pmod(col("user_id"), lit(2)).as("g"),
+            pmod(col("user_id"), lit(32)).as("b"))
+          .agg(round(sum("xv"), 6).as("sx"),
+            sum("yv").cast("double").as("sy"))
+        val tot = buck.groupBy("g")
+          .agg(sum("sx").as("tx"), sum("sy").as("ty"),
+            count(lit(1)).as("nb"))
+        buck.join(tot, Seq("g"))
+          .withColumn("theta", (col("tx") - col("sx")) / (col("ty") - col("sy")))
+          .groupBy("g", "nb", "tx", "ty")
+          .agg(avg("theta").as("td"),
+            sum(col("theta") * col("theta")).as("t2"))
+          .select(col("g"), col("nb").as("n_buckets"),
+            round(col("tx") / col("ty"), 6).as("ratio"),
+            round(sqrt((col("nb") - 1L) / col("nb").cast("double")
+              * (col("t2") - col("nb") * col("td") * col("td"))), 6)
+              .as("se_jack"))
+          .orderBy("g")
+      },
+      Some("""WITH per AS (SELECT user_id, sum(value) AS xv,
+                  count(*) AS yv FROM events GROUP BY user_id),
+              buck AS (SELECT user_id % 2 AS g, user_id % 32 AS b,
+                  round(sum(xv), 6) AS sx, CAST(sum(yv) AS DOUBLE) AS sy
+                FROM per GROUP BY 1, 2),
+              tot AS (SELECT g, sum(sx) AS tx, sum(sy) AS ty,
+                  CAST(count(*) AS BIGINT) AS nb
+                FROM buck GROUP BY g),
+              th AS (SELECT buck.g, nb, tx, ty,
+                  (tx - sx) / (ty - sy) AS theta
+                FROM buck JOIN tot ON tot.g = buck.g),
+              ag AS (SELECT g, nb, tx, ty, avg(theta) AS td,
+                  sum(theta * theta) AS t2
+                FROM th GROUP BY 1, 2, 3, 4)
+              SELECT g, nb AS n_buckets, round(tx / ty, 6) AS ratio,
+                round(sqrt((nb - 1) / CAST(nb AS DOUBLE)
+                  * (t2 - nb * td * td)), 6) AS se_jack
+              FROM ag ORDER BY g""")),
+
+    // Brier-score decomposition (Murphy 1973) of a calibration-style
+    // forecast: p̂ = per-user engagement mapped to (0,1) by s/(s+20),
+    // binned to a 20-cell grid; reliability − resolution + uncertainty
+    // over the binned forecasts equals the binned Brier score by
+    // construction. All three terms from exact integer bin counts and
+    // 6-dp anchored bin means.
+    Q("q_brier_decomp",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).cast("double").as("sc"),
+            max(when(col("event_type") === "purchase" &&
+              col("value") > 150, 1L).otherwise(0L)).as("y"))
+          .withColumn("p", round(col("sc") / (col("sc") + 20.0), 6))
+          .withColumn("bin", floor(col("p") * 20).cast("long"))
+        val byBin = per.groupBy("bin")
+          .agg(count(lit(1)).as("nb"), round(avg("p"), 6).as("pb"),
+            round(avg("y"), 6).as("yb"))
+        val g = broadcast(per.agg(count(lit(1)).as("n"),
+          round(avg("y"), 6).as("ybar")))
+        byBin.crossJoin(g)
+          .agg(max("n").as("n_users"),
+            round(sum(col("nb") * pow(col("pb") - col("yb"), 2))
+              / max("n"), 6).as("reliability"),
+            round(sum(col("nb") * pow(col("yb") - col("ybar"), 2))
+              / max("n"), 6).as("resolution"),
+            round(max(col("ybar") * (lit(1.0) - col("ybar"))), 6)
+              .as("uncertainty"))
+          .withColumn("brier", round(col("reliability") - col("resolution")
+            + col("uncertainty"), 6))
+      },
+      Some("""WITH per AS (SELECT user_id,
+                  CAST(count(*) AS DOUBLE) AS sc,
+                  max(CASE WHEN event_type = 'purchase' AND value > 150
+                    THEN 1 ELSE 0 END) AS y
+                FROM events GROUP BY user_id),
+              pp AS (SELECT y, round(sc / (sc + 20.0), 6) AS p FROM per),
+              pb AS (SELECT CAST(floor(p * 20) AS BIGINT) AS bin,
+                  CAST(count(*) AS BIGINT) AS nb,
+                  round(avg(p), 6) AS pb, round(avg(y), 6) AS yb
+                FROM pp GROUP BY 1),
+              g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  round(avg(y), 6) AS ybar FROM pp),
+              ag AS (SELECT (SELECT n FROM g) AS n_users,
+                  round(sum(nb * (pb - yb) * (pb - yb))
+                    / CAST((SELECT n FROM g) AS DOUBLE), 6) AS reliability,
+                  round(sum(nb * (yb - (SELECT ybar FROM g))
+                    * (yb - (SELECT ybar FROM g)))
+                    / CAST((SELECT n FROM g) AS DOUBLE), 6) AS resolution,
+                  round((SELECT ybar FROM g)
+                    * (1.0 - (SELECT ybar FROM g)), 6) AS uncertainty
+                FROM pb)
+              SELECT n_users, reliability, resolution, uncertainty,
+                round(reliability - resolution + uncertainty, 6) AS brier
+              FROM ag""")),
+
     // exact ROC AUC of an engagement score against conversion, via the
     // Mann-Whitney rank-sum identity with midranks for ties. INTEGER until
     // the final division: midranks carried as 2x in BIGINT, so the value

@@ -298,6 +298,39 @@ class GraphRankSpec extends SparkSpec {
     OperatorCaches.releaseAll()
   }
 
+  test("neighborhoodFeatures: hand-checked two-hop means, k cap, null leaves") {
+    import spark.implicits._
+    // star: 1 -> {2, 3}; 2 -> {4}; 3, 4 are leaves (no out-edges)
+    val edges = Seq(1L -> 2L, 1L -> 3L, 2L -> 4L).toDF("src", "dst")
+    val feats = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("node", "x")
+    val got = GraphRank.neighborhoodFeatures(edges, feats, k = 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(1L) === ((10.0, Some(25.0), Some(40.0))))
+    // h2(1) = mean h1 over sampled nbrs WITH an h1: only node 2 (h1=40)
+    assert(got(2L) === ((20.0, Some(40.0), None)))
+    assert(got(3L)._2.isEmpty && got(4L)._2.isEmpty, "leaves have no h1")
+  }
+
+  test("neighborhoodFeatures: the k cap bounds hub fan-out deterministically") {
+    import spark.implicits._
+    val edges = (1L to 20L).map(i => 0L -> i).toDF("src", "dst")
+    val feats = ((0L, 0.0) +: (1L to 20L).map(i => (i, i.toDouble)))
+      .toDF("node", "x")
+    val a = GraphRank.neighborhoodFeatures(edges, feats, k = 4)
+      .filter(col("node") === 0).head().getDouble(2)
+    val b = GraphRank.neighborhoodFeatures(
+      edges.repartition(7), feats, k = 4)
+      .filter(col("node") === 0).head().getDouble(2)
+    assert(a === b, "hash-ranked sample is partitioning-invariant")
+    // the mean is over exactly 4 hash-chosen neighbors, not all 20
+    assert(a !== (1L to 20L).map(_.toDouble).sum / 20)
+    OperatorCaches.releaseAll()
+  }
+
   private def sccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     GraphRank.stronglyConnected(edges.toDF("src", "dst"))

@@ -379,4 +379,66 @@ class SimilaritySpec extends SparkSpec {
     }
     OperatorCaches.releaseAll()
   }
+
+  test("kCenterCoreset picks one point per planted direction, radius non-increasing") {
+    import spark.implicits._
+    // three well-separated unit directions, 10 near-copies each; ids
+    // grouped so the chosen cluster is identifiable by id range
+    val dirs = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val rows = for {
+      (d, c) <- dirs.zipWithIndex
+      i <- 0 until 10
+    } yield (c * 100L + i, d.zipWithIndex.map { case (x, j) =>
+      x + (if (j == 3) 0.01f * i else 0f) })
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.kCenterCoreset(df, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === 3)
+    assert(got(0) === ((1L, 0L, 0.0)), "seed = min id, radius 0")
+    // one pick per cluster (farthest-point never doubles up while a
+    // whole direction is uncovered)
+    assert(got.map(_._2 / 100).toSet === Set(0L, 1L, 2L))
+    // G(k) curve: radii non-increasing after the seed
+    assert(got(1)._3 >= got(2)._3)
+    assert(got(1)._3 > 0.9, "cross-direction distance ~1")
+  }
+
+  test("kCenterCoreset matches an exact driver replay on seeded vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val rows = Seq.tabulate(80)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val got = Similarity.kCenterCoreset(rows.toDF("vec_id", "embedding"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      r4(1.0 - d / (math.sqrt(ad.map(x => x * x).sum)
+        * math.sqrt(bd.map(x => x * x).sum)))
+    }
+    var centers = Vector((0L, rows.head._2, 0.0))
+    while (centers.size < 5) {
+      val scored = rows.map { case (id, v) =>
+        (id, v, centers.map(c => cosD(v, c._2)).min)
+      }
+      val best = scored.sortBy { case (id, _, d) => (-d, id) }.head
+      centers = centers :+ ((best._1, best._2, best._3))
+    }
+    assert(got.toSeq === centers.zipWithIndex.map {
+      case ((id, _, r), i) => (i + 1L, id, r) })
+    OperatorCaches.releaseAll()
+  }
+
+  test("kCenterCoreset: zero vectors sit at distance 1 and never dominate") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 0f)), (2L, Array(-1f, 0f)))
+    val got = Similarity.kCenterCoreset(rows.toDF("vec_id", "embedding"), k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // the antipodal vector (distance 2) beats the zero vector (distance 1)
+    assert(got(1) === ((2L, 2.0)))
+  }
 }
