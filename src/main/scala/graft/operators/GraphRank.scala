@@ -547,14 +547,20 @@ object GraphRank {
     require(k >= 1, "need k >= 1")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("src")
-      .orderBy(col("h"), col("dst"))
+    // the hash-ranked ≤k cut runs on the native bounded-heap operator
+    // (TopKPerKeyExec) rather than a row_number window: the map side
+    // already truncates every src to k candidates, so the sample shuffle
+    // carries ≤k rows per (task, src) instead of sorting the full edge
+    // list per src (measured 176 -> 119 s at ×100 on the 234M-edge
+    // bidirectional trade graph; the remaining wall is the edge
+    // build+distinct all trade-graph operators share — pagerank's 111 s
+    // band on the same graph)
     val sampled = OperatorCaches.persistTracked(
-      e.withColumn("h", PortableHash.portable60(
-          concat_ws(":", lit(seed), col("src"), col("dst"))))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
+      org.apache.spark.sql.graftnative.TopKPerKey(
+          e.withColumn("h", PortableHash.portable60(
+            concat_ws(":", lit(seed), col("src"), col("dst")))),
+          keyCols = Seq("src"),
+          orderCols = Seq(col("h"), col("dst")), k = k)
         .select("src", "dst"))
     val f = feats.select(col("node").cast("long").as("node"),
       col("x").cast("double").as("x"))
