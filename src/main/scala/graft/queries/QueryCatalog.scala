@@ -7015,6 +7015,90 @@ object QueryCatalog {
               FROM res
               ORDER BY abs(residual) DESC, lang, source LIMIT 10""")),
 
+    // logistic-regression TRAINING by fixed-round full-batch gradient
+    // descent — the iterative-replay doctrine applied to model fitting:
+    // standardized engagement features predict conversion, each round is
+    // one p+2-double gradient aggregate, weights live on the driver, and
+    // the oracle unrolls all 8 training rounds (gradient 6-dp, weights
+    // 7-dp) plus the final loss/accuracy readout.
+    Q("q_logistic_gd",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).cast("double").as("c"),
+            round(coalesce(avg("value"), lit(0.0)), 6).as("av"),
+            max(when(col("event_type") === "purchase" &&
+              col("value") > 150, 1L).otherwise(0L)).as("y"))
+        val st = broadcast(per.agg(
+          round(avg("c"), 6).as("mc"), round(stddev_samp("c"), 6).as("sc"),
+          round(avg("av"), 6).as("mv"), round(stddev_samp("av"), 6).as("sv")))
+        val feat = per.crossJoin(st).select(
+          round((col("c") - col("mc")) / col("sc"), 6).as("x1"),
+          round((col("av") - col("mv")) / col("sv"), 6).as("x2"),
+          col("y"))
+        graft.operators.Regression.logisticGD(
+          feat, Seq("x1", "x2"), "y", rounds = 8, lr = 0.5)
+          .orderBy("term")
+      },
+      Some {
+        val roundsSql = (1 to 8).map { i =>
+          val pw = s"wr${i - 1}"
+          s"""g$i AS MATERIALIZED (SELECT round(sum(s - y), 6) AS g0,
+                round(sum((s - y) * x1), 6) AS g1,
+                round(sum((s - y) * x2), 6) AS g2,
+                CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT y, x1, x2,
+                  1.0 / (1.0 + exp(-((SELECT w0 FROM $pw)
+                    + (SELECT w1 FROM $pw) * x1
+                    + (SELECT w2 FROM $pw) * x2))) AS s
+                FROM feat)),
+              wr$i AS MATERIALIZED (SELECT
+                round((SELECT w0 FROM $pw) - 0.5 * g0 / n, 7) AS w0,
+                round((SELECT w1 FROM $pw) - 0.5 * g1 / n, 7) AS w1,
+                round((SELECT w2 FROM $pw) - 0.5 * g2 / n, 7) AS w2
+              FROM g$i)"""
+        }.mkString(",\n              ")
+        s"""WITH per AS MATERIALIZED (SELECT user_id,
+                  CAST(count(*) AS DOUBLE) AS c,
+                  round(coalesce(avg(value), 0.0), 6) AS av,
+                  max(CASE WHEN event_type = 'purchase' AND value > 150
+                    THEN 1 ELSE 0 END) AS y
+                FROM events GROUP BY user_id),
+              st AS MATERIALIZED (SELECT round(avg(c), 6) AS mc,
+                  round(stddev_samp(c), 6) AS sc,
+                  round(avg(av), 6) AS mv, round(stddev_samp(av), 6) AS sv
+                FROM per),
+              feat AS MATERIALIZED (SELECT
+                  round((c - (SELECT mc FROM st)) / (SELECT sc FROM st), 6)
+                    AS x1,
+                  round((av - (SELECT mv FROM st)) / (SELECT sv FROM st), 6)
+                    AS x2,
+                  y
+                FROM per),
+              wr0 AS (SELECT CAST(0 AS DOUBLE) AS w0,
+                CAST(0 AS DOUBLE) AS w1, CAST(0 AS DOUBLE) AS w2),
+              $roundsSql,
+              pred AS (SELECT y,
+                  1.0 / (1.0 + exp(-((SELECT w0 FROM wr8)
+                    + (SELECT w1 FROM wr8) * x1
+                    + (SELECT w2 FROM wr8) * x2))) AS s
+                FROM feat),
+              m AS (SELECT
+                  round(avg(-(y * ln(greatest(1e-12, least(1.0 - 1e-12, s)))
+                    + (1 - y) * ln(1 - greatest(1e-12,
+                      least(1.0 - 1e-12, s))))), 6) AS log_loss,
+                  round(avg(CASE WHEN (s > 0.5) = (y = 1)
+                    THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+                FROM pred)
+              SELECT t.term, t.weight,
+                (SELECT log_loss FROM m) AS log_loss,
+                (SELECT accuracy FROM m) AS accuracy
+              FROM (SELECT 'bias' AS term, (SELECT w0 FROM wr8) AS weight
+                UNION ALL SELECT 'x1', (SELECT w1 FROM wr8)
+                UNION ALL SELECT 'x2', (SELECT w2 FROM wr8)) t
+              ORDER BY term"""
+      }),
+
     // greedy k-center coreset (Gonzalez farthest-point) over the
     // embedding corpus — the diverse-subset selector: each round one
     // narrow corpus pass against ≤k literal centers + a top-1. The

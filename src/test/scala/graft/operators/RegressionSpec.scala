@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RegressionSpec extends SparkSpec {
+
+  private def r(x: Double, s: Int): Double =
+    BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("logisticGD separates a linearly separable toy set") {
+    import spark.implicits._
+    // y = 1 iff x1 > 0; x2 is pure noise around 0
+    val rows = Seq.tabulate(40) { i =>
+      val x1 = if (i % 2 == 0) 1.0 else -1.0
+      (x1, if (i % 4 < 2) 0.1 else -0.1, if (x1 > 0) 1L else 0L)
+    }
+    val out = Regression.logisticGD(
+        rows.toDF("x1", "x2", "y"), Seq("x1", "x2"), "y", rounds = 8, lr = 0.5)
+      .collect().map(rw => rw.getString(0) ->
+        (rw.getDouble(1), rw.getDouble(2), rw.getDouble(3))).toMap
+    assert(out("x1")._1 > 0.5, "separating weight is positive and large")
+    assert(math.abs(out("x2")._1) < math.abs(out("x1")._1) / 3, "noise stays small")
+    assert(out("bias")._3 === 1.0, "perfectly separable -> accuracy 1")
+    assert(out("bias")._2 < 0.7, "log-loss improved from ln 2")
+  }
+
+  test("logisticGD matches an exact driver replay of the unrolled rounds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val rows = Seq.fill(300) {
+      val x1 = r(rnd.nextGaussian(), 6)
+      val x2 = r(rnd.nextGaussian(), 6)
+      (x1, x2, if (x1 + 0.5 * x2 + 0.3 * rnd.nextGaussian() > 0) 1L else 0L)
+    }
+    val got = Regression.logisticGD(
+        rows.toDF("x1", "x2", "y"), Seq("x1", "x2"), "y", rounds = 8, lr = 0.5)
+      .collect().map(rw => rw.getString(0) -> rw.getDouble(1)).toMap
+    var w = Vector(0.0, 0.0, 0.0)
+    val n = rows.size.toDouble
+    for (_ <- 1 to 8) {
+      var g = Vector(0.0, 0.0, 0.0)
+      rows.foreach { case (x1, x2, y) =>
+        val s = 1.0 / (1.0 + math.exp(-(w(0) + w(1) * x1 + w(2) * x2)))
+        val d = s - y
+        g = Vector(g(0) + d, g(1) + d * x1, g(2) + d * x2)
+      }
+      val g6 = g.map(r(_, 6))
+      w = Vector.tabulate(3)(j => r(w(j) - 0.5 * g6(j) / n, 7))
+    }
+    assert(got("bias") === w(0))
+    assert(got("x1") === w(1))
+    assert(got("x2") === w(2))
+  }
+
+  test("logisticGD rejects bad parameters and empty input") {
+    import spark.implicits._
+    val df = Seq((1.0, 1L)).toDF("x1", "y")
+    intercept[IllegalArgumentException] {
+      Regression.logisticGD(df, Seq.empty, "y")
+    }
+    intercept[IllegalArgumentException] {
+      Regression.logisticGD(df.filter("x1 > 99"), Seq("x1"), "y")
+    }
+  }
+}
