@@ -17,6 +17,63 @@ object Regression {
   private def rnd(x: Double, s: Int): Double =
     BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Multi-feature ordinary least squares by the NORMAL EQUATIONS — the
+    * closed-form companion to [[logisticGD]]: one distributed pass folds
+    * the corpus into the (p+1)×(p+1) Gram matrix X'X and the X'y vector
+    * (bias folded in as feature 0), both 6-dp anchored; the solve is
+    * driver-side Cramer's rule over those anchored sums — pure
+    * determinant arithmetic, so an oracle replays it term-for-term with
+    * no linear-algebra library on either side. p is small (audit-sized
+    * feature sets); for wide designs you'd want a factorization, not
+    * Cramer — stated, not hidden.
+    *
+    * A second pass computes SSE/SST against the fitted literal weights
+    * for R². Returns (term, weight, r2, n) — weights 7-dp, r2 6-dp.
+    */
+  def olsNormal(
+      df: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String): DataFrame = {
+    require(featureCols.size == 2,
+      "olsNormal: this Cramer-rule solve is written for exactly 2 features + bias")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val y = col(labelCol).cast("double")
+    val x1 = col(featureCols.head).cast("double")
+    val x2 = col(featureCols(1)).cast("double")
+    val m = df.agg(
+      count(lit(1)).as("n"),
+      round(sum(x1), 6).as("s1"), round(sum(x2), 6).as("s2"),
+      round(sum(x1 * x1), 6).as("s11"), round(sum(x1 * x2), 6).as("s12"),
+      round(sum(x2 * x2), 6).as("s22"),
+      round(sum(y), 6).as("sy"),
+      round(sum(x1 * y), 6).as("s1y"), round(sum(x2 * y), 6).as("s2y"),
+      round(sum(y * y), 6).as("syy")).head()
+    val n = m.getLong(0).toDouble
+    require(n > 2, "olsNormal needs more rows than parameters")
+    val (s1, s2, s11, s12, s22, sy, s1y, s2y, syy) =
+      (m.getDouble(1), m.getDouble(2), m.getDouble(3), m.getDouble(4),
+        m.getDouble(5), m.getDouble(6), m.getDouble(7), m.getDouble(8),
+        m.getDouble(9))
+    // Cramer over the 3x3 normal matrix [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]
+    def det3(a: Double, b: Double, c: Double, d: Double, e: Double,
+        f: Double, g: Double, h: Double, i: Double): Double =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val dd = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    require(math.abs(dd) > 1e-9, "singular design matrix")
+    val w0 = rnd(det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / dd, 7)
+    val w1 = rnd(det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22) / dd, 7)
+    val w2 = rnd(det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y) / dd, 7)
+    val resid = y - (lit(w0) + lit(w1) * x1 + lit(w2) * x2)
+    val fit = df.agg(
+      round(sum(resid * resid), 6).as("sse")).head()
+    val sst = syy - sy * sy / n
+    val r2 = rnd(1.0 - fit.getDouble(0) / sst, 6)
+    Seq(("bias", w0), (featureCols.head, w1), (featureCols(1), w2))
+      .map { case (t, w) => (t, w, r2, n.toLong) }
+      .toDF("term", "weight", "r2", "n")
+  }
+
   /** Logistic regression via full-batch GD: w ← round7(w − lr·g/n) with
     * g_j = round6(Σ (σ(w·x) − y)·x_j) per round (bias as feature 0).
     * Feature columns must already be anchored (standardize + round — the

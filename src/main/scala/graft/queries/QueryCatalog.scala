@@ -7015,6 +7015,91 @@ object QueryCatalog {
               FROM res
               ORDER BY abs(residual) DESC, lang, source LIMIT 10""")),
 
+    // multi-feature OLS by the NORMAL EQUATIONS — closed-form training:
+    // one pass folds the corpus into the 6-dp-anchored Gram sums, the
+    // solve is driver Cramer's rule (pure determinant arithmetic, term-
+    // for-term replayable — no linear-algebra library on either side),
+    // a second pass scores R² against the fitted literal weights.
+    Q("q_ols_normal",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).cast("double").as("c"),
+            round(coalesce(avg(when(col("event_type") === "purchase",
+              col("value"))), lit(0.0)), 6).as("k"),
+            round(coalesce(sum("value"), lit(0.0)), 6).as("y"))
+        val st = broadcast(per.agg(
+          round(avg("c"), 6).as("mc"), round(stddev_samp("c"), 6).as("sc"),
+          round(avg("k"), 6).as("mk"), round(stddev_samp("k"), 6).as("sk")))
+        val feat = per.crossJoin(st).select(
+          round((col("c") - col("mc")) / col("sc"), 6).as("x1"),
+          round((col("k") - col("mk")) / col("sk"), 6).as("x2"),
+          col("y"))
+        graft.operators.Regression.olsNormal(feat, Seq("x1", "x2"), "y")
+          .orderBy("term")
+      },
+      Some("""WITH per AS MATERIALIZED (SELECT user_id,
+                  CAST(count(*) AS DOUBLE) AS c,
+                  round(coalesce(avg(CASE WHEN event_type = 'purchase'
+                    THEN value END), 0.0), 6) AS k,
+                  round(coalesce(sum(value), 0.0), 6) AS y
+                FROM events GROUP BY user_id),
+              st AS MATERIALIZED (SELECT round(avg(c), 6) AS mc,
+                  round(stddev_samp(c), 6) AS sc,
+                  round(avg(k), 6) AS mk, round(stddev_samp(k), 6) AS sk
+                FROM per),
+              feat AS MATERIALIZED (SELECT
+                  round((c - mc) / sc, 6) AS x1,
+                  round((k - mk) / sk, 6) AS x2, y
+                FROM per CROSS JOIN st),
+              m AS MATERIALIZED (SELECT
+                  CAST(count(*) AS BIGINT) AS n,
+                  round(sum(x1), 6) AS s1, round(sum(x2), 6) AS s2,
+                  round(sum(x1 * x1), 6) AS s11,
+                  round(sum(x1 * x2), 6) AS s12,
+                  round(sum(x2 * x2), 6) AS s22,
+                  round(sum(y), 6) AS sy,
+                  round(sum(x1 * y), 6) AS s1y,
+                  round(sum(x2 * y), 6) AS s2y,
+                  round(sum(y * y), 6) AS syy
+                FROM feat),
+              w AS MATERIALIZED (SELECT n, sy, syy,
+                  round((sy * (s11 * s22 - s12 * s12)
+                    - s1 * (s1y * s22 - s12 * s2y)
+                    + s2 * (s1y * s12 - s11 * s2y))
+                    / (CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
+                      - s1 * (s1 * s22 - s12 * s2)
+                      + s2 * (s1 * s12 - s11 * s2)), 7) AS w0,
+                  round((CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y)
+                    - sy * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s2y - s1y * s2))
+                    / (CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
+                      - s1 * (s1 * s22 - s12 * s2)
+                      + s2 * (s1 * s12 - s11 * s2)), 7) AS w1,
+                  round((CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12)
+                    - s1 * (s1 * s2y - s1y * s2)
+                    + sy * (s1 * s12 - s11 * s2))
+                    / (CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
+                      - s1 * (s1 * s22 - s12 * s2)
+                      + s2 * (s1 * s12 - s11 * s2)), 7) AS w2
+                FROM m),
+              fit AS (SELECT round(sum(
+                  (y - ((SELECT w0 FROM w) + (SELECT w1 FROM w) * x1
+                    + (SELECT w2 FROM w) * x2))
+                  * (y - ((SELECT w0 FROM w) + (SELECT w1 FROM w) * x1
+                    + (SELECT w2 FROM w) * x2))), 6) AS sse
+                FROM feat),
+              r AS (SELECT round(1.0 - (SELECT sse FROM fit)
+                  / ((SELECT syy FROM w) - (SELECT sy FROM w)
+                    * (SELECT sy FROM w) / CAST((SELECT n FROM w) AS DOUBLE)),
+                  6) AS r2)
+              SELECT t.term, t.weight, (SELECT r2 FROM r) AS r2,
+                (SELECT n FROM w) AS n
+              FROM (SELECT 'bias' AS term, (SELECT w0 FROM w) AS weight
+                UNION ALL SELECT 'x1', (SELECT w1 FROM w)
+                UNION ALL SELECT 'x2', (SELECT w2 FROM w)) t
+              ORDER BY term""")),
+
     // logistic-regression TRAINING by fixed-round full-batch gradient
     // descent — the iterative-replay doctrine applied to model fitting:
     // standardized engagement features predict conversion, each round is

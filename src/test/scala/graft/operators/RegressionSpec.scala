@@ -52,6 +52,55 @@ class RegressionSpec extends SparkSpec {
     assert(got("x2") === w(2))
   }
 
+  test("olsNormal recovers an exact linear law with r2 = 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50) {
+      val x1 = r(rnd.nextGaussian(), 6)
+      val x2 = r(rnd.nextGaussian(), 6)
+      (x1, x2, r(2.0 + 3.0 * x1 - 1.0 * x2, 6))
+    }
+    val got = Regression.olsNormal(rows.toDF("x1", "x2", "y"), Seq("x1", "x2"), "y")
+      .collect().map(rw => rw.getString(0) -> (rw.getDouble(1), rw.getDouble(2))).toMap
+    assert(math.abs(got("bias")._1 - 2.0) < 1e-4, got)
+    assert(math.abs(got("x1")._1 - 3.0) < 1e-4, got)
+    assert(math.abs(got("x2")._1 + 1.0) < 1e-4, got)
+    assert(got("bias")._2 > 0.999999, "r2 = 1 on a noiseless law")
+  }
+
+  test("olsNormal matches a driver Cramer replay on noisy seeded data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = Seq.fill(200) {
+      val x1 = r(rnd.nextGaussian(), 6)
+      val x2 = r(rnd.nextGaussian(), 6)
+      (x1, x2, r(1.0 + 0.5 * x1 + 2.0 * x2 + rnd.nextGaussian(), 6))
+    }
+    val got = Regression.olsNormal(rows.toDF("x1", "x2", "y"), Seq("x1", "x2"), "y")
+      .collect().map(rw => rw.getString(0) -> rw.getDouble(1)).toMap
+    val n = rows.size.toDouble
+    def s6(f: ((Double, Double, Double)) => Double) = r(rows.map(f).sum, 6)
+    val (s1, s2, s11, s12, s22) = (s6(_._1), s6(_._2),
+      s6(t => t._1 * t._1), s6(t => t._1 * t._2), s6(t => t._2 * t._2))
+    val (sy, s1y, s2y) = (s6(_._3), s6(t => t._1 * t._3), s6(t => t._2 * t._3))
+    def det3(a: Double, b: Double, c: Double, d: Double, e: Double,
+        f: Double, g: Double, h: Double, i: Double): Double =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val dd = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    assert(got("bias") === r(det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / dd, 7))
+    assert(got("x1") === r(det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22) / dd, 7))
+    assert(got("x2") === r(det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y) / dd, 7))
+  }
+
+  test("olsNormal rejects a singular design") {
+    import spark.implicits._
+    // x2 = 2 * x1 exactly: collinear
+    val rows = Seq.tabulate(20)(i => (i.toDouble, 2.0 * i, i * 3.0))
+    intercept[IllegalArgumentException] {
+      Regression.olsNormal(rows.toDF("x1", "x2", "y"), Seq("x1", "x2"), "y")
+    }
+  }
+
   test("logisticGD rejects bad parameters and empty input") {
     import spark.implicits._
     val df = Seq((1.0, 1L)).toDF("x1", "y")
