@@ -36,6 +36,59 @@ object Survival {
     * deliberate bounded single-partition tail, the same envelope as every
     * audit-sized output in the catalog.
     */
+  /** Two-group log-rank test (Mantel 1966) — the inference companion to
+    * [[kaplanMeier]]: does group 1's survival curve differ from group
+    * 0's? At each event time t the observed group-1 events d1_t are
+    * compared with the hypergeometric expectation e1_t = d_t·n1_t/n_t;
+    * the statistic is (Σ(d1_t − e1_t))² / Σv_t with
+    * v_t = d_t·(n1_t/n_t)·(1 − n1_t/n_t)·(n_t − d_t)/(n_t − 1).
+    *
+    * Every term is a correctly-rounded function of exact integer counts,
+    * so the statistic is cross-engine deterministic against the 6-dp
+    * grid; the α = 0.05 decision uses the 1-dof critical value 3.841
+    * (the q_srm_check convention — state the gate, don't ship a CDF).
+    * Single-event times (n_t = 1) contribute v_t via the explicit
+    * (n_t − 1) ≥ 1 guard in both engines.
+    *
+    * Scale shape: one groupBy(duration, group) pass; risk sets come from
+    * cumulative windows over the distinct-duration support (the
+    * kaplanMeier envelope). Returns one row:
+    * (d1_obs, e1_exp, chi2, significant).
+    */
+  def logRank(
+      df: DataFrame,
+      durationCol: String = "duration",
+      eventCol: String = "event",
+      groupCol: String = "g"): DataFrame = {
+    val byT = df
+      .filter(col(durationCol).isNotNull)
+      .groupBy(col(durationCol).cast("long").as("t"))
+      .agg(count(lit(1)).as("n_at_t"),
+        sum(col(eventCol).cast("long")).as("d_t"),
+        sum(when(col(groupCol) === 1, 1L).otherwise(0L)).as("n1_at_t"),
+        sum(when(col(groupCol) === 1, col(eventCol).cast("long"))
+          .otherwise(0L)).as("d1_t"))
+    val wRisk = Window.orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    byT
+      .withColumn("n_t", sum("n_at_t").over(wRisk))
+      .withColumn("n1_t", sum("n1_at_t").over(wRisk))
+      .filter(col("d_t") > 0)
+      .withColumn("frac1", col("n1_t").cast("double") / col("n_t"))
+      .withColumn("e1_t", col("d_t") * col("frac1"))
+      .withColumn("v_t", col("d_t") * col("frac1")
+        * (lit(1.0) - col("frac1"))
+        * (col("n_t") - col("d_t")).cast("double")
+        / greatest(col("n_t") - 1L, lit(1L)))
+      .agg(sum("d1_t").as("d1_obs"),
+        round(sum("e1_t"), 6).as("e1_exp"),
+        // explicit product, not pow(x, 2): IEEE multiply is exact-by-
+        // definition on both engines, Math.pow is only 1-ulp-correct
+        round(sum(col("d1_t") - col("e1_t"))
+          * sum(col("d1_t") - col("e1_t")) / sum("v_t"), 6).as("chi2"))
+      .withColumn("significant", col("chi2") > 3.841)
+  }
+
   def kaplanMeier(
       df: DataFrame,
       durationCol: String = "duration",

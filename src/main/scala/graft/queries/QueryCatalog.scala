@@ -6626,6 +6626,65 @@ object QueryCatalog {
               SELECT t, n_risk, d_events, survival
               FROM cum WHERE d_events > 0 ORDER BY t""")),
 
+    // two-group log-rank test — does variant 1's retention curve differ
+    // from variant 0's? The inference companion to q_survival_km on the
+    // same censored order-lifetime subjects: observed vs hypergeometric-
+    // expected group-1 events at each event time, all terms exact-integer
+    // derived, 1-dof critical 3.841 spliced (the SRM convention).
+    Q("q_logrank",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val mx = o.agg(max(to_date(col("o_orderdate"))).as("maxd"))
+        val subj = o.groupBy("o_custkey")
+          .agg(min(to_date(col("o_orderdate"))).as("fd"),
+            max(to_date(col("o_orderdate"))).as("ld"))
+          .crossJoin(broadcast(mx))
+          .select(datediff(col("ld"), col("fd")).cast("long").as("duration"),
+            when(datediff(col("maxd"), col("ld")) > 30, 1L).otherwise(0L)
+              .as("event"),
+            pmod(col("o_custkey"), lit(2)).as("g"))
+        graft.operators.Survival.logRank(subj)
+      },
+      Some("""WITH per AS (SELECT o_custkey,
+                  min(CAST(o_orderdate AS DATE)) AS fd,
+                  max(CAST(o_orderdate AS DATE)) AS ld
+                FROM orders GROUP BY 1),
+              mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd
+                FROM orders),
+              subj AS (SELECT CAST(date_diff('day', fd, ld) AS BIGINT)
+                    AS duration,
+                  CASE WHEN date_diff('day', ld, (SELECT maxd FROM mx)) > 30
+                    THEN 1 ELSE 0 END AS event,
+                  o_custkey % 2 AS g
+                FROM per),
+              byt AS (SELECT duration AS t, count(*) AS n_at_t,
+                  CAST(sum(event) AS BIGINT) AS d_t,
+                  CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n1_at_t,
+                  CAST(sum(CASE WHEN g = 1 THEN event ELSE 0 END) AS BIGINT)
+                    AS d1_t
+                FROM subj GROUP BY 1),
+              rk AS (SELECT t, d_t, d1_t,
+                  CAST(sum(n_at_t) OVER w AS BIGINT) AS n_t,
+                  CAST(sum(n1_at_t) OVER w AS BIGINT) AS n1_t
+                FROM byt
+                WINDOW w AS (ORDER BY t ROWS BETWEEN CURRENT ROW
+                  AND UNBOUNDED FOLLOWING)),
+              tm AS (SELECT d1_t,
+                  d_t * (n1_t / CAST(n_t AS DOUBLE)) AS e1_t,
+                  d_t * (n1_t / CAST(n_t AS DOUBLE))
+                    * (1.0 - n1_t / CAST(n_t AS DOUBLE))
+                    * CAST(n_t - d_t AS DOUBLE)
+                    / greatest(n_t - 1, 1) AS v_t
+                FROM rk WHERE d_t > 0),
+              ag AS (SELECT CAST(sum(d1_t) AS BIGINT) AS d1_obs,
+                  round(sum(e1_t), 6) AS e1_exp,
+                  round(sum(d1_t - e1_t) * sum(d1_t - e1_t) / sum(v_t), 6)
+                    AS chi2
+                FROM tm)
+              SELECT d1_obs, e1_exp, chi2, chi2 > 3.841 AS significant
+              FROM ag""")),
+
     // two-proportion z-test over an event-log experiment (variant =
     // user_id parity, conversion = a HIGH-VALUE purchase — plain "any
     // purchase" saturates at p = 1 on this fixture, collapsing se to 0):

@@ -42,6 +42,23 @@ class ModelEvalSpec extends SparkSpec {
     assert(math.abs(got - exp) <= 1e-6 + 1e-12, s"got $got exp $exp")
   }
 
+  test("aucFromScores is invariant under strictly monotone score transforms") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val rows = Seq.fill(200)(((rnd.nextInt(40) + 1).toLong, rnd.nextInt(2)))
+    val base = ModelEval.aucFromScores(rows.toDF("s", "y"), col("s"), col("y"))
+      .head().getDouble(2)
+    // rank statistics see only the ordering: affine and cubic transforms
+    // of the score leave the AUC bit-identical
+    val affine = ModelEval.aucFromScores(
+      rows.map { case (s, y) => (s * 7 + 3, y) }.toDF("s", "y"),
+      col("s"), col("y")).head().getDouble(2)
+    val cubic = ModelEval.aucFromScores(
+      rows.map { case (s, y) => (s * s * s, y) }.toDF("s", "y"),
+      col("s"), col("y")).head().getDouble(2)
+    assert(affine === base && cubic === base)
+  }
+
   test("ksTest: identical distributions give d = 0; disjoint supports give d = 1") {
     import spark.implicits._
     val same = Seq((1L, 0), (2L, 0), (1L, 1), (2L, 1)).toDF("b", "g")

@@ -40,6 +40,50 @@ class SurvivalSpec extends SparkSpec {
     assert(got(1) === ((2L, 2L, 2L, 0.0)))
   }
 
+  test("logRank: identical groups give chi2 ~ 0; disjoint lifetimes flag") {
+    import spark.implicits._
+    // perfectly mirrored groups: every (duration, event) appears in both
+    val mirrored = (1L to 20L).flatMap(t =>
+      Seq((t, 1, 0), (t, 1, 1), (t + 5, 0, 0), (t + 5, 0, 1)))
+    val r0 = Survival.logRank(mirrored.toDF("duration", "event", "g")).head()
+    assert(r0.getDouble(2) < 1e-6 && !r0.getBoolean(3), r0)
+    // group 1 dies uniformly much earlier -> strong separation
+    val split = (1L to 30L).map(t => (t, 1, 1)) ++
+      (31L to 60L).map(t => (t, 1, 0))
+    val r1 = Survival.logRank(split.toDF("duration", "event", "g")).head()
+    assert(r1.getDouble(2) > 3.841 && r1.getBoolean(3), r1)
+  }
+
+  test("logRank matches a brute-force per-time replay on seeded censored data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val rows = Seq.fill(400)((1L + rnd.nextInt(25), rnd.nextInt(3) min 1,
+      rnd.nextInt(2)))
+    val got = Survival.logRank(rows.toDF("duration", "event", "g")).head()
+    val times = rows.map(_._1).distinct.sorted
+    var (sumD1, sumE1, sumV) = (0L, 0.0, 0.0)
+    for (t <- times) {
+      val at = rows.filter(_._1 == t)
+      val dT = at.count(_._2 == 1).toLong
+      if (dT > 0) {
+        val nT = rows.count(_._1 >= t).toLong
+        val n1T = rows.count(r => r._1 >= t && r._3 == 1).toLong
+        val d1T = at.count(r => r._2 == 1 && r._3 == 1).toLong
+        val frac = n1T.toDouble / nT
+        sumD1 += d1T
+        sumE1 += dT * frac
+        sumV += dT * frac * (1.0 - frac) * (nT - dT).toDouble /
+          math.max(nT - 1L, 1L)
+      }
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) === sumD1)
+    assert(got.getDouble(1) === r6(sumE1))
+    assert(math.abs(got.getDouble(2) -
+      r6((sumD1 - sumE1) * (sumD1 - sumE1) / sumV)) <= 2e-6)
+  }
+
   test("matches a driver replay with the same log/exp grid on seeded data") {
     val rnd = new scala.util.Random(11)
     val rows = Seq.fill(500)((1L + rnd.nextInt(30), rnd.nextInt(3) min 1))
