@@ -53,6 +53,60 @@ object ModelEval {
           / (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
   }
 
+  /** Isotonic calibration of a binary label against an integral score —
+    * the nonparametric alternative to a sigmoid fit: the calibrated
+    * probability curve is the monotone-nondecreasing least-squares fit
+    * to the per-score empirical rates. Computed by the CLOSED-FORM
+    * minimax characterization of the PAV solution (Barlow et al. 1972):
+    *
+    *   iso(k) = max_{i ≤ k} min_{j ≥ k} avg(y over scores i..j)
+    *
+    * rather than the sequential pool-adjacent-violators sweep — PAV's
+    * data-dependent merge order doesn't replay across engines, the
+    * minimax does: every interval average is an exact integer ratio, and
+    * min/max are order-free.
+    *
+    * Distributed shape: ONE groupBy(score) pass bounds everything after
+    * at the score support m (the aucFromScores envelope); the m² interval
+    * table plus its two windows (per-start running tail-min, per-end max)
+    * are audit-sized — bin continuous scores first, as with AUC.
+    *
+    * Returns (score, n, emp_rate, iso_p) ordered by score; iso_p is
+    * monotone nondecreasing by construction, 6-dp output grid.
+    */
+  def isotonicCalibration(
+      df: DataFrame,
+      scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    val byScore = df
+      .groupBy(scoreCol.cast("long").as("s"))
+      .agg(count(lit(1)).as("cnt"), sum(labelCol.cast("long")).as("pos"))
+    val wCum = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefix = byScore
+      .withColumn("cum_cnt", sum("cnt").over(wCum))
+      .withColumn("cum_pos", sum("pos").over(wCum))
+    val lo = prefix.select(col("s").as("i"),
+      (col("cum_cnt") - col("cnt")).as("lo_cnt"),
+      (col("cum_pos") - col("pos")).as("lo_pos"))
+    val hi = prefix.select(col("s").as("j"),
+      col("cum_cnt").as("hi_cnt"), col("cum_pos").as("hi_pos"))
+    val pairs = lo.join(hi, col("i") <= col("j"))
+      .withColumn("a", (col("hi_pos") - col("lo_pos")).cast("double")
+        / (col("hi_cnt") - col("lo_cnt")))
+    val wTail = Window.partitionBy("i").orderBy(col("j").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iso = pairs
+      .withColumn("tail_min", min("a").over(wTail))
+      .groupBy(col("j").as("s"))
+      .agg(round(max("tail_min"), 6).as("iso_p"))
+    byScore.join(iso, Seq("s"))
+      .select(col("s").as("score"), col("cnt").as("n"),
+        round(col("pos").cast("double") / col("cnt"), 6).as("emp_rate"),
+        col("iso_p"))
+      .orderBy("score")
+  }
+
   /** sqrt(-ln(0.05/2)/2): the two-sample KS critical coefficient at
     * α = 0.05 — spliced as the SAME Scala-printed literal into the
     * oracle SQL (the constant-splice convention), never re-derived.

@@ -7513,6 +7513,55 @@ object QueryCatalog {
                   / (2.0 * n_pos * n_neg), 6) AS auc
               FROM ag""")),
 
+    // isotonic calibration of conversion against the engagement score —
+    // the PAV solution via its closed-form minimax characterization
+    // (max_{i<=k} min_{j>=k} interval average): PAV's data-dependent
+    // merge order doesn't replay across engines, the minimax does. The
+    // m² interval table and both windows ride the bounded score support.
+    Q("q_isotonic",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("score"),
+            max(when(col("event_type") === "purchase" &&
+              col("value") > 150, 1L).otherwise(0L)).as("label"))
+        graft.operators.ModelEval.isotonicCalibration(
+          per, col("score"), col("label"))
+      },
+      Some("""WITH per AS (SELECT user_id, count(*) AS s,
+                  max(CASE WHEN event_type = 'purchase' AND value > 150
+                    THEN 1 ELSE 0 END) AS y
+                FROM events GROUP BY 1),
+              bys AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(y) AS BIGINT) AS pos
+                FROM per GROUP BY 1),
+              pre AS (SELECT *,
+                  CAST(sum(cnt) OVER w AS BIGINT) AS cum_cnt,
+                  CAST(sum(pos) OVER w AS BIGINT) AS cum_pos
+                FROM bys
+                WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW)),
+              pairs AS (SELECT lo.i, hi.j,
+                  (hi.hi_pos - lo.lo_pos)
+                    / CAST(hi.hi_cnt - lo.lo_cnt AS DOUBLE) AS a
+                FROM (SELECT s AS i, cum_cnt - cnt AS lo_cnt,
+                    cum_pos - pos AS lo_pos FROM pre) lo
+                JOIN (SELECT s AS j, cum_cnt AS hi_cnt,
+                    cum_pos AS hi_pos FROM pre) hi
+                  ON lo.i <= hi.j),
+              tails AS (SELECT i, j,
+                  min(a) OVER (PARTITION BY i ORDER BY j DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS tail_min
+                FROM pairs),
+              iso AS (SELECT j AS s, round(max(tail_min), 6) AS iso_p
+                FROM tails GROUP BY 1)
+              SELECT bys.s AS score, bys.cnt AS n,
+                round(bys.pos / CAST(bys.cnt AS DOUBLE), 6) AS emp_rate,
+                iso.iso_p
+              FROM bys JOIN iso ON iso.s = bys.s
+              ORDER BY score""")),
+
     // two-sample KS drift test between the experiment variants over the
     // per-user total-value distribution, binned to the integer grid (the
     // binning is what bounds the CDF support at corpus scale). The

@@ -59,6 +59,55 @@ class ModelEvalSpec extends SparkSpec {
     assert(affine === base && cubic === base)
   }
 
+  test("isotonicCalibration: already-monotone rates pass through; violations pool") {
+    import spark.implicits._
+    // monotone case: rates 0/2, 1/2, 2/2 by score
+    val mono = Seq((1L, 0), (1L, 0), (2L, 0), (2L, 1), (3L, 1), (3L, 1))
+    val gotM = ModelEval.isotonicCalibration(mono.toDF("s", "y"), col("s"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(gotM.toSeq === Seq((1L, 0.0), (2L, 0.5), (3L, 1.0)))
+    // violation: scores 1,2 have rates 1.0 then 0.0 -> pool to 0.5
+    val viol = Seq((1L, 1), (2L, 0), (3L, 1))
+    val gotV = ModelEval.isotonicCalibration(viol.toDF("s", "y"), col("s"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(gotV.toSeq === Seq((1L, 0.5), (2L, 0.5), (3L, 1.0)))
+  }
+
+  test("isotonicCalibration matches a sequential PAV sweep on seeded data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val rows = Seq.fill(500) {
+      val s = (rnd.nextInt(15) + 1).toLong
+      // conversion probability grows with score, with noise
+      (s, if (rnd.nextDouble() < s / 20.0) 1 else 0)
+    }
+    val got = ModelEval.isotonicCalibration(rows.toDF("s", "y"), col("s"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    // classic PAV: pool adjacent violating blocks to their weighted mean
+    case class Blk(var sum: Double, var n: Long, var scores: List[Long])
+    val ordered = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, g) => Blk(g.count(_._2 == 1).toDouble, g.size.toLong, List(s)) }
+    val stack = scala.collection.mutable.Stack[Blk]()
+    for (b <- ordered) {
+      stack.push(b)
+      while (stack.size > 1 && {
+        val top = stack(0); val below = stack(1)
+        below.sum / below.n >= top.sum / top.n
+      }) {
+        val top = stack.pop(); val below = stack.pop()
+        stack.push(Blk(top.sum + below.sum, top.n + below.n,
+          below.scores ++ top.scores))
+      }
+    }
+    val exp = stack.toList.reverse.flatMap(b =>
+      b.scores.map(s => s -> BigDecimal(b.sum / b.n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got.toSeq === exp)
+    // monotone by construction
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    OperatorCaches.releaseAll()
+  }
+
   test("ksTest: identical distributions give d = 0; disjoint supports give d = 1") {
     import spark.implicits._
     val same = Seq((1L, 0), (2L, 0), (1L, 1), (2L, 1)).toDF("b", "g")
