@@ -88,6 +88,18 @@ object Bench {
     * sweep — bounded, and only the slowest entries pay it.
     */
   private[graft] val IsolatedTopN = 5
+  /** How many of the slowest entries get isolated re-measures for the FULL
+    * side artifact (bench_full.json). The r9 adjudication went blind on
+    * every name-matched in-run regression because the 1920-char line could
+    * only afford 5 isolated slots and all 5 went to new entries; the side
+    * file has no byte budget, so it carries a top-20 — wide enough that
+    * consecutive rounds share isolated measurements for the entries that
+    * matter (the slow tail is stable round-over-round) and cross-round
+    * diffs can be isolated-to-isolated. Entries named in
+    * SPARK_GRAFT_ISOLATE (comma list) are measured IN ADDITION, so a
+    * specific watch set can be adjudicated without riding the top-20.
+    */
+  private[graft] val IsolatedSideN = 20
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -200,9 +212,17 @@ object Bench {
     // alone-number for the entries where the regimes can differ most.
     // Next-round verdicts should diff isolated-to-isolated.
     val isolated = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Side-artifact width: the top IsolatedSideN slowest (slowest-first, so
+    // the line's take(IsolatedTopN) digest is exactly the old top-5), plus
+    // any SPARK_GRAFT_ISOLATE-requested names that ran successfully — the
+    // watch-set hook for adjudicating a suspected regression without
+    // waiting for it to reach the slow tail.
+    val requested = sys.env.get("SPARK_GRAFT_ISOLATE")
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
+      .filter(n => results.get(n).exists(_ >= 0))
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2)
-      .take(IsolatedTopN).map(_._1)
-    for (name <- slowest) {
+      .take(IsolatedSideN).map(_._1)
+    for (name <- (slowest ++ requested).distinct) {
       OperatorCaches.release(spark)
       System.gc()
       val iso = (1 to passes).map { _ =>
@@ -221,9 +241,69 @@ object Bench {
     canaries += canarySampleMs(spark)
     val counterEx = queries.QueryCatalog.all.filter(_.counterExample)
       .map(_.name).filter(results.contains)
+    // FULL side artifact first (no byte budget — every in-run timing, the
+    // whole isolated map, failures as an object), THEN the 1920-char line
+    // as the digest the driver parses. The side path is env-overridable so
+    // scale-tier runs can keep their artifacts apart; write failures must
+    // not cost the round its stdout line, hence the non-fatal catch.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
+      renderFull(results.toSeq, failures.toSeq, sfDir.split('/').last,
+        canaries.toSeq, counterEx, isolated.toSeq, passes))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] side artifact write failed: ${e.getMessage}") }
     println(renderLine(results.toSeq, failures.toSeq, sfDir.split('/').last,
-      canaries.toSeq, counterEx, isolated.toSeq))
+      canaries.toSeq, counterEx, isolated.toSeq.take(IsolatedTopN)))
     spark.stop()
+  }
+
+  /** Render the FULL bench artifact (bench_full.json): everything the
+    * 1920-char stdout line's budget ladder sheds, with full query names and
+    * no omission rungs. The stdout line stays the driver contract (it
+    * parses the last 2000 chars); this file is the round-over-round
+    * comparison record — VERDICT r9's "What's wrong #1" was the line
+    * dropping 160/252 per-query timings and every name-matched isolated
+    * slot, leaving regressions unadjudicable. Schema (pinned by
+    * BenchLineSpec):
+    *   schema        1 (bump on breaking change)
+    *   sf / unit / passes / total_ms — run identity; unit is always "ms"
+    *   canary        [start, mid, end] integer ms; degraded — same envelope
+    *                 as the line (trust nothing when degraded:true)
+    *   queries       EVERY entry, full "q_" names, in-run integer ms,
+    *                 -1 for failures
+    *   isolated      alone-measured ms for the IsolatedSideN slowest plus
+    *                 SPARK_GRAFT_ISOLATE requests — diff THESE cross-round
+    *   failed        {name: ExceptionClass} in occurrence order
+    *   counterexamples  the catalog's flagged scale counter-examples
+    */
+  private[graft] def renderFull(
+      results: Seq[(String, Double)],
+      failures: Seq[(String, String)],
+      sfName: String,
+      canary: Seq[Double],
+      counterExamples: Seq[String],
+      isolated: Seq[(String, Double)],
+      passes: Int): String = {
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def msMap(m: Seq[(String, Double)]): String = m.map { case (k, v) =>
+      js(k) + ":" + (if (v < 0) "-1" else math.round(v * 1000).toString)
+    }.mkString("{", ",", "}")
+    val ok = results.map(_._2).filter(_ >= 0)
+    val totalMs = math.round((if (ok.nonEmpty) ok.sum else 0.0) * 1000)
+    val failedObj = failures.map { case (k, e) => js(k) + ":" + js(e) }
+      .mkString("{", ",", "}")
+    val cex = counterExamples.map(js).mkString("[", ",", "]")
+    val canaryJson = canary.map(math.round).mkString("[", ",", "]")
+    s"""{"schema":1,"sf":${js(sfName)},"unit":"ms","passes":$passes,""" +
+      s""""total_ms":$totalMs,"canary":$canaryJson,""" +
+      s""""degraded":${canaryDegraded(canary)},""" +
+      s""""queries":${msMap(results)},"isolated":${msMap(isolated)},""" +
+      s""""failed":$failedObj,"counterexamples":$cex}"""
   }
 
   /** Render the one-line JSON result the driver parses. Pure — unit-tested

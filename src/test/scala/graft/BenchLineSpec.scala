@@ -171,4 +171,36 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.length <= 1920, s"line ${line.length} chars")
     assert(line.contains(":OutOfMemoryError"), "failure dropped before extras")
   }
+
+  test("bench_full.json carries EVERY entry under full names — no budget ladder") {
+    // the side artifact exists because the line's ladder sheds information;
+    // pin that it never does: full catalog at worst-case widths, all names
+    // unabbreviated, all timings present, valid JSON shape markers intact
+    val qs = queries.QueryCatalog.all
+    val results = qs.map(_.name -> 99.999)
+    val cex = qs.filter(_.counterExample).map(_.name)
+    val iso = results.take(Bench.IsolatedSideN).map { case (k, _) => k -> 9.999 }
+    val full = Bench.renderFull(results, Seq("q_dedup_simhash" -> "OutOfMemoryError"),
+      "sf0.1", Seq(120.0, 120.0, 120.0), cex, iso, passes = 3)
+    assert(full.startsWith("""{"schema":1,"sf":"sf0.1","unit":"ms","passes":3,"""), full.take(80))
+    // every catalog entry appears under its FULL name with its timing
+    for (q <- qs) assert(full.contains("\"" + q.name + "\":"), s"missing ${q.name}")
+    // the isolated map keeps all IsolatedSideN entries (the r9 line kept 5)
+    val isoJson = "\"isolated\":\\{([^}]*)\\}".r.findFirstMatchIn(full).map(_.group(1))
+    assert(isoJson.exists(_.count(_ == ':') == Bench.IsolatedSideN), isoJson.toString)
+    // failures render as an object (name -> class), counterexamples as an array
+    assert(full.contains("\"failed\":{\"q_dedup_simhash\":\"OutOfMemoryError\"}"), full.takeRight(400))
+    assert(full.contains("\"counterexamples\":[\"" + cex.head + "\""), full.takeRight(400))
+    assert(full.contains("\"degraded\":false"), full.take(200))
+  }
+
+  test("bench_full failure rows render -1 and the canary envelope is shared with the line") {
+    val full = Bench.renderFull(Seq("q_ok" -> 1.5, "q_boom" -> -1.0),
+      Seq("q_boom" -> "IOException"), "sf1",
+      Seq(120.0, 500.0, 120.0), Seq.empty, Seq.empty, passes = 1)
+    assert(full.contains("\"q_boom\":-1"), full)
+    assert(full.contains("\"total_ms\":1500"), full)
+    // 500 ms breaches the spread arm (500/120 > 3) — same verdict as the line
+    assert(full.contains("\"degraded\":true"), full)
+  }
 }
