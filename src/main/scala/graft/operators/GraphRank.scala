@@ -430,10 +430,13 @@ object GraphRank {
       maxDegree: Long = Long.MaxValue): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
+    // deg >= 2 exactly as linkScores: a dst shared by two DISTINCT
+    // sources has deg >= 2 by construction so the filter costs legit
+    // candidates nothing, but a degenerate self-pair (u, u) in the input
+    // list matches deg-1 destinations and would sum 1/ln(1) = Infinity
+    // into adamic_adar without it
     val deg = e.groupBy("dst").agg(count(lit(1)).as("deg"))
-      .filter(col("deg") <= maxDegree)
-    // a dst shared by a candidate's two sources has deg >= 2 in the
-    // deduped set by construction, so 1/ln(deg) is always finite
+      .filter(col("deg") >= 2 && col("deg") <= maxDegree)
     val posting = OperatorCaches.persistTracked(e.join(deg, Seq("dst")))
     val cands = candidates.select(col("src_a").cast("long").as("src_a"),
       col("src_b").cast("long").as("src_b"))

@@ -309,6 +309,23 @@ object Profiling {
     * consumers who don't hold the seed; rotate the seed to re-randomize.
     * One map-side-combined aggregate, then a narrow literal projection —
     * scan-shaped at any scale.
+    *
+    * The noise key LENGTH-PREFIXES each group value (`len#value`, null →
+    * `~`): a raw `concat_ws(":")` would let values containing ':' (or a
+    * null next to an empty string — concat_ws silently skips nulls)
+    * collide onto one key and hand two groups the SAME Laplace draw,
+    * breaking the per-group-independence the ε accounting assumes.
+    * Length-prefixed tokens are self-delimiting, so the concatenation is
+    * injective whatever the values contain. Non-string group columns go
+    * through cast-to-string — keep group keys string/integer typed so the
+    * rendering is engine-portable.
+    *
+    * Adjacency caveat the "reproducible release" framing undersells: the
+    * per-group draw is FIXED, so publishing two releases of *changed*
+    * data under the same seed exposes exact count deltas (noise cancels
+    * in the difference). Reproducibility covers re-runs of the SAME
+    * snapshot; a new snapshot under the same ε budget needs a new seed
+    * (and spends fresh ε).
     */
   def dpNoisyCounts(
       df: DataFrame,
@@ -316,8 +333,12 @@ object Profiling {
       epsilon: Double,
       seed: String = "dp"): DataFrame = {
     require(epsilon > 0, "epsilon must be positive")
+    val tokens = groupCols.map { c =>
+      val sv = col(c).cast("string")
+      coalesce(concat(length(sv), lit("#"), sv), lit("~"))
+    }
     val u = (PortableHash.portable60(
-        concat_ws(":", lit(seed) +: groupCols.map(col): _*)) + 0.5) /
+        concat_ws(":", lit(seed) +: tokens: _*)) + 0.5) /
       lit(math.pow(2.0, 60)) - 0.5
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("true_count"))

@@ -68,6 +68,10 @@ object Regression {
     val fit = df.agg(
       round(sum(resid * resid), 6).as("sse")).head()
     val sst = syy - sy * sy / n
+    // a constant label makes R² undefined (0/0 → NaN or -Inf depending
+    // on rounding); fail loudly rather than let the engines disagree on
+    // NULL-vs-NaN downstream — same doctrine as the singular-matrix guard
+    require(sst > 0, "olsNormal: constant label — R2 undefined (sst = 0)")
     val r2 = rnd(1.0 - fit.getDouble(0) / sst, 6)
     Seq(("bias", w0), (featureCols.head, w1), (featureCols(1), w2))
       .map { case (t, w) => (t, w, r2, n.toLong) }

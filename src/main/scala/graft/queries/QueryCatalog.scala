@@ -6369,7 +6369,10 @@ object QueryCatalog {
       Some(s"""WITH g AS (SELECT lang, source, count(*) AS true_count
                 FROM documents GROUP BY 1, 2),
               u AS (SELECT lang, source, true_count,
-                  (CAST(('0x' || substr(md5('dp:' || lang || ':' || source), 1, 15))
+                  (CAST(('0x' || substr(md5('dp:'
+                    || coalesce(CAST(length(lang) AS VARCHAR) || '#' || lang, '~')
+                    || ':'
+                    || coalesce(CAST(length(source) AS VARCHAR) || '#' || source, '~')), 1, 15))
                     AS BIGINT) + 0.5) / ${math.pow(2.0, 60)} - 0.5 AS u
                 FROM g)
               SELECT lang, source, true_count,
@@ -6964,9 +6967,11 @@ object QueryCatalog {
           .withColumn("se2", col("v_a") / col("n_a") + col("v_b") / col("n_b"))
           .withColumn("t_stat",
             round((col("m_b") - col("m_a")) / sqrt(col("se2")), 6))
-          .withColumn("df", round(pow(col("se2"), 2) /
-            (pow(col("v_a") / col("n_a"), 2) / (col("n_a") - 1L) +
-              pow(col("v_b") / col("n_b"), 2) / (col("n_b") - 1L)), 2))
+          // explicit products, not pow(x, 2): IEEE multiply is exact on
+          // both engines, Math.pow only 1-ulp — the oracle uses x * x
+          .withColumn("df", round(col("se2") * col("se2") /
+            ((col("v_a") / col("n_a")) * (col("v_a") / col("n_a")) / (col("n_a") - 1L) +
+              (col("v_b") / col("n_b")) * (col("v_b") / col("n_b")) / (col("n_b") - 1L)), 2))
           .select(col("n_a"), col("m_a"), col("n_b"), col("m_b"),
             col("t_stat"), col("df"),
             (abs(col("t_stat")) > 1.96).as("significant"))
@@ -7008,8 +7013,8 @@ object QueryCatalog {
           sum(when(col("g") === 1, col("n"))).as("n_b"))
         .withColumn("expected", (col("n_a") + col("n_b")) / lit(2.0))
         .withColumn("chi2", round(
-          pow(col("n_a") - col("expected"), 2) / col("expected") +
-            pow(col("n_b") - col("expected"), 2) / col("expected"), 6))
+          (col("n_a") - col("expected")) * (col("n_a") - col("expected")) / col("expected") +
+            (col("n_b") - col("expected")) * (col("n_b") - col("expected")) / col("expected"), 6))
         .select(col("n_a"), col("n_b"), col("chi2"),
           (col("chi2") > 3.841).as("srm_detected")),
       Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
@@ -7352,9 +7357,9 @@ object QueryCatalog {
             round(covar_samp("x", "y"), 6).as("cxy"))
           .withColumn("ratio", round(col("mx") / col("my"), 6))
           .withColumn("se_delta", round(sqrt(
-            (col("vx") / pow(col("my"), 2)
-              - lit(2.0) * col("mx") * col("cxy") / pow(col("my"), 3)
-              + pow(col("mx"), 2) * col("vy") / pow(col("my"), 4))
+            (col("vx") / (col("my") * col("my"))
+              - lit(2.0) * col("mx") * col("cxy") / (col("my") * col("my") * col("my"))
+              + col("mx") * col("mx") * col("vy") / (col("my") * col("my") * col("my") * col("my")))
               / col("n")), 6))
           .select("g", "n", "ratio", "se_delta")
           .orderBy("g")
@@ -7445,9 +7450,9 @@ object QueryCatalog {
           round(avg("y"), 6).as("ybar")))
         byBin.crossJoin(g)
           .agg(max("n").as("n_users"),
-            round(sum(col("nb") * pow(col("pb") - col("yb"), 2))
+            round(sum(col("nb") * (col("pb") - col("yb")) * (col("pb") - col("yb")))
               / max("n"), 6).as("reliability"),
-            round(sum(col("nb") * pow(col("yb") - col("ybar"), 2))
+            round(sum(col("nb") * (col("yb") - col("ybar")) * (col("yb") - col("ybar")))
               / max("n"), 6).as("resolution"),
             round(max(col("ybar") * (lit(1.0) - col("ybar"))), 6)
               .as("uncertainty"))
@@ -7674,7 +7679,7 @@ object QueryCatalog {
           .join(o, Seq("lang", "source"), "left").na.fill(0L, Seq("o"))
           .withColumn("e", col("rt") * col("ct") / col("n"))
           .groupBy("n", "r", "c")
-          .agg(round(sum(pow(col("o") - col("e"), 2) / col("e")), 6)
+          .agg(round(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")), 6)
             .as("chi2"))
           .withColumn("cramers_v", round(sqrt(col("chi2") /
             (col("n") * (least(col("r"), col("c")) - 1L))), 6))
@@ -7724,7 +7729,7 @@ object QueryCatalog {
         per.join(perD, Seq("dim"))
           .groupBy("dim")
           .agg(
-            round(sum(col("cn") * pow(col("mu") - col("gmu"), 2))
+            round(sum(col("cn") * (col("mu") - col("gmu")) * (col("mu") - col("gmu")))
               / max("nn"), 6).as("between_var"),
             round(sum(col("cn") * (col("m2") - col("mu") * col("mu")))
               / max("nn"), 6).as("within_var"))
