@@ -1318,6 +1318,17 @@ object Dedup {
     *
     * Shuffles carry (gram-hash, id, sz) postings and candidate id pairs;
     * shingle arrays travel only to verification, once per candidate.
+    *
+    * LOW-THRESHOLD GUARD: candidate volume is Σ_g prefix_df(g)·df(g), and
+    * at t ≲ 0.3 the prefix keeps most of each ranked list, so the join
+    * degenerates toward the df-headed all-pairs regime (measured ~80–105 s
+    * at ×100 on the fixture corpus — two orders above its family). An
+    * opt-in `maxExpectedCandidates` ceiling spends one aggregation over
+    * the already-built posting/prefix df stats BEFORE the pair join and
+    * fails with a sized diagnosis naming the levers (raise `threshold`,
+    * set `maxDf`, or raise the ceiling) instead of burning the quadratic
+    * join. Default MaxValue keeps every existing caller unchanged;
+    * [[expectedContainmentCandidates]] reproduces the estimate standalone.
     */
   def containmentPairs(
       df: DataFrame,
@@ -1325,35 +1336,21 @@ object Dedup {
       textCol: String = "text",
       k: Int = 3,
       threshold: Double = 0.7,
-      maxDf: Int = Int.MaxValue): DataFrame = {
-    val sh0 = df.select(col(idCol).cast("long").as("id"),
-        hashedShingles(col(textCol), k).as("sh"))
-      .withColumn("sz", size(col("sh")))
-    val sh =
-      if (maxDf == Int.MaxValue) OperatorCaches.persistTracked(sh0)
-      else {
-        val p0 = sh0.select(col("id"), explode(col("sh")).as("s"))
-        val keptGrams = p0.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf).select("s")
-        OperatorCaches.persistTracked(
-          p0.join(keptGrams, Seq("s"))
-            .groupBy("id").agg(collect_list(col("s")).as("sh"))
-            .withColumn("sz", size(col("sh"))))
-      }
-    val posting0 = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
-    val gramDf = posting0.groupBy("s").agg(count(lit(1)).as("df"))
-    // rare-first ranked POSITIONAL posting (both the prefix and the full
-    // index read it): position feeds PPJoin's overlap upper bound below
-    val posting = OperatorCaches.persistTracked(
-      posting0.join(gramDf, Seq("s"))
-        .groupBy("id").agg(first("sz").as("sz"),
-          sort_array(collect_list(struct(col("df"), col("s")))).as("ranked"))
-        .select(col("id"), col("sz"),
-          posexplode(transform(col("ranked"), r => r("s")))
-            .as(Seq("pos", "s"))))
-    // keep only the first ⌊(1−t)·sz⌋+1 ranked grams on the probe side
-    val prefix = posting.filter(col("pos") <
-      least(floor(col("sz") * lit(1.0 - threshold)).cast("int") + 1, col("sz")))
+      maxDf: Int = Int.MaxValue,
+      maxExpectedCandidates: Double = Double.MaxValue): DataFrame = {
+    val (sh, posting, prefix) =
+      containmentIndex(df, idCol, textCol, k, threshold, maxDf)
+    if (maxExpectedCandidates < Double.MaxValue) {
+      val est = containmentCandidateEstimate(posting, prefix)
+      require(est <= maxExpectedCandidates,
+        f"containmentPairs at threshold=$threshold would generate ~$est%.3g " +
+          f"prefix×posting candidate rows (ceiling $maxExpectedCandidates%.3g): " +
+          "low thresholds keep most of each ranked prefix and the join goes " +
+          "df-head-quadratic. Raise threshold, set maxDf to drop ubiquitous " +
+          s"grams (current ${if (maxDf == Int.MaxValue) "off" else maxDf.toString}), " +
+          "or raise the ceiling — expectedContainmentCandidates reproduces " +
+          "this estimate without running the pair join.")
+    }
     // position prune (PPJoin's second filter, containment form): needed
     // overlap is t·sz_small; the pair's first common gram minimizes both
     // positions in the SHARED global (df, hash) order, so the max over
@@ -1383,6 +1380,83 @@ object Dedup {
       .filter(col("containment") >= threshold)
       // UNSORTED on purpose — see minHashLsh; catalog entries sort
       .select("id_small", "id_big", "containment")
+  }
+
+  /** The shingle/posting/prefix construction shared by [[containmentPairs]]
+    * and [[expectedContainmentCandidates]]: (per-doc shingle table,
+    * rare-first positional posting, probe-side prefix). Splitting it out
+    * keeps the estimator honest — it prices the SAME index the pair join
+    * would consume, maxDf reduction included.
+    */
+  private def containmentIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      threshold: Double,
+      maxDf: Int): (DataFrame, DataFrame, DataFrame) = {
+    val sh0 = df.select(col(idCol).cast("long").as("id"),
+        hashedShingles(col(textCol), k).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val sh =
+      if (maxDf == Int.MaxValue) OperatorCaches.persistTracked(sh0)
+      else {
+        val p0 = sh0.select(col("id"), explode(col("sh")).as("s"))
+        val keptGrams = p0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("s")
+        OperatorCaches.persistTracked(
+          p0.join(keptGrams, Seq("s"))
+            .groupBy("id").agg(collect_list(col("s")).as("sh"))
+            .withColumn("sz", size(col("sh"))))
+      }
+    val posting0 = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    val gramDf = posting0.groupBy("s").agg(count(lit(1)).as("df"))
+    // rare-first ranked POSITIONAL posting (both the prefix and the full
+    // index read it): position feeds PPJoin's overlap upper bound
+    val posting = OperatorCaches.persistTracked(
+      posting0.join(gramDf, Seq("s"))
+        .groupBy("id").agg(first("sz").as("sz"),
+          sort_array(collect_list(struct(col("df"), col("s")))).as("ranked"))
+        .select(col("id"), col("sz"),
+          posexplode(transform(col("ranked"), r => r("s")))
+            .as(Seq("pos", "s"))))
+    // keep only the first ⌊(1−t)·sz⌋+1 ranked grams on the probe side
+    val prefix = posting.filter(col("pos") <
+      least(floor(col("sz") * lit(1.0 - threshold)).cast("int") + 1, col("sz")))
+    (sh, posting, prefix)
+  }
+
+  /** Σ_g prefix_df(g) · df(g) over the shared gram vocabulary — an upper
+    * bound on the candidate-join output (the size/id orientation predicate
+    * only removes rows). One join of two bounded per-gram counts; the
+    * posting is the persisted frame the real join reads, so the estimate
+    * adds one aggregation, never a rebuild.
+    */
+  private def containmentCandidateEstimate(
+      posting: DataFrame, prefix: DataFrame): Long =
+    prefix.groupBy("s").agg(count(lit(1)).as("pc"))
+      .join(posting.groupBy("s").agg(count(lit(1)).as("fc")), Seq("s"))
+      .agg(coalesce(sum(col("pc") * col("fc")), lit(0L)))
+      .head().getLong(0)
+
+  /** Standalone pre-flight for [[containmentPairs]] (the
+    * [[expectedHammingCandidates]] pattern): the candidate volume the
+    * prefix×posting join would generate at these parameters, WITHOUT
+    * running the pair join or verification. Costs the index build (shingle
+    * + two df aggregations) — seconds where the gated join is minutes, and
+    * exactly what `maxExpectedCandidates`'s diagnosis tells an operator to
+    * re-run when sizing maxDf/threshold for a new corpus.
+    */
+  def expectedContainmentCandidates(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      threshold: Double = 0.7,
+      maxDf: Int = Int.MaxValue): Long = {
+    val (_, posting, prefix) =
+      containmentIndex(df, idCol, textCol, k, threshold, maxDf)
+    containmentCandidateEstimate(posting, prefix)
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the

@@ -2962,6 +2962,40 @@ object QueryCatalog {
               WHERE round(inter / CAST(sa.sz AS DOUBLE), 4) >= 0.3
               ORDER BY id_small, id_big""")),
 
+    // the PRODUCTION configuration of the same operator: the opt-in
+    // candidate-volume ceiling (2e8) passes every driver scale (sf0.01
+    // est 2.9e4, sf0.1 est 1.7e6 — Preflight tool reproduces both) and
+    // fail-fasts with a sized diagnosis at ×100 (projected ~1.7e10)
+    // instead of burning the measured 80–105 s all-pairs join. Gate is
+    // cost-only below the ceiling, so the oracle is q_dedup_containment's
+    // brute force unchanged.
+    Q("q_containment_gated",
+      (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"),
+          threshold = 0.3, maxExpectedCandidates = 2e8)
+        .orderBy("id_small", "id_big"),
+      Some("""WITH tk AS (
+                SELECT doc_id AS id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                FROM documents),
+              sh AS (SELECT id, list_distinct(
+                  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]
+                  END) AS s
+                FROM tk),
+              sz AS (SELECT id, len(s) AS sz FROM sh),
+              p AS (SELECT id, unnest(s) AS g FROM sh),
+              pairs AS (
+                SELECT a.id AS id_small, b.id AS id_big, count(*) AS inter
+                FROM p a JOIN p b ON a.g = b.g AND a.id <> b.id
+                JOIN sz sa ON sa.id = a.id JOIN sz sb ON sb.id = b.id
+                WHERE sa.sz < sb.sz OR (sa.sz = sb.sz AND a.id < b.id)
+                GROUP BY 1, 2)
+              SELECT id_small, id_big,
+                round(inter / CAST(sa.sz AS DOUBLE), 4) AS containment
+              FROM pairs JOIN sz sa ON sa.id = id_small
+              WHERE round(inter / CAST(sa.sz AS DOUBLE), 4) >= 0.3
+              ORDER BY id_small, id_big""")),
+
     // winnowing (MOSS) fingerprint selection: the oracle replays the
     // portable gram hashes and the window-min selection verbatim with
     // DuckDB list comprehensions (same short-doc clamps as the Spark

@@ -389,6 +389,33 @@ class DedupSpec extends SparkSpec {
     OperatorCaches.releaseAll()
   }
 
+  test("containmentPairs candidate gate: fires with a sized diagnosis, passes under the ceiling unchanged") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // near-identical docs (30 shared words + a 2-word unique tail): at
+    // t=0.3 the prefix keeps ~70% of each ranked list, so the shared
+    // high-df grams sit inside the prefix despite rare-first ranking and
+    // the estimate goes df-head-quadratic — the regime the gate exists for
+    val body = Seq.fill(30)(s"w${rnd.nextInt(100000)}").mkString(" ")
+    val d = (1L to 40L).map(i => (i, body + s" u${i}a u${i}b")).toDF("doc_id", "text")
+    val est = Dedup.expectedContainmentCandidates(d, threshold = 0.3)
+    assert(est >= 40L * 39 / 2, s"boilerplate corpus estimate too low: $est")
+    // tiny ceiling: fail fast, diagnosis names the levers
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(d, threshold = 0.3, maxExpectedCandidates = 10)
+    }
+    assert(ex.getMessage.contains("maxDf"), ex.getMessage)
+    assert(ex.getMessage.contains("expectedContainmentCandidates"), ex.getMessage)
+    // generous ceiling: results identical to the ungated operator
+    val gated = Dedup.containmentPairs(d, threshold = 0.3,
+      maxExpectedCandidates = est.toDouble + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = Dedup.containmentPairs(d, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gated === plain)
+    OperatorCaches.releaseAll()
+  }
+
   test("containmentPairs prefix filter is lossless vs brute force") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
