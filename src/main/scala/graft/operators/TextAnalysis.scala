@@ -653,6 +653,14 @@ object TextAnalysis {
     * The argmax is collected per round (ONE row — vocabulary-bounded
     * driver state, like the k-means centroids). Returns the merge table
     * (round, sym_a, sym_b, merged, pair_count).
+    *
+    * SCALE CONTRACT: the loop is DRIVER-PACED — one Spark job (pair
+    * count + argmax collect + re-map) per merge, on an ever-longer
+    * cached plan. Fine at audit scale (the catalog runs 8 merges); a
+    * real 50k-merge tokenizer run would be 50k sequential jobs and is
+    * NOT this operator's regime — use [[bpeTrainBatched]], which
+    * accepts top-k non-conflicting merges per round (the standard
+    * distributed-BPE batching) and cuts the round count by ~k.
     */
   def bpeTrain(
       df: DataFrame,
@@ -694,6 +702,118 @@ object TextAnalysis {
       }
     }
     merges.toSeq.toDF("round", "sym_a", "sym_b", "merged", "pair_count")
+  }
+
+  /** Batched BPE training — the TOKENIZER-SCALE shape of [[bpeTrain]]:
+    * each round accepts up to `batchK` merges at once, so a 50k-merge
+    * vocabulary costs ~50k/batchK driver-paced rounds instead of 50k
+    * (the standard distributed-BPE batching; see e.g. the discussion in
+    * Sennrich et al.'s reference implementation issues and every
+    * large-corpus trainer since).
+    *
+    * Batch rule (deterministic, oracle-replayable): rank the round's
+    * top-`batchK` pairs by (weighted count DESC, sym_a, sym_b); accept a
+    * candidate iff it shares NO symbol with ANY higher-ranked candidate
+    * (the one-shot rule — a pair conflicting with a rejected candidate is
+    * still rejected; conservative vs greedy-accept, but expressible as a
+    * single anti-join, which is what lets DuckDB replay it without
+    * sequential state). Accepted merges are symbol-DISJOINT, so each
+    * round-start position matches at most one rule, no application order
+    * exists, and one simultaneous pass applies them all.
+    *
+    * Application is SIMULTANEOUS against the ROUND-START arrays (matches
+    * checked on the pre-round symbols, exactly like the single-merge
+    * closed form) — NOT sequential rule-chaining, which could re-match
+    * tokens created earlier in the same round when a merged string equals
+    * a pre-existing symbol (merge ("a","b") then ("ab","x"): disjoint as
+    * strings, but chaining would merge the just-created "ab" with "x").
+    * Within-round semantics therefore differ from running [[bpeTrain]]
+    * batchK times — deliberately: with batchK = 1 the two are IDENTICAL
+    * (property-tested), and at larger batchK the accepted counts are all
+    * exact as-of round start, the property large-corpus trainers rely on.
+    *
+    * Returns (round, rank, sym_a, sym_b, merged, pair_count): rank is the
+    * within-round acceptance order, pair_count the round-start count.
+    */
+  def bpeTrainBatched(
+      df: DataFrame,
+      textCol: String = "text",
+      rounds: Int = 3,
+      batchK: Int = 4): DataFrame = {
+    require(rounds >= 1 && batchK >= 1, "need rounds >= 1 and batchK >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var syms = OperatorCaches.persistTracked(
+      df.select(explode(wsTokens(lower(col(textCol)))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(col("freq"),
+          concat(split(col("w"), ""), array(lit("</w>"))).as("s")))
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val n = size(col("s"))
+      val pairs = syms.select(col("freq"),
+          explode(zip_with(
+            slice(col("s"), lit(1), greatest(n - 1, lit(0))),
+            slice(col("s"), lit(2), greatest(n - 1, lit(0))),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .select(col("freq"), col("p.a"), col("p.b"))
+      // batchK rows to the driver — bounded state, like bpeTrain's one
+      val top = pairs.groupBy("a", "b").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(batchK).collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      val accepted = top.zipWithIndex.filter { case ((a, b, _), i) =>
+        !top.take(i).exists { case (ha, hb, _) =>
+          ha == a || ha == b || hb == a || hb == b }
+      }.map(_._1)
+      if (accepted.nonEmpty) {
+        accepted.zipWithIndex.foreach { case ((a, b, cnt), i) =>
+          merges += ((r, i + 1, a, b, a + b, cnt))
+        }
+        val rules = accepted.map { case (a, b, _) => (a, b) }.toSeq
+        val applied = syms.select(col("freq"),
+          element_at(transform(array(col("s")),
+            sv => bpeApplyMerges(sv, rules)), 1).as("s"))
+        val next = OperatorCaches.persistTracked(applied)
+        next.count() // materialize before releasing the parent
+        syms = next
+      }
+    }
+    merges.toSeq
+      .toDF("round", "rank", "sym_a", "sym_b", "merged", "pair_count")
+  }
+
+  /** Simultaneous multi-rule variant of [[bpeApplyMerge]]: one greedy
+    * left-to-right pass matching a symbol-DISJOINT rule set against the
+    * round-start array. At most one rule matches any position (caller
+    * guarantees disjointness), so the merged value is a coalesce over
+    * per-rule when()s; the skip/consume logic is unchanged — consecutive
+    * matches can only be the same (x, x) rule, where run parity applies
+    * exactly as in the single-rule fold.
+    */
+  private def bpeApplyMerges(sv: Column, rules: Seq[(String, String)]): Column = {
+    val idx = sequence(lit(0), size(sv) - 1)
+    aggregate(idx,
+      struct(lit(false).as("skip"),
+        array().cast("array<string>").as("out")),
+      (acc, i) => {
+        val cur = element_at(sv, i + 1)
+        val nxt = element_at(sv, i + 2) // null past the end
+        val isMerge = !acc.getField("skip") &&
+          rules.map { case (a, b) =>
+            cur === lit(a) && nxt.isNotNull && nxt === lit(b)
+          }.reduce(_ || _)
+        val mergedOrCur = coalesce(rules.map { case (a, b) =>
+          when(cur === lit(a) && nxt.isNotNull && nxt === lit(b), lit(a + b))
+        } :+ cur: _*)
+        struct(
+          isMerge.as("skip"),
+          when(acc.getField("skip"), acc.getField("out"))
+            .otherwise(concat(acc.getField("out"),
+              array(when(isMerge, mergedOrCur).otherwise(cur))))
+            .as("out"))
+      },
+      acc => acc.getField("out"))
   }
 
   /** Greedy left-to-right single-merge application over a symbol array

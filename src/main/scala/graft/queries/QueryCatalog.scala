@@ -323,6 +323,60 @@ object QueryCatalog {
               $rs"""
   }
 
+  /** The BATCHED BPE chain ([[graft.operators.TextAnalysis.bpeTrainBatched]])
+    * as DuckDB CTEs: per round, pair counts (p), ranked top-k candidates
+    * (t), the one-shot non-conflicting acceptance (acc — NOT EXISTS a
+    * higher-ranked candidate sharing a symbol), and the SIMULTANEOUS
+    * greedy apply of all accepted rules against the round-start arrays —
+    * the single-merge window-parity closed form generalized to a
+    * symbol-disjoint rule set (each position left-joins its matching rule;
+    * runs of consecutive matches are necessarily one (x,x) rule, so the
+    * parity logic is untouched; the merged symbol appends the MATCHED
+    * rule's b). Same MATERIALIZED discipline as [[bpeChainCtes]].
+    */
+  private def bpeBatchChainCtes(rounds: Int, k: Int): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT s[i] AS a, s[i + 1] AS b,
+                  CAST(sum(freq) AS BIGINT) AS cnt
+                FROM v${r - 1}, LATERAL unnest(range(1, len(s))) t(i)
+                GROUP BY 1, 2),
+              t$r AS MATERIALIZED (SELECT a, b, cnt,
+                  row_number() OVER (ORDER BY cnt DESC, a, b) AS rk
+                FROM p$r ORDER BY cnt DESC, a, b LIMIT $k),
+              acc$r AS MATERIALIZED (SELECT a, b, cnt,
+                  row_number() OVER (ORDER BY rk) AS rank FROM t$r t
+                WHERE NOT EXISTS (SELECT 1 FROM t$r h WHERE h.rk < t.rk
+                  AND (h.a = t.a OR h.a = t.b OR h.b = t.a OR h.b = t.b))),
+              x$r AS MATERIALIZED (SELECT w, freq, CAST(i AS BIGINT) AS i,
+                  s[i] AS sym,
+                  CASE WHEN i < len(s) THEN s[i + 1] END AS nxt
+                FROM v${r - 1}, LATERAL unnest(range(1, len(s) + 1)) t(i)),
+              e$r AS MATERIALIZED (SELECT x.w, x.freq, x.i, x.sym,
+                  ru.b AS rb, ru.a IS NOT NULL AS mt
+                FROM x$r x LEFT JOIN acc$r ru
+                  ON x.sym = ru.a AND x.nxt = ru.b),
+              g$r AS (SELECT *, i - row_number()
+                  OVER (PARTITION BY w, mt ORDER BY i) AS grp FROM e$r),
+              o$r AS (SELECT *, CASE WHEN mt THEN
+                  (i - min(i) OVER (PARTITION BY w, mt, grp)) % 2 = 0
+                  ELSE FALSE END AS mstart FROM g$r),
+              c$r AS (SELECT *, coalesce(lag(mstart)
+                  OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed FROM o$r),
+              v$r AS MATERIALIZED (SELECT w, any_value(freq) AS freq,
+                  list(CASE WHEN mstart THEN sym || rb ELSE sym END ORDER BY i)
+                    FILTER (WHERE NOT consumed) AS s
+                FROM c$r GROUP BY w)"""
+    }.mkString(",\n              ")
+    s"""w0 AS MATERIALIZED (SELECT x.w AS w, count(*) AS freq FROM (
+                  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+                  FROM documents) x GROUP BY 1),
+              v0 AS MATERIALIZED (SELECT w, freq,
+                  list_append([substr(w, i, 1) FOR i IN range(1, length(w) + 1)],
+                    '</w>') AS s
+                FROM w0),
+              $rs"""
+  }
+
   private def minhashOracleSql(numHashes: Int, threshold: Double): String =
     s"""WITH ${minhashPairCtes(numHashes, threshold)}
               SELECT id_a, id_b, jaccard FROM mh_pairs ORDER BY id_a, id_b"""
@@ -3420,6 +3474,26 @@ object QueryCatalog {
         s"""WITH ${bpeChainCtes(8)}
               $out
               ORDER BY round"""
+      }),
+
+    // batched BPE (top-k non-conflicting merges per round — the
+    // distributed-trainer shape; 3 rounds x batchK 4 covers ground the
+    // sequential entry needs 8+ driver-paced rounds for). The oracle
+    // replays the batch rule itself: ranked top-k, one-shot conflict
+    // rejection, simultaneous round-start apply
+    Q("q_bpe_batched",
+      (s, dir) => TextAnalysis.bpeTrainBatched(t(s, dir, "documents"),
+          rounds = 3, batchK = 4)
+        .orderBy("round", "rank"),
+      Some {
+        val out = (1 to 3).map(r =>
+          s"SELECT CAST($r AS INT) AS round, CAST(rank AS INT) AS rank, " +
+            s"a AS sym_a, b AS sym_b, a || b AS merged, cnt AS pair_count " +
+            s"FROM acc$r")
+          .mkString("\n              UNION ALL ")
+        s"""WITH ${bpeBatchChainCtes(3, 4)}
+              $out
+              ORDER BY round, rank"""
       }),
 
     // BPE ENCODE under the trained merges — the tokenizer's other half:

@@ -196,6 +196,49 @@ class TextAnalysisSpec extends SparkSpec {
     OperatorCaches.releaseAll()
   }
 
+  test("bpeTrainBatched: batchK=1 equals sequential bpeTrain; disjoint top-k accepted in rank order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val vocabWords = Seq("lower", "lowest", "newer", "newest", "wider",
+      "widest", "low", "new", "aaaa", "aaab")
+    val docs = (1L to 60L).map(i =>
+      (i, Seq.fill(8)(vocabWords(rnd.nextInt(vocabWords.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    // PROPERTY: a batch of one IS sequential BPE — same pairs, same
+    // counts, rank always 1, round == sequential round
+    val seqM = TextAnalysis.bpeTrain(docs, nMerges = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    val b1 = TextAnalysis.bpeTrainBatched(docs, rounds = 6, batchK = 1)
+      .collect().map { r =>
+        assert(r.getInt(1) === 1, "batchK=1 rank must be 1")
+        (r.getInt(0), r.getString(2), r.getString(3), r.getLong(5))
+      }
+    assert(b1.toSeq === seqM.toSeq)
+    OperatorCaches.releaseAll()
+    // Disjoint fixture: four symbol-disjoint dominant pairs — one batched
+    // round accepts all four, in (count DESC, a, b) rank order, with the
+    // same counts sequential training reports for its first four merges
+    val dj = (1L to 50L).map(i => (i, "abab cdcd efef ghgh")).toDF("doc_id", "text")
+    val batched = TextAnalysis.bpeTrainBatched(dj, rounds = 1, batchK = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getLong(5)))
+    assert(batched.length === 4, batched.mkString(","))
+    assert(batched.forall(_._1 === 1))
+    assert(batched.map(_._2).toSeq === Seq(1, 2, 3, 4))
+    val seq4 = TextAnalysis.bpeTrain(dj, nMerges = 4)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSet
+    assert(batched.map(t => (t._3, t._4, t._5)).toSet === seq4)
+    // Conflict fixture: word "xy" x30 and "yz" x20 → round-1 candidates
+    // ranked (x,y):30 then (y,</w>):30 (tie broken by sym_a) — they share
+    // y, so the one-shot rule accepts only the top candidate
+    val cf = ((1L to 30L).map(i => (i, "xy")) ++ (1L to 20L).map(i => (100 + i, "yz")))
+      .toDF("doc_id", "text")
+    val accepted = TextAnalysis.bpeTrainBatched(cf, rounds = 1, batchK = 2)
+      .collect().map(r => (r.getString(2), r.getString(3)))
+    assert(accepted.toSeq === Seq(("x", "y")), accepted.mkString(","))
+    OperatorCaches.releaseAll()
+  }
+
   test("gopherFilter trips each rule on its designed offender") {
     import spark.implicits._
     val prose = ("the quick brown fox jumps with energy and that " * 8).trim
