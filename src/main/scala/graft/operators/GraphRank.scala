@@ -17,6 +17,33 @@ import org.apache.spark.sql.functions._
   */
 object GraphRank {
 
+  /** Opt-in iterative-cost pre-flight shared by [[pageRank]], [[hits]]
+    * and [[stronglyConnected]] — the fail-fast-gate pattern
+    * (expectedHammingCandidates / expectedAutoCandidatePairs) applied to
+    * the rounds × |edges| join volume that is the whole cost of a
+    * fixed-point graph operator. The single-JVM harness hit this as a
+    * 58-minute silent timeout at ×1000 (BENCH_SF10 addendum 40); a
+    * 100-TB user should get a sized diagnosis in milliseconds instead.
+    *
+    * `edgeCount` is whatever upper bound the caller has cheaply — a
+    * parquet row count of the pair source, a previous run's edge count —
+    * so the gate is pure driver arithmetic. When the operator has to
+    * count its own deduped edge table the diagnosis costs one edge-build
+    * instead (still two orders under the gated join cascade).
+    */
+  private[graft] def iterativeScanGate(
+      opName: String,
+      rounds: Double,
+      edgeCount: Long,
+      ceiling: Double,
+      levers: String): Unit = {
+    val est = rounds * edgeCount
+    require(est <= ceiling,
+      f"$opName would scan ~$est%.3g edge-join rows ($rounds%.0f rounds x " +
+        f"$edgeCount edges; ceiling $ceiling%.3g). $levers — or raise the " +
+        "ceiling if the cluster is sized for it.")
+  }
+
   /** PageRank over a directed edge list (src, dst), damping `d`, uniform
     * initialization 1/N. Requirements the caller owns (and the catalog
     * entry satisfies by symmetrizing): every node referenced must have at
@@ -37,12 +64,23 @@ object GraphRank {
   def pageRank(
       edges: DataFrame,
       iterations: Int = 8,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      maxEdgeScanRows: Double = Double.MaxValue,
+      estimatedEdges: Option[Long] = None): DataFrame = {
     require(iterations >= 1 && damping > 0 && damping < 1,
       "need iterations >= 1 and 0 < damping < 1")
+    // opt-in budget gate (see iterativeScanGate): with a caller-supplied
+    // edge bound the diagnosis is driver arithmetic — milliseconds, no
+    // edge build; without one it prices the deduped edge table below
+    estimatedEdges.filter(_ => maxEdgeScanRows < Double.MaxValue)
+      .foreach(m => iterativeScanGate("pageRank", iterations.toDouble, m,
+        maxEdgeScanRows, "Lower iterations or reduce the edge list first"))
     val e = OperatorCaches.persistTracked(
       edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")).distinct())
+    if (maxEdgeScanRows < Double.MaxValue && estimatedEdges.isEmpty)
+      iterativeScanGate("pageRank", iterations.toDouble, e.count(),
+        maxEdgeScanRows, "Lower iterations or reduce the edge list first")
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // hash-partition the (big) degree-joined edge table BY src ONCE and
     // persist: the cached relation reports that partitioning, so when the
@@ -622,8 +660,19 @@ object GraphRank {
   def stronglyConnected(
       edges: DataFrame,
       maxRounds: Int = 12,
-      maxSteps: Int = 60): DataFrame = {
+      maxSteps: Int = 60,
+      maxEdgeScanRows: Double = Double.MaxValue,
+      estimatedEdges: Option[Long] = None): DataFrame = {
     require(maxRounds >= 1 && maxSteps >= 1, "need positive round budgets")
+    // the gated volume is the WORST-CASE budget maxRounds·maxSteps·|edges|
+    // (remaining edges shrink every peel, so real runs spend far less) —
+    // a budget ceiling prices what the operator COULD spend, which is
+    // what the 58-min ×1000 timeout actually was
+    def gate(m: Long): Unit = iterativeScanGate("stronglyConnected",
+      maxRounds.toDouble * maxSteps, m, maxEdgeScanRows,
+      "Lower maxRounds/maxSteps (diameter-bounded graphs converge far " +
+        "under the budget) or reduce the edge list first")
+    estimatedEdges.filter(_ => maxEdgeScanRows < Double.MaxValue).foreach(gate)
     def cut(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
@@ -631,6 +680,8 @@ object GraphRank {
       edges.select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst"))
         .filter(col("src") =!= col("dst")).distinct())
+    if (maxEdgeScanRows < Double.MaxValue && estimatedEdges.isEmpty)
+      gate(remaining.count())
     // self-loop-only nodes are singleton SCCs of themselves; the generic
     // union below folds them in via the trivial (node, node) seed
     val allNodes = cut(
@@ -760,11 +811,23 @@ object GraphRank {
     * in Spark), exact because each node contributes at most one hub
     * and one auth addend.
     */
-  def hits(edges: DataFrame, iterations: Int = 6): DataFrame = {
+  def hits(
+      edges: DataFrame,
+      iterations: Int = 6,
+      maxEdgeScanRows: Double = Double.MaxValue,
+      estimatedEdges: Option[Long] = None): DataFrame = {
     require(iterations >= 1, "need iterations >= 1")
+    // two half-steps per iteration, each one edge-table join — the gated
+    // volume is 2·iterations·|edges| (see iterativeScanGate)
+    estimatedEdges.filter(_ => maxEdgeScanRows < Double.MaxValue)
+      .foreach(m => iterativeScanGate("hits", 2.0 * iterations, m,
+        maxEdgeScanRows, "Lower iterations or reduce the edge list first"))
     val e = OperatorCaches.persistTracked(
       edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")).distinct())
+    if (maxEdgeScanRows < Double.MaxValue && estimatedEdges.isEmpty)
+      iterativeScanGate("hits", 2.0 * iterations, e.count(),
+        maxEdgeScanRows, "Lower iterations or reduce the edge list first")
     val eBySrc = OperatorCaches.persistTracked(e.repartition(col("src")))
     val eByDst = OperatorCaches.persistTracked(e.repartition(col("dst")))
     val srcs = e.select(col("src").as("node")).distinct()

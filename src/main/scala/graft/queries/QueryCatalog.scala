@@ -377,6 +377,31 @@ object QueryCatalog {
               $rs"""
   }
 
+  /** PageRank-over-the-trade-graph oracle (8 unrolled rounds on the 7-dp
+    * grid) — shared by q_pagerank and its budget-gated twin (the gate is
+    * cost-only below the ceiling, so both replay identically).
+    */
+  private lazy val pagerankOracleSql: String = {
+    val iters = (1 to 8).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+                round((1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                      + CAST(0.85 AS DOUBLE) * sum(r.r / d.deg), 7) AS r
+                FROM edges e JOIN r${i - 1} r ON r.node = e.src
+                JOIN deg d ON d.src = e.src GROUP BY e.dst)"""
+    }.mkString(",\n              ")
+    s"""WITH e0 AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              edges AS (SELECT src, dst FROM e0
+                UNION SELECT dst AS src, src AS dst FROM e0),
+              deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+              nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+              r0 AS (SELECT src AS node,
+                round(CAST(1 AS DOUBLE) / (SELECT n FROM nn), 7) AS r FROM deg),
+              $iters
+              SELECT node, r AS rank FROM r8 ORDER BY node"""
+  }
+
   private def minhashOracleSql(numHashes: Int, threshold: Double): String =
     s"""WITH ${minhashPairCtes(numHashes, threshold)}
               SELECT id_a, id_b, jaccard FROM mh_pairs ORDER BY id_a, id_b"""
@@ -3539,26 +3564,32 @@ object QueryCatalog {
         graft.operators.GraphRank.pageRank(edges, iterations = 8)
           .orderBy("node")
       },
-      Some {
-        val iters = (1 to 8).map { i =>
-          s"""r$i AS (SELECT e.dst AS node,
-                round((1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
-                      + CAST(0.85 AS DOUBLE) * sum(r.r / d.deg), 7) AS r
-                FROM edges e JOIN r${i - 1} r ON r.node = e.src
-                JOIN deg d ON d.src = e.src GROUP BY e.dst)"""
-        }.mkString(",\n              ")
-        s"""WITH e0 AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
-                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
-                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-              edges AS (SELECT src, dst FROM e0
-                UNION SELECT dst AS src, src AS dst FROM e0),
-              deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-              nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
-              r0 AS (SELECT src AS node,
-                round(CAST(1 AS DOUBLE) / (SELECT n FROM nn), 7) AS r FROM deg),
-              $iters
-              SELECT node, r AS rank FROM r8 ORDER BY node"""
-      }),
+      Some(pagerankOracleSql)),
+
+    // the BUDGET-GATED configuration of the same pageRank: the caller
+    // supplies the cheap edge upper bound (2·|lineitem| — one parquet
+    // metadata count, every lineitem row contributes at most one
+    // symmetrized pair each way), so the rounds×edges pre-flight is pure
+    // driver arithmetic. Ceiling 3e9 passes every driver scale
+    // (sf0.1 est 9.6e6, ×100 est 9.6e8) and fail-fasts in milliseconds
+    // at ×1000 (est 9.6e9) — the sized diagnosis that replaces
+    // BENCH_SF10 addendum 40's 58-minute silent timeout. Gate is
+    // cost-only below the ceiling: identical results, same oracle.
+    Q("q_pagerank_gated",
+      (s, dir) => {
+        val liT = t(s, dir, "lineitem")
+        val li = liT.select(col("l_orderkey"), col("l_suppkey"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        val edges = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.GraphRank.pageRank(edges, iterations = 8,
+            maxEdgeScanRows = 3e9, estimatedEdges = Some(2L * liT.count()))
+          .orderBy("node")
+      },
+      Some(pagerankOracleSql)),
 
     // synchronous label propagation over the same co-order graph: 4 fixed
     // rounds, majority label with min-label ties — integer state, so the

@@ -54,6 +54,47 @@ class GraphRankSpec extends SparkSpec {
     OperatorCaches.releaseAll()
   }
 
+  test("iterative budget gate: ms fail-fast on the estimate path, counted path, pass-unchanged") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
+      .toDF("src", "dst")
+    // estimate path: pure driver arithmetic, fires before any job runs
+    val ex1 = intercept[IllegalArgumentException] {
+      GraphRank.pageRank(edges, iterations = 8,
+        maxEdgeScanRows = 10, estimatedEdges = Some(1000000L))
+    }
+    assert(ex1.getMessage.contains("rounds"), ex1.getMessage)
+    assert(ex1.getMessage.contains("ceiling"), ex1.getMessage)
+    // counted path: no caller estimate — the gate prices the deduped
+    // edge table it just built (6 edges x 8 rounds = 48 > 10)
+    val ex2 = intercept[IllegalArgumentException] {
+      GraphRank.pageRank(edges, iterations = 8, maxEdgeScanRows = 10).collect()
+    }
+    assert(ex2.getMessage.contains("48"), ex2.getMessage)
+    OperatorCaches.releaseAll()
+    // under the ceiling the gate is cost-only: identical ranks
+    val gated = GraphRank.pageRank(edges, iterations = 4,
+        maxEdgeScanRows = 1e6, estimatedEdges = Some(6L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    OperatorCaches.releaseAll()
+    val plain = GraphRank.pageRank(edges, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gated === plain)
+    OperatorCaches.releaseAll()
+    // hits and stronglyConnected share the gate
+    val ex3 = intercept[IllegalArgumentException] {
+      GraphRank.hits(edges, iterations = 6,
+        maxEdgeScanRows = 10, estimatedEdges = Some(1000L))
+    }
+    assert(ex3.getMessage.contains("hits"), ex3.getMessage)
+    val ex4 = intercept[IllegalArgumentException] {
+      GraphRank.stronglyConnected(edges,
+        maxEdgeScanRows = 10, estimatedEdges = Some(1000L))
+    }
+    assert(ex4.getMessage.contains("stronglyConnected"), ex4.getMessage)
+    OperatorCaches.releaseAll()
+  }
+
   test("labelPropagation converges two cliques to their min labels") {
     import spark.implicits._
     // two 4-cliques {1,2,3,4} and {10,11,12,13} joined by one bridge 4-10
