@@ -207,6 +207,48 @@ object Profiling {
           round(lit(k) * col("mad"), 6), 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Sketch-anchored MAD outlier profile — the SCALE PATH for
+    * [[madOutliers]]: the exact grouped percentiles there are two
+    * full-sort shuffles (a measured 23.5 s ×1000 wall on one box); this
+    * variant anchors median and MAD on the log-histogram quantile sketch
+    * ([[Sketches.logHistSketch]] — bounded bucket tables, never a data
+    * sort), so the whole profile is three scans plus broadcast-size
+    * anchor joins at any corpus size. Anchors are within 2^-(subBits+1)
+    * relative of the exact disc-quantiles (the sketch's published bound,
+    * audited by q_outlier_mad_approx / q_quantile_sketch), and — unlike
+    * approx_percentile's KLL sketch — fully DETERMINISTIC and
+    * engine-portable: an independent engine replays every bucket, both
+    * anchors, and the flag counts byte-for-byte.
+    *
+    * `valueCol` (and hence the deviations) must be non-negative
+    * money-like values — the sketch buckets integer cents.
+    */
+  def madOutliersSketch(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val vals = df.select(col(groupCol), col(valueCol).cast("double").as("x"))
+    val med = Sketches.logHistQuantiles(
+        Sketches.logHistSketch(vals, col("x"), Seq(groupCol)),
+        Seq(groupCol), Seq(0.5))
+      .select(col(groupCol), col("est").as("median_est"))
+    val dev = vals.join(broadcast(med), Seq(groupCol))
+      .withColumn("d", abs(col("x") - col("median_est")))
+    val mad = Sketches.logHistQuantiles(
+        Sketches.logHistSketch(dev, col("d"), Seq(groupCol)),
+        Seq(groupCol), Seq(0.5))
+      .select(col(groupCol), col("est").as("mad_est"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        round(first("median_est"), 4).as("median_est"),
+        round(first("mad_est"), 4).as("mad_est"),
+        // same 6-dp fence grid as the exact operator
+        sum(when(round(col("d"), 6) > round(lit(k) * col("mad_est"), 6), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Shannon entropy (bits) of a column's value distribution — the
     * profiling signal for key quality (0 = constant column, log2(n) =
     * unique key). One groupBy + one reduce: shuffles carry (value, count)

@@ -402,6 +402,48 @@ object QueryCatalog {
               SELECT node, r AS rank FROM r8 ORDER BY node"""
   }
 
+  /** One log-hist-sketch median block as DuckDB CTEs (subBits = 4, the
+    * q_quantile_sketch replay verbatim): buckets `src`(g, `vc`) and emits
+    * `out`(g, `outCol`) = the 6-dp bucket-midpoint disc-median estimate.
+    */
+  private def logHistMedianCtes(
+      src: String, vc: String, out: String, outCol: String): String =
+    s"""b_$out AS (SELECT g,
+                  CAST(CASE WHEN c <= 0 THEN -1
+                    ELSE length(bin(c)) - 1 END AS INT) AS bhi,
+                  CASE WHEN c <= 0 THEN CAST(0 AS BIGINT)
+                    ELSE c >> greatest(length(bin(c)) - 1 - 4, 0) END AS blo
+                FROM (SELECT g, CAST(floor($vc * 100 + 0.5) AS BIGINT) AS c
+                  FROM $src)),
+              sk_$out AS (SELECT g, bhi, blo, count(*) AS ct
+                FROM b_$out GROUP BY 1, 2, 3),
+              cum_$out AS (SELECT g, bhi, blo, ct,
+                  sum(ct) OVER (PARTITION BY g ORDER BY bhi, blo
+                    ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(ct) OVER (PARTITION BY g) AS n
+                FROM sk_$out),
+              $out AS MATERIALIZED (SELECT g,
+                  CASE WHEN bhi = -1 THEN 0.0 ELSE
+                    round((blo * 2 * (CAST(1 AS BIGINT) << greatest(bhi - 4, 0))
+                      + (CAST(1 AS BIGINT) << greatest(bhi - 4, 0)) - 1)
+                      / 2.0 / 100.0, 6) END AS $outCol
+                FROM cum_$out
+                WHERE cum >= greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                  AND cum - ct < greatest(CAST(ceil(0.5 * n) AS BIGINT), 1))"""
+
+  /** The sketch-anchored MAD chain shared by q_outlier_mad_approx and its
+    * audit: vals → sketch median (me.m) → deviations dm(g, x, d) →
+    * deviation-sketch MAD (ma.mad).
+    */
+  private lazy val madSketchCtes: String =
+    s"""vals AS MATERIALIZED (SELECT l_returnflag AS g,
+                  CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+              ${logHistMedianCtes("vals", "x", "me", "m")},
+              dm AS MATERIALIZED (SELECT vals.g, vals.x,
+                  abs(vals.x - me.m) AS d
+                FROM vals JOIN me ON me.g = vals.g),
+              ${logHistMedianCtes("dm", "d", "ma", "mad")}"""
+
   private def minhashOracleSql(numHashes: Int, threshold: Double): String =
     s"""WITH ${minhashPairCtes(numHashes, threshold)}
               SELECT id_a, id_b, jaccard FROM mh_pairs ORDER BY id_a, id_b"""
@@ -671,6 +713,85 @@ object QueryCatalog {
                 CAST(sum(CASE WHEN round(abs(v.x - s.median), 6) >
                   round(3 * s.mad, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
               FROM v JOIN s ON s.g = v.g GROUP BY v.g ORDER BY v.g""")),
+
+    // sketch-anchored MAD profile — the SCALE PATH for q_outlier_mad
+    // (whose exact grouped percentiles are a measured 23.5 s full-sort
+    // wall at ×1000): median/MAD anchors come from the log-histogram
+    // quantile sketch (bounded bucket tables, three scans, no sort).
+    // Anchors are deterministic, so the oracle replays every bucket and
+    // the flag counts exactly — unlike approx_percentile there is no
+    // engine-specific sketch to excuse
+    Q("q_outlier_mad_approx",
+      (s, dir) => Profiling.madOutliersSketch(
+          t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag"),
+      Some(s"""WITH $madSketchCtes
+              SELECT dm.g AS l_returnflag, count(*) AS n,
+                round(any_value(me.m), 4) AS median_est,
+                round(any_value(ma.mad), 4) AS mad_est,
+                CAST(sum(CASE WHEN round(dm.d, 6) >
+                  round(3 * ma.mad, 6) THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_outliers
+              FROM dm JOIN me ON me.g = dm.g JOIN ma ON ma.g = dm.g
+              GROUP BY dm.g ORDER BY dm.g""")),
+
+    // the error-bound audit for the entry above (the q_quantile_sketch
+    // convention): exact disc-quantile anchors come from sketch-guided
+    // selection (sorts only the winning buckets — scale-safe), and both
+    // sketch anchors must sit within the published 2^-5 relative bound
+    Q("q_outlier_mad_audit",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val vals = li.select(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("x"))
+        val prof = Profiling.madOutliersSketch(li, "l_returnflag", "l_extendedprice")
+        val exMed = graft.operators.Sketches.exactQuantilesViaSketch(
+            vals, col("x"), Seq("l_returnflag"), Seq(0.5), subBits = 8)
+          .select(col("l_returnflag"), round(col("exact_v"), 4).as("median_exact"))
+        // deviations from the SKETCH median — the same d stream the
+        // profile flags on, so the MAD audit measures the MAD anchor,
+        // not a different statistic
+        val med = graft.operators.Sketches.logHistQuantiles(
+            graft.operators.Sketches.logHistSketch(vals, col("x"), Seq("l_returnflag")),
+            Seq("l_returnflag"), Seq(0.5))
+          .select(col("l_returnflag"), col("est").as("m"))
+        val dev = vals.join(broadcast(med), Seq("l_returnflag"))
+          .withColumn("d", abs(col("x") - col("m")))
+        val exMad = graft.operators.Sketches.exactQuantilesViaSketch(
+            dev, col("d"), Seq("l_returnflag"), Seq(0.5), subBits = 8)
+          .select(col("l_returnflag"), round(col("exact_v"), 4).as("mad_exact"))
+        prof.join(exMed, Seq("l_returnflag")).join(exMad, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("median_est"), col("mad_est"),
+            col("median_exact"), col("mad_exact"),
+            (round(abs(col("median_est") - col("median_exact"))
+              / col("median_exact"), 6) <= 0.0315).as("median_within_bound"),
+            (round(abs(col("mad_est") - col("mad_exact"))
+              / col("mad_exact"), 6) <= 0.0315).as("mad_within_bound"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH $madSketchCtes,
+              rkm AS (SELECT g, v,
+                  row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                  count(*) OVER (PARTITION BY g) AS n
+                FROM (SELECT g, x AS v FROM vals)),
+              exm AS (SELECT g, round(v, 4) AS median_exact FROM rkm
+                WHERE rn = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)),
+              rkd AS (SELECT g, v,
+                  row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                  count(*) OVER (PARTITION BY g) AS n
+                FROM (SELECT g, d AS v FROM dm)),
+              exd AS (SELECT g, round(v, 4) AS mad_exact FROM rkd
+                WHERE rn = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1))
+              SELECT me.g AS l_returnflag,
+                round(me.m, 4) AS median_est, round(ma.mad, 4) AS mad_est,
+                exm.median_exact, exd.mad_exact,
+                round(abs(round(me.m, 4) - exm.median_exact)
+                  / exm.median_exact, 6) <= 0.0315 AS median_within_bound,
+                round(abs(round(ma.mad, 4) - exd.mad_exact)
+                  / exd.mad_exact, 6) <= 0.0315 AS mad_within_bound
+              FROM me JOIN ma ON ma.g = me.g
+              JOIN exm ON exm.g = me.g JOIN exd ON exd.g = me.g
+              ORDER BY me.g""")),
 
     // Poisson bootstrap confidence interval — THE distributed bootstrap
     // (per-row independent Poisson(1) weights instead of multinomial
