@@ -31,10 +31,21 @@ object Survival {
     *
     * Scale shape: the only full-data pass is the groupBy(duration) count
     * (map-side combined longs). The curve state is one row per distinct
-    * duration — days/weeks granularity, thousands of rows at any corpus
-    * size — so the unpartitioned cumulative windows over it are a
-    * deliberate bounded single-partition tail, the same envelope as every
-    * audit-sized output in the catalog.
+    * duration, so the unpartitioned cumulative windows over it are a
+    * deliberate bounded single-partition tail — the same envelope as
+    * every audit-sized output in the catalog, VALID ONLY WHILE THE
+    * DISTINCT-DURATION SUPPORT IS BOUNDED.
+    *
+    * BIN-FIRST CONTRACT (the AUC/isotonic convention): durations at
+    * days/weeks granularity keep the support in the thousands at any
+    * corpus size, but second-resolution durations on a 100 TB event
+    * table yield ~10⁷ distinct t on one partition — bucket first. Pass
+    * `binWidth` > 1 to bucket durations to floor(t/binWidth)·binWidth
+    * (the bucket LOWER BOUND, deterministic integer arithmetic in any
+    * engine; durations must be non-negative) — the curve is then the KM
+    * estimate of the coarsened durations, with the support bounded by
+    * range/binWidth whatever the corpus does. binWidth = 1 (default) is
+    * the exact estimator, bit-identical to the pre-contract behavior.
     */
   /** Two-group log-rank test (Mantel 1966) — the inference companion to
     * [[kaplanMeier]]: does group 1's survival curve differ from group
@@ -52,17 +63,21 @@ object Survival {
     *
     * Scale shape: one groupBy(duration, group) pass; risk sets come from
     * cumulative windows over the distinct-duration support (the
-    * kaplanMeier envelope). Returns one row:
-    * (d1_obs, e1_exp, chi2, significant).
+    * kaplanMeier envelope — and the same BIN-FIRST CONTRACT: the
+    * single-partition window is bounded only while the support is; pass
+    * `binWidth` > 1 to bucket second-resolution durations, which
+    * coarsens the test's time grid exactly as ties already do). Returns
+    * one row: (d1_obs, e1_exp, chi2, significant).
     */
   def logRank(
       df: DataFrame,
       durationCol: String = "duration",
       eventCol: String = "event",
-      groupCol: String = "g"): DataFrame = {
+      groupCol: String = "g",
+      binWidth: Long = 1L): DataFrame = {
     val byT = df
       .filter(col(durationCol).isNotNull)
-      .groupBy(col(durationCol).cast("long").as("t"))
+      .groupBy(binnedT(durationCol, binWidth).as("t"))
       .agg(count(lit(1)).as("n_at_t"),
         sum(col(eventCol).cast("long")).as("d_t"),
         sum(when(col(groupCol) === 1, 1L).otherwise(0L)).as("n1_at_t"),
@@ -89,13 +104,26 @@ object Survival {
       .withColumn("significant", col("chi2") > 3.841)
   }
 
+  /** Floor-bucket a duration column to `binWidth`-wide bins keyed by the
+    * bin lower bound: t − pmod(t, w) — pure integer arithmetic, identical
+    * in any engine for the non-negative durations the contract requires.
+    * binWidth = 1 keeps the original cast expression so default-parameter
+    * plans (and their oracles) are untouched.
+    */
+  private def binnedT(durationCol: String, binWidth: Long) = {
+    require(binWidth >= 1, "binWidth must be >= 1")
+    val t = col(durationCol).cast("long")
+    if (binWidth == 1L) t else t - pmod(t, lit(binWidth))
+  }
+
   def kaplanMeier(
       df: DataFrame,
       durationCol: String = "duration",
-      eventCol: String = "event"): DataFrame = {
+      eventCol: String = "event",
+      binWidth: Long = 1L): DataFrame = {
     val byT = df
       .filter(col(durationCol).isNotNull)
-      .groupBy(col(durationCol).cast("long").as("t"))
+      .groupBy(binnedT(durationCol, binWidth).as("t"))
       .agg(count(lit(1)).as("n_at_t"),
         sum(col(eventCol).cast("long")).as("d_events"))
     val wRisk = Window.orderBy("t")

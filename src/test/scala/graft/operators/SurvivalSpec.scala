@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.expr
 
 class SurvivalSpec extends SparkSpec {
 
@@ -38,6 +39,36 @@ class SurvivalSpec extends SparkSpec {
     assert(got(0)._4 === BigDecimal(2.0 / 3)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(got(1) === ((2L, 2L, 2L, 0.0)))
+  }
+
+  test("bin-first contract: binWidth bounds a planted 1e5-distinct-t support and equals pre-binning") {
+    import spark.implicits._
+    // second-resolution shape: 100k subjects, every duration distinct —
+    // the support a 100 TB event table would put on one window partition
+    val n = 100000
+    val rows = (1 to n).map(i => (i.toLong, i % 2, (i % 3) % 2))
+    val df = rows.toDF("duration", "event", "g")
+    val binned = Survival.kaplanMeier(df, binWidth = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // support is bounded by range/binWidth, not by the corpus
+    assert(binned.length <= n / 1000 + 1, s"support not bounded: ${binned.length}")
+    assert(binned.forall(_._1 % 1000 == 0), "bins must key by their lower bound")
+    // binWidth is definitionally KM over the coarsened durations
+    val pre = Survival.kaplanMeier(
+        df.withColumn("duration", expr("duration - duration % 1000")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(binned.sortBy(_._1).toSeq === pre.sortBy(_._1).toSeq)
+    // same contract on logRank: one row out, equal to the pre-binned test
+    val lrBinned = Survival.logRank(df, binWidth = 1000L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val lrPre = Survival.logRank(
+        df.withColumn("duration", expr("duration - duration % 1000")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(lrBinned === lrPre)
+    // binWidth = 1 is the exact estimator, untouched
+    val exact = Survival.kaplanMeier(df.limit(500), binWidth = 1L).collect()
+    val default = Survival.kaplanMeier(df.limit(500)).collect()
+    assert(exact.toSeq === default.toSeq)
   }
 
   test("logRank: identical groups give chi2 ~ 0; disjoint lifetimes flag") {
