@@ -195,9 +195,12 @@ class CorpusOpsSpec extends SparkSpec {
   test("dpNoisyCounts: seeded Laplace replays scalar-side, seed rotates, eps scales") {
     import spark.implicits._
     val df = (0 until 90).map(i => (s"g${i % 3}", i)).toDF("g", "x")
+    // length-prefixed token (len#value) — the injective noise key that
+    // stops ':'-containing or null-vs-empty group values colliding onto
+    // one Laplace draw
     def scalarNoise(seed: String, g: String, eps: Double): Double = {
-      val u = (graft.operators.PortableHash.portable60(s"$seed:$g") + 0.5) /
-        math.pow(2.0, 60) - 0.5
+      val u = (graft.operators.PortableHash.portable60(
+        s"$seed:${g.length}#$g") + 0.5) / math.pow(2.0, 60) - 0.5
       -1.0 / eps * math.signum(u) * math.log(1.0 - math.abs(u) * 2)
     }
     val got = Profiling.dpNoisyCounts(df, Seq("g"), epsilon = 1.0)
