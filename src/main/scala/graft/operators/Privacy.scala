@@ -68,4 +68,57 @@ object Privacy {
         greatest(max(col("m_vals")) - 1L, lit(1L)), 6).as("emd"))
       .withColumnRenamed("n_class", "k")
   }
+
+  /** Warner randomized response (JASA 1965) for a binary attribute, plus
+    * the release-side debiasing audit: each subject reports the TRUTH
+    * with probability p = pNum/pDen and the flipped bit otherwise, the
+    * release sees only the reported rate λ̂, and the unbiased estimate of
+    * the true proportion is
+    *
+    *   π̂ = (λ̂ − (1 − p)) / (2p − 1)
+    *
+    * The truth probability is a RATIONAL (pNum/pDen), not an ε: the
+    * equivalent ε = ln(p/(1−p)) needs a transcendental neither engine
+    * evaluates correctly-rounded, so the mechanism is parameterized by
+    * the exact ratio and the scaladoc states the correspondence (3/4 →
+    * ε = ln 3 ≈ 1.0986).
+    *
+    * The flip draw is the portable seeded hash ([[PortableHash]]) of the
+    * subject id — mod pDen < pNum keeps the truth — so an independent
+    * engine replays every per-subject coin exactly; like dpNoisyCounts,
+    * the fixed draw means reproducibility covers re-runs of the SAME
+    * snapshot only. Because this is an AUDIT operator the output also
+    * carries the true rate and the estimator's absolute error — the
+    * mechanism under test never sees them (the decontaminate-bloom-FPR
+    * convention). Pure map + one aggregate: nothing here shuffles more
+    * than the final single-row fold. Returns one row:
+    * (n, p_truth, reported_rate, estimate, true_rate, abs_err).
+    */
+  def randomizedResponse(
+      df: DataFrame,
+      idCol: Column,
+      truthCol: Column,
+      pNum: Int = 3,
+      pDen: Int = 4,
+      seed: String = "rr"): DataFrame = {
+    require(pDen > 0 && pNum > 0 && pNum < pDen, "need 0 < pNum/pDen < 1")
+    require(2 * pNum != pDen, "p = 1/2 carries no signal (2p-1 = 0)")
+    val keep = PortableHash.portable60(
+      concat_ws(":", lit(seed), idCol.cast("string"))) % pDen < pNum
+    val p = pNum.toDouble / pDen
+    df.select(truthCol.cast("long").as("truth"),
+        when(keep, truthCol.cast("long"))
+          .otherwise(lit(1L) - truthCol.cast("long")).as("reported"))
+      .agg(count(lit(1)).as("n"),
+        sum("reported").as("rep_sum"), sum("truth").as("true_sum"))
+      .select(col("n"), lit(p).as("p_truth"),
+        round(col("rep_sum").cast("double") / col("n"), 6)
+          .as("reported_rate"),
+        round((col("rep_sum").cast("double") / col("n") - (1.0 - p)) /
+          (2.0 * p - 1.0), 6).as("estimate"),
+        round(col("true_sum").cast("double") / col("n"), 6).as("true_rate"),
+        round(abs((col("rep_sum").cast("double") / col("n") - (1.0 - p)) /
+          (2.0 * p - 1.0) -
+          col("true_sum").cast("double") / col("n")), 6).as("abs_err"))
+  }
 }

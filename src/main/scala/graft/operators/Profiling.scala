@@ -391,4 +391,49 @@ object Profiling {
         4))
       .drop("__u")
   }
+
+  /** Sample autocorrelation of an already-aggregated series at lags
+    * 1..maxLag, by the standard biased estimator (the one whose lag-0
+    * denominator makes |r_l| ≤ 1 and the ACF p.s.d.):
+    *
+    *   r_l = Σ_t (x_t − x̄)(x_{t+l} − x̄) / Σ_t (x_t − x̄)²
+    *
+    * `series` has ONE row per integral time index (`tCol`) — the caller
+    * aggregates the corpus down to the series first (a daily-counts
+    * groupBy), which is what bounds everything here: the lag self-join,
+    * the mean, and both moment sums run over series-length rows, never
+    * raw events. Gaps in the index are the caller's contract (gap-fill
+    * first; a missing t simply contributes no pair at any lag).
+    *
+    * Cross-engine determinism: x̄ and the centered products are doubles,
+    * but over the bounded series support with one shared expression
+    * order, the t-closeness ~1e-16-vs-5e-7 argument applies. Returns
+    * (lag, n_pairs, acf) ordered by lag.
+    */
+  def acf(series: DataFrame, tCol: Column, xCol: Column,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 1000, "maxLag must be in [1, 1000]")
+    val s = series.select(tCol.cast("long").as("t"),
+      xCol.cast("double").as("x"))
+    val stats = broadcast(s.agg(avg("x").as("xbar"),
+      count(lit(1)).as("n_series")))
+    val centered = s.crossJoin(stats)
+      .select(col("t"), (col("x") - col("xbar")).as("d"))
+    val denom = broadcast(centered.agg(sum(col("d") * col("d")).as("ss")))
+    val lags = broadcast(
+      s.sparkSession.range(1, maxLag + 1).select(col("id").as("lag")))
+    centered.crossJoin(lags)
+      .select((col("t") + col("lag")).as("t2"), col("lag"),
+        col("d").as("d1"))
+      .join(centered.select(col("t").as("t2"), col("d").as("d2")), Seq("t2"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("d1") * col("d2")).as("num"))
+      .crossJoin(denom)
+      // a constant series has zero variance: ACF undefined — NULL by an
+      // explicit shared guard, not an engine-specific NaN/inf split
+      .select(col("lag"), col("n_pairs"),
+        when(col("ss") > 0, round(col("num") / col("ss"), 6)).as("acf"))
+      .orderBy("lag")
+  }
 }

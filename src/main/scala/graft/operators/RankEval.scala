@@ -1,0 +1,286 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Rank-based inference and ranking-quality metrics. Every member follows
+  * the ModelEval envelope: the corpus is folded to a GROUPED support table
+  * first (one map-side-combined shuffle keyed by the discrete value), so
+  * the rank arithmetic that follows runs over the bounded distinct-value
+  * support — never a global subject sort, which is what textbook rank
+  * statistics (rank() over everything) would shuffle at 100 TB. As with
+  * AUC/isotonic, callers bin continuous values first; the support bound is
+  * the contract.
+  */
+object RankEval {
+
+  /** z critical value at α = 0.05 two-sided, on the 6-dp grid — spliced
+    * verbatim into the oracles (constant-splice convention).
+    */
+  val ZCrit05: Double = 1.959964
+
+  /** Mann–Whitney U test (Wilcoxon rank-sum) between group 0 and group 1
+    * of an integral value column, with midranks for ties and the tie-
+    * corrected normal approximation:
+    *
+    *   U_a = R_a − n_a(n_a+1)/2
+    *   μ   = n_a·n_b/2
+    *   σ²  = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1)))   (t = tie sizes)
+    *   z   = (U_a − μ)/σ
+    *
+    * Distributed shape: ONE groupBy(value) with map-side combine folds the
+    * corpus to (value, cnt_a, cnt_b); midranks derive from cumulative
+    * counts over the distinct support exactly as in
+    * [[ModelEval.aucFromScores]] (same identity — AUC is U_a/(n_a·n_b)).
+    *
+    * Cross-engine determinism: INTEGER until the final three divisions —
+    * rank sums carried as 2×midrank in BIGINT, tie term Σ(t³−t) in BIGINT.
+    * BIGINT bounds: rank sums need n ≲ 1e9 (the AUC envelope); the tie
+    * term needs max tie-group ≲ 2e6 — past either, swap the sum to
+    * DecimalType. `significant` compares |z| AFTER 6-dp rounding against
+    * the spliced [[ZCrit05]] so both engines decide over identical values;
+    * a degenerate σ = 0 (all values tied) yields NULL z by an explicit
+    * guard in both engines.
+    *
+    * Returns one row: (n_a, n_b, u, z, significant); u is a half-integer
+    * carried exactly (one division of a BIGINT by 2.0).
+    */
+  def mannWhitney(df: DataFrame, valueCol: Column, groupCol: Column): DataFrame = {
+    val byV = df
+      .groupBy(valueCol.cast("long").as("v"))
+      .agg(sum(when(groupCol === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(groupCol === 1, 1L).otherwise(0L)).as("cb"))
+      .withColumn("cnt", col("ca") + col("cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byV
+      .withColumn("cum_less", sum("cnt").over(w) - col("cnt"))
+      .withColumn("midrank2", lit(2L) * col("cum_less") + col("cnt") + 1L)
+      .agg(sum("ca").as("n_a"), sum("cb").as("n_b"),
+        sum(col("ca") * col("midrank2")).as("ra2"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("u",
+        (col("ra2") - col("n_a") * (col("n_a") + 1L)).cast("double") / 2.0)
+      .withColumn("mu",
+        col("n_a").cast("double") * col("n_b") / 2.0)
+      .withColumn("sigma2",
+        col("n_a").cast("double") * col("n_b") / 12.0 *
+          ((col("n") + 1L).cast("double") -
+            col("ties").cast("double") /
+              (col("n").cast("double") * (col("n") - 1L))))
+      .withColumn("z",
+        when(col("sigma2") > 0,
+          round((col("u") - col("mu")) / sqrt(col("sigma2")), 6)))
+      .select(col("n_a"), col("n_b"), col("u"), col("z"),
+        (abs(col("z")) > ZCrit05).as("significant"))
+  }
+
+  /** Spearman rank correlation between two integral columns, with midranks
+    * for ties (Pearson over midranks — the tie-correct form; the textbook
+    * 1 − 6Σd²/n(n²−1) shortcut is wrong under ties).
+    *
+    * Distributed shape: one groupBy per margin builds that margin's
+    * (value → midrank2) support table; both broadcast back onto the
+    * subjects (support-sized, the binning contract), and ONE aggregation
+    * pass collects the five rank moments.
+    *
+    * Cross-engine determinism: midrank2 values are BIGINTs, and the five
+    * moment sums are carried EXACTLY — DecimalType(38,0) here, HUGEINT in
+    * the oracle (rank products reach 4n² per row, so Σ overflows int64
+    * past n ≈ 1e6; decimal/hugeint make the sums exact at any n). Each
+    * exact sum casts to double once (correctly rounded from an integer)
+    * and the final correlation is one shared expression on those doubles,
+    * 6-dp grid.
+    *
+    * Returns one row: (n, rho).
+    */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    def rankTable(c: Column, out: String): DataFrame = {
+      val byV = df.groupBy(c.cast("long").as(out))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(out)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byV
+        .withColumn("cum_less", sum("cnt").over(w) - col("cnt"))
+        .select(col(out),
+          (lit(2L) * col("cum_less") + col("cnt") + 1L).as(s"r_$out"))
+    }
+    val dec = DecimalType(38, 0)
+    df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .join(broadcast(rankTable(xCol, "x")), "x")
+      .join(broadcast(rankTable(yCol, "y")), "y")
+      .agg(count(lit(1)).as("n"),
+        sum(col("r_x").cast(dec)).as("sx"),
+        sum(col("r_y").cast(dec)).as("sy"),
+        sum((col("r_x") * col("r_x")).cast(dec)).as("sxx"),
+        sum((col("r_y") * col("r_y")).cast(dec)).as("syy"),
+        sum((col("r_x") * col("r_y")).cast(dec)).as("sxy"))
+      .withColumn("num",
+        col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double"))
+      .withColumn("vx",
+        col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      .withColumn("vy",
+        col("n").cast("double") * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double"))
+      // a constant margin has zero rank variance: rho undefined — NULL by
+      // an explicit shared guard, not an engine-specific NaN/error split
+      .select(col("n"),
+        when(col("vx") > 0 && col("vy") > 0,
+          round(col("num") / (sqrt(col("vx")) * sqrt(col("vy"))), 6))
+          .as("rho"))
+  }
+
+  /** Precision-recall curve area by the lower trapezoid over score-
+    * descending blocks — the deterministic tie-aware PR-AUC: every block
+    * of tied scores contributes ONE (recall, precision) point from exact
+    * cumulative counts, and the curve starts at the (recall 0,
+    * precision 1) convention point. Within-block order never exists, so
+    * there is nothing engine-specific to replay (per-subject AP would
+    * depend on tie order; the block trapezoid is its canonical form).
+    *
+    * Same envelope as [[ModelEval.aucFromScores]]: one groupBy(score)
+    * pass, cumulative window over the distinct-score support only.
+    * Precision/recall are correctly-rounded ratios of exact integers; the
+    * final sum of per-block trapezoids is order-free (~1e-16 against the
+    * 5e-7 grid boundary, the t-closeness argument). Returns one row:
+    * (n_pos, n, pr_auc).
+    */
+  def prAuc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val byScore = df
+      .groupBy(scoreCol.cast("long").as("s"))
+      .agg(count(lit(1)).as("cnt"), sum(labelCol.cast("long")).as("pos"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.orderBy(col("s").desc)
+    val pts = byScore
+      .withColumn("cum_cnt", sum("cnt").over(w))
+      .withColumn("cum_pos", sum("pos").over(w))
+      .crossJoin(broadcast(byScore.agg(sum("pos").as("n_pos"),
+        sum("cnt").as("n_tot"))))
+      .withColumn("recall", col("cum_pos").cast("double") / col("n_pos"))
+      .withColumn("prec", col("cum_pos").cast("double") / col("cum_cnt"))
+      .withColumn("recall_prev",
+        coalesce(lag("recall", 1).over(wLag), lit(0.0)))
+      .withColumn("prec_prev",
+        coalesce(lag("prec", 1).over(wLag), lit(1.0)))
+    pts.agg(first("n_pos").as("n_pos"), first("n_tot").as("n"),
+      round(sum((col("recall") - col("recall_prev")) *
+        (col("prec") + col("prec_prev")) / 2.0), 6).as("pr_auc"))
+  }
+
+  /** Expected calibration error over integral confidence units: the
+    * caller supplies confidence as an integer number of grid units (e.g.
+    * decile index) plus the grid `scale`, so the predicted probability
+    * conf/scale is an EXACT ratio — summing a float probability column
+    * would reintroduce order-dependent accumulation. One groupBy(conf)
+    * pass;
+    *   ECE = Σ_b (n_b/n)·|acc_b − conf_b|,  MCE = max_b |acc_b − conf_b|.
+    * Every term is a correctly-rounded function of exact integer counts.
+    * Returns one row: (n, ece, mce).
+    */
+  def ece(df: DataFrame, confUnitsCol: Column, scale: Int,
+      labelCol: Column): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    val byBin = df
+      .groupBy(confUnitsCol.cast("long").as("c"))
+      .agg(count(lit(1)).as("nb"), sum(labelCol.cast("long")).as("pos"))
+      .withColumn("ce",
+        abs(col("pos").cast("double") / col("nb") -
+          col("c").cast("double") / scale))
+    byBin.agg(sum("nb").as("n"),
+        sum(col("nb").cast("double") * col("ce")).as("wce"),
+        max("ce").as("mce_raw"))
+      .select(col("n"), round(col("wce") / col("n"), 6).as("ece"),
+        round(col("mce_raw"), 6).as("mce"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR adjustment over a (metric, p) family:
+    * adjusted p(i) = min_{j ≥ i} min(1, m·p(j)/j) with p sorted ascending
+    * (metric name breaks ties deterministically), significant where the
+    * ROUNDED adjusted p ≤ α — both engines decide over identical 6-dp
+    * values.
+    *
+    * The single-partition window is the point: a p-value family is
+    * metrics-sized (tens to thousands), never corpus-sized — the corpus
+    * reduction that PRODUCED each p is where the data was. Returns
+    * (metric, p_value, rank, p_adj, significant) ordered by rank.
+    */
+  def bhAdjust(df: DataFrame, metricCol: Column, pCol: Column,
+      alpha: Double = 0.05): DataFrame = {
+    val wRank = Window.orderBy(col("p"), col("metric"))
+    val wTail = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = df.count()
+    df.select(metricCol.as("metric"), pCol.as("p"))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("raw",
+        least(lit(1.0), lit(m.toDouble) * col("p") / col("rank")))
+      .withColumn("p_adj", round(min("raw").over(wTail), 6))
+      .select(col("metric"), round(col("p"), 6).as("p_value"),
+        col("rank").cast("long").as("rank"), col("p_adj"),
+        (col("p_adj") <= alpha).as("significant"))
+      .orderBy("rank")
+  }
+
+  /** The NDCG discount table 1/log2(i+1), i = 1..k, and its prefix sums —
+    * computed ONCE in Scala and spliced as literals into both engines
+    * (the constant-splice convention): log2 is 1-ulp, not correctly
+    * rounded, in both JVMs and DuckDB, so neither side ever evaluates it.
+    */
+  def discounts(k: Int): Seq[Double] =
+    (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  def discountPrefix(k: Int): Seq[Double] =
+    discounts(k).scanLeft(0.0)(_ + _).tail
+
+  /** Ranking-quality evaluation at cutoff k with binary relevance:
+    * macro-averaged NDCG@k, MRR@k and recall@k over queries that have at
+    * least one relevant item (queries with none are excluded — their NDCG
+    * is undefined; document count is reported).
+    *
+    * `ranked`: (qid, item, rank) with rank 1-based and deterministic
+    * (the caller's tiebreak is part of the ranking contract).
+    * `relevant`: (qid, item) the binary relevance set.
+    *
+    * DCG@k = Σ_{hits at rank i ≤ k} d_i and IDCG@k = prefix(min(R, k))
+    * with the spliced [[discounts]]/[[discountPrefix]] literals, so the
+    * only floats are sums of literal constants (order-free at the 6-dp
+    * grid); MRR and recall are exact integer ratios.
+    *
+    * Distributed shape: relevance counts and the rank≤k slice are both
+    * grouped-aggregation shaped; the per-query join is key-partitioned.
+    * Returns one row: (n_queries, ndcg, mrr, recall).
+    */
+  def rankingEval(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, "k must be in [1, 100]")
+    val d = discounts(k)
+    val pfx = discountPrefix(k)
+    val discountExpr = element_at(
+      typedlit(d), col("rank").cast("int"))
+    val idcgExpr = element_at(
+      typedlit(pfx), least(col("n_rel"), lit(k.toLong)).cast("int"))
+    val rel = relevant.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val hits = ranked.filter(col("rank") <= k)
+      .join(relevant, Seq("qid", "item"))
+      .groupBy("qid")
+      .agg(sum(discountExpr).as("dcg"),
+        min("rank").as("first_hit"),
+        count(lit(1)).as("n_hits"))
+    rel.join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        coalesce(lit(1.0) / col("first_hit"), lit(0.0)).as("rr"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("ndcg", col("dcg") / idcgExpr)
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg("ndcg"), 6).as("ndcg"),
+        round(avg("rr"), 6).as("mrr"),
+        round(avg(col("n_hits").cast("double") / col("n_rel")), 6)
+          .as("recall"))
+  }
+}

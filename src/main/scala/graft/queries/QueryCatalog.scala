@@ -8092,7 +8092,376 @@ object QueryCatalog {
               ORDER BY component, dim"""
       }))
 
+  /** Session-10 wave: rank-based inference (Mann–Whitney, Spearman,
+    * BH-FDR), ranking/calibration quality (PR-AUC, ECE, NDCG/MRR/recall),
+    * series autocorrelation, and the Warner randomized-response audit.
+    * All follow the grouped-support envelope: rank arithmetic runs over
+    * distinct-value support tables, never a global subject sort.
+    */
+  private val session10: Seq[Q] = {
+    // NDCG discount constants 1/log2(i+1) and their prefix sums, Scala-
+    // computed ONCE and spliced into both engines (log2 is 1-ulp, not
+    // correctly rounded, in either engine). The e0 suffix forces DuckDB
+    // to parse each literal directly as DOUBLE — a plain decimal literal
+    // would go through DECIMAL and could double-round.
+    val discVals = graft.operators.RankEval.discounts(10).zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, ${d}e0)" }.mkString(", ")
+    val pfxVals = graft.operators.RankEval.discountPrefix(10).zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, ${p}e0)" }.mkString(", ")
+    Seq(
+
+    // Mann–Whitney U (Wilcoxon rank-sum) between the user-parity variants
+    // over per-user engagement: the nonparametric sibling of q_ab_ztest.
+    // INTEGER until the final three divisions (rank sums as 2x-midranks
+    // in BIGINT, tie term Σ(t³-t) in BIGINT), computed over the
+    // distinct-score support only — the aucFromScores envelope.
+    Q("q_mann_whitney",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("v"))
+          .withColumn("g", col("user_id") % 2)
+        graft.operators.RankEval.mannWhitney(per, col("v"), col("g"))
+      },
+      Some(s"""WITH per AS (SELECT user_id, count(*) AS v, user_id % 2 AS g
+                FROM events GROUP BY 1),
+              byv AS (SELECT v,
+                  CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                FROM per GROUP BY 1),
+              r AS (SELECT *, ca + cb AS cnt,
+                  CAST(sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) - (ca + cb)
+                    AS cum_less
+                FROM byv),
+              ag AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                  CAST(sum(cb) AS BIGINT) AS n_b,
+                  CAST(sum(ca * (2 * cum_less + cnt + 1)) AS BIGINT) AS ra2,
+                  CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+                FROM r),
+              d AS (SELECT n_a, n_b, n_a + n_b AS n, ties,
+                  CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u,
+                  CAST(n_a AS DOUBLE) * n_b / 2.0 AS mu FROM ag),
+              e AS (SELECT *, CAST(n_a AS DOUBLE) * n_b / 12.0 *
+                  (CAST(n + 1 AS DOUBLE) - CAST(ties AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (n - 1))) AS sigma2 FROM d),
+              f AS (SELECT n_a, n_b, u, CASE WHEN sigma2 > 0 THEN
+                  round((u - mu) / sqrt(sigma2), 6) END AS z FROM e)
+              SELECT n_a, n_b, u, z,
+                abs(z) > ${graft.operators.RankEval.ZCrit05} AS significant
+              FROM f""")),
+
+    // Spearman rank correlation between per-user engagement and purchase
+    // count — Pearson over midranks (the tie-correct form). The five rank
+    // moments are EXACT: DecimalType(38,0) on the Spark side, HUGEINT in
+    // the oracle, each cast to double once at the end.
+    Q("q_spearman",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y"))
+        graft.operators.RankEval.spearman(per, col("x"), col("y"))
+      },
+      Some("""WITH per AS (SELECT user_id, count(*) AS x,
+                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS y
+                FROM events GROUP BY 1),
+              bx AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt
+                FROM per GROUP BY 1),
+              rx AS (SELECT x, 2 * (CAST(sum(cnt) OVER (ORDER BY x ROWS
+                  BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  - cnt) + cnt + 1 AS r_x FROM bx),
+              by2 AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt
+                FROM per GROUP BY 1),
+              ry AS (SELECT y, 2 * (CAST(sum(cnt) OVER (ORDER BY y ROWS
+                  BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  - cnt) + cnt + 1 AS r_y FROM by2),
+              j AS (SELECT r_x, r_y FROM per
+                JOIN rx USING (x) JOIN ry USING (y)),
+              ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  sum(CAST(r_x AS HUGEINT)) AS sx,
+                  sum(CAST(r_y AS HUGEINT)) AS sy,
+                  sum(CAST(r_x AS HUGEINT) * r_x) AS sxx,
+                  sum(CAST(r_y AS HUGEINT) * r_y) AS syy,
+                  sum(CAST(r_x AS HUGEINT) * r_y) AS sxy FROM j),
+              d AS (SELECT n,
+                  CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+                  CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy FROM ag)
+              SELECT n, CASE WHEN vx > 0 AND vy > 0 THEN
+                  round(num / (sqrt(vx) * sqrt(vy)), 6) END AS rho
+              FROM d""")),
+
+    // PR-curve area by the lower trapezoid over score-descending blocks —
+    // the deterministic tie-aware PR-AUC companion to q_auc (same
+    // per-user score/label derivation, same distinct-score envelope;
+    // within-block order never exists so nothing engine-specific remains).
+    Q("q_pr_auc",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("score"),
+            max(when(col("event_type") === "purchase" &&
+              col("value") > 150, 1L).otherwise(0L)).as("label"))
+        graft.operators.RankEval.prAuc(per, col("score"), col("label"))
+      },
+      Some("""WITH per AS (SELECT user_id, count(*) AS s,
+                  max(CASE WHEN event_type = 'purchase' AND value > 150
+                    THEN 1 ELSE 0 END) AS y
+                FROM events GROUP BY 1),
+              bys AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(y) AS BIGINT) AS pos FROM per GROUP BY 1),
+              tot AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                  CAST(sum(cnt) AS BIGINT) AS n_tot FROM bys),
+              c AS (SELECT s,
+                  CAST(sum(cnt) OVER w AS BIGINT) AS cum_cnt,
+                  CAST(sum(pos) OVER w AS BIGINT) AS cum_pos
+                FROM bys
+                WINDOW w AS (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW)),
+              pts AS (SELECT s,
+                  CAST(cum_pos AS DOUBLE) / (SELECT n_pos FROM tot)
+                    AS recall,
+                  CAST(cum_pos AS DOUBLE) / cum_cnt AS prec FROM c),
+              lg AS (SELECT recall, prec,
+                  coalesce(lag(recall) OVER (ORDER BY s DESC), 0.0)
+                    AS recall_prev,
+                  coalesce(lag(prec) OVER (ORDER BY s DESC), 1.0)
+                    AS prec_prev
+                FROM pts)
+              SELECT (SELECT n_pos FROM tot) AS n_pos,
+                (SELECT n_tot FROM tot) AS n,
+                round(sum((recall - recall_prev) * (prec + prec_prev)
+                  / 2.0), 6) AS pr_auc
+              FROM lg""")),
+
+    // Expected calibration error of the capped engagement score read as a
+    // decile confidence (conf = units/10 is an EXACT ratio — summing a
+    // float probability column would reintroduce order-dependent
+    // accumulation). One groupBy(conf) pass; every term is a correctly-
+    // rounded function of exact integer counts.
+    Q("q_ece",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(least(count(lit(1)), lit(10L)).as("c"),
+            max(when(col("event_type") === "purchase" &&
+              col("value") > 150, 1L).otherwise(0L)).as("label"))
+        graft.operators.RankEval.ece(per, col("c"), 10, col("label"))
+      },
+      Some("""WITH per AS (SELECT user_id, least(count(*), 10) AS c,
+                  max(CASE WHEN event_type = 'purchase' AND value > 150
+                    THEN 1 ELSE 0 END) AS y
+                FROM events GROUP BY 1),
+              byb AS (SELECT c, CAST(count(*) AS BIGINT) AS nb,
+                  CAST(sum(y) AS BIGINT) AS pos FROM per GROUP BY 1),
+              ce AS (SELECT nb,
+                  abs(CAST(pos AS DOUBLE) / nb - CAST(c AS DOUBLE) / 10)
+                    AS ce
+                FROM byb)
+              SELECT CAST(sum(nb) AS BIGINT) AS n,
+                round(sum(CAST(nb AS DOUBLE) * ce) / sum(nb), 6) AS ece,
+                round(max(ce), 6) AS mce FROM ce""")),
+
+    // Benjamini–Hochberg FDR over the per-event-type two-proportion
+    // z-test family. The p inputs are the distribution-free Chebyshev
+    // tail bound p = min(1, 1/z²) — a VALID conservative p-value that
+    // both engines evaluate exactly from the 6-dp-rounded z; the normal
+    // CDF would need exp/erf, which neither engine computes correctly
+    // rounded (the pow-vs-x*x doctrine). The BH step-up itself (rank,
+    // m·p/i, reverse running min, 6-dp, decide after rounding) is exact.
+    Q("q_bh_fdr",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(max(when(col("value") > 150, 1L).otherwise(0L)).as("conv"))
+          .withColumn("g", col("user_id") % 2)
+        val metrics = per.groupBy("event_type")
+          .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("g") === 0, col("conv")).otherwise(0L))
+              .as("conv_a"),
+            sum(when(col("g") === 1, 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("g") === 1, col("conv")).otherwise(0L))
+              .as("conv_b"))
+          .withColumn("p_pool",
+            (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")))
+          .withColumn("se",
+            sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+          .withColumn("z",
+            when(col("se") > 0,
+              round((col("conv_b") / col("n_b") -
+                col("conv_a") / col("n_a")) / col("se"), 6)))
+          .withColumn("p",
+            when(col("z").isNull || col("z") === 0, lit(1.0))
+              .otherwise(least(lit(1.0),
+                lit(1.0) / (col("z") * col("z")))))
+        graft.operators.RankEval.bhAdjust(metrics, col("event_type"),
+          col("p"))
+      },
+      Some("""WITH per AS (SELECT event_type, user_id,
+                  max(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS conv,
+                  user_id % 2 AS g
+                FROM events GROUP BY 1, 2),
+              st AS (SELECT event_type,
+                  CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_a,
+                  CAST(sum(CASE WHEN g = 0 THEN conv ELSE 0 END) AS BIGINT)
+                    AS conv_a,
+                  CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_b,
+                  CAST(sum(CASE WHEN g = 1 THEN conv ELSE 0 END) AS BIGINT)
+                    AS conv_b
+                FROM per GROUP BY 1),
+              d AS (SELECT *,
+                  (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) AS p_pool
+                FROM st),
+              e AS (SELECT *, sqrt(p_pool * (CAST(1 AS DOUBLE) - p_pool)
+                  * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+                  AS se FROM d),
+              f AS (SELECT event_type AS metric, CASE WHEN se > 0 THEN
+                  round((conv_b / CAST(n_b AS DOUBLE)
+                    - conv_a / CAST(n_a AS DOUBLE)) / se, 6) END AS z
+                FROM e),
+              pv AS (SELECT metric, CASE WHEN z IS NULL OR z = 0 THEN 1.0
+                  ELSE least(1.0, 1.0 / (z * z)) END AS p FROM f),
+              rk AS (SELECT metric, p,
+                  row_number() OVER (ORDER BY p, metric) AS rank,
+                  count(*) OVER () AS m FROM pv),
+              rw AS (SELECT *,
+                  least(1.0, CAST(m AS DOUBLE) * p / rank) AS raw FROM rk),
+              adj AS (SELECT metric, round(p, 6) AS p_value,
+                  CAST(rank AS BIGINT) AS rank,
+                  round(min(raw) OVER (ORDER BY rank DESC ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS p_adj
+                FROM rw)
+              SELECT metric, p_value, rank, p_adj,
+                p_adj <= 0.05 AS significant
+              FROM adj ORDER BY rank""")),
+
+    // Retrieval-quality eval: per-customer supplier ranking by total
+    // quantity (integer-exact ordering, suppkey tiebreak) scored against
+    // the same-nation relevance set — macro NDCG@10 / MRR@10 / recall@10.
+    // The log2 discount table and its prefix sums are Scala-computed
+    // literals spliced into BOTH engines, so neither ever evaluates log2.
+    Q("q_ndcg_mrr",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_quantity").cast("long").as("q1"))
+          .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("qid"), col("l_suppkey").as("item"))
+          .agg(sum("q1").as("qty"))
+        val ranked = rev.withColumn("rank",
+          row_number().over(Window.partitionBy("qid")
+            .orderBy(col("qty").desc, col("item"))))
+          .select("qid", "item", "rank")
+        val relevant = t(s, dir, "customer")
+          .select(col("c_custkey").as("qid"), col("c_nationkey"))
+          .join(t(s, dir, "supplier")
+            .select(col("s_suppkey").as("item"), col("s_nationkey")),
+            col("c_nationkey") === col("s_nationkey"))
+          .select("qid", "item")
+        graft.operators.RankEval.rankingEval(ranked, relevant, 10)
+      },
+      Some(s"""WITH rev AS (SELECT o_custkey AS qid, l_suppkey AS item,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2),
+              rk AS (SELECT qid, item, row_number() OVER (PARTITION BY qid
+                  ORDER BY qty DESC, item) AS rank FROM rev),
+              relv AS (SELECT c_custkey AS qid, s_suppkey AS item
+                FROM customer JOIN supplier ON c_nationkey = s_nationkey),
+              rel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel
+                FROM relv GROUP BY 1),
+              disc(i, dv) AS (VALUES $discVals),
+              pfx(i, sp) AS (VALUES $pfxVals),
+              hits AS (SELECT r.qid, sum(dd.dv) AS dcg,
+                  CAST(min(r.rank) AS BIGINT) AS first_hit,
+                  CAST(count(*) AS BIGINT) AS n_hits
+                FROM rk r JOIN relv v ON v.qid = r.qid AND v.item = r.item
+                JOIN disc dd ON dd.i = r.rank
+                WHERE r.rank <= 10 GROUP BY 1),
+              per AS (SELECT rel.qid, rel.n_rel,
+                  coalesce(h.dcg, 0.0) AS dcg,
+                  coalesce(CAST(1 AS DOUBLE) / h.first_hit, 0.0) AS rr,
+                  coalesce(h.n_hits, 0) AS n_hits
+                FROM rel LEFT JOIN hits h ON h.qid = rel.qid),
+              fin AS (SELECT per.*, dcg / pf.sp AS ndcg FROM per
+                JOIN pfx pf ON pf.i = least(per.n_rel, 10))
+              SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                round(avg(ndcg), 6) AS ndcg, round(avg(rr), 6) AS mrr,
+                round(avg(CAST(n_hits AS DOUBLE) / n_rel), 6) AS recall
+              FROM fin""")),
+
+    // Sample autocorrelation of the daily event-count series at lags
+    // 1..7 — the seasonality probe next to q_ewma_forecast. The corpus
+    // folds to one row per day FIRST; mean, lag self-join, and both
+    // moment sums run over the bounded series support only.
+    Q("q_acf",
+      (s, dir) => {
+        val series = t(s, dir, "events")
+          .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).as("t"))
+          .agg(count(lit(1)).as("x"))
+        graft.operators.Profiling.acf(series, col("t"), col("x"), 7)
+      },
+      Some("""WITH series AS (SELECT date_diff('day', DATE '1970-01-01',
+                  CAST(ts AS DATE)) AS t, CAST(count(*) AS DOUBLE) AS x
+                FROM events GROUP BY 1),
+              st AS (SELECT avg(x) AS xbar FROM series),
+              c AS (SELECT t, x - (SELECT xbar FROM st) AS d FROM series),
+              den AS (SELECT sum(d * d) AS ss FROM c),
+              p AS (SELECT r.lg, CAST(count(*) AS BIGINT) AS n_pairs,
+                  sum(a.d * b.d) AS num
+                FROM c a CROSS JOIN range(1, 8) AS r(lg)
+                JOIN c b ON b.t = a.t + r.lg GROUP BY 1)
+              SELECT lg AS "lag", n_pairs,
+                CASE WHEN (SELECT ss FROM den) > 0 THEN
+                  round(num / (SELECT ss FROM den), 6) END AS acf
+              FROM p ORDER BY lg""")),
+
+    // Warner randomized response over per-user high-value conversion at
+    // truth probability 3/4 (ε = ln 3), with the release-side debias
+    // audit: every per-subject coin is the portable seeded hash, so the
+    // oracle replays the mechanism bit-exactly; true rate and estimator
+    // error ride along audit-style (the bloom-FPR convention).
+    Q("q_randomized_response",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 150, 1L).otherwise(0L)).as("truth"))
+        graft.operators.Privacy.randomizedResponse(
+          per, col("user_id"), col("truth"))
+      },
+      Some(s"""WITH per AS (SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' AND value > 150
+                    THEN 1 ELSE 0 END) AS truth
+                FROM events GROUP BY 1),
+              rep AS (SELECT truth, CASE WHEN ${graft.operators.PortableHash
+                .duckSql("'rr:' || CAST(user_id AS VARCHAR)")} % 4 < 3
+                  THEN truth ELSE 1 - truth END AS reported FROM per),
+              ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(reported) AS BIGINT) AS rep_sum,
+                  CAST(sum(truth) AS BIGINT) AS true_sum FROM rep)
+              SELECT n, CAST(0.75 AS DOUBLE) AS p_truth,
+                round(rep_sum / CAST(n AS DOUBLE), 6) AS reported_rate,
+                round((rep_sum / CAST(n AS DOUBLE) - 0.25) / 0.5, 6)
+                  AS estimate,
+                round(true_sum / CAST(n AS DOUBLE), 6) AS true_rate,
+                round(abs((rep_sum / CAST(n AS DOUBLE) - 0.25) / 0.5
+                  - true_sum / CAST(n AS DOUBLE)), 6) AS abs_err
+              FROM ag""")))
+  }
+
   val all: Seq[Q] =
     relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++
-      taxi ++ session8 ++ session9 ++ session9b
+      taxi ++ session8 ++ session9 ++ session9b ++ session10
 }

@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Session-10 rank/calibration operators plus the two adjunct additions
+  * (Profiling.acf, Privacy.randomizedResponse): exact driver-side replays
+  * on known fixtures plus seeded-random checks against brute-force scalar
+  * implementations.
+  */
+class RankEvalSpec extends SparkSpec {
+
+  import RankEval._
+
+  private def mw(rows: Seq[(Long, Int)]) = {
+    import spark.implicits._
+    mannWhitney(rows.toDF("v", "g"), col("v"), col("g")).collect().head
+  }
+
+  test("mannWhitney: textbook no-tie case, z on the 6-dp grid") {
+    // A = {1,2,3}, B = {4,5,6}: U_a = 0, mu = 4.5, sigma^2 = 9*7/12
+    val r = mw(Seq(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1, 6L -> 1))
+    assert(r.getAs[Long]("n_a") === 3 && r.getAs[Long]("n_b") === 3)
+    assert(r.getAs[Double]("u") === 0.0)
+    val z = BigDecimal(-4.5 / math.sqrt(5.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") === z)
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("mannWhitney: all-tied input yields NULL z, not NaN") {
+    val r = mw(Seq(5L -> 0, 5L -> 0, 5L -> 1, 5L -> 1))
+    // midranks: every subject gets (n+1)/2, U_a = n_a*n_b/2, sigma^2 = 0
+    assert(r.getAs[Double]("u") === 2.0)
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("mannWhitney: U matches a brute-force midrank computation with ties") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val rows = Seq.fill(60)((rnd.nextInt(9).toLong, rnd.nextInt(2)))
+      val na = rows.count(_._2 == 0).toLong
+      // scalar midranks over the sorted values
+      val sorted = rows.map(_._1).sorted
+      val rank = sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, g) => v -> (g.map(_._2 + 1).sum.toDouble / g.size) }
+      val ra = rows.filter(_._2 == 0).map(r => rank(r._1)).sum
+      val expU = ra - na * (na + 1) / 2.0
+      assert(mw(rows).getAs[Double]("u") === expU)
+    }
+  }
+
+  test("spearman: perfect monotone is 1, reversed is -1") {
+    import spark.implicits._
+    val df = (1 to 20).map(i => (i.toLong, (i * 3 + 7).toLong))
+      .toDF("x", "y")
+    assert(spearman(df, col("x"), col("y"))
+      .collect().head.getAs[Double]("rho") === 1.0)
+    val rev = (1 to 20).map(i => (i.toLong, (100 - i).toLong))
+      .toDF("x", "y")
+    assert(spearman(rev, col("x"), col("y"))
+      .collect().head.getAs[Double]("rho") === -1.0)
+  }
+
+  test("spearman: constant margin yields NULL rho") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toLong, 4L)).toDF("x", "y")
+    val r = spearman(df, col("x"), col("y")).collect().head
+    assert(r.isNullAt(r.fieldIndex("rho")))
+  }
+
+  test("spearman: matches scalar Pearson-of-midranks under ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val rows = Seq.fill(50)((rnd.nextInt(7).toLong, rnd.nextInt(7).toLong))
+      def ranks(vs: Seq[Long]): Map[Long, Double] = {
+        val sorted = vs.sorted
+        sorted.zipWithIndex.groupBy(_._1)
+          .map { case (v, g) => v -> (g.map(_._2 + 1).sum.toDouble / g.size) }
+      }
+      val xs = rows.map(r => ranks(rows.map(_._1))(r._1))
+      val ys = rows.map(r => ranks(rows.map(_._2))(r._2))
+      val n = rows.size.toDouble
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val num = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val vx = xs.map(a => (a - mx) * (a - mx)).sum
+      val vy = ys.map(b => (b - my) * (b - my)).sum
+      assert(vx > 0 && vy > 0, "degenerate draw")
+      val got = spearman(rows.toDF("x", "y"), col("x"), col("y"))
+        .collect().head.getAs[Double]("rho")
+      assert(math.abs(got - num / (math.sqrt(vx) * math.sqrt(vy))) <= 1e-5)
+    }
+  }
+
+  test("prAuc: perfect separation is 1; known tied-block case") {
+    import spark.implicits._
+    val perfect = Seq((3L, 1L), (3L, 1L), (1L, 0L), (1L, 0L))
+      .toDF("s", "y")
+    assert(prAuc(perfect, col("s"), col("y"))
+      .collect().head.getAs[Double]("pr_auc") === 1.0)
+    // blocks desc: (rec .5, prec .5) then (rec 1, prec .5) from (0, 1):
+    // .5*(1+.5)/2 + .5*(.5+.5)/2 = .375 + .25
+    val tied = Seq((2L, 1L), (2L, 0L), (1L, 0L), (1L, 1L)).toDF("s", "y")
+    assert(prAuc(tied, col("s"), col("y"))
+      .collect().head.getAs[Double]("pr_auc") === 0.625)
+  }
+
+  test("ece: exact on a two-bin fixture; mce is the worst bin") {
+    import spark.implicits._
+    // bin 10 (conf 1.0): acc 1/2 -> ce .5 over 2 rows; bin 5 (conf .5):
+    // acc .5 -> ce 0 over 2 rows; ece = (2*.5 + 2*0)/4
+    val df = Seq((10L, 1L), (10L, 0L), (5L, 1L), (5L, 0L)).toDF("c", "y")
+    val r = ece(df, col("c"), 10, col("y")).collect().head
+    assert(r.getAs[Double]("ece") === 0.25)
+    assert(r.getAs[Double]("mce") === 0.5)
+  }
+
+  test("bhAdjust: reverse running min enforces monotone adjusted p") {
+    import spark.implicits._
+    val df = Seq(("a", 0.005), ("b", 0.011), ("c", 0.02), ("d", 0.04),
+      ("e", 0.05)).toDF("m", "p")
+    val got = bhAdjust(df, col("m"), col("p")).collect()
+      .map(r => (r.getAs[String]("metric"), r.getAs[Double]("p_adj"),
+        r.getAs[Boolean]("significant")))
+    assert(got === Array(("a", 0.025, true), ("b", 0.0275, true),
+      ("c", 0.033333, true), ("d", 0.05, true), ("e", 0.05, true)))
+  }
+
+  test("bhAdjust: a late small p pulls earlier adjusted values down") {
+    import spark.implicits._
+    // raw: a .3, b .2 (rank2: 2*.2/2) ... classic non-monotone raw fixed
+    // by the tail min
+    val df = Seq(("a", 0.1), ("b", 0.2), ("c", 0.2)).toDF("m", "p")
+    val got = bhAdjust(df, col("m"), col("p")).collect()
+      .map(r => (r.getAs[String]("metric"), r.getAs[Double]("p_adj")))
+    // raws: a: 3*.1/1 = .3; b: 3*.2/2 = .3; c: 3*.2/3 = .2
+    // tail mins: c .2, b .2, a .2
+    assert(got === Array(("a", 0.2), ("b", 0.2), ("c", 0.2)))
+  }
+
+  test("rankingEval: single query with one relevant item at rank 2") {
+    import spark.implicits._
+    val ranked = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("qid", "item", "rank")
+    val rel = Seq((1L, 20L)).toDF("qid", "item")
+    val r = rankingEval(ranked, rel, 10).collect().head
+    val d2 = BigDecimal(discounts(10)(1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n_queries") === 1)
+    assert(r.getAs[Double]("ndcg") === d2) // idcg = d1 = 1.0
+    assert(r.getAs[Double]("mrr") === 0.5)
+    assert(r.getAs[Double]("recall") === 1.0)
+  }
+
+  test("rankingEval: zero-hit query scores 0 and still counts") {
+    import spark.implicits._
+    val ranked = Seq((1L, 10L, 1), (2L, 10L, 1)).toDF("qid", "item", "rank")
+    val rel = Seq((1L, 10L), (2L, 99L)).toDF("qid", "item")
+    val r = rankingEval(ranked, rel, 10).collect().head
+    assert(r.getAs[Long]("n_queries") === 2)
+    assert(r.getAs[Double]("ndcg") === 0.5)
+    assert(r.getAs[Double]("mrr") === 0.5)
+    assert(r.getAs[Double]("recall") === 0.5)
+  }
+
+  test("acf: alternating series has acf(1) = -7/8, acf(2) = 6/8") {
+    import spark.implicits._
+    val series = (1 to 8).map(i => (i.toLong, if (i % 2 == 0) 1L else -1L))
+      .toDF("t", "x")
+    val got = Profiling.acf(series, col("t"), col("x"), 2).collect()
+      .map(r => (r.getAs[Long]("lag"), r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("acf")))
+    assert(got === Array((1L, 7L, -0.875), (2L, 6L, 0.75)))
+  }
+
+  test("acf: constant series yields NULL acf by the shared guard") {
+    import spark.implicits._
+    val series = (1 to 8).map(i => (i.toLong, 3L)).toDF("t", "x")
+    val r = Profiling.acf(series, col("t"), col("x"), 1).collect().head
+    assert(r.isNullAt(r.fieldIndex("acf")))
+  }
+
+  test("randomizedResponse: scalar hash replay reproduces every coin") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(id => (id, (id % 3 == 0)))
+      .map { case (id, b) => (id, if (b) 1L else 0L) }
+    val df = rows.toDF("id", "truth")
+    val r = Privacy.randomizedResponse(df, col("id"), col("truth"))
+      .collect().head
+    // driver-side twin of the portable draw
+    val repSum = rows.map { case (id, tr) =>
+      val keep = PortableHash.portable60(s"rr:$id") % 4 < 3
+      if (keep) tr else 1L - tr
+    }.sum
+    val n = rows.size.toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("reported_rate") === r6(repSum / n))
+    assert(r.getAs[Double]("estimate") === r6((repSum / n - 0.25) / 0.5))
+    assert(r.getAs[Double]("p_truth") === 0.75)
+  }
+
+  test("randomizedResponse: rejects the signal-free p = 1/2") {
+    import spark.implicits._
+    val df = Seq((1L, 1L)).toDF("id", "truth")
+    intercept[IllegalArgumentException] {
+      Privacy.randomizedResponse(df, col("id"), col("truth"),
+        pNum = 1, pDen = 2)
+    }
+  }
+}
