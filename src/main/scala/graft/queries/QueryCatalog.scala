@@ -3163,15 +3163,17 @@ object QueryCatalog {
               ORDER BY id_small, id_big""")),
 
     // the PRODUCTION configuration of the same operator: the opt-in
-    // candidate-volume ceiling (2e8) passes every driver scale (sf0.01
-    // est 2.9e4, sf0.1 est 1.7e6 — Preflight tool reproduces both) and
-    // fail-fasts with a sized diagnosis at ×100 (projected ~1.7e10)
-    // instead of burning the measured 80–105 s all-pairs join. Gate is
-    // cost-only below the ceiling, so the oracle is q_dedup_containment's
-    // brute force unchanged.
+    // candidate-volume ceiling (2e7) passes every driver scale (sf0.01
+    // est 2.9e4, sf0.1 est 1.7e6 — Preflight tool reproduces both, 10×
+    // headroom) and fail-fasts with a sized diagnosis at ×100 (MEASURED
+    // est 1.69e8 — candidates grow linearly with the corpus here, and the
+    // original 2e8 ceiling let the ×100 join burn a measured 218 s; a
+    // ceiling prices what one node can chew, ~25 s at this join's
+    // measured ~8e5 candidates/s). Gate is cost-only below the ceiling,
+    // so the oracle is q_dedup_containment's brute force unchanged.
     Q("q_containment_gated",
       (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"),
-          threshold = 0.3, maxExpectedCandidates = 2e8)
+          threshold = 0.3, maxExpectedCandidates = 2e7)
         .orderBy("id_small", "id_big"),
       Some("""WITH tk AS (
                 SELECT doc_id AS id,
@@ -8346,28 +8348,35 @@ object QueryCatalog {
 
     // Retrieval-quality eval: per-customer supplier ranking by total
     // quantity (integer-exact ordering, suppkey tiebreak) scored against
-    // the same-nation relevance set — macro NDCG@10 / MRR@10 / recall@10.
-    // The log2 discount table and its prefix sums are Scala-computed
-    // literals spliced into BOTH engines, so neither ever evaluates log2.
+    // the REPEAT-SUPPLIER relevance set (suppliers with >= 2 distinct
+    // orders from that customer) — macro NDCG@10 / MRR@10 / recall@10.
+    // The relevance set MUST be derived from observed interactions, never
+    // from a dimension cross: the first cut used customer x same-nation
+    // supplier, which is (|C|·|S|/nations) — QUADRATIC in scale factor
+    // (600k pairs at sf0.1, a measured ~6e9 at x100) — while this
+    // definition is a subset of the customer-supplier pairs that exist,
+    // linear by construction. The log2 discount table and its prefix sums
+    // are Scala-computed literals spliced into BOTH engines, so neither
+    // ever evaluates log2.
     Q("q_ndcg_mrr",
       (s, dir) => {
-        val rev = t(s, dir, "lineitem")
+        val pairs = t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"),
             col("l_quantity").cast("long").as("q1"))
           .join(t(s, dir, "orders")
             .select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
+        val rev = pairs
           .groupBy(col("o_custkey").as("qid"), col("l_suppkey").as("item"))
           .agg(sum("q1").as("qty"))
         val ranked = rev.withColumn("rank",
           row_number().over(Window.partitionBy("qid")
             .orderBy(col("qty").desc, col("item"))))
           .select("qid", "item", "rank")
-        val relevant = t(s, dir, "customer")
-          .select(col("c_custkey").as("qid"), col("c_nationkey"))
-          .join(t(s, dir, "supplier")
-            .select(col("s_suppkey").as("item"), col("s_nationkey")),
-            col("c_nationkey") === col("s_nationkey"))
+        val relevant = pairs
+          .groupBy(col("o_custkey").as("qid"), col("l_suppkey").as("item"))
+          .agg(countDistinct("l_orderkey").as("n_ord"))
+          .filter(col("n_ord") >= 2)
           .select("qid", "item")
         graft.operators.RankEval.rankingEval(ranked, relevant, 10)
       },
@@ -8377,8 +8386,9 @@ object QueryCatalog {
                 GROUP BY 1, 2),
               rk AS (SELECT qid, item, row_number() OVER (PARTITION BY qid
                   ORDER BY qty DESC, item) AS rank FROM rev),
-              relv AS (SELECT c_custkey AS qid, s_suppkey AS item
-                FROM customer JOIN supplier ON c_nationkey = s_nationkey),
+              relv AS (SELECT o_custkey AS qid, l_suppkey AS item
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2 HAVING count(DISTINCT l_orderkey) >= 2),
               rel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel
                 FROM relv GROUP BY 1),
               disc(i, dv) AS (VALUES $discVals),
