@@ -147,4 +147,34 @@ object ModelEval {
           / (col("n_a") * col("n_b"))), 6))
       .withColumn("significant", col("d") > col("d_crit"))
   }
+
+  /** Unbiased pass@k estimator (Chen et al. 2021, the HumanEval
+    * combinatorial form) over per-task sample counts:
+    *
+    *   pass@k = 1 − C(n−c, k)/C(n, k)
+    *          = 1 − Π_{i=0..k−1} (n−c−i)/(n−i)
+    *
+    * with k clamped to n per task and the n−c < k case pinned to 1 (too
+    * few failures to fill an all-fail draw) — the product form never
+    * touches factorials, so there is no overflow at any n.
+    *
+    * `df` is the per-task aggregate (one row per task; `nCol` samples,
+    * `cCol` correct) — the corpus-sized sampling run is the caller's
+    * groupBy. The product is a LEFT FOLD over i (functions.aggregate
+    * here, list_reduce in the oracle) with each factor parenthesized as
+    * acc·(num/den), so both engines multiply identical doubles in an
+    * identical order. Returns one row: (n_tasks, k, pass_at_k).
+    */
+  def passAtK(df: DataFrame, nCol: Column, cCol: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
+    val n = nCol.cast("long")
+    val c = cCol.cast("long")
+    val kEff = least(lit(k.toLong), n)
+    val prod = aggregate(sequence(lit(0L), kEff - 1L), lit(1.0),
+      (acc, i) => acc * ((n - c - i).cast("double") / (n - i)))
+    df.select(
+        when(n - c < kEff, lit(1.0)).otherwise(lit(1.0) - prod).as("pk"))
+      .agg(count(lit(1)).as("n_tasks"), round(avg("pk"), 6).as("pass_at_k"))
+      .select(col("n_tasks"), lit(k).as("k"), col("pass_at_k"))
+  }
 }

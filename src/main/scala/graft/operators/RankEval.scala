@@ -227,6 +227,89 @@ object RankEval {
       .orderBy("rank")
   }
 
+  /** Bradley–Terry pairwise-preference ratings via the MM algorithm
+    * (Hunter 2004), FIXED rounds on a 7-dp per-round grid — the
+    * pagerank/logistic-GD replay convention: data-dependent convergence
+    * doesn't replay across engines, a round grid does.
+    *
+    *   p_i ← (W_i / Σ_{j≠i} n_ij/(p_i + p_j)),  then normalize to Σp = 1
+    *
+    * `wins`: directed aggregate (a, b, w) = games a beat b. The model
+    * support is competition-sized (tens to thousands), so every per-round
+    * join/window is support-bounded; the corpus-sized work is the
+    * caller's wins aggregation. Per-round neighbor sums are unordered
+    * doubles rounded at 7 dp (the pagerank contribution argument: ~1e-16
+    * against the 5e-8 grid boundary). Returns (model, rating) ordered by
+    * model, ratings normalized to sum 1 on the grid.
+    */
+  def bradleyTerry(wins: DataFrame, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, "rounds must be in [1, 50]")
+    val w = wins.select(col("a"), col("b"), col("w").cast("long").as("w"))
+    val nij = OperatorCaches.persistTracked(w
+      .unionByName(w.select(col("b").as("a"), col("a").as("b"), col("w")))
+      .groupBy("a", "b").agg(sum("w").as("n")))
+    val winTotals = w.groupBy("a").agg(sum("w").as("w_tot"))
+    val models = nij.select(col("a").as("model")).distinct()
+    val m = models.count()
+    // per-round LINEAGE CUT (the GraphRank `cut` doctrine): without it the
+    // 8-round nest of join+agg+crossJoin replans multiplicatively and the
+    // driver burns minutes in Catalyst on kilobyte-sized state
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+    var p = cut(models.withColumn("p", lit(1.0) / m))
+    for (_ <- 1 to rounds) {
+      val q = nij
+        .join(broadcast(p.select(col("model").as("a"), col("p").as("pa"))),
+          Seq("a"))
+        .join(broadcast(p.select(col("model").as("b"), col("p").as("pb"))),
+          Seq("b"))
+        .groupBy("a")
+        .agg(sum(col("n") / (col("pa") + col("pb"))).as("denom"))
+        .join(broadcast(winTotals), Seq("a"), "left")
+        .select(col("a").as("model"),
+          (coalesce(col("w_tot"), lit(0L)) / col("denom")).as("praw"))
+      val s = broadcast(q.agg(sum("praw").as("s")))
+      p = cut(q.crossJoin(s)
+        .select(col("model"), round(col("praw") / col("s"), 7).as("p")))
+    }
+    p.select(col("model"), col("p").as("rating")).orderBy("model")
+  }
+
+  /** Pairwise win rates with Wilson score intervals at α = 0.05: for each
+    * unordered pair (a < b), the rate of a over b among decided games and
+    * the interval
+    *
+    *   (p̂ + z²/2n ± z·sqrt(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    *
+    * `wins` is the same directed (a, b, w) aggregate bradleyTerry takes.
+    * Every term is a correctly-rounded function of exact integer counts
+    * and the spliced [[ZCrit05]]; the output support is pair-bounded.
+    * Returns (a, b, n, rate, lo, hi) ordered by (a, b).
+    */
+  def winRateWilson(wins: DataFrame): DataFrame = {
+    val z = ZCrit05
+    val w = wins.select(col("a"), col("b"), col("w").cast("long").as("w"))
+    val pairs = w
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"),
+        when(col("a") < col("b"), col("w")).otherwise(lit(0L)).as("wa"),
+        col("w").as("wn"))
+      .groupBy("a", "b")
+      .agg(sum("wa").as("w"), sum("wn").as("n"))
+    pairs
+      .withColumn("rate", col("w").cast("double") / col("n"))
+      .withColumn("center",
+        col("rate") + lit(z * z) / (lit(2.0) * col("n")))
+      .withColumn("margin",
+        lit(z) * sqrt(col("rate") * (lit(1.0) - col("rate")) / col("n") +
+          lit(z * z) / (lit(4.0) * col("n") * col("n"))))
+      .withColumn("denom", lit(1.0) + lit(z * z) / col("n"))
+      .select(col("a"), col("b"), col("n"),
+        round(col("rate"), 6).as("rate"),
+        round((col("center") - col("margin")) / col("denom"), 6).as("lo"),
+        round((col("center") + col("margin")) / col("denom"), 6).as("hi"))
+      .orderBy("a", "b")
+  }
+
   /** The NDCG discount table 1/log2(i+1), i = 1..k, and its prefix sums —
     * computed ONCE in Scala and spliced as literals into both engines
     * (the constant-splice convention): log2 is 1-ulp, not correctly

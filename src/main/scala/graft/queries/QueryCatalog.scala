@@ -8437,6 +8437,133 @@ object QueryCatalog {
                   round(num / (SELECT ss FROM den), 6) END AS acf
               FROM p ORDER BY lg""")),
 
+    // Unbiased pass@k (the HumanEval combinatorial estimator) over
+    // per-user sample/correct counts: the product form of
+    // 1 - C(n-c,k)/C(n,k) as an identical LEFT FOLD in both engines
+    // (functions.aggregate vs list_reduce with a prepended seed), k
+    // clamped to n, the n-c < k case pinned to 1 before the fold runs.
+    Q("q_pass_at_k",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") > 150, 1L).otherwise(0L)).as("c"))
+        graft.operators.ModelEval.passAtK(per, col("n"), col("c"), 5)
+      },
+      Some("""WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN value > 150 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+                FROM events GROUP BY 1),
+              pk AS (SELECT CASE WHEN n - c < least(5, n) THEN 1.0
+                  ELSE 1.0 - list_reduce(
+                    list_prepend(CAST(1 AS DOUBLE),
+                      [CAST(n - c - i AS DOUBLE) / (n - i)
+                       FOR i IN range(0, least(5, n))]),
+                    (acc, x) -> acc * x) END AS pk
+                FROM per)
+              SELECT CAST(count(*) AS BIGINT) AS n_tasks, 5 AS k,
+                round(avg(pk), 6) AS pass_at_k FROM pk""")),
+
+    // Bradley–Terry ratings over the per-user event-type preference
+    // tournament (a beats b for a user when the user did a more often),
+    // MM algorithm at 8 fixed rounds on a 7-dp per-round grid — the
+    // pagerank round-replay convention; the oracle unrolls the rounds as
+    // MATERIALIZED CTEs (the logistic-GD pattern). The corpus-sized work
+    // is the one wins aggregation; every round is model-support-sized.
+    Q("q_bradley_terry",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val a = per.select(col("user_id"), col("event_type").as("a"),
+          col("cnt").as("ca"))
+        val b = per.select(col("user_id"), col("event_type").as("b"),
+          col("cnt").as("cb"))
+        val wins = a.join(b, Seq("user_id"))
+          .filter(col("a") =!= col("b") && col("ca") > col("cb"))
+          .groupBy("a", "b").agg(count(lit(1)).as("w"))
+        graft.operators.RankEval.bradleyTerry(wins, rounds = 8)
+      },
+      Some {
+        val roundCtes = (1 to 8).map { r =>
+          s"""q$r AS MATERIALIZED (SELECT n.a AS model,
+                  coalesce(wt.w_tot, 0) / sum(n.n / (pa.p + pb.p)) AS praw
+                FROM nij n JOIN p${r - 1} pa ON pa.model = n.a
+                  JOIN p${r - 1} pb ON pb.model = n.b
+                  LEFT JOIN wtot wt ON wt.a = n.a
+                GROUP BY n.a, wt.w_tot),
+              p$r AS MATERIALIZED (SELECT model,
+                  round(praw / (SELECT sum(praw) FROM q$r), 7) AS p
+                FROM q$r)"""
+        }.mkString(",\n              ")
+        s"""WITH percnt AS MATERIALIZED (SELECT user_id, event_type,
+                  count(*) AS cnt
+                FROM events GROUP BY 1, 2),
+              wins AS MATERIALIZED (SELECT x.event_type AS a,
+                  y.event_type AS b, CAST(count(*) AS BIGINT) AS w
+                FROM percnt x JOIN percnt y ON x.user_id = y.user_id
+                  AND x.event_type <> y.event_type AND x.cnt > y.cnt
+                GROUP BY 1, 2),
+              nij AS MATERIALIZED (SELECT a, b,
+                  CAST(sum(w) AS BIGINT) AS n
+                FROM (SELECT a, b, w FROM wins
+                  UNION ALL SELECT b AS a, a AS b, w FROM wins)
+                GROUP BY 1, 2),
+              wtot AS (SELECT a, CAST(sum(w) AS BIGINT) AS w_tot
+                FROM wins GROUP BY 1),
+              models AS (SELECT DISTINCT a AS model FROM nij),
+              p0 AS MATERIALIZED (SELECT model, CAST(1 AS DOUBLE)
+                  / (SELECT count(*) FROM models) AS p FROM models),
+              $roundCtes
+              SELECT model, p AS rating FROM p8 ORDER BY model"""
+      }),
+
+    // Pairwise win rates with Wilson 95% intervals over the same
+    // preference tournament — the per-pair uncertainty readout next to
+    // the Bradley–Terry point ratings; every term is a correctly-rounded
+    // function of exact integer counts and the spliced z.
+    Q("q_winrate_wilson",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val a = per.select(col("user_id"), col("event_type").as("a"),
+          col("cnt").as("ca"))
+        val b = per.select(col("user_id"), col("event_type").as("b"),
+          col("cnt").as("cb"))
+        val wins = a.join(b, Seq("user_id"))
+          .filter(col("a") =!= col("b") && col("ca") > col("cb"))
+          .groupBy("a", "b").agg(count(lit(1)).as("w"))
+        graft.operators.RankEval.winRateWilson(wins)
+      },
+      Some {
+        val z = graft.operators.RankEval.ZCrit05
+        s"""WITH percnt AS MATERIALIZED (SELECT user_id, event_type,
+                  count(*) AS cnt
+                FROM events GROUP BY 1, 2),
+              wins AS (SELECT x.event_type AS a, y.event_type AS b,
+                  CAST(count(*) AS BIGINT) AS w
+                FROM percnt x JOIN percnt y ON x.user_id = y.user_id
+                  AND x.event_type <> y.event_type AND x.cnt > y.cnt
+                GROUP BY 1, 2),
+              sym AS (SELECT least(a, b) AS pa, greatest(a, b) AS pb,
+                  CASE WHEN a < b THEN w ELSE 0 END AS wa, w AS wn
+                FROM wins),
+              pr AS (SELECT pa AS a, pb AS b, CAST(sum(wa) AS BIGINT) AS w,
+                  CAST(sum(wn) AS BIGINT) AS n
+                FROM sym GROUP BY 1, 2),
+              d AS (SELECT a, b, n, CAST(w AS DOUBLE) / n AS rate FROM pr),
+              e AS (SELECT *,
+                  rate + ${z * z} / (CAST(2 AS DOUBLE) * n) AS center,
+                  $z * sqrt(rate * (CAST(1 AS DOUBLE) - rate) / n
+                    + ${z * z} / (CAST(4 AS DOUBLE) * n * n)) AS margin,
+                  CAST(1 AS DOUBLE) + ${z * z} / n AS denom FROM d)
+              SELECT a, b, n, round(rate, 6) AS rate,
+                round((center - margin) / denom, 6) AS lo,
+                round((center + margin) / denom, 6) AS hi
+              FROM e ORDER BY a, b"""
+      }),
+
     // Warner randomized response over per-user high-value conversion at
     // truth probability 3/4 (ε = ln 3), with the release-side debias
     // audit: every per-subject coin is the portable seeded hash, so the

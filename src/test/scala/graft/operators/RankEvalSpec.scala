@@ -201,6 +201,62 @@ class RankEvalSpec extends SparkSpec {
     assert(r.getAs[Double]("p_truth") === 0.75)
   }
 
+  test("passAtK: exact combinatorial values and the clamp cases") {
+    import spark.implicits._
+    // (n=10, c=2, k=5): 1 - C(8,5)/C(10,5) = 1 - 56/252 = 0.777778
+    // (n=3, c=0, k=5): k clamps to 3, c=0 -> 0
+    // (n=10, c=7, k=5): n-c=3 < 5 -> pinned 1
+    val df = Seq((1L, 10L, 2L), (2L, 3L, 0L), (3L, 10L, 7L))
+      .toDF("task", "n", "c")
+    val r = ModelEval.passAtK(df, col("n"), col("c"), 5).collect().head
+    assert(r.getAs[Long]("n_tasks") === 3)
+    assert(r.getAs[Int]("k") === 5)
+    val exp = BigDecimal((1.0 - 56.0 / 252 + 0.0 + 1.0) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("pass_at_k") === exp)
+  }
+
+  test("bradleyTerry: a dominant model gets the top rating; sum is ~1") {
+    import spark.implicits._
+    // a beats b 9/10, b beats c 8/10, a beats c 9/10
+    val wins = Seq(("a", "b", 9L), ("b", "a", 1L), ("b", "c", 8L),
+      ("c", "b", 2L), ("a", "c", 9L), ("c", "a", 1L)).toDF("a", "b", "w")
+    val got = bradleyTerry(wins, rounds = 8).collect()
+      .map(r => (r.getAs[String]("model"), r.getAs[Double]("rating")))
+    assert(got.map(_._1).toSeq === Seq("a", "b", "c"))
+    val byM = got.toMap
+    assert(byM("a") > byM("b") && byM("b") > byM("c"))
+    assert(math.abs(got.map(_._2).sum - 1.0) <= 1e-6)
+  }
+
+  test("bradleyTerry: symmetric wins converge to equal ratings") {
+    import spark.implicits._
+    val wins = Seq(("a", "b", 5L), ("b", "a", 5L)).toDF("a", "b", "w")
+    val got = bradleyTerry(wins, rounds = 4).collect()
+      .map(_.getAs[Double]("rating"))
+    assert(got.toSeq === Seq(0.5, 0.5))
+  }
+
+  test("winRateWilson: interval brackets the rate and matches scalar replay") {
+    import spark.implicits._
+    val wins = Seq(("a", "b", 7L), ("b", "a", 3L)).toDF("a", "b", "w")
+    val r = winRateWilson(wins).collect().head
+    assert(r.getAs[String]("a") === "a" && r.getAs[String]("b") === "b")
+    assert(r.getAs[Long]("n") === 10)
+    assert(r.getAs[Double]("rate") === 0.7)
+    val z = ZCrit05
+    val rate = 0.7
+    val center = rate + z * z / (2.0 * 10)
+    val margin = z * math.sqrt(rate * (1.0 - rate) / 10 +
+      z * z / (4.0 * 10 * 10))
+    val denom = 1.0 + z * z / 10
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("lo") === r6((center - margin) / denom))
+    assert(r.getAs[Double]("hi") === r6((center + margin) / denom))
+    assert(r.getAs[Double]("lo") < 0.7 && 0.7 < r.getAs[Double]("hi"))
+  }
+
   test("randomizedResponse: rejects the signal-free p = 1/2") {
     import spark.implicits._
     val df = Seq((1L, 1L)).toDF("id", "truth")
