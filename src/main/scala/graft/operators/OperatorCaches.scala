@@ -69,7 +69,7 @@ object OperatorCaches {
     * caller reaches caches only through this module, so the level is
     * uniform in practice; the caveat exists for external callers.
     */
-  private[operators] def persistTracked(df: DataFrame): DataFrame = synchronized {
+  private[graft] def persistTracked(df: DataFrame): DataFrame = synchronized {
     pruneStopped()
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{Dedup, Packing, Profiling, Similarity, SkewJoin, TextAnalysis}
+import graft.operators.{Dedup, OperatorCaches, Packing, Profiling, Similarity, SkewJoin, TextAnalysis}
 
 /** One catalog entry: a Spark implementation plus (when SQL-expressible) a
   * DuckDB oracle over the same parquet tables. Column names are aligned
@@ -8366,18 +8366,24 @@ object QueryCatalog {
           .join(t(s, dir, "orders")
             .select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
-        val rev = pairs
-          .groupBy(col("o_custkey").as("qid"), col("l_suppkey").as("item"))
-          .agg(sum("q1").as("qty"))
-        val ranked = rev.withColumn("rank",
+        // ONE shared aggregate feeds both the ranking and the relevance
+        // set (persisted — two consumers): the first cut ran the 600M-row
+        // join+groupBy twice and paid a measured 642 s at ×1000; the
+        // two-level aggregate (orderkey kept in level 1, so level-2
+        // count(*) IS the distinct-order count with no Expand) halves the
+        // heavy shuffle work
+        val lvl1 = pairs
+          .groupBy(col("o_custkey").as("qid"), col("l_suppkey").as("item"),
+            col("l_orderkey").as("ok"))
+          .agg(sum("q1").as("qty1"))
+        val agg = OperatorCaches.persistTracked(
+          lvl1.groupBy("qid", "item")
+            .agg(sum("qty1").as("qty"), count(lit(1)).as("n_ord")))
+        val ranked = agg.withColumn("rank",
           row_number().over(Window.partitionBy("qid")
             .orderBy(col("qty").desc, col("item"))))
           .select("qid", "item", "rank")
-        val relevant = pairs
-          .groupBy(col("o_custkey").as("qid"), col("l_suppkey").as("item"))
-          .agg(countDistinct("l_orderkey").as("n_ord"))
-          .filter(col("n_ord") >= 2)
-          .select("qid", "item")
+        val relevant = agg.filter(col("n_ord") >= 2).select("qid", "item")
         graft.operators.RankEval.rankingEval(ranked, relevant, 10)
       },
       Some(s"""WITH rev AS (SELECT o_custkey AS qid, l_suppkey AS item,
