@@ -8604,7 +8604,149 @@ object QueryCatalog {
               FROM ag""")))
   }
 
+  /** Session-10b wave: inter-annotator agreement (the label-quality gate),
+    * trend/changepoint statistics, Cox proportional hazards, GBDT
+    * histogram split finding, clustering-quality indices, and blocked
+    * fuzzy string matching.
+    */
+  private val session10b: Seq[Q] = {
+    // Shared synthetic rating panel over documents: raters 1..3 each
+    // bucket a document into one of 5 length classes, perturbed by a
+    // per-(rater, doc) portable-hash offset — correlated through n_chars
+    // (so agreement is far above chance) with rater-specific noise (so it
+    // is not perfect). The same construction feeds Fleiss (full panel)
+    // and Krippendorff (rater 2 missing on every doc_id % 3 == 0 item).
+    def ratingPanel(s: SparkSession, dir: String): DataFrame =
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(array(lit(1), lit(2), lit(3))).as("rater"))
+        .withColumn("cat", least(
+          floor((col("n_chars") + pmod(graft.operators.PortableHash
+            .portable60(concat_ws(":", lit("fl"), col("rater"),
+              col("doc_id"))), lit(40L))) / 60.0),
+          lit(4L)))
+    val panelSql =
+      s"""SELECT doc_id, r, least(CAST(floor((n_chars
+          + ${graft.operators.PortableHash.duckSql(
+            "'fl:' || CAST(r AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")}
+          % 40) / 60.0) AS BIGINT), 4) AS cat
+        FROM documents, (VALUES (1), (2), (3)) rs(r)"""
+    Seq(
+
+    // Cohen's κ between two deterministic "raters" of document length
+    // class (char-count bucket vs token-count bucket): the two-rater
+    // chance-corrected agreement gate. κ is one exact-integer rational —
+    // (n·Σdiag − Σrow·col) / (n² − Σrow·col) in DecimalType(38,0)/HUGEINT
+    // — so the 6-dp outputs are bit-identical cross-engine.
+    Q("q_cohen_kappa",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(
+            least(floor(col("n_chars") / 60.0), lit(4L)).as("a"),
+            least(floor(size(split(trim(col("text")), "\\s+")) / 12.0),
+              lit(4L)).as("b"))
+        graft.operators.Agreement.cohenKappa(d, col("a"), col("b"))
+      },
+      Some("""WITH r AS (SELECT
+                  least(CAST(floor(n_chars / 60.0) AS BIGINT), 4) AS a,
+                  least(CAST(floor(len(regexp_split_to_array(trim(text),
+                    '\s+')) / 12.0) AS BIGINT), 4) AS b
+                FROM documents),
+              cm AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+                FROM r GROUP BY 1, 2),
+              tot AS (SELECT CAST(sum(c) AS HUGEINT) AS n,
+                  CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS HUGEINT)
+                    AS diag FROM cm),
+              rw AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM cm GROUP BY 1),
+              cl AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cm GROUP BY 1),
+              pe AS (SELECT coalesce(CAST(sum(CAST(ra AS HUGEINT) * cb)
+                  AS HUGEINT), 0) AS pe_num
+                FROM rw JOIN cl ON a = b)
+              SELECT CAST(n AS BIGINT) AS n,
+                round(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+                round(CAST(pe_num AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+                CASE WHEN n * n = pe_num THEN NULL
+                  ELSE round(CAST(n * diag - pe_num AS DOUBLE)
+                    / CAST(n * n - pe_num AS DOUBLE), 6) END AS kappa
+              FROM tot CROSS JOIN pe""")),
+
+    // Fleiss' κ over the full 3-rater panel: the fixed-panel multi-rater
+    // agreement coefficient. Sufficient statistics (Σn_ic², category-
+    // total squares) are exact integers; κ is one identical double
+    // expression over them in both engines.
+    Q("q_fleiss_kappa",
+      (s, dir) => graft.operators.Agreement.fleissKappa(
+        ratingPanel(s, dir), col("doc_id"), col("cat")),
+      Some(s"""WITH rt AS ($panelSql),
+              nic AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS c
+                FROM rt GROUP BY 1, 2),
+              pi AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS m,
+                  CAST(sum(c * c) AS BIGINT) AS s2u FROM nic GROUP BY 1),
+              ist AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                  CAST(sum(s2u) AS BIGINT) AS s2 FROM pi),
+              cst AS (SELECT CAST(sum(CAST(tc AS HUGEINT) * tc) AS HUGEINT)
+                  AS sc2
+                FROM (SELECT cat, CAST(sum(c) AS BIGINT) AS tc
+                  FROM nic GROUP BY 1)),
+              d AS (SELECT n_items, s2, sc2,
+                  CAST(s2 - n_items * 3 AS DOUBLE)
+                    / CAST(n_items * 3 * 2 AS DOUBLE) AS pbar_raw,
+                  CAST(sc2 AS DOUBLE)
+                    / CAST(CAST(n_items * 3 AS HUGEINT) * (n_items * 3)
+                      AS DOUBLE) AS pe_raw
+                FROM ist CROSS JOIN cst)
+              SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
+                round(pbar_raw, 6) AS p_bar, round(pe_raw, 6) AS p_e,
+                CASE WHEN pe_raw = 1.0 THEN NULL
+                  ELSE round((pbar_raw - pe_raw) / (1.0 - pe_raw), 6) END
+                  AS kappa
+              FROM d""")),
+
+    // Krippendorff's α (nominal) over the RAGGED panel — rater 2 skips
+    // every third document, the arrival shape of real crowdsourced/LLM-
+    // judge labels. Per-unit disagreements stay exact integers grouped by
+    // panel size m before the 1/(m−1) weights apply, so the only double
+    // summation runs over the two-value m-support.
+    Q("q_krippendorff_alpha",
+      (s, dir) => graft.operators.Agreement.krippendorffAlpha(
+        ratingPanel(s, dir)
+          .filter(!(col("rater") === 2 && pmod(col("doc_id"), lit(3)) === 0)),
+        col("doc_id"), col("cat")),
+      Some(s"""WITH rt AS ($panelSql),
+              rg AS (SELECT * FROM rt
+                WHERE NOT (r = 2 AND doc_id % 3 = 0)),
+              nuc AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS c
+                FROM rg GROUP BY 1, 2),
+              pu AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS m,
+                  CAST(sum(c * c) AS BIGINT) AS s2u
+                FROM nuc GROUP BY 1 HAVING sum(c) >= 2),
+              bym AS (SELECT m, CAST(count(*) AS BIGINT) AS units,
+                  CAST(sum(m * m - s2u) AS BIGINT) AS du
+                FROM pu GROUP BY 1),
+              ds AS (SELECT CAST(sum(units) AS BIGINT) AS n_units,
+                  CAST(sum(m * units) AS BIGINT) AS np,
+                  sum(CAST(du AS DOUBLE) / CAST(m - 1 AS DOUBLE)) AS do_num
+                FROM bym),
+              ct AS (SELECT cat, CAST(sum(c) AS BIGINT) AS nc
+                FROM nuc JOIN pu USING (doc_id) GROUP BY 1),
+              de AS (SELECT CAST(sum(CAST(nc AS HUGEINT)
+                  * ((SELECT np FROM ds) - nc)) AS HUGEINT) AS de_num
+                FROM ct)
+              SELECT n_units, np AS n_pairable,
+                round(do_num / CAST(np AS DOUBLE), 6) AS d_o,
+                round(CAST(de_num AS DOUBLE)
+                  / CAST(CAST(np AS HUGEINT) * (np - 1) AS DOUBLE), 6)
+                  AS d_e,
+                CASE WHEN de_num = 0 THEN NULL
+                  ELSE round(1.0 - (do_num / CAST(np AS DOUBLE))
+                    / (CAST(de_num AS DOUBLE)
+                      / CAST(CAST(np AS HUGEINT) * (np - 1) AS DOUBLE)), 6)
+                  END AS alpha
+              FROM ds CROSS JOIN de""")))
+  }
+
   val all: Seq[Q] =
     relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++
-      taxi ++ session8 ++ session9 ++ session9b ++ session10
+      taxi ++ session8 ++ session9 ++ session9b ++ session10 ++ session10b
 }
