@@ -8743,7 +8743,124 @@ object QueryCatalog {
                     / (CAST(de_num AS DOUBLE)
                       / CAST(CAST(np AS HUGEINT) * (np - 1) AS DOUBLE)), 6)
                   END AS alpha
-              FROM ds CROSS JOIN de""")))
+              FROM ds CROSS JOIN de""")),
+
+    // CUSUM changepoint over the daily event-volume series: where did
+    // the level shift? The argmax of |n·P_k − k·T| is pure Decimal/
+    // HUGEINT integer arithmetic (tie → smallest k), so the located
+    // bucket is bit-deterministic; the three readout doubles divide
+    // exact integers once. The only full-data pass is the daily groupBy
+    // — the series contract in operators.Trend.
+    Q("q_cusum_changepoint",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("x"))
+        graft.operators.Trend.cusumChangepoint(daily, col("d"), col("x"))
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS t,
+                  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+              tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS tt FROM d),
+              sc AS (SELECT t, x,
+                  CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS idx,
+                  CAST(sum(x) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+                FROM d),
+              st AS (SELECT t, idx, p, n, tt,
+                  abs(CAST(n AS HUGEINT) * p - CAST(idx AS HUGEINT) * tt)
+                    AS stat
+                FROM sc CROSS JOIN tot WHERE idx < n)
+              SELECT t AS t_hat, idx AS cp_idx, n,
+                round(CAST(p AS DOUBLE) / CAST(idx AS DOUBLE), 6)
+                  AS mean_before,
+                round(CAST(tt - p AS DOUBLE) / CAST(n - idx AS DOUBLE), 6)
+                  AS mean_after,
+                round(CAST(stat AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                  AS cusum_peak
+              FROM st ORDER BY stat DESC, idx LIMIT 1""")),
+
+    // Mann–Kendall monotone-trend test over the hourly event-volume
+    // series (720 buckets at sf0.1): S and the tie term are exact
+    // integers from one non-equi self-join of the bounded series; the
+    // tie-corrected z and the 5% call ride the 6-dp grid against the
+    // spliced critical value.
+    Q("q_mann_kendall",
+      (s, dir) => {
+        val hourly = t(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("x"))
+        graft.operators.Trend.mannKendall(hourly, col("h"), col("x"))
+      },
+      Some(s"""WITH d AS (SELECT date_trunc('hour', ts) AS t,
+                  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+              sp AS (SELECT CAST(coalesce(sum(CASE WHEN b.x > a.x THEN 1
+                    WHEN b.x < a.x THEN -1 ELSE 0 END), 0) AS BIGINT) AS s
+                FROM d a JOIN d b ON a.t < b.t),
+              nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM d),
+              ti AS (SELECT coalesce(CAST(sum(tc * (tc - 1) * (2 * tc + 5))
+                    AS HUGEINT), 0) AS tie_term
+                FROM (SELECT CAST(count(*) AS HUGEINT) AS tc
+                  FROM d GROUP BY x)),
+              vv AS (SELECT s, n,
+                  CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                    / 18.0 AS var_raw
+                FROM sp CROSS JOIN nn CROSS JOIN ti),
+              zz AS (SELECT *, CASE WHEN var_raw > 0 THEN
+                    CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_raw)
+                      WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_raw)
+                      ELSE 0.0 END END AS z_raw FROM vv)
+              SELECT CAST(n AS BIGINT) AS n, s, round(var_raw, 6) AS var_s,
+                round(z_raw, 6) AS z,
+                coalesce(abs(round(z_raw, 6))
+                  > ${graft.operators.RankEval.ZCrit05}, FALSE)
+                  AS significant,
+                CASE WHEN coalesce(abs(round(z_raw, 6))
+                    > ${graft.operators.RankEval.ZCrit05}, FALSE) AND s > 0
+                    THEN 'increasing'
+                  WHEN coalesce(abs(round(z_raw, 6))
+                    > ${graft.operators.RankEval.ZCrit05}, FALSE) AND s < 0
+                    THEN 'decreasing'
+                  ELSE 'none' END AS trend
+              FROM zz""")),
+
+    // Theil–Sen robust slope of hourly event volume against the epoch-
+    // hour index: median of the O(n²/2) pairwise slopes (each one
+    // division of exact integers), intercept = median residual at the
+    // 6-dp-snapped slope. Both medians are rank-selected (2·rn ∈
+    // [m, m+2]) so tie order between equal slopes cannot move them.
+    Q("q_theil_sen",
+      (s, dir) => {
+        val hourly = t(s, dir, "events")
+          .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+            .cast("long").as("hi"))
+          .agg(count(lit(1)).as("x"))
+        graft.operators.Trend.theilSen(hourly, col("hi"), col("x"))
+      },
+      Some("""WITH d AS (SELECT CAST(epoch(date_trunc('hour', ts))
+                    AS BIGINT) // 3600 AS ti,
+                  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+              p AS (SELECT CAST(b.x - a.x AS DOUBLE)
+                  / CAST(b.ti - a.ti AS DOUBLE) AS v
+                FROM d a JOIN d b ON a.ti < b.ti),
+              r AS (SELECT v,
+                  CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS rn,
+                  CAST(count(*) OVER () AS BIGINT) AS m FROM p),
+              sl AS (SELECT round(avg(v), 6) AS slope FROM r
+                WHERE rn * 2 >= m AND rn * 2 <= m + 2),
+              res AS (SELECT CAST(x AS DOUBLE)
+                  - (SELECT slope FROM sl) * CAST(ti AS DOUBLE) AS v FROM d),
+              r2 AS (SELECT v,
+                  CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS rn,
+                  CAST(count(*) OVER () AS BIGINT) AS m FROM res),
+              ic AS (SELECT round(avg(v), 6) AS intercept FROM r2
+                WHERE rn * 2 >= m AND rn * 2 <= m + 2),
+              nn AS (SELECT CAST(count(*) AS BIGINT) AS np FROM d)
+              SELECT np AS n_points,
+                CAST(np * (np - 1) // 2 AS BIGINT) AS n_pairs,
+                (SELECT slope FROM sl) AS slope,
+                (SELECT intercept FROM ic) AS intercept
+              FROM nn""")))
   }
 
   val all: Seq[Q] =
