@@ -141,4 +141,100 @@ object Survival {
       .filter(col("d_events") > 0)
       .select(col("t"), col("n_risk"), col("d_events"), col("survival"))
   }
+
+  /** Cox proportional-hazards fit for ONE BINARY covariate (Breslow tie
+    * handling, fixed-round Newton–Raphson) — the regression companion to
+    * [[logRank]]: not just "do the curves differ?" but "by what hazard
+    * ratio?". With the per-event-time counts d_t (events), d1_t (group-1
+    * events), n1_t / n0_t (at-risk by group) and e^β =: r, the Breslow
+    * partial-likelihood score and information reduce to
+    *
+    *   μ_t(β) = n1_t·r / (n0_t + n1_t·r)
+    *   U(β)   = Σ_t [d1_t − d_t·μ_t]
+    *   I(β)   = Σ_t d_t·μ_t·(1 − μ_t)
+    *
+    * so the WHOLE fit needs only the logRank support table — binary-
+    * covariate Cox is exactly solvable from grouped counts, no per-
+    * subject exp() pass.
+    *
+    * Iterative-replay doctrine (the logisticGD convention): β lives on
+    * the driver; each Newton round is ONE two-double aggregate over the
+    * persisted support with U, I anchored to the 6-dp grid, e^β snapped
+    * to the 7-dp grid before splicing (libm exp is 1-ulp free), and
+    * β' = β + U/I re-snapped to 7 dp — an oracle unrolls the rounds with
+    * the same grids and lands on the identical β. Four rounds from β = 0
+    * put Newton far past the 7-dp grid on any fixture with a real effect
+    * (quadratic convergence: each round roughly doubles correct digits).
+    *
+    * Readout: hazard_ratio = e^β (6 dp), Wald se = 1/√I(β̂), z = β̂/se,
+    * and the 5% call against the spliced z critical value. A degenerate
+    * support (I = 0: no events, or a single group) fails loudly with the
+    * cause named rather than emitting NaN.
+    *
+    * Scale shape: one groupBy(duration) pass (map-side combined longs),
+    * risk sets from cumulative windows over the distinct-duration
+    * support — the kaplanMeier envelope, same BIN-FIRST CONTRACT
+    * (`binWidth` buckets second-resolution durations). The support is
+    * cached for the rounds and released before return.
+    *
+    * Returns one row: (n_subjects, n_events, beta, hazard_ratio, se, z,
+    * significant).
+    */
+  def coxPH(
+      df: DataFrame,
+      durationCol: String = "duration",
+      eventCol: String = "event",
+      groupCol: String = "g",
+      binWidth: Long = 1L,
+      iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, "coxPH: need >= 1 Newton round")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wRisk = Window.orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val byT = df
+      .filter(col(durationCol).isNotNull)
+      .groupBy(binnedT(durationCol, binWidth).as("t"))
+      .agg(count(lit(1)).as("n_at_t"),
+        sum(col(eventCol).cast("long")).as("d_t"),
+        sum(when(col(groupCol) === 1, 1L).otherwise(0L)).as("n1_at_t"),
+        sum(when(col(groupCol) === 1, col(eventCol).cast("long"))
+          .otherwise(0L)).as("d1_t"))
+      .withColumn("n1_t", sum("n1_at_t").over(wRisk))
+      .withColumn("n0_t", sum("n_at_t").over(wRisk) - col("n1_t"))
+      .filter(col("d_t") > 0)
+      .select("t", "d_t", "d1_t", "n1_t", "n0_t")
+      .cache()
+    try {
+      def scoreInfo(eb: Double): (Double, Double) = {
+        val mu = (col("n1_t") * lit(eb)) /
+          (col("n0_t") + col("n1_t") * lit(eb))
+        val row = byT.agg(
+          round(sum(col("d1_t") - col("d_t") * mu), 6).as("u"),
+          round(sum(col("d_t") * mu * (lit(1.0) - mu)), 6).as("i")).head()
+        require(!row.isNullAt(1) && row.getDouble(1) > 0.0,
+          "coxPH: degenerate support — no events, or only one covariate " +
+            "group ever at risk (information is 0)")
+        (row.getDouble(0), row.getDouble(1))
+      }
+      var beta = 0.0
+      for (_ <- 1 to iterations) {
+        val (u, i) = scoreInfo(rnd(math.exp(beta), 7))
+        beta = rnd(beta + u / i, 7)
+      }
+      val (_, iF) = scoreInfo(rnd(math.exp(beta), 7))
+      val counts = df.filter(col(durationCol).isNotNull).agg(
+        count(lit(1)).as("n"),
+        sum(col(eventCol).cast("long")).as("d")).head()
+      val se = rnd(1.0 / math.sqrt(iF), 6)
+      val z = rnd(beta / (1.0 / math.sqrt(iF)), 6)
+      Seq((counts.getLong(0), counts.getLong(1), beta,
+        rnd(math.exp(beta), 6), se, z, math.abs(z) > RankEval.ZCrit05))
+        .toDF("n_subjects", "n_events", "beta", "hazard_ratio", "se", "z",
+          "significant")
+    } finally byT.unpersist()
+  }
+
+  private def rnd(x: Double, s: Int): Double =
+    BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -8860,7 +8860,86 @@ object QueryCatalog {
                 CAST(np * (np - 1) // 2 AS BIGINT) AS n_pairs,
                 (SELECT slope FROM sl) AS slope,
                 (SELECT intercept FROM ic) AS intercept
-              FROM nn""")))
+              FROM nn""")),
+
+    // Cox proportional hazards (binary covariate, Breslow ties) on the
+    // censored order-lifetime subjects q_logrank tests: not just "do the
+    // curves differ" but the fitted hazard ratio. Four Newton rounds
+    // unrolled in the oracle with the operator's exact grids (U/I 6-dp,
+    // beta and e^beta 7-dp) — binary-covariate Cox reduces to the same
+    // per-event-time count table as the log-rank test, so the entire fit
+    // is grouped-count arithmetic, no per-subject exp() pass.
+    Q("q_cox_ph",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val mx = o.agg(max(to_date(col("o_orderdate"))).as("maxd"))
+        val subj = o.groupBy("o_custkey")
+          .agg(min(to_date(col("o_orderdate"))).as("fd"),
+            max(to_date(col("o_orderdate"))).as("ld"))
+          .crossJoin(broadcast(mx))
+          .select(datediff(col("ld"), col("fd")).cast("long").as("duration"),
+            when(datediff(col("maxd"), col("ld")) > 30, 1L).otherwise(0L)
+              .as("event"),
+            pmod(col("o_custkey"), lit(2)).as("g"))
+        graft.operators.Survival.coxPH(subj)
+      },
+      Some {
+        val iters = (1 to 4).map { k =>
+          val ebPrev = if (k == 1) "1.0" else s"(SELECT eb FROM e${k - 1})"
+          val bPrev = if (k == 1) "0.0" else s"(SELECT b FROM e${k - 1})"
+          s"""it${k - 1} AS (SELECT round(sum(d1_t - d_t * mu), 6) AS u,
+                  round(sum(d_t * mu * (1.0 - mu)), 6) AS i
+                FROM (SELECT s.*, (n1_t * $ebPrev)
+                    / (n0_t + n1_t * $ebPrev) AS mu FROM sup s)),
+              e$k AS (SELECT round($bPrev + u / i, 7) AS b,
+                  round(exp(round($bPrev + u / i, 7)), 7) AS eb
+                FROM it${k - 1})"""
+        }.mkString(",\n              ")
+        s"""WITH per AS (SELECT o_custkey,
+                  min(CAST(o_orderdate AS DATE)) AS fd,
+                  max(CAST(o_orderdate AS DATE)) AS ld
+                FROM orders GROUP BY 1),
+              mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd
+                FROM orders),
+              subj AS (SELECT CAST(date_diff('day', fd, ld) AS BIGINT)
+                    AS duration,
+                  CASE WHEN date_diff('day', ld, (SELECT maxd FROM mx)) > 30
+                    THEN 1 ELSE 0 END AS event,
+                  o_custkey % 2 AS g
+                FROM per),
+              byt AS (SELECT duration AS t, count(*) AS n_at_t,
+                  CAST(sum(event) AS BIGINT) AS d_t,
+                  CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n1_at_t,
+                  CAST(sum(CASE WHEN g = 1 THEN event ELSE 0 END) AS BIGINT)
+                    AS d1_t
+                FROM subj GROUP BY 1),
+              rk AS (SELECT t, d_t, d1_t,
+                  CAST(sum(n1_at_t) OVER w AS BIGINT) AS n1_t,
+                  CAST(sum(n_at_t) OVER w AS BIGINT)
+                    - CAST(sum(n1_at_t) OVER w AS BIGINT) AS n0_t
+                FROM byt
+                WINDOW w AS (ORDER BY t ROWS BETWEEN CURRENT ROW
+                  AND UNBOUNDED FOLLOWING)),
+              sup AS MATERIALIZED (SELECT t, d_t, d1_t, n1_t, n0_t
+                FROM rk WHERE d_t > 0),
+              $iters,
+              itf AS (SELECT round(sum(d_t * mu * (1.0 - mu)), 6) AS i
+                FROM (SELECT s.*, (n1_t * (SELECT eb FROM e4))
+                    / (n0_t + n1_t * (SELECT eb FROM e4)) AS mu
+                  FROM sup s)),
+              cn AS (SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+                  CAST(sum(event) AS BIGINT) AS n_events FROM subj)
+              SELECT n_subjects, n_events, (SELECT b FROM e4) AS beta,
+                round(exp((SELECT b FROM e4)), 6) AS hazard_ratio,
+                round(1.0 / sqrt((SELECT i FROM itf)), 6) AS se,
+                round((SELECT b FROM e4)
+                  / (1.0 / sqrt((SELECT i FROM itf))), 6) AS z,
+                abs(round((SELECT b FROM e4)
+                  / (1.0 / sqrt((SELECT i FROM itf))), 6))
+                  > ${graft.operators.RankEval.ZCrit05} AS significant
+              FROM cn"""
+      }))
   }
 
   val all: Seq[Q] =

@@ -139,4 +139,45 @@ class SurvivalSpec extends SparkSpec {
     }
     assert(got === exp)
   }
+
+  test("coxPH: planted shorter group-1 lifetimes fit HR > 1, converged and significant") {
+    import spark.implicits._
+    // 200 subjects, interleaved event times (finite MLE): group 1 lives
+    // roughly half as long; every 5th subject censored
+    val rows = (0 until 200).map { i =>
+      val g = i % 2
+      val dur = if (g == 1) (i % 20) + 5L else (i % 40) + 10L
+      (dur, if (i % 5 == 0) 0 else 1, g)
+    }
+    val got = Survival.coxPH(rows.toDF("duration", "event", "g")).head()
+    assert(got.getLong(0) === 200L)
+    assert(got.getLong(1) === 160L)
+    val beta = got.getDouble(2)
+    assert(beta > 0.3 && beta < 2.0, s"beta=$beta")
+    assert(got.getDouble(3) > 1.5, "hazard ratio must reflect the planted effect")
+    assert(got.getBoolean(6))
+    // Newton converged on the 7-dp grid: a 5th round moves beta < 1e-4
+    val b5 = Survival.coxPH(rows.toDF("duration", "event", "g"),
+      iterations = 5).head().getDouble(2)
+    assert(math.abs(b5 - beta) < 1e-4, s"not converged: $beta vs $b5")
+  }
+
+  test("coxPH: symmetric groups fit beta ~ 0 and not significant") {
+    import spark.implicits._
+    val rows = (0 until 200).map { i =>
+      (((i / 2) % 30) + 5L, 1, i % 2) // identical duration law per group
+    }
+    val got = Survival.coxPH(rows.toDF("duration", "event", "g")).head()
+    assert(math.abs(got.getDouble(2)) < 0.05)
+    assert(!got.getBoolean(6))
+  }
+
+  test("coxPH: single covariate group fails loudly, not NaN") {
+    import spark.implicits._
+    val rows = (1 to 20).map(i => (i.toLong, 1, 1))
+    val e = intercept[IllegalArgumentException] {
+      Survival.coxPH(rows.toDF("duration", "event", "g"))
+    }
+    assert(e.getMessage.contains("degenerate"))
+  }
 }
