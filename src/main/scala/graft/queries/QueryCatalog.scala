@@ -8609,7 +8609,7 @@ object QueryCatalog {
     * histogram split finding, clustering-quality indices, and blocked
     * fuzzy string matching.
     */
-  private val session10b: Seq[Q] = {
+  private lazy val session10b: Seq[Q] = {
     // Shared synthetic rating panel over documents: raters 1..3 each
     // bucket a document into one of 5 length classes, perturbed by a
     // per-(rater, doc) portable-hash offset — correlated through n_chars
@@ -8939,8 +8939,224 @@ object QueryCatalog {
                   / (1.0 / sqrt((SELECT i FROM itf))), 6))
                   > ${graft.operators.RankEval.ZCrit05} AS significant
               FROM cn"""
+      }),
+
+    // GBDT primitive #1 — histogram split finding: best variance-gain
+    // split per feature for extended price (cents) over four binned
+    // lineitem features, from ONE (feature, bin) histogram shuffle. All
+    // sufficient statistics exact integers; each gain one identical
+    // double expression (the Σy² term cancels, so only (count, Σy)
+    // prefixes matter).
+    Q("q_tree_split",
+      (s, dir) => graft.operators.TreeSplit.bestSplits(
+        gbtBase(s, dir), col("y"), gbtFeatures.map(n => n -> col(n))),
+      Some(s"""WITH $gbtBaseSql,
+              m AS MATERIALIZED ($gbtMeltSql),
+              h AS (SELECT feature, v, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(y) AS BIGINT) AS sy FROM m GROUP BY 1, 2),
+              tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS syt,
+                  CAST(sum(y * y) AS HUGEINT) AS syyt FROM base),
+              p AS (SELECT feature, v,
+                  CAST(sum(cnt) OVER w AS BIGINT) AS nl,
+                  CAST(sum(sy) OVER w AS BIGINT) AS sl
+                FROM h
+                WINDOW w AS (PARTITION BY feature ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW)),
+              sc AS (SELECT p.*, n, syt,
+                  CAST(sl AS DOUBLE) * sl / nl
+                    + CAST(syt - sl AS DOUBLE) * (syt - sl) / (n - nl)
+                    - CAST(syt AS DOUBLE) * syt / n AS gain,
+                  CAST(syyt AS DOUBLE)
+                    - CAST(syt AS DOUBLE) * syt / n AS sst
+                FROM p CROSS JOIN tot WHERE nl < n),
+              rk AS (SELECT *, row_number() OVER (PARTITION BY feature
+                  ORDER BY gain DESC, v) AS rk FROM sc)
+              SELECT feature, v AS split_v, nl AS n_left,
+                n - nl AS n_right,
+                CASE WHEN sst > 0 THEN round(gain / sst, 6) END AS gain_rel,
+                round(CAST(sl AS DOUBLE) / nl, 6) AS mean_left,
+                round(CAST(syt - sl AS DOUBLE) / (n - nl), 6) AS mean_right
+              FROM rk WHERE rk = 1 ORDER BY feature""")),
+
+    // GBDT primitive #2 — two boosted regression stumps with shrinkage
+    // 0.5: round 2 fits the EXACT residuals of round 1 (leaf values on
+    // the 7-dp micro-grid keep residual sums in pure HUGEINT/Decimal
+    // arithmetic — see TreeSplit.gbtStumps). The oracle unrolls both
+    // rounds: histogram → exact scaled residual prefix sums → gain
+    // argmax → micro-leaf fit, then the final ensemble R² from per-leaf-
+    // cell exact stats combined in cell order.
+    Q("q_gbt_stumps",
+      (s, dir) => graft.operators.TreeSplit.gbtStumps(
+        gbtBase(s, dir), col("y"), gbtFeatures.map(n => n -> col(n))),
+      Some {
+        def featCase(sel: String) =
+          s"""CASE $sel WHEN 'quantity' THEN quantity
+             WHEN 'disc_pct' THEN disc_pct WHEN 'tax_pct' THEN tax_pct
+             ELSE ship_month END"""
+        val cond1 =
+          s"${featCase("(SELECT feature FROM s1)")} <= (SELECT v FROM s1)"
+        val cond2 =
+          s"${featCase("(SELECT feature FROM s2)")} <= (SELECT v FROM s2)"
+        s"""WITH $gbtBaseSql,
+              m AS MATERIALIZED ($gbtMeltSql),
+              b0 AS MATERIALIZED (SELECT CAST(round((CAST(sum(y) AS DOUBLE)
+                  / count(*)) * 10000000.0) AS BIGINT) AS b FROM base),
+              h1 AS (SELECT feature, v, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(y) AS BIGINT) AS sy0,
+                  CAST(count(*) AS BIGINT) AS n0 FROM m GROUP BY 1, 2),
+              p1 AS (SELECT feature, v,
+                  CAST(sum(cnt) OVER wp AS BIGINT) AS nl,
+                  CAST(sum(rs) OVER wp AS DOUBLE) AS rl,
+                  CAST(sum(cnt) OVER wa AS BIGINT) AS n,
+                  CAST(sum(rs) OVER wa - sum(rs) OVER wp AS DOUBLE) AS rr
+                FROM (SELECT *, CAST(sy0 AS HUGEINT) * 10000000
+                    - CAST(n0 AS HUGEINT) * (SELECT b FROM b0) AS rs
+                  FROM h1)
+                WINDOW wp AS (PARTITION BY feature ORDER BY v ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wa AS (PARTITION BY feature ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND UNBOUNDED FOLLOWING)),
+              s1 AS MATERIALIZED (SELECT feature, v, nl, rl, n, rr,
+                  rl * rl / nl + rr * rr / (n - nl)
+                    - (rl + rr) * (rl + rr) / n AS gain
+                FROM p1 WHERE nl < n
+                ORDER BY gain DESC, feature, v LIMIT 1),
+              l1 AS MATERIALIZED (SELECT
+                  CAST(round((0.5 * (rl / 10000000.0 / nl)) * 10000000.0)
+                    AS BIGINT) AS li,
+                  CAST(round((0.5 * (rr / 10000000.0 / (n - nl)))
+                    * 10000000.0) AS BIGINT) AS ri
+                FROM s1),
+              m2 AS MATERIALIZED (SELECT m.*,
+                  CASE WHEN $cond1 THEN 1 ELSE 0 END AS cell
+                FROM m),
+              h2 AS (SELECT feature, v, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(CASE WHEN cell = 0 THEN y ELSE 0 END) AS BIGINT)
+                    AS sy0,
+                  CAST(sum(CASE WHEN cell = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n0,
+                  CAST(sum(CASE WHEN cell = 1 THEN y ELSE 0 END) AS BIGINT)
+                    AS sy1,
+                  CAST(sum(CASE WHEN cell = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n1
+                FROM m2 GROUP BY 1, 2),
+              p2 AS (SELECT feature, v,
+                  CAST(sum(cnt) OVER wp AS BIGINT) AS nl,
+                  CAST(sum(rs) OVER wp AS DOUBLE) AS rl,
+                  CAST(sum(cnt) OVER wa AS BIGINT) AS n,
+                  CAST(sum(rs) OVER wa - sum(rs) OVER wp AS DOUBLE) AS rr
+                FROM (SELECT *,
+                    (CAST(sy0 AS HUGEINT) * 10000000 - CAST(n0 AS HUGEINT)
+                      * ((SELECT b FROM b0) + (SELECT ri FROM l1)))
+                    + (CAST(sy1 AS HUGEINT) * 10000000 - CAST(n1 AS HUGEINT)
+                      * ((SELECT b FROM b0) + (SELECT li FROM l1))) AS rs
+                  FROM h2)
+                WINDOW wp AS (PARTITION BY feature ORDER BY v ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wa AS (PARTITION BY feature ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND UNBOUNDED FOLLOWING)),
+              s2 AS MATERIALIZED (SELECT feature, v, nl, rl, n, rr,
+                  rl * rl / nl + rr * rr / (n - nl)
+                    - (rl + rr) * (rl + rr) / n AS gain
+                FROM p2 WHERE nl < n
+                ORDER BY gain DESC, feature, v LIMIT 1),
+              l2 AS MATERIALIZED (SELECT
+                  CAST(round((0.5 * (rl / 10000000.0 / nl)) * 10000000.0)
+                    AS BIGINT) AS li,
+                  CAST(round((0.5 * (rr / 10000000.0 / (n - nl)))
+                    * 10000000.0) AS BIGINT) AS ri
+                FROM s2),
+              cf AS (SELECT y,
+                  (CASE WHEN $cond1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN $cond2 THEN 2 ELSE 0 END) AS cell
+                FROM base),
+              fin AS MATERIALIZED (SELECT cell,
+                  CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(y * y) AS HUGEINT) AS syy
+                FROM cf GROUP BY 1),
+              pc AS (SELECT c.cell,
+                  CAST(((SELECT b FROM b0)
+                    + CASE WHEN c.cell % 2 = 1 THEN (SELECT li FROM l1)
+                      ELSE (SELECT ri FROM l1) END
+                    + CASE WHEN c.cell >= 2 THEN (SELECT li FROM l2)
+                      ELSE (SELECT ri FROM l2) END) AS DOUBLE)
+                    / 10000000.0 AS p
+                FROM (VALUES (0), (1), (2), (3)) c(cell)),
+              terms AS MATERIALIZED (SELECT pc.cell,
+                  coalesce(CAST(f.syy AS DOUBLE) - 2.0 * pc.p * f.sy
+                    + f.cnt * pc.p * pc.p, 0.0) AS t,
+                  coalesce(CAST(f.syy AS DOUBLE), 0.0) AS tsyy
+                FROM pc LEFT JOIN fin f USING (cell)),
+              met AS (SELECT
+                  (SELECT t FROM terms WHERE cell = 0)
+                    + (SELECT t FROM terms WHERE cell = 1)
+                    + (SELECT t FROM terms WHERE cell = 2)
+                    + (SELECT t FROM terms WHERE cell = 3) AS sse,
+                  (SELECT tsyy FROM terms WHERE cell = 0)
+                    + (SELECT tsyy FROM terms WHERE cell = 1)
+                    + (SELECT tsyy FROM terms WHERE cell = 2)
+                    + (SELECT tsyy FROM terms WHERE cell = 3) AS syysum,
+                  (SELECT CAST(count(*) AS BIGINT) FROM base) AS n,
+                  (SELECT CAST(sum(y) AS BIGINT) FROM base) AS syt),
+              met2 AS (SELECT CASE
+                  WHEN (syysum - CAST(syt AS DOUBLE) * syt / n) > 0 THEN
+                    round(1.0 - sse
+                      / (syysum - CAST(syt AS DOUBLE) * syt / n), 6)
+                  END AS r2 FROM met)
+              SELECT CAST(1 AS INT) AS round,
+                (SELECT feature FROM s1) AS feature,
+                (SELECT v FROM s1) AS split_v,
+                CAST((SELECT li FROM l1) AS DOUBLE) / 10000000.0
+                  AS left_value,
+                CAST((SELECT ri FROM l1) AS DOUBLE) / 10000000.0
+                  AS right_value,
+                CAST((SELECT b FROM b0) AS DOUBLE) / 10000000.0
+                  AS base_score,
+                (SELECT r2 FROM met2) AS train_r2
+              UNION ALL
+              SELECT CAST(2 AS INT),
+                (SELECT feature FROM s2), (SELECT v FROM s2),
+                CAST((SELECT li FROM l2) AS DOUBLE) / 10000000.0,
+                CAST((SELECT ri FROM l2) AS DOUBLE) / 10000000.0,
+                CAST((SELECT b FROM b0) AS DOUBLE) / 10000000.0,
+                (SELECT r2 FROM met2)
+              ORDER BY round"""
       }))
   }
+
+  /** Shared fixture for the GBDT entries: extended price in cents as the
+    * integral label, four already-binned integral lineitem features —
+    * the bin-first contract TreeSplit requires.
+    */
+  private def gbtBase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      round(col("l_extendedprice") * 100).cast("long").as("y"),
+      col("l_quantity").cast("long").as("quantity"),
+      round(col("l_discount") * 100).cast("long").as("disc_pct"),
+      round(col("l_tax") * 100).cast("long").as("tax_pct"),
+      month(col("l_shipdate")).cast("long").as("ship_month"))
+
+  private lazy val gbtFeatures =
+    Seq("quantity", "disc_pct", "tax_pct", "ship_month")
+
+  private lazy val gbtBaseSql =
+    """base AS MATERIALIZED (SELECT
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+          CAST(l_quantity AS BIGINT) AS quantity,
+          CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+          CAST(round(l_tax * 100) AS BIGINT) AS tax_pct,
+          CAST(month(l_shipdate) AS BIGINT) AS ship_month
+        FROM lineitem)"""
+
+  private lazy val gbtMeltSql =
+    """SELECT y, quantity, disc_pct, tax_pct, ship_month, f.feature,
+          CASE f.feature WHEN 'quantity' THEN quantity
+            WHEN 'disc_pct' THEN disc_pct WHEN 'tax_pct' THEN tax_pct
+            ELSE ship_month END AS v
+        FROM base, (VALUES ('quantity'), ('disc_pct'), ('tax_pct'),
+          ('ship_month')) f(feature)"""
 
   val all: Seq[Q] =
     relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++
