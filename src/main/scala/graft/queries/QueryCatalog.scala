@@ -9123,7 +9123,75 @@ object QueryCatalog {
                 CAST((SELECT b FROM b0) AS DOUBLE) / 10000000.0,
                 (SELECT r2 FROM met2)
               ORDER BY round"""
-      }))
+      }),
+
+    // Simplified silhouette over the labeled embedding corpus: per-point
+    // distance to own vs nearest-rival centroid (cosine, 4-dp grid via
+    // the portable CosineSimilarity <-> list_cosine_similarity pair),
+    // per-cluster means. The quadratic textbook silhouette is replaced
+    // by the k-distance centroid form — one narrow corpus pass.
+    Q("q_silhouette",
+      (s, dir) => graft.operators.ClusterEval.simplifiedSilhouette(
+        t(s, dir, "embeddings")),
+      Some("""WITH emb AS (SELECT vec_id, label,
+                  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              cd AS (SELECT label, CAST(r.i - 1 AS INT) AS dim,
+                  round(avg(e[r.i]), 7) AS c
+                FROM emb, LATERAL unnest(range(1, len(e) + 1)) r(i)
+                GROUP BY 1, 2),
+              cent AS (SELECT label, list(c ORDER BY dim) AS cv
+                FROM cd GROUP BY 1),
+              d AS (SELECT p.vec_id, p.label AS pl, c.label AS cl,
+                  round(1.0 - list_cosine_similarity(p.e, c.cv), 4) AS dist
+                FROM emb p CROSS JOIN cent c),
+              ab AS (SELECT vec_id, pl,
+                  min(CASE WHEN cl = pl THEN dist END) AS a,
+                  min(CASE WHEN cl <> pl THEN dist END) AS b
+                FROM d GROUP BY 1, 2),
+              sl AS (SELECT pl AS label, a, b,
+                  CASE WHEN greatest(a, b) > 0
+                    THEN (b - a) / greatest(a, b) ELSE 0.0 END AS sil
+                FROM ab)
+              SELECT label, CAST(count(*) AS BIGINT) AS n,
+                round(avg(a), 4) AS avg_a, round(avg(b), 4) AS avg_b,
+                round(avg(sil), 4) AS avg_sil
+              FROM sl GROUP BY 1 ORDER BY label""")),
+
+    // Davies–Bouldin index over the same labeled corpus: per-cluster
+    // scatter vs worst-rival separation ratio, mean over clusters
+    // (LOWER is better). Scatters on the 6-dp grid; centroid
+    // separations through the same portable cosine pair; coincident
+    // centroids excluded from the max by the NULL guard in both engines.
+    Q("q_davies_bouldin",
+      (s, dir) => graft.operators.ClusterEval.daviesBouldin(
+        t(s, dir, "embeddings")),
+      Some("""WITH emb AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings),
+              cd AS (SELECT label, CAST(r.i - 1 AS INT) AS dim,
+                  round(avg(e[r.i]), 7) AS c
+                FROM emb, LATERAL unnest(range(1, len(e) + 1)) r(i)
+                GROUP BY 1, 2),
+              cent AS (SELECT label, list(c ORDER BY dim) AS cv
+                FROM cd GROUP BY 1),
+              a AS (SELECT p.label,
+                  round(1.0 - list_cosine_similarity(p.e, c.cv), 4) AS a
+                FROM emb p JOIN cent c USING (label)),
+              scat AS (SELECT label, round(avg(a), 6) AS s
+                FROM a GROUP BY 1),
+              pr AS (SELECT i.label AS li, j.label AS lj,
+                  round(1.0 - list_cosine_similarity(i.cv, j.cv), 4) AS dij
+                FROM cent i JOIN cent j ON i.label <> j.label),
+              rat AS (SELECT li,
+                  CASE WHEN dij > 0 THEN (si.s + sj.s) / dij END AS ratio
+                FROM pr
+                JOIN scat si ON si.label = pr.li
+                JOIN scat sj ON sj.label = pr.lj),
+              wr AS (SELECT li AS label, round(max(ratio), 4) AS worst_ratio
+                FROM rat GROUP BY 1),
+              db AS (SELECT round(avg(worst_ratio), 4) AS db_index FROM wr)
+              SELECT w.label, s.s AS scatter, w.worst_ratio,
+                (SELECT db_index FROM db) AS db_index
+              FROM wr w JOIN scat s USING (label) ORDER BY label""")))
   }
 
   /** Shared fixture for the GBDT entries: extended price in cents as the
