@@ -9191,7 +9191,56 @@ object QueryCatalog {
               db AS (SELECT round(avg(worst_ratio), 4) AS db_index FROM wr)
               SELECT w.label, s.s AS scatter, w.worst_ratio,
                 (SELECT db_index FROM db) AS db_index
-              FROM wr w JOIN scat s USING (label) ORDER BY label""")))
+              FROM wr w JOIN scat s USING (label) ORDER BY label""")),
+
+    // Blocked fuzzy record linkage over a deterministically corrupted
+    // customer registry: every 7th name gets one mid-string digit
+    // replaced by a hash-derived letter; blocking on (length, last-3-
+    // digit suffix) — the regions the corruption model does not touch —
+    // shrinks candidates to the suffix block, and the rank-1 window
+    // (distance, master id) picks the true source over its distance-2
+    // thousands-digit twin. n_candidates rides along as the linkage-
+    // confidence audit.
+    Q("q_fuzzy_linkage",
+      (s, dir) => {
+        val master = t(s, dir, "customer")
+          .select(col("c_custkey").cast("long").as("id"),
+            col("c_name").as("name"))
+        val dirty = master.filter(pmod(col("id"), lit(7)) === 0)
+          .withColumn("h",
+            pmod(graft.operators.PortableHash.portable60(
+              concat(lit("fz:"), col("id").cast("string"))), lit(26L))
+              + 97L)
+          .withColumn("name", concat(substring(col("name"), 1, 11),
+            expr("chr(cast(h as int))"), substring(col("name"), 13, 6)))
+          .select("id", "name")
+        graft.operators.Linkage.bestMatch(dirty, master, Seq(
+            n => length(n), n => substring(n, 16, 3)), maxDistance = 2)
+          .orderBy("id")
+      },
+      Some(s"""WITH master AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+                  c_name AS name FROM customer),
+              dirty AS (SELECT id,
+                  substr(name, 1, 11)
+                    || chr(CAST(${graft.operators.PortableHash.duckSql(
+                      "'fz:' || CAST(id AS VARCHAR)")} % 26 + 97 AS INT))
+                    || substr(name, 13, 6) AS name
+                FROM master WHERE id % 7 = 0),
+              cand AS (SELECT d.id, d.name, m.id AS match_id,
+                  m.name AS match_name,
+                  CAST(levenshtein(d.name, m.name) AS BIGINT) AS dist
+                FROM dirty d JOIN master m
+                  ON length(d.name) = length(m.name)
+                  AND substr(d.name, 16, 3) = substr(m.name, 16, 3)
+                WHERE levenshtein(d.name, m.name) <= 2),
+              rk AS (SELECT *,
+                  row_number() OVER (PARTITION BY id
+                    ORDER BY dist, match_id) AS rk,
+                  CAST(count(*) OVER (PARTITION BY id) AS BIGINT)
+                    AS n_candidates
+                FROM cand)
+              SELECT id, name, match_id, match_name, dist, n_candidates
+              FROM rk WHERE rk = 1 ORDER BY id""")))
   }
 
   /** Shared fixture for the GBDT entries: extended price in cents as the
