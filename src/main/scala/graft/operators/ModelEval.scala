@@ -177,4 +177,161 @@ object ModelEval {
       .agg(count(lit(1)).as("n_tasks"), round(avg("pk"), 6).as("pass_at_k"))
       .select(col("n_tasks"), lit(k).as("k"), col("pass_at_k"))
   }
+
+  /** Split-conformal prediction interval for a point-prediction model
+    * (Vovk's inductive conformal, the Lei et al. 2018 split form): the
+    * calibration set supplies the order statistic
+    *
+    *   q̂ = the k-th smallest |y − ŷ|,  k = ⌈(n_cal + 1)(1 − α)⌉
+    *
+    * and the interval ŷ ± q̂ then carries a finite-sample ≥ 1−α coverage
+    * guarantee on exchangeable test data. The test set here is scored
+    * against q̂ to AUDIT that guarantee (empirical coverage + the fixed
+    * interval width).
+    *
+    * Distributed shape: the calibration pass is ONE groupBy(|residual|)
+    * with map-side combine — bounded by the residual support, not n_cal —
+    * and the order statistic falls out of a cumulative window over that
+    * support (the aucFromScores envelope); the test pass is one aggregate.
+    * Bin-first contract as everywhere: `predCol`/`labelCol` are integral
+    * (units), so residuals are exact BIGINTs and k is exact integer
+    * arithmetic: k = ((n+1)(den−num) + den − 1) div den for α = num/den.
+    *
+    * Degenerate guard: k > n_cal (α too small for the calibration size)
+    * yields a NULL q̂ and NULL coverage in BOTH engines rather than a
+    * silent +∞ interval.
+    *
+    * Returns one row: (n_cal, k, qhat, n_test, covered, coverage, width);
+    * coverage on the 6-dp grid, width = 2·q̂ exact.
+    */
+  def conformalSplit(
+      cal: DataFrame,
+      test: DataFrame,
+      predCol: Column,
+      labelCol: Column,
+      alphaNum: Int,
+      alphaDen: Int): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen, "alpha must be in (0, 1)")
+    val res = abs(labelCol.cast("long") - predCol.cast("long"))
+    val byRes = cal.groupBy(res.as("r")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keep = alphaDen.toLong - alphaNum.toLong
+    val cum = byRes.withColumn("cum", sum("cnt").over(w))
+    val tot = broadcast(cum.agg(max("cum").as("n_cal"))
+      .withColumn("k", expr(
+        s"((n_cal + 1) * $keep + ${alphaDen - 1}) div $alphaDen")))
+    val qhat = broadcast(cum.crossJoin(tot)
+      .filter(col("cum") >= col("k"))
+      .groupBy("n_cal", "k").agg(min("r").as("qhat"))
+      .join(tot, Seq("n_cal", "k"), "right"))
+    test
+      .crossJoin(qhat)
+      .agg(first("n_cal").as("n_cal"), first("k").as("k"),
+        first("qhat").as("qhat"),
+        count(lit(1)).as("n_test"),
+        sum(when(res <= col("qhat"), 1L).otherwise(0L)).as("covered"))
+      .select(col("n_cal"), col("k"), col("qhat"), col("n_test"),
+        when(col("qhat").isNotNull, col("covered")).as("covered"),
+        when(col("qhat").isNotNull,
+          round(col("covered").cast("double") / col("n_test"), 6))
+          .as("coverage"),
+        (lit(2L) * col("qhat")).as("width"))
+  }
+
+  /** Off-policy evaluation of a target policy from logged bandit data:
+    * the inverse-propensity (IPS) and self-normalized (SNIPS) estimators
+    * with weight clipping (Swaminathan & Joachims 2015):
+    *
+    *   w_i    = min(π(a_i|x_i) / p_i, cap)
+    *   IPS    = (1/n) Σ w_i r_i          SNIPS = Σ w_i r_i / Σ w_i
+    *
+    * Distributed shape: embarrassingly parallel — three BIGINT sums with
+    * map-side combine, one aggregate, no window, no join.
+    *
+    * Cross-engine determinism: propensities and rewards arrive as
+    * integral UNITS (probUnits on a 1/probScale grid, rewards on their
+    * own grid), and each weight is materialized on a 1/`wScale` grid by
+    * FLOOR division — w_u = (target_u · wScale) div logged_u — so the
+    * per-row weights, the clip (cap·wScale), and all three sums are exact
+    * BIGINTs in both engines; the only floating-point ops are the two
+    * final divisions. BIGINT bound: Σ w_u·r_u ≤ n · cap·wScale · maxR —
+    * at n = 1e9, cap = 10, wScale = 1e4, rewards ≤ 1e4 that is 1e18,
+    * inside int64; past that, lower wScale or swap to DecimalType.
+    *
+    * Returns one row: (n, clipped, ips, snips) — estimates on the 6-dp
+    * grid, `clipped` the count of capped weights (the diagnostic that
+    * says how much mass the cap moved).
+    */
+  def offPolicyIpsSnips(
+      df: DataFrame,
+      rewardUnitsCol: Column,
+      loggedUnitsCol: Column,
+      targetUnitsCol: Column,
+      rewardScale: Long,
+      cap: Long,
+      wScale: Long = 10000L): DataFrame = {
+    require(cap >= 1 && wScale >= 1, "cap and wScale must be positive")
+    df.select(targetUnitsCol.cast("long").as("t_u"),
+        loggedUnitsCol.cast("long").as("l_u"),
+        rewardUnitsCol.cast("long").as("r_u"))
+      .withColumn("raw_w", expr(s"(t_u * $wScale) div l_u"))
+      .select(least(col("raw_w"), lit(cap * wScale)).as("w_u"), col("r_u"),
+        (col("raw_w") > cap * wScale).cast("long").as("is_clipped"))
+      .agg(count(lit(1)).as("n"), sum("is_clipped").as("clipped"),
+        sum(col("w_u") * col("r_u")).as("swr"), sum("w_u").as("sw"))
+      .select(col("n"), col("clipped"),
+        round(col("swr").cast("double")
+          / (col("n") * wScale * rewardScale), 6).as("ips"),
+        round(col("swr").cast("double")
+          / (col("sw") * rewardScale), 6).as("snips"))
+  }
+
+  /** z critical values spliced verbatim into the power-analysis oracle
+    * (constant-splice convention): two-sided α = 0.05 and power = 0.80.
+    */
+  val ZAlpha05: Double = 1.959964
+  val ZBeta80: Double = 0.841621
+
+  /** A/B-test power analysis from observed arm moments: the minimum
+    * detectable effect at α = 0.05 / power 0.80 for the CURRENT arm
+    * sizes, and the required per-arm n to detect a 5% relative lift of
+    * the control mean:
+    *
+    *   MDE    = (z_{α/2} + z_β) · sqrt(s_a²/n_a + s_b²/n_b)
+    *   n_req  = ⌈(z_{α/2} + z_β)² · (s_a² + s_b²) / δ²⌉,  δ = 0.05·mean_a
+    *
+    * Distributed shape: one groupBy(arm) pass with map-side combine, then
+    * arithmetic over two broadcast-sized rows. Per-arm moments are 6-dp
+    * anchored BEFORE the statistic (round(avg), round(var_samp) — the
+    * Welch/CUPED convention), so both engines derive MDE from identical
+    * doubles and there is no Σx² overflow envelope to manage. Squares are
+    * EXPLICIT products, never pow (IEEE multiply is exact; Math.pow only
+    * 1-ulp).
+    *
+    * Returns one row: (n_a, n_b, mean_a, mde_abs, mde_rel, n_per_arm)
+    * on the 6-dp grid; a zero control mean yields NULL mde_rel/n_per_arm
+    * via explicit guards mirrored in the oracle.
+    */
+  def abPowerMde(df: DataFrame, valueCol: Column, groupCol: Column): DataFrame = {
+    val zSum = ZAlpha05 + ZBeta80
+    val arms = df.groupBy(groupCol.cast("long").as("g"))
+      .agg(count(lit(1)).as("n"), round(avg(valueCol), 6).as("m"),
+        round(var_samp(valueCol), 6).as("v"))
+    val a = arms.filter(col("g") === 0L)
+      .select(col("n").as("n_a"), col("m").as("mean_a"), col("v").as("var_a"))
+    val b = arms.filter(col("g") === 1L)
+      .select(col("n").as("n_b"), col("v").as("var_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("mde_abs", lit(zSum) *
+        sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+      .withColumn("delta", lit(0.05) * col("mean_a"))
+      .select(col("n_a"), col("n_b"), col("mean_a"),
+        round(col("mde_abs"), 6).as("mde_abs"),
+        when(col("mean_a") =!= 0.0,
+          round(col("mde_abs") / col("mean_a"), 6)).as("mde_rel"),
+        when(col("mean_a") =!= 0.0, ceil(lit(zSum * zSum) *
+          (col("var_a") + col("var_b"))
+          / (col("delta") * col("delta"))).cast("long")).as("n_per_arm"))
+  }
 }

@@ -9275,7 +9275,142 @@ object QueryCatalog {
         FROM base, (VALUES ('quantity'), ('disc_pct'), ('tax_pct'),
           ('ship_month')) f(feature)"""
 
+  /** Session-11 wave: split-conformal prediction intervals, off-policy
+    * bandit evaluation (IPS/SNIPS), and A/B power analysis / minimum
+    * detectable effect — the "before you ship the experiment" companions
+    * to the session-9 readout statistics.
+    */
+  private lazy val session11: Seq[Q] = Seq(
+
+    // Split-conformal regression interval: a fixed per-event-type "model"
+    // predicts round(value); the calibration quarter (event_id % 4 == 0)
+    // supplies q-hat = the ceil((n+1)·0.9)-th smallest |residual| via the
+    // support-bounded order-statistic path (residuals live on the whole-
+    // dollar grid, support ≤ ~800 at ANY corpus size because the value
+    // range is fixed), and the held-out three quarters audit the ≥ 90%
+    // finite-sample coverage guarantee. Integer arithmetic end-to-end
+    // (k by integral div, q-hat an exact BIGINT order statistic); the
+    // only doubles are the final coverage division.
+    Q("q_conformal_split",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id").cast("long").as("id"),
+            round(col("value")).cast("long").as("label"),
+            when(col("event_type") === "click", 300L)
+              .when(col("event_type") === "purchase", 250L)
+              .when(col("event_type") === "view", 200L)
+              .when(col("event_type") === "signup", 150L)
+              .otherwise(100L).as("pred"))
+        graft.operators.ModelEval.conformalSplit(
+          ev.filter(pmod(col("id"), lit(4)) === 0),
+          ev.filter(pmod(col("id"), lit(4)) =!= 0),
+          col("pred"), col("label"), alphaNum = 1, alphaDen = 10)
+      },
+      Some("""WITH ev AS (SELECT CAST(event_id AS BIGINT) AS id,
+                  CAST(round(value) AS BIGINT) AS label,
+                  CASE event_type WHEN 'click' THEN 300
+                    WHEN 'purchase' THEN 250 WHEN 'view' THEN 200
+                    WHEN 'signup' THEN 150 ELSE 100 END AS pred
+                FROM events),
+              cal AS (SELECT abs(label - pred) AS r FROM ev WHERE id % 4 = 0),
+              tst AS (SELECT abs(label - pred) AS r FROM ev WHERE id % 4 <> 0),
+              byres AS (SELECT r, CAST(count(*) AS BIGINT) AS cnt
+                FROM cal GROUP BY r),
+              cum AS (SELECT r,
+                  CAST(sum(cnt) OVER (ORDER BY r) AS BIGINT) AS cum
+                FROM byres),
+              tot AS (SELECT max(cum) AS n_cal,
+                  ((max(cum) + 1) * 9 + 9) // 10 AS k FROM cum),
+              q AS (SELECT t.n_cal, t.k, min(c.r) AS qhat
+                FROM cum c JOIN tot t ON c.cum >= t.k GROUP BY t.n_cal, t.k),
+              qq AS (SELECT t.n_cal, t.k, q.qhat
+                FROM tot t LEFT JOIN q USING (n_cal, k))
+              SELECT qq.n_cal, qq.k, qq.qhat,
+                CAST(count(*) AS BIGINT) AS n_test,
+                CASE WHEN qq.qhat IS NOT NULL THEN CAST(sum(
+                  CASE WHEN tst.r <= qq.qhat THEN 1 ELSE 0 END) AS BIGINT)
+                  END AS covered,
+                CASE WHEN qq.qhat IS NOT NULL THEN round(sum(
+                  CASE WHEN tst.r <= qq.qhat THEN 1 ELSE 0 END)
+                  / CAST(count(*) AS DOUBLE), 6) END AS coverage,
+                2 * qq.qhat AS width
+              FROM tst, qq GROUP BY qq.n_cal, qq.k, qq.qhat""")),
+
+    // Off-policy evaluation of a "boost clicks" target policy from the
+    // events stream read as a logged bandit feed: logged propensities on
+    // the 1/10 grid from the portable hash, target propensities keyed by
+    // the action, cents rewards. IPS and SNIPS with cap = 5 — weights
+    // materialized on the 1/10000 grid by floor division so every sum is
+    // an exact BIGINT in both engines; `clipped` counts the capped tail
+    // the estimator moved.
+    Q("q_offpolicy_ips",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id").cast("long").as("id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("r_u"))
+          .withColumn("l_u", pmod(graft.operators.PortableHash.portable60(
+            concat(lit("ips:"), col("id").cast("string"))), lit(9L)) + 1L)
+          .withColumn("t_u",
+            when(col("event_type") === "click", 6L)
+              .when(col("event_type") === "purchase", 2L).otherwise(1L))
+        graft.operators.ModelEval.offPolicyIpsSnips(ev,
+          col("r_u"), col("l_u"), col("t_u"), rewardScale = 100L, cap = 5L)
+      },
+      Some(s"""WITH ev AS (SELECT CAST(event_id AS BIGINT) AS id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS r_u FROM events),
+              w AS (SELECT r_u,
+                  (CASE event_type WHEN 'click' THEN 6
+                    WHEN 'purchase' THEN 2 ELSE 1 END * 10000)
+                  // (${graft.operators.PortableHash.duckSql(
+                    "'ips:' || CAST(id AS VARCHAR)")} % 9 + 1) AS raw_w
+                FROM ev),
+              c AS (SELECT r_u,
+                  CASE WHEN raw_w > 50000 THEN 50000 ELSE raw_w END AS w_u,
+                  CASE WHEN raw_w > 50000 THEN 1 ELSE 0 END AS is_clipped
+                FROM w)
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(is_clipped) AS BIGINT) AS clipped,
+                round(sum(w_u * r_u) / (count(*) * 10000.0 * 100.0), 6)
+                  AS ips,
+                round(sum(w_u * r_u) / (sum(w_u) * 100.0), 6) AS snips
+              FROM c""")),
+
+    // A/B power analysis from observed order-value moments: the MDE the
+    // current split could detect at alpha = 0.05 / power 0.80, and the
+    // per-arm n a 5%-of-control-mean lift would need. Moments 6-dp
+    // anchored per arm (the Welch/CUPED convention); z constants spliced.
+    Q("q_ab_power_mde",
+      (s, dir) => graft.operators.ModelEval.abPowerMde(
+        t(s, dir, "orders"), col("o_totalprice"),
+        pmod(col("o_orderkey"), lit(2))),
+      Some {
+        val zSum = graft.operators.ModelEval.ZAlpha05 +
+          graft.operators.ModelEval.ZBeta80
+        s"""WITH arms AS (SELECT o_orderkey % 2 AS g,
+                  CAST(count(*) AS BIGINT) AS n,
+                  round(avg(o_totalprice), 6) AS m,
+                  round(var_samp(o_totalprice), 6) AS v
+                FROM orders GROUP BY g),
+              ab AS (SELECT
+                  (SELECT n FROM arms WHERE g = 0) AS n_a,
+                  (SELECT m FROM arms WHERE g = 0) AS mean_a,
+                  (SELECT v FROM arms WHERE g = 0) AS var_a,
+                  (SELECT n FROM arms WHERE g = 1) AS n_b,
+                  (SELECT v FROM arms WHERE g = 1) AS var_b),
+              d AS (SELECT *,
+                  $zSum * sqrt(var_a / n_a + var_b / n_b) AS mde_abs,
+                  0.05 * mean_a AS delta FROM ab)
+              SELECT n_a, n_b, mean_a, round(mde_abs, 6) AS mde_abs,
+                CASE WHEN mean_a <> 0 THEN round(mde_abs / mean_a, 6)
+                  END AS mde_rel,
+                CASE WHEN mean_a <> 0 THEN CAST(ceil(${zSum * zSum}
+                  * (var_a + var_b) / (delta * delta)) AS BIGINT)
+                  END AS n_per_arm
+              FROM d"""
+      }))
+
   val all: Seq[Q] =
     relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++
-      taxi ++ session8 ++ session9 ++ session9b ++ session10 ++ session10b
+      taxi ++ session8 ++ session9 ++ session9b ++ session10 ++ session10b ++
+      session11
 }

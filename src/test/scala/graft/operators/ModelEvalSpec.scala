@@ -141,4 +141,100 @@ class ModelEvalSpec extends SparkSpec {
     assert(got.getDouble(3) === crit)
     assert(got.getBoolean(4) === (got.getDouble(2) > crit))
   }
+
+  test("conformalSplit: k-th order statistic and coverage on a planted grid") {
+    import spark.implicits._
+    // cal residuals are exactly 1..9 (pred 0, labels ±1..9): n=9,
+    // k = ceil(10 * 9/10) = 9 -> qhat = 9th smallest = 9
+    val cal = (1L to 9L).map(r => (0L, r)).toDF("p", "y")
+    val test9 = Seq((0L, 5L), (0L, 9L), (0L, 10L), (0L, 20L)).toDF("p", "y")
+    val row = ModelEval.conformalSplit(cal, test9, col("p"), col("y"), 1, 10)
+      .head()
+    assert(row.getLong(0) === 9L)      // n_cal
+    assert(row.getLong(1) === 9L)      // k
+    assert(row.getLong(2) === 9L)      // qhat
+    assert(row.getLong(3) === 4L)      // n_test
+    assert(row.getLong(4) === 2L)      // covered (5 and 9; 10, 20 out)
+    assert(row.getDouble(5) === 0.5)
+    assert(row.getLong(6) === 18L)     // width = 2 qhat
+  }
+
+  test("conformalSplit: matches a driver-side replay on seeded data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val calR = Seq.fill(400)((0L, rnd.nextInt(50).toLong))
+    val tstR = Seq.fill(600)((0L, rnd.nextInt(50).toLong))
+    val got = ModelEval.conformalSplit(calR.toDF("p", "y"), tstR.toDF("p", "y"),
+      col("p"), col("y"), 1, 10).head()
+    val sorted = calR.map(_._2).sorted
+    val k = ((calR.size + 1) * 9 + 9) / 10
+    val qhat = sorted(k - 1)
+    val covered = tstR.count(_._2 <= qhat)
+    assert(got.getLong(1) === k.toLong && got.getLong(2) === qhat)
+    assert(got.getLong(4) === covered.toLong)
+    // the split-conformal guarantee is >= 1 - alpha in expectation; on
+    // this same-distribution fixture the empirical coverage should land
+    // near 0.9 (sanity, not the exact property)
+    assert(got.getDouble(5) > 0.85)
+  }
+
+  test("conformalSplit: alpha too small for the calibration size -> NULLs") {
+    import spark.implicits._
+    val cal = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("p", "y")
+    val tst = Seq((0L, 1L)).toDF("p", "y")
+    // n=3, alpha=1/100: k = ceil(4 * 99/100) = 4 > 3
+    val row = ModelEval.conformalSplit(cal, tst, col("p"), col("y"), 1, 100)
+      .head()
+    assert(row.getLong(1) === 4L)
+    assert(row.isNullAt(2) && row.isNullAt(4) && row.isNullAt(5) &&
+      row.isNullAt(6))
+  }
+
+  test("offPolicyIpsSnips: uniform logging gives IPS = SNIPS = mean reward") {
+    import spark.implicits._
+    val df = Seq((100L, 5L, 5L), (200L, 5L, 5L), (300L, 5L, 5L))
+      .toDF("r", "l", "t")
+    val row = ModelEval.offPolicyIpsSnips(df, col("r"), col("l"), col("t"),
+      rewardScale = 100L, cap = 5L).head()
+    assert(row.getLong(0) === 3L && row.getLong(1) === 0L)
+    assert(row.getDouble(2) === 2.0 && row.getDouble(3) === 2.0)
+  }
+
+  test("offPolicyIpsSnips: clipping caps the weight and counts it") {
+    import spark.implicits._
+    // t/l = 9 -> raw 90000 > cap 5*10000, clipped to 50000
+    val df = Seq((100L, 1L, 9L), (100L, 2L, 2L)).toDF("r", "l", "t")
+    val row = ModelEval.offPolicyIpsSnips(df, col("r"), col("l"), col("t"),
+      rewardScale = 100L, cap = 5L).head()
+    assert(row.getLong(1) === 1L)
+    // weights 50000 and 10000; swr = 100*(50000+10000) = 6e6
+    // ips = 6e6 / (2 * 1e4 * 100) = 3.0 ; snips = 6e6 / (60000*100) = 1.0
+    assert(row.getDouble(2) === 3.0 && row.getDouble(3) === 1.0)
+  }
+
+  test("abPowerMde: matches the closed form on planted arms") {
+    import spark.implicits._
+    val df = (Seq(10.0, 20.0, 30.0).map((_, 0)) ++
+      Seq(40.0, 60.0).map((_, 1))).toDF("v", "g")
+    val row = ModelEval.abPowerMde(df, col("v"), col("g")).head()
+    val zSum = ModelEval.ZAlpha05 + ModelEval.ZBeta80
+    val mde = zSum * math.sqrt(100.0 / 3 + 200.0 / 2)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getLong(0) === 3L && row.getLong(1) === 2L)
+    assert(row.getDouble(2) === 20.0)
+    assert(row.getDouble(3) === r6(mde))
+    assert(row.getDouble(4) === r6(mde / 20.0))
+    val nReq = math.ceil(zSum * zSum * 300.0 / (1.0 * 1.0)).toLong
+    assert(row.getLong(5) === nReq)
+  }
+
+  test("abPowerMde: zero control mean yields NULL relative fields") {
+    import spark.implicits._
+    val df = (Seq(-1.0, 0.0, 1.0).map((_, 0)) ++
+      Seq(1.0, 2.0).map((_, 1))).toDF("v", "g")
+    val row = ModelEval.abPowerMde(df, col("v"), col("g")).head()
+    assert(row.getDouble(2) === 0.0)
+    assert(row.isNullAt(4) && row.isNullAt(5))
+  }
 }
