@@ -1065,6 +1065,57 @@ object TextAnalysis {
       .join(test.select(col(idCol), col(labelCol).as("y_true")), Seq(idCol))
       .withColumn("correct", (col("pred") === col("y_true")).cast("int"))
   }
+
+  /** Jensen–Shannon divergence (bits) between the unigram token
+    * distributions of two corpus slices — the symmetric, bounded [0, 1]
+    * drift measure for "did the crawl mix shift" monitoring, complementing
+    * PSI (binned scalar) and KS (CDF) with a full-vocabulary comparison:
+    *
+    *   JS = ½ Σ p·log2(2p/(p+q)) + ½ Σ q·log2(2q/(p+q))
+    *
+    * Zero-count terms contribute 0 (no smoothing needed — JS is finite on
+    * disjoint support, unlike KL).
+    *
+    * Distributed shape: one explode + ONE groupBy(token) with map-side
+    * combine folds both slices to a (token, cnt_a, cnt_b) vocabulary
+    * table; totals/vocab sizes are a broadcast single-row reduce over it,
+    * and the contribution sum is a second reduce — shuffles carry the
+    * vocabulary, never tokens.
+    *
+    * Cross-engine determinism: counts are exact BIGINTs; each term's
+    * contribution is a fixed IEEE expression over two exact ratios, so
+    * per-term values are bit-identical — only the reduce order differs,
+    * which the 4-dp output grid (the entropy-family convention) absorbs.
+    *
+    * Returns one row: (n_a, n_b, vocab_a, vocab_b, vocab_shared, js_bits).
+    */
+  def jsDivergence(df: DataFrame, textCol: Column, groupCol: Column): DataFrame = {
+    val tok = df
+      .select(groupCol.cast("long").as("g"),
+        explode(wsTokens(lower(trim(textCol)))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = tok.groupBy("tok")
+      .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("cb"))
+    val tot = broadcast(counts.agg(
+      sum("ca").as("n_a"), sum("cb").as("n_b"),
+      sum(when(col("ca") > 0, 1L).otherwise(0L)).as("vocab_a"),
+      sum(when(col("cb") > 0, 1L).otherwise(0L)).as("vocab_b"),
+      sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L))
+        .as("vocab_shared")))
+    counts.crossJoin(tot)
+      .withColumn("p", col("ca").cast("double") / col("n_a"))
+      .withColumn("q", col("cb").cast("double") / col("n_b"))
+      .withColumn("contrib",
+        when(col("ca") > 0,
+          col("p") * log2(lit(2.0) * col("p") / (col("p") + col("q"))))
+          .otherwise(0.0) +
+        when(col("cb") > 0,
+          col("q") * log2(lit(2.0) * col("q") / (col("p") + col("q"))))
+          .otherwise(0.0))
+      .groupBy("n_a", "n_b", "vocab_a", "vocab_b", "vocab_shared")
+      .agg(round(sum("contrib") * 0.5, 4).as("js_bits"))
+  }
 }
 
 /** Minimal per-language stopword profiles (public common-word lists). */

@@ -9407,7 +9407,49 @@ object QueryCatalog {
                   * (var_a + var_b) / (delta * delta)) AS BIGINT)
                   END AS n_per_arm
               FROM d"""
-      }))
+      }),
+
+    // Jensen-Shannon divergence between the English and non-English
+    // unigram distributions — the full-vocabulary drift measure beside
+    // PSI (binned) and KS (CDF). Shuffles carry the (token, cnt_a,
+    // cnt_b) vocabulary table only; per-term contributions are identical
+    // IEEE expressions in both engines, reduce-order noise absorbed by
+    // the 4-dp entropy-family grid.
+    Q("q_js_divergence",
+      (s, dir) => graft.operators.TextAnalysis.jsDivergence(
+        t(s, dir, "documents"), col("text"),
+        when(col("lang") === "en", 0L).otherwise(1L)),
+      Some("""WITH tk AS (SELECT
+                  CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS g,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                    AS tok
+                FROM documents),
+              counts AS (SELECT tok,
+                  CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS ca,
+                  CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS cb
+                FROM tk WHERE length(tok) > 0 GROUP BY tok),
+              tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                  CAST(sum(cb) AS BIGINT) AS n_b,
+                  CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS vocab_a,
+                  CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS vocab_b,
+                  CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS vocab_shared
+                FROM counts),
+              terms AS (SELECT n_a, n_b, vocab_a, vocab_b, vocab_shared,
+                  ca / CAST(n_a AS DOUBLE) AS p,
+                  cb / CAST(n_b AS DOUBLE) AS q
+                FROM counts, tot)
+              SELECT n_a, n_b, vocab_a, vocab_b, vocab_shared,
+                round(sum(
+                  CASE WHEN p > 0 THEN p * log2(2.0 * p / (p + q))
+                    ELSE 0 END
+                  + CASE WHEN q > 0 THEN q * log2(2.0 * q / (p + q))
+                    ELSE 0 END) * 0.5, 4) AS js_bits
+              FROM terms GROUP BY 1, 2, 3, 4, 5""")))
 
   val all: Seq[Q] =
     relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++

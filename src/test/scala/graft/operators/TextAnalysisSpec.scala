@@ -448,4 +448,41 @@ class TextAnalysisSpec extends SparkSpec {
     // docs with no query terms never appear
     assert(!got.exists(p => p._1 == 2L || p._1 == 5L))
   }
+
+  test("jsDivergence: identical slices give 0, disjoint vocabularies give 1") {
+    import spark.implicits._
+    val same = Seq(("a b c", 0L), ("a b c", 1L)).toDF("text", "g")
+    val r0 = TextAnalysis.jsDivergence(same, col("text"), col("g")).head()
+    assert(r0.getDouble(5) === 0.0)
+    assert(r0.getLong(4) === 3L) // shared vocab
+    val disjoint = Seq(("a b", 0L), ("x y", 1L)).toDF("text", "g")
+    val r1 = TextAnalysis.jsDivergence(disjoint, col("text"), col("g")).head()
+    assert(r1.getDouble(5) === 1.0)
+    assert(r1.getLong(4) === 0L)
+  }
+
+  test("jsDivergence matches a driver-side replay on a mixed fixture") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat sat on the mat", 0L), ("the dog ran", 0L),
+      ("le chat et le chien", 1L), ("the chat ran fast", 1L))
+      .toDF("text", "g")
+    val got = TextAnalysis.jsDivergence(df, col("text"), col("g")).head()
+    val tokA = "the cat sat on the mat the dog ran".split("\\s+").toSeq
+    val tokB = "le chat et le chien the chat ran fast".split("\\s+").toSeq
+    val vocab = (tokA ++ tokB).distinct
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val js = 0.5 * vocab.map { w =>
+      val p = tokA.count(_ == w).toDouble / tokA.size
+      val q = tokB.count(_ == w).toDouble / tokB.size
+      (if (p > 0) p * log2(2 * p / (p + q)) else 0.0) +
+        (if (q > 0) q * log2(2 * q / (p + q)) else 0.0)
+    }.sum
+    val exp = BigDecimal(js).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(got.getLong(0) === tokA.size.toLong)
+    assert(got.getLong(1) === tokB.size.toLong)
+    assert(math.abs(got.getDouble(5) - exp) <= 1e-4 + 1e-12)
+    assert(got.getDouble(5) > 0.0 && got.getDouble(5) < 1.0)
+  }
 }
