@@ -9449,7 +9449,45 @@ object QueryCatalog {
                     ELSE 0 END
                   + CASE WHEN q > 0 THEN q * log2(2.0 * q / (p + q))
                     ELSE 0 END) * 0.5, 4) AS js_bits
-              FROM terms GROUP BY 1, 2, 3, 4, 5""")))
+              FROM terms GROUP BY 1, 2, 3, 4, 5""")),
+
+    // Grid-bucketed 2-D radius self-join (the spatial-join shape): events
+    // projected to an integer 5000×5000 unit grid, all pairs within
+    // Euclidean distance 8 — EXACT via cell bucketing (side r) + 3×3
+    // neighborhood equi-join + true integer dist² filter, never a
+    // cartesian. The oracle is the INDEPENDENT naive algorithm (band
+    // self-join + distance filter), so a bucketing bug (missed neighbor
+    // cell, double-matched pair) hash-mismatches. The fixture densifies
+    // quadratically with corpus growth (fixed domain), so the catalog
+    // wires the candidate-volume pre-flight at 2e9 — at ×100 the entry
+    // fails fast with the sized diagnosis instead of an n² pair blow-up.
+    Q("q_grid_radius_join",
+      (s, dir) => {
+        val pts = t(s, dir, "events")
+          .select(col("event_id").cast("long").as("id"),
+            pmod(round(col("value") * 100).cast("long"), lit(5000L)).as("x"),
+            pmod(graft.operators.PortableHash.portable60(
+              concat(lit("gy:"), col("event_id").cast("string"))),
+              lit(5000L)).as("y"))
+        graft.operators.RangeJoin.radiusPairs(pts, col("id"), col("x"),
+            col("y"), r = 8L, maxExpectedCandidates = Some(2000000000L))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH pts AS (SELECT CAST(event_id AS BIGINT) AS id,
+                  CAST(round(value * 100) AS BIGINT) % 5000 AS x,
+                  ${graft.operators.PortableHash.duckSql(
+                    "'gy:' || CAST(event_id AS VARCHAR)")} % 5000 AS y
+                FROM events)
+              SELECT a.id AS id_a, b.id AS id_b,
+                (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                  AS dist2
+              FROM pts a JOIN pts b
+                ON b.x BETWEEN a.x - 8 AND a.x + 8
+                AND b.y BETWEEN a.y - 8 AND a.y + 8
+                AND a.id < b.id
+              WHERE (a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y) <= 64
+              ORDER BY id_a, id_b""")))
 
   val all: Seq[Q] =
     relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++

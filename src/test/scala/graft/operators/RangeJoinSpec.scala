@@ -48,4 +48,48 @@ class RangeJoinSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("__graft_bucket_0")).toSeq == Seq("keep-p", "keep-p2"))
     assert(rows.forall(_.getAs[String]("__graft_bucket_1") == "keep-i"))
   }
+
+  test("radiusPairs matches brute force on seeded points incl. negatives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    // negative coordinates exercise the floor (not truncate) bucketing
+    val pts = (0L until 300L).map(i =>
+      (i, (rnd.nextInt(200) - 100).toLong, (rnd.nextInt(200) - 100).toLong))
+    val got = RangeJoin.radiusPairs(pts.toDF("id", "x", "y"),
+        col("id"), col("x"), col("y"), r = 7L)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exp = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= 49L
+    } yield (a._1, b._1, d2)).sortBy(p => (p._1, p._2))
+    assert(got === exp)
+    assert(exp.nonEmpty) // fixture sanity: the property is not vacuous
+  }
+
+  test("radiusPairs: exact-boundary pair included, one unit past excluded") {
+    import spark.implicits._
+    val pts = Seq((1L, 0L, 0L), (2L, 5L, 0L), (3L, 0L, 6L)).toDF("id", "x", "y")
+    val got = RangeJoin.radiusPairs(pts, col("id"), col("x"), col("y"), r = 5L)
+      .orderBy("id_a", "id_b").collect()
+    // (1,2) at dist 5 exactly: in. (1,3) at 6: out. (2,3) at sqrt(61): out.
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(got.head.getLong(2) === 25L)
+  }
+
+  test("radiusPairs pre-flight gate fails fast with the sized diagnosis") {
+    import spark.implicits._
+    // 100 points in one cell: est = 9 * 100^2 = 90000
+    val pts = (0L until 100L).map(i => (i, 1L, 1L)).toDF("id", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.radiusPairs(pts, col("id"), col("x"), col("y"), r = 10L,
+        maxExpectedCandidates = Some(1000L))
+    }
+    assert(e.getMessage.contains("90000") && e.getMessage.contains("ceiling 1000"))
+    // under the ceiling it runs: all C(100,2) coincident pairs at dist 0
+    val ok = RangeJoin.radiusPairs(pts, col("id"), col("x"), col("y"),
+      r = 10L, maxExpectedCandidates = Some(100000L))
+    assert(ok.count() === 4950L)
+  }
 }
