@@ -1139,4 +1139,86 @@ object Similarity {
       scored, keyCols = Seq("anchor_id"),
       orderCols = Seq(col("sim").desc, col("neg_id")), k = k)
   }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998) of a
+    * per-query candidate SHORTLIST: greedily select k items maximizing
+    *
+    *   λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+    *
+    * — the diversity-aware final stage of a retrieval pipeline (dedupe
+    * near-identical hits out of the top-k the ANN stage returned).
+    *
+    * SHORTLIST contract: `cands` must already be bounded per query (the
+    * top-N of an ANN/BM25 stage, N ≲ 100s) — the pairwise-similarity
+    * self-join is per-query N², and the greedy loop is k sequential
+    * bounded Spark jobs. This is the standard production shape: MMR
+    * re-ranks shortlists; it never scans the corpus.
+    *
+    * Distributed shape: all queries advance in PARALLEL each round — the
+    * per-round job is one anti-join (drop selected), one join against the
+    * persisted pairwise-sim table restricted to selected partners, one
+    * bounded groupBy(max), one per-query window argmax. Selected state is
+    * lineage-cut per round (the bradleyTerry convention).
+    *
+    * Cross-engine determinism: similarities and relevances are quantized
+    * to the 1e-4 unit grid (round(x·10000) — the 4-dp cosine boundary),
+    * so the greedy objective
+    *   score = λnum·rel_u − (λden−λnum)·max_sim_u
+    * is exact BIGINT arithmetic with argmax ties broken by min id; rank 1
+    * is pure max-relevance (selected set empty — the textbook seed).
+    *
+    * Returns (qid, rank, id, rel_u, max_sim_u) — max_sim_u NULL on the
+    * seed row; ranks stop early for queries with fewer than k candidates.
+    */
+  def mmrRerank(
+      cands: DataFrame,
+      qidCol: Column,
+      idCol: Column,
+      relUnitsCol: Column,
+      vecCol: Column,
+      k: Int,
+      lambdaNum: Int = 7,
+      lambdaDen: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 100, "k must be in [1, 100] — MMR is a shortlist re-ranker")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      "lambda must be a rational in [0, 1]")
+    val base = OperatorCaches.persistTracked(
+      cands.select(qidCol.cast("long").as("qid"), idCol.cast("long").as("id"),
+        relUnitsCol.cast("long").as("rel_u"), toDouble(vecCol).as("v")))
+    val a = base.select(col("qid"), col("id").as("id_x"), col("v").as("vx"))
+    val b = base.select(col("qid"), col("id").as("id_y"), col("v").as("vy"))
+    val pairs = OperatorCaches.persistTracked(
+      a.join(b, Seq("qid")).filter(col("id_x") =!= col("id_y"))
+        .select(col("qid"), col("id_x"), col("id_y"),
+          round(cosine(col("vx"), col("vy")) * 10000, 0).cast("long")
+            .as("sim_u")))
+    val slim = base.select("qid", "id", "rel_u")
+    val wSeed = Window.partitionBy("qid")
+      .orderBy(col("rel_u").desc, col("id").asc)
+    val seed = slim
+      .withColumn("rn", row_number().over(wSeed)).filter(col("rn") === 1)
+      .select(col("qid"), lit(1L).as("rank"), col("id"), col("rel_u"),
+        lit(null).cast("long").as("max_sim_u"))
+    val lNum = lambdaNum.toLong
+    val lCmp = (lambdaDen - lambdaNum).toLong
+    var acc = seed.localCheckpoint()
+    for (t <- 2 to k) {
+      val selIds = acc.select(col("qid"), col("id").as("id_y"))
+      val maxSim = pairs.join(selIds, Seq("qid", "id_y"))
+        .groupBy(col("qid"), col("id_x").as("id"))
+        .agg(max("sim_u").as("max_sim_u"))
+      val rem = slim.join(acc.select("qid", "id"), Seq("qid", "id"),
+        "left_anti")
+      val wPick = Window.partitionBy("qid")
+        .orderBy((lit(lNum) * col("rel_u") - lit(lCmp) * col("max_sim_u"))
+          .desc, col("id").asc)
+      val picked = rem.join(maxSim, Seq("qid", "id"))
+        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+        .select(col("qid"), lit(t.toLong).as("rank"), col("id"),
+          col("rel_u"), col("max_sim_u"))
+      acc = acc.unionByName(picked).localCheckpoint()
+    }
+    acc
+  }
 }

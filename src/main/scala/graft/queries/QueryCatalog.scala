@@ -9487,7 +9487,86 @@ object QueryCatalog {
                 AND a.id < b.id
               WHERE (a.x - b.x) * (a.x - b.x)
                   + (a.y - b.y) * (a.y - b.y) <= 64
-              ORDER BY id_a, id_b""")))
+              ORDER BY id_a, id_b""")),
+
+    // Maximal Marginal Relevance re-rank of per-query ANN shortlists:
+    // four literal query vectors (vec_id 0..3), candidates partitioned by
+    // id % 4, top-20 shortlist by query-cosine, then greedy k = 5 at
+    // lambda = 7/10 on the 1e-4 unit grid — exact BIGINT objective, min-id
+    // tie-break. The oracle UNROLLS the greedy loop as a 5-step CTE chain
+    // (the bradleyTerry/minhash splice convention), so a selection
+    // divergence at ANY step hash-mismatches.
+    Q("q_mmr_rerank",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id").cast("long").as("id"),
+            graft.operators.Similarity.toDouble(col("embedding")).as("v"))
+        val queries = emb.filter(col("id") <= 3)
+          .select(col("id").as("qid"), col("v").as("qv"))
+        val cand0 = emb.filter(col("id") >= 4)
+          .join(broadcast(queries), pmod(col("id"), lit(4L)) === col("qid"))
+          .select(col("qid"), col("id"),
+            round(graft.operators.Similarity.cosine(col("v"), col("qv"))
+              * 10000, 0).cast("long").as("rel_u"),
+            col("v"))
+        val wShort = Window.partitionBy("qid")
+          .orderBy(col("rel_u").desc, col("id").asc)
+        val short = cand0.withColumn("rn", row_number().over(wShort))
+          .filter(col("rn") <= 20).drop("rn")
+        graft.operators.Similarity.mmrRerank(short, col("qid"), col("id"),
+            col("rel_u"), col("v"), k = 5)
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val steps = (2 to 5).map { t =>
+          s"""s$t AS (SELECT qid, CAST($t AS BIGINT) AS rank, id, rel_u,
+                  max_sim_u
+                FROM (SELECT c.qid, c.id, c.rel_u, m.max_sim_u,
+                    row_number() OVER (PARTITION BY c.qid
+                      ORDER BY 7 * c.rel_u - 3 * m.max_sim_u DESC, c.id)
+                      AS rn
+                  FROM short c
+                  JOIN (SELECT p.qid, p.id_x AS id, max(p.sim_u)
+                        AS max_sim_u
+                      FROM pairs p JOIN sel${t - 1} s
+                        ON p.qid = s.qid AND p.id_y = s.id
+                      GROUP BY p.qid, p.id_x) m
+                    ON m.qid = c.qid AND m.id = c.id
+                  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s2
+                    WHERE s2.qid = c.qid AND s2.id = c.id))
+                WHERE rn = 1),
+              sel$t AS (SELECT qid, id FROM sel${t - 1}
+                UNION ALL SELECT qid, id FROM s$t)"""
+        }.mkString(",\n              ")
+        val unions = (1 to 5)
+          .map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ")
+        s"""WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              q AS (SELECT id AS qid, e AS qe FROM emb WHERE id <= 3),
+              cand0 AS (SELECT q.qid, emb.id,
+                  CAST(round(list_cosine_similarity(emb.e, q.qe) * 10000, 0)
+                    AS BIGINT) AS rel_u, emb.e
+                FROM emb JOIN q ON emb.id % 4 = q.qid WHERE emb.id >= 4),
+              short AS MATERIALIZED (SELECT qid, id, rel_u, e
+                FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY rel_u DESC, id) AS rn FROM cand0)
+                WHERE rn <= 20),
+              pairs AS MATERIALIZED (SELECT a.qid, a.id AS id_x,
+                  b.id AS id_y,
+                  CAST(round(list_cosine_similarity(a.e, b.e) * 10000, 0)
+                    AS BIGINT) AS sim_u
+                FROM short a JOIN short b
+                  ON a.qid = b.qid AND a.id <> b.id),
+              s1 AS (SELECT qid, CAST(1 AS BIGINT) AS rank, id, rel_u,
+                  CAST(NULL AS BIGINT) AS max_sim_u
+                FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY rel_u DESC, id) AS rn FROM short)
+                WHERE rn = 1),
+              sel1 AS (SELECT qid, id FROM s1),
+              $steps
+              SELECT qid, rank, id, rel_u, max_sim_u FROM ($unions)
+              ORDER BY qid, rank"""
+      }))
 
   val all: Seq[Q] =
     relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++

@@ -441,4 +441,68 @@ class SimilaritySpec extends SparkSpec {
     // the antipodal vector (distance 2) beats the zero vector (distance 1)
     assert(got(1) === ((2L, 2.0)))
   }
+
+  test("mmrRerank matches a driver-side greedy replay on seeded vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val cands = for (q <- 0L to 1L; i <- 0L until 12L) yield {
+      val v = Array.fill(8)(rnd.nextDouble() * 2 - 1)
+      (q, q * 100 + i, (rnd.nextInt(8000) + 1000).toLong, v)
+    }
+    val df = cands.toDF("qid", "id", "rel_u", "v")
+    val got = Similarity.mmrRerank(df, col("qid"), col("id"), col("rel_u"),
+        col("v"), k = 4)
+      .orderBy("qid", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // driver replay with the same 1e-4 sim grid and min-id tie-break
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def simU(a: Array[Double], b: Array[Double]): Long =
+      BigDecimal(cos(a, b) * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val exp = (0L to 1L).flatMap { q =>
+      val cs = cands.filter(_._1 == q).map(c => (c._2, c._3, c._4))
+      val seed = cs.minBy(c => (-c._2, c._1))
+      var sel = Vector(seed)
+      for (t <- 2 to 4) {
+        val rem = cs.filterNot(c => sel.exists(_._1 == c._1))
+        val pick = rem.minBy { c =>
+          val ms = sel.map(s => simU(c._3, s._3)).max
+          (-(7L * c._2 - 3L * ms), c._1)
+        }
+        sel = sel :+ pick
+      }
+      sel.zipWithIndex.map { case (c, i) => (q, (i + 1).toLong, c._1) }
+    }
+    assert(got.toSeq === exp.map(e => (e._1, e._2, e._3)))
+  }
+
+  test("mmrRerank: near-duplicate of the seed is displaced by a diverse pick") {
+    import spark.implicits._
+    // c1 (seed, rel 9000), c2 a near-clone of c1 with rel 8900,
+    // c3 orthogonal with rel 5000: pure relevance ranks c2 second, MMR
+    // at lambda 7/10 ranks c3 second (7*8900 - 3*~10000 < 7*5000 - 3*0)
+    val df = Seq(
+      (0L, 1L, 9000L, Array(1.0, 0.0)),
+      (0L, 2L, 8900L, Array(1.0, 1e-9)),
+      (0L, 3L, 5000L, Array(0.0, 1.0))).toDF("qid", "id", "rel_u", "v")
+    val got = Similarity.mmrRerank(df, col("qid"), col("id"), col("rel_u"),
+        col("v"), k = 3)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(got.toSeq === Seq(1L, 3L, 2L))
+  }
+
+  test("mmrRerank: queries with fewer than k candidates stop early") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, 1L, 100L, Array(1.0, 0.0)), (0L, 2L, 90L, Array(0.0, 1.0)),
+      (1L, 5L, 50L, Array(1.0, 0.0))).toDF("qid", "id", "rel_u", "v")
+    val got = Similarity.mmrRerank(df, col("qid"), col("id"), col("rel_u"),
+        col("v"), k = 4)
+      .orderBy("qid", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 1L, 1L), (0L, 2L, 2L), (1L, 1L, 5L)))
+  }
 }
