@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tabular feature-engineering operators for ML data prep — the encode /
+  * hash stage between the warehouse tables and a trainer. New scope beyond
+  * the reference (which stops at when/otherwise feature columns,
+  * SURVEY.md §2h); both members follow the house envelope: grouped
+  * support tables, exact integer arithmetic until the final divisions,
+  * portable hashes.
+  */
+object FeatureEng {
+
+  /** Leave-one-out target encoding with additive (m-estimate) smoothing —
+    * the high-cardinality-categorical encoder that avoids plain mean
+    * encoding's target leakage (each row's own label is excluded) and its
+    * rare-category variance (the global mean prior with weight m):
+    *
+    *   enc(c, y) = (sum_c − y + m·gmean) / (n_c − 1 + m)
+    *
+    * Distributed shape: ONE groupBy(category) with map-side combine for
+    * (n_c, sum_c), one single-row global aggregate broadcast. The LOO
+    * encoding of a row depends only on its (category, label) pair, so the
+    * output is the BOUNDED (category, label) support table — a trainer
+    * joins it back by (c, y) at feature time; no per-row table ships.
+    *
+    * Cross-engine determinism: counts and sums are exact BIGINTs on the
+    * integral-label contract; gmean is one division, enc one fixed IEEE
+    * expression, outputs on the 6-dp grid.
+    *
+    * Returns (key, y, n_rows, enc) — n_rows the support count, ordered.
+    */
+  def targetEncodeLoo(
+      df: DataFrame,
+      keyCol: Column,
+      labelCol: Column,
+      m: Long = 20L): DataFrame = {
+    require(m >= 1, "smoothing weight m must be >= 1 (m = 0 divides by " +
+      "zero on singleton categories)")
+    val base = df.select(keyCol.as("key"), labelCol.cast("long").as("y"))
+    val perKey = base.groupBy("key")
+      .agg(count(lit(1)).as("n_c"), sum("y").as("sum_c"))
+    val global = broadcast(base.agg(
+      (sum("y").cast("double") / count(lit(1))).as("gmean")))
+    base.groupBy("key", "y").agg(count(lit(1)).as("n_rows"))
+      .join(perKey, Seq("key"))
+      .crossJoin(global)
+      .select(col("key"), col("y"), col("n_rows"),
+        round(((col("sum_c") - col("y")).cast("double")
+            + lit(m.toDouble) * col("gmean"))
+          / (col("n_c") - 1L + m), 6).as("enc"))
+      .orderBy("key", "y")
+  }
+
+  /** Hashing-trick feature audit: map every (column, value) feature of
+    * the given columns to one of `nBuckets` buckets by the portable hash
+    * and report the collision profile — the pre-flight a pipeline runs
+    * before committing to a hashed feature width:
+    *
+    *   bucket(col, v) = portable60(col || '=' || v) mod nBuckets
+    *
+    * Distributed shape: one explode (|cols|× fan-out) + ONE distinct on
+    * the feature string (map-side combined) + one groupBy(bucket) over
+    * the bounded distinct-feature set. Shuffles carry features, never
+    * rows.
+    *
+    * Returns one row: (n_features, n_buckets_used, n_collision_buckets,
+    * max_bucket_load) — all exact BIGINTs.
+    */
+  def hashFeatures(
+      df: DataFrame,
+      cols: Seq[String],
+      nBuckets: Long): DataFrame = {
+    require(cols.nonEmpty && nBuckets >= 2, "need columns and >= 2 buckets")
+    val feats = df.select(explode(array(cols.map(c =>
+        concat(lit(c), lit("="), col(c).cast("string"))): _*)).as("feat"))
+      .filter(col("feat").isNotNull)
+      .distinct()
+      .withColumn("bucket",
+        pmod(PortableHash.portable60(col("feat")), lit(nBuckets)))
+    feats.groupBy("bucket").agg(count(lit(1)).as("load"))
+      .agg(sum("load").as("n_features"),
+        count(lit(1)).as("n_buckets_used"),
+        sum(when(col("load") > 1, 1L).otherwise(0L))
+          .as("n_collision_buckets"),
+        max("load").as("max_bucket_load"))
+  }
+}

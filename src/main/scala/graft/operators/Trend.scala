@@ -208,4 +208,103 @@ object Trend {
       s"$op: series has $n points (> $maxPoints) — ${n * (n - 1) / 2} " +
         "pairs; re-bin to a coarser grid or raise maxPoints")
   }
+
+  /** Classical additive seasonal decomposition x = trend + seasonal +
+    * residual over a regular series (the "is Monday always low, or is the
+    * metric drifting" splitter):
+    *
+    *   trend_t    = centered `period`-point moving average (odd period;
+    *                NULL on the ⌊period/2⌋ edge rows — no padding lies)
+    *   seasonal_k = mean of (x − trend) per phase k = t mod period,
+    *                centered so Σ seasonal = 0
+    *   resid_t    = x_t − trend_t − seasonal_k(t)
+    *
+    * SERIES CONTRACT as everywhere in this object: one row per time
+    * bucket, cost a function of series length (`requireBounded`), windows
+    * run on the bounded series. `tCol` a numeric bucket index (epoch
+    * day), CONSECUTIVE (gaps would silently widen the moving window —
+    * gap-fill first, q_timeseries_gapfill is the companion); `xCol`
+    * integral units.
+    *
+    * Cross-engine determinism: the moving average is an exact BIGINT sum
+    * with ONE division; per-phase means and the centering are double
+    * reduces over the bounded series, absorbed by the 6-dp grid.
+    *
+    * Returns (t, x, trend, seasonal, resid) ordered by t.
+    */
+  def seasonalDecompose(
+      series: DataFrame,
+      tCol: Column,
+      xCol: Column,
+      period: Int = 7,
+      maxPoints: Long = DefaultMaxPoints): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      "period must be odd and >= 3 (centered moving average)")
+    val s0 = series.select(tCol.cast("long").as("t"), xCol.cast("long").as("x"))
+    requireBounded(s0, maxPoints, "seasonalDecompose")
+    val half = period / 2
+    val wMa = Window.orderBy("t").rowsBetween(-half, half)
+    val trended = s0
+      .withColumn("win_n", count(lit(1)).over(wMa))
+      .withColumn("trend",
+        when(col("win_n") === period,
+          sum("x").over(wMa).cast("double") / period))
+      .withColumn("phase", pmod(col("t"), lit(period.toLong)))
+      .withColumn("detr", col("x").cast("double") - col("trend"))
+    val phases = trended.filter(col("trend").isNotNull)
+      .groupBy("phase").agg(avg("detr").as("s_raw"))
+    val centered = broadcast(phases
+      .crossJoin(broadcast(phases.agg(avg("s_raw").as("s_mean"))))
+      .select(col("phase"), (col("s_raw") - col("s_mean")).as("seasonal")))
+    trended.join(centered, Seq("phase"), "left")
+      .select(col("t"), col("x"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("x") - col("trend") - col("seasonal"), 6).as("resid"))
+      .orderBy("t")
+  }
+
+  /** Lagged cross-correlation between two regular series (the "does the
+    * marketing spike lead the purchase spike, and by how many days"
+    * probe): for each lag in [-maxLag, maxLag],
+    *
+    *   xcorr(lag) = Pearson corr(x_t, y_{t+lag})
+    *
+    * over the t where both sides exist. SERIES CONTRACT: both inputs are
+    * one row per bucket (the corpus-sized groupBy happened upstream);
+    * the lag fan-out is (2·maxLag+1)× the BOUNDED series, then one
+    * equi-join on the shifted bucket — never a cross of the corpus.
+    *
+    * Pearson corr is the engines' shared `corr` aggregate on the 4-dp
+    * grid (the q_corr_grouped convention — corr's streaming co-moment
+    * accumulation differs across engines more than plain sums, so the
+    * corr family anchors at 4 dp, not 6). Lags with fewer than 3
+    * overlapping points or zero variance yield NULL.
+    *
+    * Returns (lag, n, xcorr) ordered by lag.
+    */
+  def crossCorrelation(
+      a: DataFrame,
+      b: DataFrame,
+      tColA: Column,
+      xColA: Column,
+      tColB: Column,
+      yColB: Column,
+      maxLag: Int,
+      maxPoints: Long = DefaultMaxPoints): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 1000, "maxLag must be in [1, 1000]")
+    val sa = a.select(tColA.cast("long").as("t"), xColA.cast("double").as("x"))
+    val sb = b.select(tColB.cast("long").as("t"), yColB.cast("double").as("y"))
+    requireBounded(sa, maxPoints, "crossCorrelation")
+    val lagged = sa
+      .withColumn("lag",
+        explode(sequence(lit(-maxLag.toLong), lit(maxLag.toLong))))
+      .withColumn("t_b", col("t") + col("lag"))
+    lagged.join(sb.withColumnRenamed("t", "t_b"), Seq("t_b"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        when(count(lit(1)) >= 3, round(corr(col("x"), col("y")), 4))
+          .as("xcorr"))
+      .orderBy("lag")
+  }
 }

@@ -9566,7 +9566,126 @@ object QueryCatalog {
               $steps
               SELECT qid, rank, id, rel_u, max_sim_u FROM ($unions)
               ORDER BY qid, rank"""
-      }))
+      }),
+
+    // Leave-one-out target encoding with m-estimate smoothing: order
+    // priority encoded against the high-value flag. Output is the bounded
+    // (category, label) support table — the encoding a trainer joins back
+    // by (key, y); counts/sums exact BIGINTs, one gmean division.
+    Q("q_target_encode",
+      (s, dir) => graft.operators.FeatureEng.targetEncodeLoo(
+        t(s, dir, "orders"), col("o_orderpriority"),
+        (col("o_totalprice") > 150000).cast("long"), m = 20L),
+      Some("""WITH base AS (SELECT o_orderpriority AS key,
+                  CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+                FROM orders),
+              pk AS (SELECT key, CAST(count(*) AS BIGINT) AS n_c,
+                  CAST(sum(y) AS BIGINT) AS sum_c
+                FROM base GROUP BY key),
+              g AS (SELECT sum(y) / CAST(count(*) AS DOUBLE) AS gmean
+                FROM base)
+              SELECT b.key AS key, CAST(b.y AS BIGINT) AS y,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                round((CAST(pk.sum_c - b.y AS DOUBLE) + 20 * g.gmean)
+                  / (pk.n_c - 1 + 20), 6) AS enc
+              FROM base b JOIN pk ON pk.key = b.key, g
+              GROUP BY b.key, b.y, pk.n_c, pk.sum_c, g.gmean
+              ORDER BY key, y""")),
+
+    // Hashing-trick collision audit over three part categoricals into 32
+    // buckets (brand x type x size >> 32 distinct features -> guaranteed
+    // collisions): the pre-flight before committing to a hashed feature
+    // width. Exact BIGINTs end-to-end; the bucket assignment is the
+    // portable hash in both engines.
+    Q("q_hash_features",
+      (s, dir) => graft.operators.FeatureEng.hashFeatures(
+        t(s, dir, "part"),
+        Seq("p_brand", "p_type", "p_size"), nBuckets = 32L),
+      Some(s"""WITH f AS (SELECT DISTINCT feat FROM (
+                  SELECT 'p_brand=' || p_brand AS feat FROM part
+                  UNION ALL SELECT 'p_type=' || p_type FROM part
+                  UNION ALL SELECT 'p_size=' || CAST(p_size AS VARCHAR)
+                    FROM part)
+                WHERE feat IS NOT NULL),
+              b AS (SELECT ${graft.operators.PortableHash.duckSql("feat")}
+                  % 32 AS bucket, CAST(count(*) AS BIGINT) AS load
+                FROM f GROUP BY 1)
+              SELECT CAST(sum(load) AS BIGINT) AS n_features,
+                CAST(count(*) AS BIGINT) AS n_buckets_used,
+                CAST(sum(CASE WHEN load > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_collision_buckets,
+                CAST(max(load) AS BIGINT) AS max_bucket_load
+              FROM b""")),
+
+    // Classical additive seasonal decomposition of the daily event-value
+    // series (31 consecutive days): centered 7-point moving average
+    // trend (exact BIGINT window sum, one division), per-phase seasonal
+    // indices centered to sum 0, residuals. Edge rows keep NULL trend —
+    // no padding lies. The corpus-sized pass is the daily groupBy; the
+    // windows run on the bounded series (the Trend series contract).
+    Q("q_seasonal_decompose",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(floor(unix_timestamp(col("ts")) / 86400L).cast("long")
+            .as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+        graft.operators.Trend.seasonalDecompose(daily, col("day"), col("x"),
+          period = 7)
+      },
+      Some("""WITH daily AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS x
+                FROM events GROUP BY 1),
+              ma AS (SELECT t, x, count(*) OVER w AS win_n,
+                  CAST(sum(x) OVER w AS BIGINT) AS win_sum
+                FROM daily WINDOW w AS (ORDER BY t
+                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+              tr AS (SELECT t, x,
+                  CASE WHEN win_n = 7
+                    THEN CAST(win_sum AS DOUBLE) / 7 END AS trend,
+                  t % 7 AS phase FROM ma),
+              ph AS (SELECT phase, avg(x - trend) AS s_raw
+                FROM tr WHERE trend IS NOT NULL GROUP BY phase),
+              ctr AS (SELECT phase,
+                  s_raw - (SELECT avg(s_raw) FROM ph) AS seasonal FROM ph)
+              SELECT t, x, round(trend, 6) AS trend,
+                round(seasonal, 6) AS seasonal,
+                round(x - trend - seasonal, 6) AS resid
+              FROM tr LEFT JOIN ctr USING (phase) ORDER BY t""")),
+
+    // Lagged cross-correlation between the daily click-value and
+    // purchase-value series at lags -3..3 — the lead/lag probe. The lag
+    // fan-out is 7x the BOUNDED daily series, then one equi-join on the
+    // shifted bucket; corr on the 4-dp corr-family grid.
+    Q("q_xcorr_lagged",
+      (s, dir) => {
+        def daily(et: String, out: String) = t(s, dir, "events")
+          .filter(col("event_type") === et)
+          .groupBy(floor(unix_timestamp(col("ts")) / 86400L).cast("long")
+            .as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).cast("double")
+            .as(out))
+        graft.operators.Trend.crossCorrelation(
+          daily("click", "x"), daily("purchase", "y"),
+          col("day"), col("x"), col("day"), col("y"), maxLag = 3)
+      },
+      Some("""WITH cl AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                    AS x
+                FROM events WHERE event_type = 'click' GROUP BY 1),
+              pu AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                    AS y
+                FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              lg AS (SELECT cl.x, CAST(l.lag AS BIGINT) AS lag,
+                  cl.t + l.lag AS t_b
+                FROM cl, (VALUES (-3), (-2), (-1), (0), (1), (2), (3))
+                  l(lag)),
+              j AS (SELECT lag, x, y FROM lg JOIN pu ON pu.t = lg.t_b)
+              SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                CASE WHEN count(*) >= 3 THEN round(corr(x, y), 4) END
+                  AS xcorr
+              FROM j GROUP BY lag ORDER BY lag""")))
 
   val all: Seq[Q] =
     relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++

@@ -86,4 +86,59 @@ class TrendSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("re-bin"))
   }
+
+  test("seasonalDecompose recovers a planted weekly pattern on a linear trend") {
+    import spark.implicits._
+    // x_t = 10t + weekly bump on phase 0..6; 35 points = 5 full periods
+    val bump = Array(70L, 0L, -14L, 7L, -21L, 28L, -70L) // sums to 0
+    val rows = (0L until 35L).map(t => (t, 10L * t + bump((t % 7).toInt)))
+    val got = Trend.seasonalDecompose(rows.toDF("t", "x"), col("t"), col("x"))
+      .collect()
+    // edge rows (first/last 3) have NULL trend and resid
+    assert(got.take(3).forall(_.isNullAt(2)))
+    assert(got.takeRight(3).forall(_.isNullAt(2)))
+    // a linear trend's centered 7-point MA is exact: trend(t) = 10t
+    // (the bump averages to 0 over any full window)
+    val mid = got.drop(3).dropRight(3)
+    assert(mid.forall(r => r.getDouble(2) === 10.0 * r.getLong(0)))
+    // the seasonal index recovers the planted bump, residuals vanish
+    assert(mid.forall(r =>
+      r.getDouble(3) === bump((r.getLong(0) % 7).toInt).toDouble))
+    assert(mid.forall(r => r.getDouble(4) === 0.0))
+  }
+
+  test("seasonalDecompose rejects even periods") {
+    import spark.implicits._
+    val df = Seq((0L, 1L)).toDF("t", "x")
+    val e = intercept[IllegalArgumentException] {
+      Trend.seasonalDecompose(df, col("t"), col("x"), period = 4)
+    }
+    assert(e.getMessage.contains("odd"))
+  }
+
+  test("crossCorrelation finds the planted lead and matches driver Pearson") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val x = (0L until 60L).map(t => (t, rnd.nextInt(100).toDouble))
+    // y leads x by 2: y_t = x_{t-2} + noise-free copy
+    val y = x.map { case (t, v) => (t + 2, v) }
+    val got = Trend.crossCorrelation(x.toDF("t", "x"), y.toDF("t", "y"),
+        col("t"), col("x"), col("t"), col("y"), maxLag = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    val byLag = got.map(g => g._1 -> g._3).toMap
+    assert(byLag(2L) === 1.0) // exact copy at the planted lag
+    assert(got.find(_._1 == 2L).get._2 === 60L)
+    // driver-side Pearson at lag 0 for the replay check
+    val joined = x.flatMap { case (t, v) =>
+      y.toMap.get(t).map(w => (v, w)) }
+    val n = joined.size.toDouble
+    val (mx, my) = (joined.map(_._1).sum / n, joined.map(_._2).sum / n)
+    val cov = joined.map(p => (p._1 - mx) * (p._2 - my)).sum
+    val sx = math.sqrt(joined.map(p => (p._1 - mx) * (p._1 - mx)).sum)
+    val sy = math.sqrt(joined.map(p => (p._2 - my) * (p._2 - my)).sum)
+    val exp = BigDecimal(cov / (sx * sy))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(byLag(0L) - exp) <= 1e-4 + 1e-12)
+  }
 }
