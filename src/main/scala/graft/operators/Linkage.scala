@@ -24,16 +24,40 @@ object Linkage {
   /** All candidate pairs within `maxDistance` edits, joined on the
     * conjunction of `blockKeys` (functions of the name column, applied
     * to both sides). Returns (l_id, l_name, r_id, r_name, dist).
+    *
+    * `maxExpectedCandidates` (opt-in, the expectedHammingCandidates
+    * pattern): pre-flight Σ_blocks |left_b|·|right_b| from two cheap
+    * grouped counts and fail fast with a sized diagnosis instead of
+    * grinding a quadratic block — the measured failure mode at ×100 on a
+    * fixed-width block key (BENCH_SF10 round-10: blocks grow linearly
+    * with the registry, candidates quadratically).
     */
   def blockedFuzzyPairs(
       left: DataFrame,
       right: DataFrame,
       blockKeys: Seq[Column => Column],
-      maxDistance: Int = 2): DataFrame = {
+      maxDistance: Int = 2,
+      maxExpectedCandidates: Option[Long] = None): DataFrame = {
     require(blockKeys.nonEmpty, "blockedFuzzyPairs: need >= 1 blocking key")
     require(maxDistance >= 0, "maxDistance must be >= 0")
     val l = left.select(col("id").as("l_id"), col("name").as("l_name"))
     val r = right.select(col("id").as("r_id"), col("name").as("r_name"))
+    maxExpectedCandidates.foreach { ceiling =>
+      val keyNames = blockKeys.indices.map(i => s"k$i")
+      def blockCounts(df: DataFrame, nameCol: String, out: String) = df
+        .groupBy(blockKeys.zipWithIndex.map { case (k, i) =>
+          k(col(nameCol)).as(s"k$i") }: _*)
+        .agg(count(lit(1)).as(out))
+      val est = blockCounts(l, "l_name", "cl")
+        .join(blockCounts(r, "r_name", "cr"), keyNames)
+        .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)))
+        .head().getLong(0)
+      require(est <= ceiling,
+        s"blockedFuzzyPairs pre-flight: ~$est candidate pairs " +
+          s"(Σ |left_b|·|right_b| over shared blocks; ceiling $ceiling). " +
+          "Refine the blocking keys (more digits, an extra n-gram) or " +
+          "lower maxDistance's recall target before joining.")
+    }
     val cond = blockKeys
       .map(k => k(col("l_name")) === k(col("r_name")))
       .reduce(_ && _)
@@ -53,8 +77,10 @@ object Linkage {
       left: DataFrame,
       right: DataFrame,
       blockKeys: Seq[Column => Column],
-      maxDistance: Int = 2): DataFrame = {
-    val pairs = blockedFuzzyPairs(left, right, blockKeys, maxDistance)
+      maxDistance: Int = 2,
+      maxExpectedCandidates: Option[Long] = None): DataFrame = {
+    val pairs = blockedFuzzyPairs(left, right, blockKeys, maxDistance,
+      maxExpectedCandidates)
     val w = Window.partitionBy("l_id")
       .orderBy(col("dist").asc, col("r_id").asc)
     pairs

@@ -9685,7 +9685,56 @@ object QueryCatalog {
               SELECT lag, CAST(count(*) AS BIGINT) AS n,
                 CASE WHEN count(*) >= 3 THEN round(corr(x, y), 4) END
                   AS xcorr
-              FROM j GROUP BY lag ORDER BY lag""")))
+              FROM j GROUP BY lag ORDER BY lag""")),
+
+    // q_fuzzy_linkage behind the candidate-volume pre-flight (ceiling
+    // 1e8): the length+suffix blocking key is FIXED-width, so blocks grow
+    // linearly with the registry and candidates quadratically — measured
+    // 146.5 s isolated at ×100 (BENCH_SF10 round-10 addendum). The gate
+    // costs two grouped counts; at oracle scale it passes and the result
+    // is identical to the ungated entry, at ×100 it fails fast with the
+    // sized diagnosis naming the lever (refine the blocking keys).
+    Q("q_fuzzy_linkage_gated",
+      (s, dir) => {
+        val master = t(s, dir, "customer")
+          .select(col("c_custkey").cast("long").as("id"),
+            col("c_name").as("name"))
+        val dirty = master.filter(pmod(col("id"), lit(7)) === 0)
+          .withColumn("h",
+            pmod(graft.operators.PortableHash.portable60(
+              concat(lit("fz:"), col("id").cast("string"))), lit(26L))
+              + 97L)
+          .withColumn("name", concat(substring(col("name"), 1, 11),
+            expr("chr(cast(h as int))"), substring(col("name"), 13, 6)))
+          .select("id", "name")
+        graft.operators.Linkage.bestMatch(dirty, master, Seq(
+            n => length(n), n => substring(n, 16, 3)), maxDistance = 2,
+            maxExpectedCandidates = Some(100000000L))
+          .orderBy("id")
+      },
+      Some(s"""WITH master AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+                  c_name AS name FROM customer),
+              dirty AS (SELECT id,
+                  substr(name, 1, 11)
+                    || chr(CAST(${graft.operators.PortableHash.duckSql(
+                      "'fz:' || CAST(id AS VARCHAR)")} % 26 + 97 AS INT))
+                    || substr(name, 13, 6) AS name
+                FROM master WHERE id % 7 = 0),
+              cand AS (SELECT d.id, d.name, m.id AS match_id,
+                  m.name AS match_name,
+                  CAST(levenshtein(d.name, m.name) AS BIGINT) AS dist
+                FROM dirty d JOIN master m
+                  ON length(d.name) = length(m.name)
+                  AND substr(d.name, 16, 3) = substr(m.name, 16, 3)
+                WHERE levenshtein(d.name, m.name) <= 2),
+              rk AS (SELECT *,
+                  row_number() OVER (PARTITION BY id
+                    ORDER BY dist, match_id) AS rk,
+                  CAST(count(*) OVER (PARTITION BY id) AS BIGINT)
+                    AS n_candidates
+                FROM cand)
+              SELECT id, name, match_id, match_name, dist, n_candidates
+              FROM rk WHERE rk = 1 ORDER BY id""")))
 
   val all: Seq[Q] =
     relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++

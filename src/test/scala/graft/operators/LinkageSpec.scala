@@ -49,4 +49,24 @@ class LinkageSpec extends SparkSpec {
       Seq(n => length(n)), maxDistance = 2).head()
     assert(got.getLong(2) === 3L)
   }
+
+  test("pre-flight gate estimates block candidate volume and fails fast") {
+    import spark.implicits._
+    // one shared block of 10x20 + one left-only block (contributes 0)
+    val l = ((0L until 10L).map(i => (i, s"aaa$i")) ++
+      Seq((99L, "zz"))).toDF("id", "name")
+    val r = (0L until 20L).map(i => (100L + i, f"bb$i%02d")).toDF("id", "name")
+    val e = intercept[IllegalArgumentException] {
+      Linkage.blockedFuzzyPairs(l, r, Seq(n => length(n)),
+        maxDistance = 2, maxExpectedCandidates = Some(100L))
+    }
+    assert(e.getMessage.contains("~200 candidate pairs") &&
+      e.getMessage.contains("ceiling 100"))
+    // under the ceiling the join runs and matches the ungated result
+    val gated = Linkage.blockedFuzzyPairs(l, r, Seq(n => length(n)),
+      maxDistance = 2, maxExpectedCandidates = Some(1000L)).count()
+    val ungated = Linkage.blockedFuzzyPairs(l, r, Seq(n => length(n)),
+      maxDistance = 2).count()
+    assert(gated === ungated)
+  }
 }
