@@ -86,4 +86,55 @@ object FeatureEng {
           .as("n_collision_buckets"),
         max("load").as("max_bucket_load"))
   }
+
+  /** Quantile normalization of an integral feature across groups — the
+    * cross-source distribution aligner (microarray heritage, used in data
+    * prep to make "length" comparable between a verbose and a terse
+    * source): each (group, value) is replaced by the POOLED empirical
+    * quantile at its within-group midrank,
+    *
+    *   p(g, v)   = (cum_g(v) − cnt_g(v)/2) / n_g      (midrank CDF)
+    *   norm(g,v) = inf { x : F_pool(x) ≥ p }           (type-1 quantile)
+    *
+    * Distributed shape: ONE groupBy(group, value) folds the corpus to the
+    * per-group support; the pooled support is a second bounded aggregate
+    * over it; the quantile lookup is a support × support range join —
+    * audit-sized on the bin-first contract (isotonic's m² envelope; bin
+    * continuous features first).
+    *
+    * Cross-engine determinism: ENTIRELY exact — midranks and the lookup
+    * comparison are cross-multiplied integers
+    * (2·cum_pool·n_g ≥ (2·cum_g − cnt)·N), and the normalized value is a
+    * pooled support member (a BIGINT), not an interpolation. No doubles
+    * anywhere.
+    *
+    * Returns (group, value, cnt, norm_value) ordered.
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      groupCol: Column,
+      valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sup = df.groupBy(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wg = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perGroup = sup
+      .withColumn("cum_g", sum("cnt").over(wg))
+      .withColumn("n_g", sum("cnt").over(Window.partitionBy("g")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("p_num", lit(2L) * col("cum_g") - col("cnt"))
+    val wAll = Window.orderBy("pv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pooled = sup.groupBy(col("v").as("pv"))
+      .agg(sum("cnt").as("pcnt"))
+      .withColumn("cum_pool", sum("pcnt").over(wAll))
+    val total = broadcast(pooled.agg(max("cum_pool").as("n_all")))
+    perGroup
+      .join(pooled.crossJoin(total),
+        lit(2L) * col("cum_pool") * col("n_g") >= col("p_num") * col("n_all"))
+      .groupBy("g", "v", "cnt")
+      .agg(min("pv").as("norm_value"))
+      .orderBy("g", "v")
+  }
 }

@@ -9734,7 +9734,36 @@ object QueryCatalog {
                     AS n_candidates
                 FROM cand)
               SELECT id, name, match_id, match_name, dist, n_candidates
-              FROM rk WHERE rk = 1 ORDER BY id""")))
+              FROM rk WHERE rk = 1 ORDER BY id""")),
+
+    // Quantile normalization of document length across languages: each
+    // (lang, n_chars) maps to the POOLED type-1 quantile at its
+    // within-group midrank — the cross-source distribution aligner.
+    // ENTIRELY exact: midranks and the lookup comparison are
+    // cross-multiplied BIGINTs, the normalized value is a pooled support
+    // member; no doubles anywhere.
+    Q("q_quantile_normalize",
+      (s, dir) => graft.operators.FeatureEng.quantileNormalize(
+        t(s, dir, "documents"), col("lang"), col("n_chars")),
+      Some("""WITH sup AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM documents GROUP BY 1, 2),
+              pg AS (SELECT g, v, cnt,
+                  CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v)
+                    AS BIGINT) AS cum_g,
+                  CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n_g
+                FROM sup),
+              pg2 AS (SELECT *, 2 * cum_g - cnt AS p_num FROM pg),
+              pooled AS (SELECT v AS pv, CAST(sum(cnt) AS BIGINT) AS pcnt
+                FROM sup GROUP BY 1),
+              pc AS (SELECT pv,
+                  CAST(sum(pcnt) OVER (ORDER BY pv) AS BIGINT) AS cum_pool
+                FROM pooled),
+              tot AS (SELECT max(cum_pool) AS n_all FROM pc)
+              SELECT g, v, cnt, min(pv) AS norm_value
+              FROM pg2, pc, tot
+              WHERE 2 * cum_pool * n_g >= p_num * n_all
+              GROUP BY g, v, cnt ORDER BY g, v""")))
 
   val all: Seq[Q] =
     relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++

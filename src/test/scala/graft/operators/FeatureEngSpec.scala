@@ -41,6 +41,48 @@ class FeatureEngSpec extends SparkSpec {
     assert(e.getMessage.contains("m must be >= 1"))
   }
 
+  test("quantileNormalize is the identity when groups share one distribution") {
+    import spark.implicits._
+    val vals = Seq(1L, 2L, 2L, 5L, 9L)
+    val df = (vals.map(("a", _)) ++ vals.map(("b", _))).toDF("g", "v")
+    val got = FeatureEng.quantileNormalize(df, col("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(got.forall(r => r._2 === r._3))
+  }
+
+  test("quantileNormalize maps a shifted group onto the pooled quantiles") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    val a = Seq.fill(200)(("a", rnd.nextInt(50).toLong))
+    val b = Seq.fill(150)(("b", rnd.nextInt(50).toLong + 100L)) // shifted
+    val df = (a ++ b).toDF("g", "v")
+    val got = FeatureEng.quantileNormalize(df, col("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // driver replay: type-1 pooled quantile at the within-group midrank
+    val all = (a ++ b).map(_._2).sorted
+    def replay(group: Seq[Long], v: Long): Long = {
+      val n = group.size.toLong
+      val cum = group.count(_ <= v).toLong
+      val cnt = group.count(_ == v).toLong
+      val pNum = 2 * cum - cnt // midrank CDF numerator over 2n
+      all.find(x => 2L * all.count(_ <= x) * n >= pNum * all.size).get
+    }
+    got.foreach { case (g, v, _, norm) =>
+      val grp = (if (g == "a") a else b).map(_._2)
+      assert(norm === replay(grp, v), s"($g, $v)")
+    }
+    // normalization is monotone within each group
+    for (g <- Seq("a", "b")) {
+      val ordered = got.filter(_._1 == g).sortBy(_._2).map(_._4)
+      assert(ordered.zip(ordered.tail).forall(p => p._1 <= p._2))
+    }
+    // the shifted group's normalized values land inside the pooled range
+    // far below its raw values (the aligner doing its job)
+    val bRows = got.filter(_._1 == "b")
+    assert(bRows.forall(r => r._4 <= r._2))
+  }
+
   test("hashFeatures: collision profile matches a driver-side replay") {
     import spark.implicits._
     val df = Seq(("x", "u", 1), ("x", "v", 2), ("y", "u", 3), ("y", "w", 1))
