@@ -99,6 +99,76 @@ object Regression {
     * repeated on every row (audit-style wide output; the oracle
     * replicates it).
     */
+  /** Huber-loss robust simple regression by IRLS — the outlier-tolerant
+    * companion to [[olsNormal]] for one feature + bias: each round
+    * reweights rows by the Huber psi over the CURRENT fit's residuals,
+    *
+    *   ω_i = 1                 if |r_i| ≤ δ
+    *       = δ / |r_i|         otherwise
+    *
+    * then solves the 2×2 weighted normal equations in closed form. The
+    * round structure follows the logisticGD replay doctrine: weights
+    * (w0, w1) live on the driver as spliced literals, each round is ONE
+    * map-side-combined aggregate folding five weighted Gram sums (6-dp
+    * anchored), and the Cramer solve lands on the 7-dp weight grid — so
+    * an oracle unrolls rounds as chained CTEs and reproduces the fit
+    * bit-for-bit. Round 0 is the unweighted OLS seed.
+    *
+    * Cross-engine determinism: residuals are arithmetic over spliced
+    * literals (identical doubles per row); ω is a CASE over them; the
+    * per-round sums take the 6-dp anchor exactly like logisticGD's
+    * gradient (sum-order drift ~n·ε absorbed). δ is the caller's
+    * contract, in label units.
+    *
+    * Returns (term, weight, frac_downweighted, n) — frac on the 6-dp
+    * grid from the FINAL fit's residuals.
+    */
+  def huberIrls(
+      df: DataFrame,
+      featureCol: String,
+      labelCol: String,
+      delta: Double,
+      rounds: Int = 2): DataFrame = {
+    require(delta > 0 && rounds >= 1 && rounds <= 8,
+      "delta > 0, rounds in [1, 8]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = col(featureCol).cast("double")
+    val y = col(labelCol).cast("double")
+    def solve(sw: Double, sx: Double, sxx: Double, sy: Double,
+        sxy: Double): (Double, Double) = {
+      val det = sw * sxx - sx * sx
+      require(math.abs(det) > 1e-9, "huberIrls: singular (constant feature)")
+      (rnd((sy * sxx - sx * sxy) / det, 7), rnd((sw * sxy - sx * sy) / det, 7))
+    }
+    val seed = df.agg(count(lit(1)).cast("double").as("sw"),
+      round(sum(x), 6).as("sx"), round(sum(x * x), 6).as("sxx"),
+      round(sum(y), 6).as("sy"), round(sum(x * y), 6).as("sxy")).head()
+    require(seed.getDouble(0) > 2, "huberIrls needs more rows than parameters")
+    var (w0, w1) = solve(seed.getDouble(0), seed.getDouble(1),
+      seed.getDouble(2), seed.getDouble(3), seed.getDouble(4))
+    def residual = y - (lit(w0) + lit(w1) * x)
+    def omega = when(abs(residual) <= delta, lit(1.0))
+      .otherwise(lit(delta) / abs(residual))
+    for (_ <- 1 to rounds) {
+      val m = df.agg(round(sum(omega), 6).as("sw"),
+        round(sum(omega * x), 6).as("sx"),
+        round(sum(omega * x * x), 6).as("sxx"),
+        round(sum(omega * y), 6).as("sy"),
+        round(sum(omega * x * y), 6).as("sxy")).head()
+      val next = solve(m.getDouble(0), m.getDouble(1), m.getDouble(2),
+        m.getDouble(3), m.getDouble(4))
+      w0 = next._1
+      w1 = next._2
+    }
+    val fin = df.agg(count(lit(1)).as("n"),
+      round(avg(when(abs(residual) > delta, 1.0).otherwise(0.0)), 6)
+        .as("frac")).head()
+    Seq(("bias", w0), (featureCol, w1))
+      .map { case (t, w) => (t, w, fin.getDouble(1), fin.getLong(0)) }
+      .toDF("term", "weight", "frac_downweighted", "n")
+  }
+
   def logisticGD(
       df: DataFrame,
       featureCols: Seq[String],

@@ -9763,7 +9763,67 @@ object QueryCatalog {
               SELECT g, v, cnt, min(pv) AS norm_value
               FROM pg2, pc, tot
               WHERE 2 * cum_pool * n_g >= p_num * n_all
-              GROUP BY g, v, cnt ORDER BY g, v""")))
+              GROUP BY g, v, cnt ORDER BY g, v""")),
+
+    // Huber-IRLS robust regression on a planted line (y = 2x + small tax
+    // noise) with ~1.1% gross outliers (+500 on orderkey % 89): two
+    // reweighted rounds after the OLS seed. The oracle unrolls seed +
+    // both rounds as chained CTEs (the logisticGD convention) — weighted
+    // Gram sums 6-dp anchored, Cramer solves on the 7-dp grid — so a
+    // divergence in ANY round's solve hash-mismatches. RegressionSpec
+    // asserts the robustness property (Huber slope stays on the planted
+    // line while the OLS seed is dragged).
+    Q("q_huber_irls",
+      (s, dir) => {
+        val base = t(s, dir, "lineitem").select(
+          col("l_quantity").cast("double").as("x"),
+          (col("l_quantity") * 2 + col("l_tax") * 100
+            + when(pmod(col("l_orderkey"), lit(89)) === 0, 500.0)
+              .otherwise(0.0)).cast("double").as("y"))
+        graft.operators.Regression.huberIrls(base, "x", "y",
+            delta = 10.0, rounds = 2)
+          .orderBy("term")
+      },
+      Some {
+        def solveCte(from: String) =
+          s"""(SELECT round((sy * sxx - sx * sxy)
+                / (sw * sxx - sx * sx), 7) AS b,
+              round((sw * sxy - sx * sy)
+                / (sw * sxx - sx * sx), 7) AS m FROM $from)"""
+        def roundCte(w: String) =
+          s"""(SELECT round(sum(om), 6) AS sw, round(sum(om * x), 6) AS sx,
+              round(sum(om * x * x), 6) AS sxx,
+              round(sum(om * y), 6) AS sy,
+              round(sum(om * x * y), 6) AS sxy
+            FROM (SELECT x, y,
+                CASE WHEN abs(y - ($w.b + $w.m * x)) <= 10.0 THEN 1.0
+                  ELSE 10.0 / abs(y - ($w.b + $w.m * x)) END AS om
+              FROM base, $w))"""
+        s"""WITH base AS MATERIALIZED (SELECT
+                  CAST(l_quantity AS DOUBLE) AS x,
+                  CAST(l_quantity * 2 + l_tax * 100
+                    + CASE WHEN l_orderkey % 89 = 0 THEN 500.0
+                      ELSE 0.0 END AS DOUBLE) AS y
+                FROM lineitem),
+              s0 AS (SELECT CAST(count(*) AS DOUBLE) AS sw,
+                  round(sum(x), 6) AS sx, round(sum(x * x), 6) AS sxx,
+                  round(sum(y), 6) AS sy, round(sum(x * y), 6) AS sxy
+                FROM base),
+              w0 AS ${solveCte("s0")},
+              r1 AS ${roundCte("w0")},
+              w1 AS ${solveCte("r1")},
+              r2 AS ${roundCte("w1")},
+              w2 AS ${solveCte("r2")},
+              fin AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  round(avg(CASE WHEN abs(y - (w2.b + w2.m * x)) > 10.0
+                    THEN 1.0 ELSE 0.0 END), 6) AS frac
+                FROM base, w2)
+              SELECT 'bias' AS term, w2.b AS weight,
+                fin.frac AS frac_downweighted, fin.n AS n FROM w2, fin
+              UNION ALL
+              SELECT 'x', w2.m, fin.frac, fin.n FROM w2, fin
+              ORDER BY term"""
+      }))
 
   val all: Seq[Q] =
     relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++

@@ -111,4 +111,75 @@ class RegressionSpec extends SparkSpec {
       Regression.logisticGD(df.filter("x1 > 99"), Seq("x1"), "y")
     }
   }
+
+  test("huberIrls: the robust fit resists outliers that drag the OLS seed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // y = 3x + 5 + tiny noise, with 5% gross +1000 outliers
+    val rows = (1 to 500).map { i =>
+      val x = (i % 50 + 1).toDouble
+      val noise = (rnd.nextInt(21) - 10) / 10.0
+      val out = if (i % 20 == 0) 1000.0 else 0.0
+      (x, 3.0 * x + 5.0 + noise + out)
+    }
+    val df = rows.toDF("x", "y")
+    val fit = Regression.huberIrls(df, "x", "y", delta = 5.0, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // plain one-round-zero equivalent: the OLS seed over the same data
+    val n = rows.size.toDouble
+    val sx = rows.map(_._1).sum; val sy = rows.map(_._2).sum
+    val sxx = rows.map(r => r._1 * r._1).sum
+    val sxy = rows.map(r => r._1 * r._2).sum
+    val olsSlope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    // the outliers drag OLS visibly; Huber stays within 0.15 of 3
+    assert(math.abs(olsSlope - 3.0) > 0.5)
+    assert(math.abs(fit("x") - 3.0) < 0.15, s"huber slope ${fit("x")}")
+    assert(math.abs(fit("bias") - 5.0) < 3.0)
+  }
+
+  test("huberIrls matches a driver-side replay of the anchored rounds") {
+    import spark.implicits._
+    val rows = (1 to 80).map { i =>
+      val x = (i % 10 + 1).toDouble
+      (x, 2.0 * x + (if (i % 16 == 0) 50.0 else 0.0))
+    }
+    val got = Regression.huberIrls(rows.toDF("x", "y"), "x", "y",
+        delta = 4.0, rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r7(v: Double) = BigDecimal(v)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def solve(sw: Double, sx: Double, sxx: Double, sy: Double,
+        sxy: Double) = {
+      val det = sw * sxx - sx * sx
+      (r7((sy * sxx - sx * sxy) / det), r7((sw * sxy - sx * sy) / det))
+    }
+    var (b, m) = solve(rows.size.toDouble,
+      r6(rows.map(_._1).sum), r6(rows.map(r => r._1 * r._1).sum),
+      r6(rows.map(_._2).sum), r6(rows.map(r => r._1 * r._2).sum))
+    for (_ <- 1 to 2) {
+      val om = rows.map { case (x, y) =>
+        val r = math.abs(y - (b + m * x))
+        (x, y, if (r <= 4.0) 1.0 else 4.0 / r)
+      }
+      val next = solve(r6(om.map(_._3).sum),
+        r6(om.map(o => o._3 * o._1).sum),
+        r6(om.map(o => o._3 * o._1 * o._1).sum),
+        r6(om.map(o => o._3 * o._2).sum),
+        r6(om.map(o => o._3 * o._1 * o._2).sum))
+      b = next._1; m = next._2
+    }
+    assert(math.abs(got("bias") - b) <= 1e-6)
+    assert(math.abs(got("x") - m) <= 1e-6)
+  }
+
+  test("huberIrls rejects a constant feature") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (2.0, i.toDouble)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Regression.huberIrls(df, "x", "y", delta = 1.0)
+    }
+    assert(e.getMessage.contains("singular"))
+  }
 }
