@@ -9823,7 +9823,60 @@ object QueryCatalog {
               UNION ALL
               SELECT 'x', w2.m, fin.frac, fin.n FROM w2, fin
               ORDER BY term"""
-      }))
+      }),
+
+    // Second-order Markov memory test over per-user event trigrams: does
+    // predicting the next event need TWO steps of history? lift =
+    // P(c|ab) / P(c|b) with every probability an exact-integer ratio
+    // over the SAME trigram population (marginals are sums of trigram
+    // counts, so the comparison is self-consistent by construction).
+    // One user-keyed window builds trigrams, everything after rides the
+    // bounded (type³) support. Top-10 by support, deterministic order.
+    Q("q_trigram_lift",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val tri = t(s, dir, "events")
+          .withColumn("b", lead("event_type", 1).over(w))
+          .withColumn("c", lead("event_type", 2).over(w))
+          .filter(col("c").isNotNull)
+          .groupBy(col("event_type").as("a"), col("b"), col("c"))
+          .agg(count(lit(1)).as("n_abc"))
+        val ab = tri.groupBy("a", "b").agg(sum("n_abc").as("n_ab"))
+        val bc = tri.groupBy("b", "c").agg(sum("n_abc").as("n_bc"))
+        val bTot = tri.groupBy("b").agg(sum("n_abc").as("n_b"))
+        tri.join(ab, Seq("a", "b")).join(bc, Seq("b", "c"))
+          .join(bTot, Seq("b"))
+          .select(col("a"), col("b"), col("c"), col("n_abc"),
+            round(col("n_abc").cast("double") / col("n_ab"), 4)
+              .as("p_c_given_ab"),
+            round(col("n_bc").cast("double") / col("n_b"), 4)
+              .as("p_c_given_b"),
+            round((col("n_abc") * col("n_b")).cast("double")
+              / (col("n_ab") * col("n_bc")), 4).as("lift"))
+          .orderBy(col("n_abc").desc, col("a"), col("b"), col("c"))
+          .limit(10)
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type AS a,
+                  lead(event_type, 1) OVER w AS b,
+                  lead(event_type, 2) OVER w AS c
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              tri AS (SELECT a, b, c, CAST(count(*) AS BIGINT) AS n_abc
+                FROM seq WHERE c IS NOT NULL GROUP BY a, b, c),
+              ab AS (SELECT a, b, CAST(sum(n_abc) AS BIGINT) AS n_ab
+                FROM tri GROUP BY a, b),
+              bc AS (SELECT b, c, CAST(sum(n_abc) AS BIGINT) AS n_bc
+                FROM tri GROUP BY b, c),
+              bt AS (SELECT b, CAST(sum(n_abc) AS BIGINT) AS n_b
+                FROM tri GROUP BY b)
+              SELECT tri.a, tri.b, tri.c, n_abc,
+                round(n_abc / CAST(n_ab AS DOUBLE), 4) AS p_c_given_ab,
+                round(n_bc / CAST(n_b AS DOUBLE), 4) AS p_c_given_b,
+                round((n_abc * n_b) / CAST(n_ab * n_bc AS DOUBLE), 4)
+                  AS lift
+              FROM tri JOIN ab USING (a, b) JOIN bc USING (b, c)
+                JOIN bt USING (b)
+              ORDER BY n_abc DESC, a, b, c LIMIT 10""")))
 
   val all: Seq[Q] =
     relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++
