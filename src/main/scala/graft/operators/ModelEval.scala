@@ -283,8 +283,11 @@ object ModelEval {
       .select(col("n"), col("clipped"),
         round(col("swr").cast("double")
           / (col("n") * wScale * rewardScale), 6).as("ips"),
-        round(col("swr").cast("double")
-          / (col("sw") * rewardScale), 6).as("snips"))
+        // all-zero weights (target policy never overlaps the log) would
+        // divide 0/0 — explicit NULL in both engines, not an engine-
+        // specific NaN/NULL split
+        when(col("sw") > 0L, round(col("swr").cast("double")
+          / (col("sw") * rewardScale), 6)).as("snips"))
   }
 
   /** z critical values spliced verbatim into the power-analysis oracle

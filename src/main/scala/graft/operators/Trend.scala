@@ -303,8 +303,10 @@ object Trend {
     lagged.join(sb.withColumnRenamed("t", "t_b"), Seq("t_b"))
       .groupBy("lag")
       .agg(count(lit(1)).as("n"),
-        when(count(lit(1)) >= 3, round(corr(col("x"), col("y")), 4))
-          .as("xcorr"))
+        // zero-variance guard: Spark corr yields NaN where DuckDB yields
+        // NULL — nullify explicitly so both engines agree on degenerates
+        when(count(lit(1)) >= 3 && !isnan(corr(col("x"), col("y"))),
+          round(corr(col("x"), col("y")), 4)).as("xcorr"))
       .orderBy("lag")
   }
 }

@@ -9372,7 +9372,9 @@ object QueryCatalog {
                 CAST(sum(is_clipped) AS BIGINT) AS clipped,
                 round(sum(w_u * r_u) / (count(*) * 10000.0 * 100.0), 6)
                   AS ips,
-                round(sum(w_u * r_u) / (sum(w_u) * 100.0), 6) AS snips
+                CASE WHEN sum(w_u) > 0 THEN
+                  round(sum(w_u * r_u) / (sum(w_u) * 100.0), 6)
+                END AS snips
               FROM c""")),
 
     // A/B power analysis from observed order-value moments: the MDE the
