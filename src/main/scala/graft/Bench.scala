@@ -246,12 +246,19 @@ object Bench {
     // as the digest the driver parses. The side path is env-overridable so
     // scale-tier runs can keep their artifacts apart; write failures must
     // not cost the round its stdout line, hence the non-fatal catch.
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      renderFull(results.toSeq, failures.toSeq, sfDir.split('/').last,
-        canaries.toSeq, counterEx, isolated.toSeq, passes))
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] side artifact write failed: ${e.getMessage}") }
+    // A SPARK_GRAFT_ONLY-filtered run must NOT clobber the round's
+    // FULL-catalog artifact (round-10 iteration runs silently reduced it
+    // to one query between full runs) — filtered runs only write when the
+    // caller names an explicit side path.
+    val fullPath = sys.env.get("SPARK_GRAFT_BENCH_FULL")
+      .orElse(if (only.isEmpty) Some("bench_full.json") else None)
+    fullPath.foreach { fp =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(fp),
+        renderFull(results.toSeq, failures.toSeq, sfDir.split('/').last,
+          canaries.toSeq, counterEx, isolated.toSeq, passes))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] side artifact write failed: ${e.getMessage}") }
+    }
     println(renderLine(results.toSeq, failures.toSeq, sfDir.split('/').last,
       canaries.toSeq, counterEx, isolated.toSeq.take(IsolatedTopN)))
     spark.stop()
