@@ -9878,7 +9878,72 @@ object QueryCatalog {
                   AS lift
               FROM tri JOIN ab USING (a, b) JOIN bc USING (b, c)
                 JOIN bt USING (b)
-              ORDER BY n_abc DESC, a, b, c LIMIT 10""")))
+              ORDER BY n_abc DESC, a, b, c LIMIT 10""")),
+
+    // Always-valid inference: the mixture SPRT (Johari et al. 2017, the
+    // "peeking-proof" p-value production experimentation platforms run
+    // in place of fixed-horizon tests). For the two-arm mean difference
+    // theta = m_b - m_a with estimator variance V = v_a/n_a + v_b/n_b
+    // and the normal mixture prior tau^2:
+    //
+    //   Lambda = sqrt(V/(V+tau^2)) * exp(theta^2 * tau^2 / (2V(V+tau^2)))
+    //   p      = min(1, 1/Lambda)       (valid at EVERY interim look)
+    //
+    // Same anchored-moments envelope as q_welch_ttest (one groupBy pass,
+    // 6-dp moments); tau^2 = 100 spliced into both engines; explicit
+    // products, never pow; V = 0 guarded to NULL in both. exp's libm
+    // last-ulp freedom sits ~1e-16 against the 6-dp output grid.
+    Q("q_msprt_always_valid",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(round(sum("value"), 6).as("y"))
+          .withColumn("g", pmod(col("user_id"), lit(2)))
+        val st = per.groupBy("g")
+          .agg(count(lit(1)).as("n"), round(avg("y"), 6).as("m"),
+            round(var_samp("y"), 6).as("v"))
+        val a = st.filter(col("g") === 0)
+          .select(col("n").as("n_a"), col("m").as("m_a"), col("v").as("v_a"))
+        val b = st.filter(col("g") === 1)
+          .select(col("n").as("n_b"), col("m").as("m_b"), col("v").as("v_b"))
+        val tau2 = 100.0
+        a.crossJoin(broadcast(b))
+          .withColumn("vv", col("v_a") / col("n_a") + col("v_b") / col("n_b"))
+          .withColumn("theta", col("m_b") - col("m_a"))
+          .withColumn("lam", when(col("vv") > 0,
+            sqrt(col("vv") / (col("vv") + tau2)) *
+              exp(col("theta") * col("theta") * tau2
+                / (lit(2.0) * col("vv") * (col("vv") + tau2)))))
+          .select(col("n_a"), col("n_b"), round(col("theta"), 6).as("theta"),
+            round(col("vv"), 6).as("v"),
+            round(col("lam"), 6).as("lambda"),
+            round(least(lit(1.0), lit(1.0) / col("lam")), 6).as("p_always"),
+            (round(least(lit(1.0), lit(1.0) / col("lam")), 6) < 0.05)
+              .as("significant"))
+      },
+      Some("""WITH per AS (SELECT user_id, round(sum(value), 6) AS y,
+                  user_id % 2 AS g
+                FROM events GROUP BY user_id),
+              st AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                  round(avg(y), 6) AS m, round(var_samp(y), 6) AS v
+                FROM per GROUP BY g),
+              ab AS (SELECT
+                  (SELECT n FROM st WHERE g = 0) AS n_a,
+                  (SELECT m FROM st WHERE g = 0) AS m_a,
+                  (SELECT v FROM st WHERE g = 0) AS v_a,
+                  (SELECT n FROM st WHERE g = 1) AS n_b,
+                  (SELECT m FROM st WHERE g = 1) AS m_b,
+                  (SELECT v FROM st WHERE g = 1) AS v_b),
+              d AS (SELECT *, v_a / n_a + v_b / n_b AS vv,
+                  m_b - m_a AS theta FROM ab),
+              e AS (SELECT *, CASE WHEN vv > 0 THEN
+                  sqrt(vv / (vv + 100.0)) * exp(theta * theta * 100.0
+                    / (2.0 * vv * (vv + 100.0))) END AS lam FROM d)
+              SELECT n_a, n_b, round(theta, 6) AS theta, round(vv, 6) AS v,
+                round(lam, 6) AS lambda,
+                round(least(1.0, 1.0 / lam), 6) AS p_always,
+                (round(least(1.0, 1.0 / lam), 6) < 0.05) AS significant
+              FROM e""")))
 
   val all: Seq[Q] =
     relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++
