@@ -472,14 +472,18 @@ object Bench {
       // fastest-omission rungs BEFORE shedding isolated: the cheapest
       // in-run timings (marked "omitted":k, parseable) buy the whole
       // isolated tail — the slowest entries' alone-measured numbers are
-      // worth more than the fastest entries' in-run ones. Capped at
-      // two-thirds of the catalog so the queries map stays the
-      // load-bearing bulk (the r9 HALF cap stopped covering once the
-      // catalog passed ~188 entries in the all-4-digit stress regime —
-      // the 96 rung that would have saved the tail sat just above nOk/2);
-      // beyond the cap the ladder falls through to isolated shedding
-      Iterator(2, 4, 8, 16, 24, 32, 48, 64, 96, 128, 160)
-        .filter(k => k < nOk && k <= math.max(16, nOk * 2 / 3))
+      // worth more than the fastest entries' in-run ones. Rungs are
+      // ADAPTIVE (round-10 revision): the r9 fixed list topped out at 160
+      // and stopped covering once the catalog passed ~290 entries in the
+      // all-4-digit stress regime — the ladder fell through to isolated
+      // shedding, exactly what it was built to prevent. Doubling rungs up
+      // to two-thirds keep the queries map the load-bearing bulk; the two
+      // deep rungs (keep the 24 / 12 slowest) are reached only under
+      // widths no real round produces, and a 12-slowest map + the whole
+      // isolated tail still beats a full map with no isolated numbers
+      ((Iterator.iterate(2)(_ * 2).takeWhile(_ <= nOk * 2 / 3).toSeq ++
+        Seq(nOk * 2 / 3, nOk - 24, nOk - 12))
+        .filter(k => k > 0 && k < nOk).distinct.sorted).iterator
         .map(k => line(true, failures.size, isolated.size, false, tightKeys,
           dropFastest = k)) ++
       (isolated.size - 1 to 0 by -1).iterator
