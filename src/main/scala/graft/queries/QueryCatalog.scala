@@ -9943,7 +9943,40 @@ object QueryCatalog {
                 round(lam, 6) AS lambda,
                 round(least(1.0, 1.0 / lam), 6) AS p_always,
                 (round(least(1.0, 1.0 / lam), 6) < 0.05) AS significant
-              FROM e""")))
+              FROM e""")),
+
+    // Rank-1 ALS matrix factorization over the (user, event_type,
+    // total-value) ratings table: two alternating closed-form rounds
+    // from the deterministic v = 1 init (round 1's u = user mean), each
+    // half-round one entity-keyed join + map-side-combined groupBy,
+    // factors on the 6-dp grid, state lineage-cut per round. The oracle
+    // unrolls u1 -> v1 -> u2 -> v2 -> RMSE as chained CTEs.
+    Q("q_als_rank1",
+      (s, dir) => {
+        val ratings = t(s, dir, "events")
+          .groupBy(col("user_id").as("u"), col("event_type").as("i"))
+          .agg(round(sum("value"), 6).as("r"))
+        graft.operators.Recsys.alsRank1(ratings, col("u"), col("i"),
+          col("r"), rounds = 2)
+      },
+      Some("""WITH r AS MATERIALIZED (SELECT user_id AS u_id,
+                  event_type AS i_id, round(sum(value), 6) AS r
+                FROM events GROUP BY 1, 2),
+              v0 AS (SELECT DISTINCT i_id, 1.0 AS v FROM r),
+              u1 AS (SELECT u_id, round(sum(r * v) / sum(v * v), 6) AS u
+                FROM r JOIN v0 USING (i_id) GROUP BY u_id),
+              v1 AS (SELECT i_id, round(sum(r * u) / sum(u * u), 6) AS v
+                FROM r JOIN u1 USING (u_id) GROUP BY i_id),
+              u2 AS (SELECT u_id, round(sum(r * v) / sum(v * v), 6) AS u
+                FROM r JOIN v1 USING (i_id) GROUP BY u_id),
+              v2 AS (SELECT i_id, CAST(count(*) AS BIGINT) AS n_ratings,
+                  round(sum(r * u) / sum(u * u), 6) AS v
+                FROM r JOIN u2 USING (u_id) GROUP BY i_id),
+              fit AS (SELECT round(sqrt(avg((r.r - u2.u * v2.v)
+                    * (r.r - u2.u * v2.v))), 6) AS rmse
+                FROM r JOIN u2 USING (u_id) JOIN v2 USING (i_id))
+              SELECT i_id AS item, v, n_ratings, rmse
+              FROM v2, fit ORDER BY item""")))
 
   val all: Seq[Q] =
     relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++
