@@ -9976,7 +9976,187 @@ object QueryCatalog {
                     * (r.r - u2.u * v2.v))), 6) AS rmse
                 FROM r JOIN u2 USING (u_id) JOIN v2 USING (i_id))
               SELECT i_id AS item, v, n_ratings, rmse
-              FROM v2, fit ORDER BY item""")))
+              FROM v2, fit ORDER BY item""")),
+
+    // Difference-in-differences with unit fixed effects: per-user pre/post
+    // value sums split at the corpus time midpoint (the CUPED split), the
+    // per-user difference d = post - pre, and DiD = mean(d | treated) -
+    // mean(d | control) with the two-sample SE over d — the paired form
+    // that absorbs user-level heterogeneity by construction. Anchored
+    // moments convention; |t| > 1.96 large-sample gate stated in-band.
+    Q("q_diff_in_diff",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("sec", unix_timestamp(col("ts")))
+        val mid = broadcast(ev.agg(
+          ((min("sec") + max("sec")) / lit(2L)).cast("long").as("mid")))
+        val byUser = ev.crossJoin(mid)
+          .groupBy("user_id")
+          .agg(round(coalesce(
+              sum(when(col("sec") <= col("mid"), col("value"))), lit(0.0)),
+              6).as("pre"),
+            round(coalesce(
+              sum(when(col("sec") > col("mid"), col("value"))), lit(0.0)),
+              6).as("post"))
+          .withColumn("d", round(col("post") - col("pre"), 6))
+          .withColumn("g", pmod(col("user_id"), lit(2)))
+        val st = byUser.groupBy("g")
+          .agg(count(lit(1)).as("n"), round(avg("d"), 6).as("m"),
+            round(var_samp("d"), 6).as("v"))
+        val c = st.filter(col("g") === 0)
+          .select(col("n").as("n_c"), col("m").as("m_c"), col("v").as("v_c"))
+        val tr = st.filter(col("g") === 1)
+          .select(col("n").as("n_t"), col("m").as("m_t"), col("v").as("v_t"))
+        tr.crossJoin(broadcast(c))
+          .withColumn("did", round(col("m_t") - col("m_c"), 6))
+          .withColumn("se",
+            sqrt(col("v_t") / col("n_t") + col("v_c") / col("n_c")))
+          .select(col("n_t"), col("n_c"), col("m_t"), col("m_c"),
+            col("did"), round(col("se"), 6).as("se"),
+            when(col("se") > 0, round(col("did") / col("se"), 6))
+              .as("t_stat"),
+            (abs(when(col("se") > 0,
+              round(col("did") / col("se"), 6))) > 1.96).as("significant"))
+      },
+      Some("""WITH se AS (SELECT user_id, value,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+              md AS (SELECT (min(sec) + max(sec)) // 2 AS mid FROM se),
+              bu AS (SELECT user_id,
+                  round(coalesce(sum(CASE WHEN sec <= mid THEN value END),
+                    0.0), 6) AS pre,
+                  round(coalesce(sum(CASE WHEN sec > mid THEN value END),
+                    0.0), 6) AS post
+                FROM se, md GROUP BY user_id),
+              du AS (SELECT user_id % 2 AS g,
+                  round(post - pre, 6) AS d FROM bu),
+              st AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                  round(avg(d), 6) AS m, round(var_samp(d), 6) AS v
+                FROM du GROUP BY g),
+              ab AS (SELECT
+                  (SELECT n FROM st WHERE g = 1) AS n_t,
+                  (SELECT n FROM st WHERE g = 0) AS n_c,
+                  (SELECT m FROM st WHERE g = 1) AS m_t,
+                  (SELECT m FROM st WHERE g = 0) AS m_c,
+                  (SELECT v FROM st WHERE g = 1) AS v_t,
+                  (SELECT v FROM st WHERE g = 0) AS v_c),
+              d2 AS (SELECT *, round(m_t - m_c, 6) AS did,
+                  sqrt(v_t / n_t + v_c / n_c) AS se_raw FROM ab)
+              SELECT n_t, n_c, m_t, m_c, did, round(se_raw, 6) AS se,
+                CASE WHEN se_raw > 0 THEN round(did / se_raw, 6) END
+                  AS t_stat,
+                (abs(CASE WHEN se_raw > 0 THEN round(did / se_raw, 6) END)
+                  > 1.96) AS significant
+              FROM d2""")),
+
+    // Referential-integrity audit over the warehouse's FK edges: orphan
+    // child keys per edge via left-anti joins against the DISTINCT parent
+    // key set (the parent side folds to its key support before the join —
+    // never a row-level shuffle of the parent; NO broadcast hint, because
+    // a fact-sized parent like orders must be allowed to shuffle — stats
+    // and AQE pick broadcast for the true dims on their own). The ETL
+    // health check a pipeline runs before trusting any downstream join.
+    Q("q_fk_integrity",
+      (s, dir) => {
+        def edge(name: String, child: DataFrame,
+            fk: org.apache.spark.sql.Column, parent: DataFrame,
+            pk: org.apache.spark.sql.Column) = {
+          val orphans = child.select(fk.cast("long").as("k"))
+            .join(parent.select(pk.cast("long").as("k")).distinct(),
+              Seq("k"), "left_anti")
+          child.agg(count(lit(1)).as("n_child")).crossJoin(
+            broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+            .select(lit(name).as("fk_edge"), col("n_child"),
+              col("n_orphans"),
+              round(col("n_orphans").cast("double") / col("n_child"), 6)
+                .as("orphan_rate"))
+        }
+        val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        edge("lineitem.orderkey->orders", li, col("l_orderkey"),
+            o, col("o_orderkey"))
+          .unionByName(edge("orders.custkey->customer", o, col("o_custkey"),
+            t(s, dir, "customer"), col("c_custkey")))
+          .unionByName(edge("lineitem.partkey->part", li, col("l_partkey"),
+            t(s, dir, "part"), col("p_partkey")))
+          .unionByName(edge("lineitem.suppkey->supplier", li,
+            col("l_suppkey"), t(s, dir, "supplier"), col("s_suppkey")))
+          .orderBy("fk_edge")
+      },
+      Some {
+        def one(name: String, child: String, fk: String, parent: String,
+            pk: String) =
+          s"""SELECT '$name' AS fk_edge,
+              (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_child,
+              (SELECT CAST(count(*) AS BIGINT) FROM $child
+                WHERE $fk NOT IN (SELECT DISTINCT $pk FROM $parent))
+                AS n_orphans,
+              round((SELECT count(*) FROM $child
+                  WHERE $fk NOT IN (SELECT DISTINCT $pk FROM $parent))
+                / CAST((SELECT count(*) FROM $child) AS DOUBLE), 6)
+                AS orphan_rate"""
+        Seq(
+          one("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+          one("orders.custkey->customer", "orders", "o_custkey",
+            "customer", "c_custkey"),
+          one("lineitem.partkey->part", "lineitem", "l_partkey",
+            "part", "p_partkey"),
+          one("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+            "supplier", "s_suppkey"))
+          .mkString("SELECT * FROM (", " UNION ALL ",
+            ") ORDER BY fk_edge")
+      }),
+
+    // Benford first-digit audit of order totals — the fraud / synthetic-
+    // data screen: observed first-significant-digit shares vs Benford's
+    // log10(1 + 1/d), chi-squared GOF at 8 dof (critical 15.507 spliced).
+    // Digit extraction is STRING-exact (first char of the integer cents),
+    // expected shares are the same Scala-printed literals in both
+    // engines. The synthetic fixture rightly FLAGS (uniform-ish totals
+    // are not Benford) — the Zipf-audit precedent.
+    Q("q_benford_digits",
+      (s, dir) => {
+        val digits = t(s, dir, "orders")
+          .select(substring(round(col("o_totalprice") * 100).cast("long")
+            .cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = broadcast(digits.agg(sum("n").as("n_all")))
+        val expected = (1 to 9).map(d =>
+          d.toLong -> math.log10(1.0 + 1.0 / d))
+        val expCol = expected.tail.foldLeft(
+          when(col("digit") === expected.head._1, expected.head._2)) {
+          case (acc, (d, p)) => acc.when(col("digit") === d, p)
+        }
+        digits.crossJoin(tot)
+          .withColumn("share", round(col("n").cast("double") / col("n_all"), 6))
+          .withColumn("benford", round(expCol, 6))
+          .withColumn("chi2_term",
+            (col("n") - expCol * col("n_all"))
+              * (col("n") - expCol * col("n_all"))
+              / (expCol * col("n_all")))
+          .groupBy()
+          .agg(sum("n").as("n"), round(sum("chi2_term"), 4).as("chi2"))
+          .select(col("n"), col("chi2"),
+            (col("chi2") > 15.507).as("not_benford"))
+      },
+      Some {
+        val cases = (1 to 9).map(d =>
+          s"WHEN digit = $d THEN ${math.log10(1.0 + 1.0 / d)}")
+          .mkString(" ")
+        s"""WITH digits AS (SELECT CAST(substr(CAST(CAST(round(
+                  o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit,
+                CAST(count(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1),
+              tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM digits),
+              terms AS (SELECT n, n_all,
+                  CAST(CASE $cases END AS DOUBLE) AS p FROM digits, tot)
+              SELECT CAST(sum(n) AS BIGINT) AS n,
+                round(sum((n - p * n_all) * (n - p * n_all)
+                  / (p * n_all)), 4) AS chi2,
+                (round(sum((n - p * n_all) * (n - p * n_all)
+                  / (p * n_all)), 4) > 15.507) AS not_benford
+              FROM terms"""
+      }))
 
   val all: Seq[Q] =
     relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++
