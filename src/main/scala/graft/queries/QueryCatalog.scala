@@ -10156,6 +10156,114 @@ object QueryCatalog {
                 (round(sum((n - p * n_all) * (n - p * n_all)
                   / (p * n_all)), 4) > 15.507) AS not_benford
               FROM terms"""
+      }),
+
+    // Propensity-score stratification ATE on a deliberately CONFOUNDED
+    // fixture: treatment assignment depends on user activity (c + hash
+    // noise), and the outcome (total value) also scales with activity —
+    // so the naive treated-control gap is inflated and the
+    // propensity-stratified estimate corrects it, visible in-band
+    // (naive_diff vs ate). Propensity via the replayable logisticGD
+    // (4 rounds); stratum assignment rides the bounded 7-dp p-support
+    // (cum-count integer arithmetic), never a global row sort. The
+    // oracle unrolls the 4 training rounds + scoring + stratification.
+    Q("q_propensity_ate",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).cast("double").as("c"),
+            round(coalesce(avg("value"), lit(0.0)), 6).as("av"),
+            round(coalesce(sum("value"), lit(0.0)), 6).as("y"))
+          .withColumn("t",
+            when(col("c") + lit(4L) * pmod(
+              graft.operators.PortableHash.portable60(
+                concat(lit("tr:"), col("user_id").cast("string"))), lit(6L))
+              >= 76, 1L).otherwise(0L))
+        val st = broadcast(per.agg(
+          round(avg("c"), 6).as("mc"), round(stddev_samp("c"), 6).as("sc"),
+          round(avg("av"), 6).as("mv"), round(stddev_samp("av"), 6).as("sv")))
+        val feat = per.crossJoin(st).select(
+          round((col("c") - col("mc")) / col("sc"), 6).as("x1"),
+          round((col("av") - col("mv")) / col("sv"), 6).as("x2"),
+          col("t"), col("y"))
+        graft.operators.Causal.propensityStratifiedAte(
+          feat, Seq("x1", "x2"), col("t"), col("y"),
+          strata = 5, rounds = 4, lr = 0.5)
+      },
+      Some {
+        val roundsSql = (1 to 4).map { i =>
+          val pw = s"wr${i - 1}"
+          s"""g$i AS MATERIALIZED (SELECT round(sum(s - t), 6) AS g0,
+                round(sum((s - t) * x1), 6) AS g1,
+                round(sum((s - t) * x2), 6) AS g2,
+                CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT t, x1, x2,
+                  1.0 / (1.0 + exp(-((SELECT w0 FROM $pw)
+                    + (SELECT w1 FROM $pw) * x1
+                    + (SELECT w2 FROM $pw) * x2))) AS s
+                FROM feat)),
+              wr$i AS MATERIALIZED (SELECT
+                round((SELECT w0 FROM $pw) - 0.5 * g0 / n, 7) AS w0,
+                round((SELECT w1 FROM $pw) - 0.5 * g1 / n, 7) AS w1,
+                round((SELECT w2 FROM $pw) - 0.5 * g2 / n, 7) AS w2
+              FROM g$i)"""
+        }.mkString(",\n              ")
+        s"""WITH per AS MATERIALIZED (SELECT user_id,
+                  CAST(count(*) AS DOUBLE) AS c,
+                  round(coalesce(avg(value), 0.0), 6) AS av,
+                  round(coalesce(sum(value), 0.0), 6) AS y,
+                  CASE WHEN CAST(count(*) AS DOUBLE)
+                    + 4 * (${graft.operators.PortableHash.duckSql(
+                      "'tr:' || CAST(user_id AS VARCHAR)")} % 6) >= 76
+                    THEN 1 ELSE 0 END AS t
+                FROM events GROUP BY user_id),
+              stm AS MATERIALIZED (SELECT round(avg(c), 6) AS mc,
+                  round(stddev_samp(c), 6) AS sc,
+                  round(avg(av), 6) AS mv, round(stddev_samp(av), 6) AS sv
+                FROM per),
+              feat AS MATERIALIZED (SELECT
+                  round((c - (SELECT mc FROM stm))
+                    / (SELECT sc FROM stm), 6) AS x1,
+                  round((av - (SELECT mv FROM stm))
+                    / (SELECT sv FROM stm), 6) AS x2,
+                  t, y
+                FROM per),
+              wr0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+              $roundsSql,
+              scored AS MATERIALIZED (SELECT t, y,
+                  round(1.0 / (1.0 + exp(-((SELECT w0 FROM wr4)
+                    + (SELECT w1 FROM wr4) * x1
+                    + (SELECT w2 FROM wr4) * x2))), 7) AS p
+                FROM feat),
+              byp AS (SELECT p, CAST(count(*) AS BIGINT) AS cnt
+                FROM scored GROUP BY p),
+              cum AS (SELECT p,
+                  CAST(sum(cnt) OVER (ORDER BY p) AS BIGINT) - cnt
+                    AS cum_less
+                FROM byp),
+              tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+              strat AS (SELECT p, (cum_less * 5) // (SELECT n FROM tot)
+                  AS stratum FROM cum),
+              cells AS (SELECT stratum, t, CAST(count(*) AS BIGINT) AS nc,
+                  round(avg(y), 6) AS my
+                FROM scored JOIN strat USING (p) GROUP BY stratum, t),
+              bins AS (SELECT stratum, CAST(sum(nc) AS BIGINT) AS n_b,
+                  sum(CASE WHEN t = 1 THEN my END) AS m1,
+                  sum(CASE WHEN t = 0 THEN my END) AS m0,
+                  count(*) AS arms
+                FROM cells GROUP BY stratum),
+              used AS (SELECT * FROM bins WHERE arms = 2),
+              naive AS (SELECT round(
+                  sum(CASE WHEN t = 1 THEN m END)
+                  - sum(CASE WHEN t = 0 THEN m END), 6) AS naive_diff
+                FROM (SELECT t, round(avg(y), 6) AS m
+                  FROM scored GROUP BY t)),
+              fin AS (SELECT CAST(sum(n_b) AS BIGINT) AS n_used,
+                  CAST(count(*) AS BIGINT) AS strata_used,
+                  round(sum(n_b * (m1 - m0)), 6) AS wsum FROM used)
+              SELECT tot.n, fin.n_used, fin.strata_used, naive.naive_diff,
+                round(fin.wsum / fin.n_used, 6) AS ate
+              FROM fin, tot, naive"""
       }))
 
   val all: Seq[Q] =
