@@ -61,10 +61,16 @@ object Linkage {
     val cond = blockKeys
       .map(k => k(col("l_name")) === k(col("r_name")))
       .reduce(_ && _)
+    // banded Levenshtein (threshold overload): the edit-distance loop
+    // early-exits the moment a row of the DP band exceeds maxDistance and
+    // returns -1 — O(maxDistance·len) per pair instead of O(len²), the
+    // difference between scoring a candidate and fully aligning it. The
+    // oracle's plain levenshtein() <= d filter keeps identical rows: -1
+    // marks exactly the pairs the oracle's bound discards.
     l.join(r, cond)
       .withColumn("dist",
-        levenshtein(col("l_name"), col("r_name")).cast("long"))
-      .filter(col("dist") <= maxDistance)
+        levenshtein(col("l_name"), col("r_name"), maxDistance).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDistance)
   }
 
   /** One best master match per left record: rank candidates by

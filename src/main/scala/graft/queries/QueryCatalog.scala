@@ -9738,6 +9738,54 @@ object QueryCatalog {
               SELECT id, name, match_id, match_name, dist, n_candidates
               FROM rk WHERE rk = 1 ORDER BY id""")),
 
+    // The SCALE-SAFE blocking for the same linkage problem: one more
+    // suffix digit in the block key (substr 15,4 instead of 16,3 — still
+    // outside the planted corruption at position 12) multiplies the block
+    // count ~10x, which divides the candidate volume ~10x: the fixture's
+    // measured x100 wall (146.5 s isolated, BENCH_SF10 addendum 7) drops
+    // to the shared linear band. Identical match set: every true match
+    // agrees on the wider key by construction.
+    Q("q_fuzzy_linkage_fine",
+      (s, dir) => {
+        val master = t(s, dir, "customer")
+          .select(col("c_custkey").cast("long").as("id"),
+            col("c_name").as("name"))
+        val dirty = master.filter(pmod(col("id"), lit(7)) === 0)
+          .withColumn("h",
+            pmod(graft.operators.PortableHash.portable60(
+              concat(lit("fz:"), col("id").cast("string"))), lit(26L))
+              + 97L)
+          .withColumn("name", concat(substring(col("name"), 1, 11),
+            expr("chr(cast(h as int))"), substring(col("name"), 13, 6)))
+          .select("id", "name")
+        graft.operators.Linkage.bestMatch(dirty, master, Seq(
+            n => length(n), n => substring(n, 15, 4)), maxDistance = 2)
+          .orderBy("id")
+      },
+      Some(s"""WITH master AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+                  c_name AS name FROM customer),
+              dirty AS (SELECT id,
+                  substr(name, 1, 11)
+                    || chr(CAST(${graft.operators.PortableHash.duckSql(
+                      "'fz:' || CAST(id AS VARCHAR)")} % 26 + 97 AS INT))
+                    || substr(name, 13, 6) AS name
+                FROM master WHERE id % 7 = 0),
+              cand AS (SELECT d.id, d.name, m.id AS match_id,
+                  m.name AS match_name,
+                  CAST(levenshtein(d.name, m.name) AS BIGINT) AS dist
+                FROM dirty d JOIN master m
+                  ON length(d.name) = length(m.name)
+                  AND substr(d.name, 15, 4) = substr(m.name, 15, 4)
+                WHERE levenshtein(d.name, m.name) <= 2),
+              rk AS (SELECT *,
+                  row_number() OVER (PARTITION BY id
+                    ORDER BY dist, match_id) AS rk,
+                  CAST(count(*) OVER (PARTITION BY id) AS BIGINT)
+                    AS n_candidates
+                FROM cand)
+              SELECT id, name, match_id, match_name, dist, n_candidates
+              FROM rk WHERE rk = 1 ORDER BY id""")),
+
     // Quantile normalization of document length across languages: each
     // (lang, n_chars) maps to the POOLED type-1 quantile at its
     // within-group midrank — the cross-source distribution aligner.
