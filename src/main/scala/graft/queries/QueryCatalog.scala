@@ -10206,6 +10206,44 @@ object QueryCatalog {
               FROM terms"""
       }),
 
+    // Eighth driver-gated streaming pattern: exactly-once threshold
+    // alerting via flatMapGroupsWithState — emit each user ONCE, the
+    // first time their cumulative count reaches the threshold (the fraud
+    // velocity-check shape). The emitted SET is micro-batch-split
+    // independent (users whose total reaches 70), which is exactly what
+    // the batch oracle computes; the crossing-time count is split-
+    // dependent and stays in state, never emitted.
+    Q("q_stream_threshold_alert",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.loadEventsStream(s, dir)
+          .withColumn("ts", date_trunc("second", col("ts")))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.EventStreams.Event]
+        val alerts = graft.streaming.EventStreams.thresholdAlerts(
+          ev, minEvents = 70L)
+        val qname = "graft_stream_alert_" + math.abs(dir.hashCode).toString
+        s.catalog.dropTempView(qname)
+        val q = alerts.toDF().writeStream.format("memory")
+          .queryName(qname).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname).agg(
+          count(lit(1)).as("n_alerted"),
+          countDistinct(col("user_id")).as("n_distinct_alerted"),
+          coalesce(sum(pmod(col("user_id"), lit(1000000007L))), lit(0L))
+            .as("user_hash_sum"))
+      },
+      Some("""WITH per AS (SELECT user_id, count(*) AS c
+                FROM events GROUP BY user_id)
+              SELECT CAST(count(*) AS BIGINT) AS n_alerted,
+                CAST(count(DISTINCT user_id) AS BIGINT)
+                  AS n_distinct_alerted,
+                CAST(coalesce(sum(user_id % 1000000007), 0) AS BIGINT)
+                  AS user_hash_sum
+              FROM per WHERE c >= 70""")),
+
     // Propensity-score stratification ATE on a deliberately CONFOUNDED
     // fixture: treatment assignment depends on user activity (c + hash
     // noise), and the outcome (total value) also scales with activity —

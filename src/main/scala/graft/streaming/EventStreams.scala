@@ -172,4 +172,45 @@ object EventStreams {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  /** Exactly-once threshold alerting: emit each user ONCE, the first time
+    * their cumulative event count reaches `minEvents` — the stateful
+    * monitoring primitive behind "alert when an account crosses N
+    * actions" (fraud velocity checks, quota trips). State per key is two
+    * numbers (count, alerted); the alerted latch is what makes the emit
+    * exactly-once across micro-batches rather than once per batch above
+    * the threshold.
+    *
+    * Determinism contract: the EMITTED SET (which users alert) is
+    * independent of micro-batch splits — it is exactly the users whose
+    * total count reaches the threshold. The count at crossing time is
+    * batch-split-dependent, so it stays in state and is NOT emitted; the
+    * output carries only (user_id) plus the threshold echoed for the
+    * sink.
+    */
+  final case class Alert(user_id: Long, threshold: Long)
+  final case class AlertState(count: Long, alerted: Boolean)
+
+  def thresholdAlerts(
+      events: Dataset[Event],
+      minEvents: Long): Dataset[Alert] = {
+    import events.sparkSession.implicits._
+    require(minEvents >= 1, "minEvents must be >= 1")
+
+    def update(
+        userId: Long,
+        rows: Iterator[Event],
+        state: GroupState[AlertState]): Iterator[Alert] = {
+      val prev = state.getOption.getOrElse(AlertState(0L, alerted = false))
+      val c = prev.count + rows.size
+      val crossed = !prev.alerted && c >= minEvents
+      state.update(AlertState(c, prev.alerted || crossed))
+      if (crossed) Iterator(Alert(userId, minEvents)) else Iterator.empty
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
 }

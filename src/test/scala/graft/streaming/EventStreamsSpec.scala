@@ -238,4 +238,29 @@ class EventStreamsSpec extends SparkSpec {
       (2L, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:10:00"), 2L),
       (2L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1L)))
   }
+
+  test("thresholdAlerts fires exactly once per user across micro-batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.thresholdAlerts(in.toDS(), minEvents = 3L)
+      .toDF().writeStream.format("memory").queryName("alerts")
+      .outputMode("append").start()
+    // batch 1: user 1 reaches 2 (below), user 2 reaches 3 (alert)
+    in.addData(
+      ev(1, "2024-01-01 10:00:00", user = 1), ev(2, "2024-01-01 10:01:00", user = 1),
+      ev(3, "2024-01-01 10:00:00", user = 2), ev(4, "2024-01-01 10:01:00", user = 2),
+      ev(5, "2024-01-01 10:02:00", user = 2))
+    q.processAllAvailable()
+    // batch 2: user 1 crosses (alert); user 2 keeps going (NO second alert)
+    in.addData(
+      ev(6, "2024-01-01 10:03:00", user = 1),
+      ev(7, "2024-01-01 10:03:00", user = 2), ev(8, "2024-01-01 10:04:00", user = 2))
+    q.processAllAvailable()
+    val rows = spark.table("alerts").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("threshold")))
+    q.stop()
+    assert(rows.sorted.toSeq === Seq((1L, 3L), (2L, 3L)))
+  }
 }
