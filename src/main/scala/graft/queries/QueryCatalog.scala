@@ -9240,7 +9240,13 @@ object QueryCatalog {
                     AS n_candidates
                 FROM cand)
               SELECT id, name, match_id, match_name, dist, n_candidates
-              FROM rk WHERE rk = 1 ORDER BY id""")))
+              FROM rk WHERE rk = 1 ORDER BY id"""),
+      // fixed-width 1000-block key: candidates grow quadratically with
+      // the registry — measured 132 s in-run / 146.5 s isolated at x100
+      // (BENCH_SF10 addenda 7 & 10); kept beside q_fuzzy_linkage_fine
+      // (the 10x-block scale path, 16.8 s) and q_fuzzy_linkage_gated
+      // (the fail-fast pre-flight)
+      counterExample = true))
   }
 
   /** Shared fixture for the GBDT entries: extended price in cents as the
