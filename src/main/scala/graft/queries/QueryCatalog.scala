@@ -10032,6 +10032,85 @@ object QueryCatalog {
               SELECT i_id AS item, v, n_ratings, rmse
               FROM v2, fit ORDER BY item""")),
 
+    // Pareto skyline over (length, lexical richness) — the multi-objective
+    // data-selection frontier: documents no other document weakly
+    // dominates on BOTH axes. Exact-integer shape: fold to the bounded
+    // x-support first (max y per x), then one strictly-preceding running
+    // max over distinct x descending — never an n² dominance join.
+    Q("q_pareto_skyline",
+      (s, dir) => {
+        val m = t(s, dir, "documents").select(
+          col("n_chars").cast("long").as("x"),
+          size(array_distinct(graft.operators.TextAnalysis
+            .wsTokens(lower(col("text"))))).cast("long").as("y"))
+        val byX = m.groupBy("x").agg(max("y").as("y_max"))
+        val w = Window.orderBy(col("x").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        byX.withColumn("prev_max", max("y_max").over(w))
+          .filter(col("prev_max").isNull || col("y_max") > col("prev_max"))
+          .select(col("x").as("n_chars"), col("y_max").as("distinct_tokens"))
+          .orderBy("n_chars")
+      },
+      Some("""WITH m AS (SELECT CAST(n_chars AS BIGINT) AS x,
+                  CAST(len(list_distinct(regexp_split_to_array(
+                    trim(lower(text)), '\s+'))) AS BIGINT) AS y
+                FROM documents),
+              byx AS (SELECT x, max(y) AS y_max FROM m GROUP BY x),
+              sk AS (SELECT x, y_max, max(y_max) OVER (ORDER BY x DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS prev_max
+                FROM byx)
+              SELECT x AS n_chars, y_max AS distinct_tokens
+              FROM sk WHERE prev_max IS NULL OR y_max > prev_max
+              ORDER BY n_chars""")),
+
+    // Per-group top-p (nucleus) selection — the data-mixing shape: within
+    // each language, keep the highest-token-count documents until their
+    // cumulative token mass reaches 90% of the group's total (crossing
+    // doc included). ENTIRELY exact: the keep predicate is the
+    // cross-multiplied integer 10·cum_before < 9·total; ordering ties
+    // break on doc_id.
+    Q("q_nucleus_select",
+      (s, dir) => {
+        val m = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+          size(graft.operators.TextAnalysis.wsTokens(col("text")))
+            .cast("long").as("w"))
+        val win = Window.partitionBy("lang")
+          .orderBy(col("w").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy("lang")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        m.withColumn("cum", sum("w").over(win))
+          .withColumn("total", sum("w").over(tot))
+          .withColumn("n_docs", count(lit(1)).over(tot))
+          .filter(lit(10L) * (col("cum") - col("w")) < lit(9L) * col("total"))
+          .groupBy("lang")
+          .agg(first("n_docs").as("n_docs"), count(lit(1)).as("n_kept"),
+            sum("w").as("tokens_kept"), first("total").as("tokens_total"))
+          .withColumn("share_kept",
+            round(col("tokens_kept").cast("double") / col("tokens_total"), 6))
+          .orderBy("lang")
+      },
+      Some("""WITH m AS (SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) AS w
+                FROM documents),
+              c AS (SELECT lang, doc_id, w,
+                  CAST(sum(w) OVER (PARTITION BY lang
+                    ORDER BY w DESC, doc_id) AS BIGINT) AS cum,
+                  CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT) AS total,
+                  CAST(count(*) OVER (PARTITION BY lang) AS BIGINT)
+                    AS n_docs
+                FROM m)
+              SELECT lang, any_value(n_docs) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(sum(w) AS BIGINT) AS tokens_kept,
+                any_value(total) AS tokens_total,
+                round(sum(w) / CAST(any_value(total) AS DOUBLE), 6)
+                  AS share_kept
+              FROM c WHERE 10 * (cum - w) < 9 * total
+              GROUP BY lang ORDER BY lang""")),
+
     // Difference-in-differences with unit fixed effects: per-user pre/post
     // value sums split at the corpus time midpoint (the CUPED split), the
     // per-user difference d = post - pre, and DiD = mean(d | treated) -
