@@ -888,4 +888,64 @@ object GraphRank {
       .groupBy("node")
       .agg(sum("hub").as("hub"), sum("auth").as("auth"))
   }
+
+  /** DeepWalk-style co-occurrence corpus from DETERMINISTIC random walks
+    * (Perozzi et al. 2014, the data-prep half of graph embeddings: the
+    * walk corpus feeds a skip-gram trainer). One walk per node, `steps`
+    * hops; each hop picks the portable-hash-seeded neighbor
+    *
+    *   next = adj(cur)[ hash(seed, walker, t) mod deg(cur) ]
+    *
+    * so walks are reproducible across runs, partitionings, and engines —
+    * the [[neighborhoodFeatures]] hash-seeded-sampling convention applied
+    * to path generation. Skip-gram pairs are the unordered node pairs
+    * within `window` positions on the same walk; output is the top-k by
+    * co-occurrence count (count desc, then ids — deterministic).
+    *
+    * Distributed shape: the ranked adjacency (row_number per src) is
+    * persisted once; each hop is ONE equi-join of the walker frontier
+    * against it (frontier lineage-cut per hop); the pair stage is a
+    * positions self-join keyed by walker with ≤ C(steps+1, 2) pairs per
+    * walker. Nothing walks on the driver.
+    */
+  def walkCooccurrence(
+      edges: DataFrame,
+      steps: Int = 4,
+      window: Int = 2,
+      topK: Int = 20,
+      seed: String = "dw"): DataFrame = {
+    require(steps >= 1 && steps <= 8, "steps in [1, 8]")
+    require(window >= 1 && topK >= 1, "window and topK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val adj = OperatorCaches.persistTracked(e
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("src").orderBy("dst"))
+          .cast("long") - 1L)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src"))))
+    var cur = e.select(col("src").as("walker")).distinct()
+      .withColumn("node", col("walker")).localCheckpoint()
+    var positions = cur.withColumn("pos", lit(0L))
+    for (t <- 1 to steps) {
+      cur = cur.join(adj, cur("node") === adj("src"))
+        .filter(col("rn") === pmod(PortableHash.portable60(
+          concat_ws(":", lit(seed), col("walker"), lit(t))), col("deg")))
+        .select(col("walker"), col("dst").as("node"))
+        .localCheckpoint()
+      positions = positions.unionByName(cur.withColumn("pos", lit(t.toLong)))
+    }
+    val p1 = positions.select(col("walker"), col("pos").as("pa"),
+      col("node").as("a"))
+    val p2 = positions.select(col("walker"), col("pos").as("pb"),
+      col("node").as("b"))
+    p1.join(p2, Seq("walker"))
+      .filter(col("pb") > col("pa") && col("pb") - col("pa") <= window)
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("node_a"),
+        greatest(col("a"), col("b")).as("node_b"))
+      .groupBy("node_a", "node_b").agg(count(lit(1)).as("n_cooc"))
+      .orderBy(col("n_cooc").desc, col("node_a"), col("node_b"))
+      .limit(topK)
+  }
 }

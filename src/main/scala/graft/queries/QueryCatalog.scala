@@ -10111,6 +10111,58 @@ object QueryCatalog {
               FROM c WHERE 10 * (cum - w) < 9 * total
               GROUP BY lang ORDER BY lang""")),
 
+    // DeepWalk corpus prep on the bidirectional trade graph: one
+    // hash-seeded deterministic walk per node (4 hops), skip-gram
+    // co-occurrence within a 2-position window, top-20 pairs. The oracle
+    // re-derives the ranked adjacency and replays ALL FOUR hops hash-for-
+    // hash, so a single divergent step anywhere in any walk mismatches.
+    Q("q_walk_cooc",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+        val edges = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.GraphRank.walkCooccurrence(edges, steps = 4,
+          window = 2, topK = 20, seed = "dw")
+      },
+      Some {
+        def hop(t: Int) =
+          s"""s$t AS MATERIALIZED (SELECT w.walker, a.dst AS node
+              FROM s${t - 1} w JOIN adj a ON a.src = w.node
+                AND a.rn = ${graft.operators.PortableHash.duckSql(
+                  s"'dw:' || CAST(walker AS VARCHAR) || ':$t'")} % a.deg)"""
+        val hops = (1 to 4).map(hop).mkString(",\n              ")
+        val posUnion = (1 to 4)
+          .map(t => s"SELECT walker, node, $t AS pos FROM s$t")
+          .mkString("\n                UNION ALL ")
+        s"""WITH ebase AS (SELECT DISTINCT
+                  CAST(o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              e AS (SELECT src, dst FROM ebase
+                UNION SELECT dst, src FROM ebase),
+              adj AS MATERIALIZED (SELECT src, dst,
+                  CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+                    AS BIGINT) - 1 AS rn,
+                  CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+                FROM e),
+              s0 AS (SELECT DISTINCT src AS walker, src AS node FROM e),
+              $hops,
+              pos AS (SELECT walker, node, 0 AS pos FROM s0
+                UNION ALL $posUnion),
+              co AS (SELECT least(p1.node, p2.node) AS node_a,
+                  greatest(p1.node, p2.node) AS node_b
+                FROM pos p1 JOIN pos p2 ON p1.walker = p2.walker
+                  AND p2.pos > p1.pos AND p2.pos - p1.pos <= 2
+                  AND p1.node <> p2.node)
+              SELECT node_a, node_b, CAST(count(*) AS BIGINT) AS n_cooc
+              FROM co GROUP BY node_a, node_b
+              ORDER BY n_cooc DESC, node_a, node_b LIMIT 20"""
+      }),
+
     // Difference-in-differences with unit fixed effects: per-user pre/post
     // value sums split at the corpus time midpoint (the CUPED split), the
     // per-user difference d = post - pre, and DiD = mean(d | treated) -

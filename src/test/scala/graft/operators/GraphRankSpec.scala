@@ -489,4 +489,53 @@ class GraphRankSpec extends SparkSpec {
     }
     OperatorCaches.releaseAll()
   }
+
+  test("walkCooccurrence matches a driver replay of the seeded walks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(73)
+    val edges = (for (_ <- 1 to 120) yield
+      (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val got = GraphRank.walkCooccurrence(edges.toDF("src", "dst"),
+        steps = 3, window = 2, topK = 50, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // driver replay with the scalar portable hash
+    val adj = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._2).sorted.toVector }
+    val walkers = edges.map(_._1).distinct.sorted
+    val pos = walkers.flatMap { w =>
+      var node = w
+      var path = Vector((0, w))
+      var alive = true
+      for (t <- 1 to 3 if alive) {
+        adj.get(node) match {
+          case Some(ns) =>
+            node = ns((PortableHash.portable60(s"t:$w:$t") % ns.size).toInt)
+            path :+= ((t, node))
+          case None => alive = false
+        }
+      }
+      path.map { case (p, n) => (w, p, n) }
+    }
+    val exp = (for {
+      (w1, p1, a) <- pos; (w2, p2, b) <- pos
+      if w1 == w2 && p2 > p1 && p2 - p1 <= 2 && a != b
+    } yield (math.min(a, b), math.max(a, b)))
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      .toSeq.sortBy(t => (-t._3, t._1, t._2)).take(50)
+    assert(got.toSeq === exp)
+    OperatorCaches.releaseAll()
+  }
+
+  test("walkCooccurrence is invariant under input repartitioning") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 1L),
+      (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val a = GraphRank.walkCooccurrence(edges, steps = 4, topK = 30)
+      .collect().toSeq
+    val b = GraphRank.walkCooccurrence(edges.repartition(7), steps = 4,
+      topK = 30).collect().toSeq
+    assert(a === b)
+    OperatorCaches.releaseAll()
+  }
 }
