@@ -10163,6 +10163,96 @@ object QueryCatalog {
               ORDER BY n_cooc DESC, node_a, node_b LIMIT 20"""
       }),
 
+    // Gini concentration of per-user total value — the inequality audit
+    // ("is 1% of accounts 90% of the volume") in the grouped-Lorenz form
+    //   G = 1 − Σ_k n_k·(2·cumBefore_k + s_k) / (n·total)
+    // over the DISTINCT per-user-total support in value order — exact
+    // BIGINT trapezoid arithmetic (tie-correct by construction), one
+    // division at the end. Two map-side-combined aggregates total.
+    Q("q_gini_concentration",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+        val byV = per.groupBy("v").agg(count(lit(1)).as("nk"))
+          .withColumn("sk", col("v") * col("nk"))
+        val w = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byV
+          .withColumn("cum_before", sum("sk").over(w) - col("sk"))
+          .agg(sum("nk").as("n"), sum("sk").as("total"),
+            sum(col("nk") * (lit(2L) * col("cum_before") + col("sk")))
+              .as("lorenz2"))
+          .select(col("n"), col("total"),
+            round(lit(1.0) - col("lorenz2").cast("double")
+              / (col("n") * col("total")).cast("double"), 6).as("gini"))
+      },
+      Some("""WITH per AS (SELECT user_id,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS v
+                FROM events GROUP BY user_id),
+              byv AS (SELECT v, CAST(count(*) AS BIGINT) AS nk,
+                  CAST(v * count(*) AS BIGINT) AS sk
+                FROM per GROUP BY v),
+              c AS (SELECT nk, sk,
+                  CAST(sum(sk) OVER (ORDER BY v) AS BIGINT) - sk
+                    AS cum_before
+                FROM byv)
+              SELECT CAST(sum(nk) AS BIGINT) AS n,
+                CAST(sum(sk) AS BIGINT) AS total,
+                round(1.0 - sum(nk * (2 * cum_before + sk))
+                  / (CAST(sum(nk) AS DOUBLE) * sum(sk)), 6) AS gini
+              FROM c""")),
+
+    // Item-item collaborative filtering on binary basket vectors: cosine
+    // sim(i, j) = cooc(i, j) / sqrt(n_i · n_j) over order baskets of part
+    // brands — the classic "customers who bought X" precompute. Posting
+    // self-join per basket bounded by distinct brands per order; counts
+    // exact BIGINTs, one sqrt division on the 6-dp grid; top-15 pairs.
+    Q("q_item_cf",
+      (s, dir) => {
+        val baskets = t(s, dir, "lineitem")
+          .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+          .distinct()
+        val ni = baskets.groupBy("item").agg(count(lit(1)).as("n_item"))
+        val co = baskets.join(
+            baskets.select(col("ok"), col("item").as("item_b")), Seq("ok"))
+          .filter(col("item") < col("item_b"))
+          .groupBy(col("item").as("item_a"), col("item_b"))
+          .agg(count(lit(1)).as("cooc"))
+        co.join(ni.select(col("item").as("item_a"), col("n_item").as("n_a")),
+            Seq("item_a"))
+          .join(ni.select(col("item").as("item_b"), col("n_item").as("n_b")),
+            Seq("item_b"))
+          .select(col("item_a"), col("item_b"), col("cooc"), col("n_a"),
+            col("n_b"),
+            round(col("cooc").cast("double")
+              / sqrt((col("n_a") * col("n_b")).cast("double")), 6)
+              .as("cosine"))
+          .orderBy(col("cosine").desc, col("item_a"), col("item_b"))
+          .limit(15)
+      },
+      Some("""WITH baskets AS (SELECT DISTINCT
+                  CAST(l_orderkey AS BIGINT) AS ok, p_brand AS item
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+              ni AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+                FROM baskets GROUP BY item),
+              co AS (SELECT a.item AS item_a, b.item AS item_b,
+                  CAST(count(*) AS BIGINT) AS cooc
+                FROM baskets a JOIN baskets b
+                  ON a.ok = b.ok AND a.item < b.item
+                GROUP BY a.item, b.item)
+              SELECT item_a, item_b, cooc,
+                na.n_item AS n_a, nb.n_item AS n_b,
+                round(cooc / sqrt(CAST(na.n_item * nb.n_item AS DOUBLE)), 6)
+                  AS cosine
+              FROM co
+                JOIN ni na ON na.item = item_a
+                JOIN ni nb ON nb.item = item_b
+              ORDER BY cosine DESC, item_a, item_b LIMIT 15""")),
+
     // Difference-in-differences with unit fixed effects: per-user pre/post
     // value sums split at the corpus time midpoint (the CUPED split), the
     // per-user difference d = post - pre, and DiD = mean(d | treated) -
