@@ -106,7 +106,11 @@ object FeatureEng {
     * comparison are cross-multiplied integers
     * (2·cum_pool·n_g ≥ (2·cum_g − cnt)·N), and the normalized value is a
     * pooled support member (a BIGINT), not an interpolation. No doubles
-    * anywhere.
+    * anywhere. The cross-multiplication runs in decimal(38,0): its
+    * operands are corpus-scale row counts, so 2·N² passes 2^63 at
+    * ~2.1e9 rows and Spark's int64 multiply would wrap SILENTLY there
+    * (DuckDB's errors loudly) — decimal keeps the predicate exact to
+    * N ≈ 1e19 with no cross-engine divergence window.
     *
     * Returns (group, value, cnt, norm_value) ordered.
     */
@@ -130,9 +134,11 @@ object FeatureEng {
       .agg(sum("cnt").as("pcnt"))
       .withColumn("cum_pool", sum("pcnt").over(wAll))
     val total = broadcast(pooled.agg(max("cum_pool").as("n_all")))
+    val dec = "decimal(38,0)"
     perGroup
       .join(pooled.crossJoin(total),
-        lit(2L) * col("cum_pool") * col("n_g") >= col("p_num") * col("n_all"))
+        lit(2L).cast(dec) * col("cum_pool").cast(dec) * col("n_g").cast(dec)
+          >= col("p_num").cast(dec) * col("n_all").cast(dec))
       .groupBy("g", "v", "cnt")
       .agg(min("pv").as("norm_value"))
       .orderBy("g", "v")

@@ -259,9 +259,19 @@ object ModelEval {
     * at n = 1e9, cap = 10, wScale = 1e4, rewards ≤ 1e4 that is 1e18,
     * inside int64; past that, lower wScale or swap to DecimalType.
     *
+    * Rows with a NULL or non-positive logged propensity carry no valid
+    * weight (p_i ≤ 0 means the logging policy could not have taken the
+    * action) and are DROPPED — excluded from n and every sum — via an
+    * explicit when() guard. Without the guard, `(t·wScale) div 0` is a
+    * NULL that Spark's least() SKIPS, silently handing the row the
+    * MAXIMUM capped weight while DuckDB errors on division by zero — the
+    * exact cross-engine divergence the explicit-NULL doctrine exists to
+    * prevent (same shape as the SNIPS-denominator guard below).
+    *
     * Returns one row: (n, clipped, ips, snips) — estimates on the 6-dp
     * grid, `clipped` the count of capped weights (the diagnostic that
-    * says how much mass the cap moved).
+    * says how much mass the cap moved). n counts only valid-propensity
+    * rows; an all-invalid input yields NULL ips/snips, not a crash.
     */
   def offPolicyIpsSnips(
       df: DataFrame,
@@ -275,14 +285,17 @@ object ModelEval {
     df.select(targetUnitsCol.cast("long").as("t_u"),
         loggedUnitsCol.cast("long").as("l_u"),
         rewardUnitsCol.cast("long").as("r_u"))
-      .withColumn("raw_w", expr(s"(t_u * $wScale) div l_u"))
-      .select(least(col("raw_w"), lit(cap * wScale)).as("w_u"), col("r_u"),
+      .withColumn("raw_w",
+        when(col("l_u") > 0L, expr(s"(t_u * $wScale) div l_u")))
+      .select(when(col("raw_w").isNotNull,
+          least(col("raw_w"), lit(cap * wScale))).as("w_u"), col("r_u"),
         (col("raw_w") > cap * wScale).cast("long").as("is_clipped"))
-      .agg(count(lit(1)).as("n"), sum("is_clipped").as("clipped"),
+      .agg(sum(col("w_u").isNotNull.cast("long")).as("n"),
+        sum("is_clipped").as("clipped"),
         sum(col("w_u") * col("r_u")).as("swr"), sum("w_u").as("sw"))
       .select(col("n"), col("clipped"),
-        round(col("swr").cast("double")
-          / (col("n") * wScale * rewardScale), 6).as("ips"),
+        when(col("n") > 0L, round(col("swr").cast("double")
+          / (col("n") * wScale * rewardScale), 6)).as("ips"),
         // all-zero weights (target policy never overlaps the log) would
         // divide 0/0 — explicit NULL in both engines, not an engine-
         // specific NaN/NULL split

@@ -1086,6 +1086,11 @@ object TextAnalysis {
     * contribution is a fixed IEEE expression over two exact ratios, so
     * per-term values are bit-identical — only the reduce order differs,
     * which the 4-dp output grid (the entropy-family convention) absorbs.
+    * An EMPTY slice (n_a = 0 or n_b = 0 — one side of the split has no
+    * tokens) makes p or q a divide-by-zero, which Spark NULLs and other
+    * engines error or NaN on — js_bits is explicitly NULL there (the
+    * explicit-NULL doctrine: JS against a nonexistent distribution is
+    * undefined, not zero), with the same CASE mirrored in the oracle.
     *
     * Returns one row: (n_a, n_b, vocab_a, vocab_b, vocab_shared, js_bits).
     */
@@ -1114,7 +1119,11 @@ object TextAnalysis {
           col("q") * log2(lit(2.0) * col("q") / (col("p") + col("q"))))
           .otherwise(0.0))
       .groupBy("n_a", "n_b", "vocab_a", "vocab_b", "vocab_shared")
-      .agg(round(sum("contrib") * 0.5, 4).as("js_bits"))
+      .agg(sum("contrib").as("contrib_sum"))
+      .select(col("n_a"), col("n_b"), col("vocab_a"), col("vocab_b"),
+        col("vocab_shared"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          round(col("contrib_sum") * 0.5, 4)).as("js_bits"))
   }
 }
 

@@ -296,6 +296,9 @@ object Trend {
     val sa = a.select(tColA.cast("long").as("t"), xColA.cast("double").as("x"))
     val sb = b.select(tColB.cast("long").as("t"), yColB.cast("double").as("y"))
     requireBounded(sa, maxPoints, "crossCorrelation")
+    // b fans into the lag join and every per-lag corr exactly like a —
+    // the series contract must bind BOTH sides, not just the exploded one
+    requireBounded(sb, maxPoints, "crossCorrelation")
     val lagged = sa
       .withColumn("lag",
         explode(sequence(lit(-maxLag.toLong), lit(maxLag.toLong))))

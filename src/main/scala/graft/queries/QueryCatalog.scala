@@ -9452,11 +9452,11 @@ object QueryCatalog {
                   cb / CAST(n_b AS DOUBLE) AS q
                 FROM counts, tot)
               SELECT n_a, n_b, vocab_a, vocab_b, vocab_shared,
-                round(sum(
+                CASE WHEN n_a > 0 AND n_b > 0 THEN round(sum(
                   CASE WHEN p > 0 THEN p * log2(2.0 * p / (p + q))
                     ELSE 0 END
                   + CASE WHEN q > 0 THEN q * log2(2.0 * q / (p + q))
-                    ELSE 0 END) * 0.5, 4) AS js_bits
+                    ELSE 0 END) * 0.5, 4) END AS js_bits
               FROM terms GROUP BY 1, 2, 3, 4, 5""")),
 
     // Grid-bucketed 2-D radius self-join (the spatial-join shape): events
@@ -10167,8 +10167,12 @@ object QueryCatalog {
     // ("is 1% of accounts 90% of the volume") in the grouped-Lorenz form
     //   G = 1 − Σ_k n_k·(2·cumBefore_k + s_k) / (n·total)
     // over the DISTINCT per-user-total support in value order — exact
-    // BIGINT trapezoid arithmetic (tie-correct by construction), one
-    // division at the end. Two map-side-combined aggregates total.
+    // trapezoid arithmetic (tie-correct by construction), one division at
+    // the end. The Lorenz terms scale ~n_k·total, so the per-row product
+    // and its sum run in decimal(38,0) (the house Dec convention): Spark's
+    // BIGINT sum would wrap silently at large corpora while DuckDB
+    // promotes to HUGEINT — a cross-engine divergence decimal removes.
+    // Two map-side-combined aggregates total.
     Q("q_gini_concentration",
       (s, dir) => {
         val per = t(s, dir, "events")
@@ -10178,14 +10182,18 @@ object QueryCatalog {
           .withColumn("sk", col("v") * col("nk"))
         val w = Window.orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dec = "decimal(38,0)"
         byV
           .withColumn("cum_before", sum("sk").over(w) - col("sk"))
           .agg(sum("nk").as("n"), sum("sk").as("total"),
-            sum(col("nk") * (lit(2L) * col("cum_before") + col("sk")))
+            sum(col("nk").cast(dec)
+                * (lit(2L).cast(dec) * col("cum_before").cast(dec)
+                  + col("sk").cast(dec)))
               .as("lorenz2"))
           .select(col("n"), col("total"),
             round(lit(1.0) - col("lorenz2").cast("double")
-              / (col("n") * col("total")).cast("double"), 6).as("gini"))
+              / (col("n").cast("double") * col("total").cast("double")),
+              6).as("gini"))
       },
       Some("""WITH per AS (SELECT user_id,
                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
@@ -10200,7 +10208,8 @@ object QueryCatalog {
                 FROM byv)
               SELECT CAST(sum(nk) AS BIGINT) AS n,
                 CAST(sum(sk) AS BIGINT) AS total,
-                round(1.0 - sum(nk * (2 * cum_before + sk))
+                round(1.0 - sum(CAST(nk AS DECIMAL(38,0))
+                    * (2 * CAST(cum_before AS DECIMAL(38,0)) + sk))
                   / (CAST(sum(nk) AS DOUBLE) * sum(sk)), 6) AS gini
               FROM c""")),
 

@@ -212,6 +212,26 @@ class ModelEvalSpec extends SparkSpec {
     assert(row.getDouble(2) === 3.0 && row.getDouble(3) === 1.0)
   }
 
+  test("offPolicyIpsSnips: zero/NULL logged propensity drops the row, " +
+      "never awards the cap") {
+    import spark.implicits._
+    // valid rows: both uniform w = 1 -> ips = snips = mean reward = 2.0;
+    // the l = 0 row must NOT sneak in as a max-cap weight (Spark least()
+    // skips NULL) nor inflate n
+    val df = Seq((100L, 5L, 5L), (300L, 5L, 5L), (999L, 0L, 9L))
+      .toDF("r", "l", "t")
+    val row = ModelEval.offPolicyIpsSnips(df, col("r"), col("l"), col("t"),
+      rewardScale = 100L, cap = 5L).head()
+    assert(row.getLong(0) === 2L, "n counts only valid-propensity rows")
+    assert(row.getLong(1) === 0L, "dropped row is not counted as clipped")
+    assert(row.getDouble(2) === 2.0 && row.getDouble(3) === 2.0)
+    // all-invalid input: NULL estimates, no crash
+    val bad = Seq((100L, 0L, 1L)).toDF("r", "l", "t")
+    val r2 = ModelEval.offPolicyIpsSnips(bad, col("r"), col("l"), col("t"),
+      rewardScale = 100L, cap = 5L).head()
+    assert(r2.getLong(0) === 0L && r2.isNullAt(2) && r2.isNullAt(3))
+  }
+
   test("abPowerMde: matches the closed form on planted arms") {
     import spark.implicits._
     val df = (Seq(10.0, 20.0, 30.0).map((_, 0)) ++

@@ -461,6 +461,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r1.getLong(4) === 0L)
   }
 
+  test("jsDivergence: an empty slice yields explicit NULL js_bits") {
+    import spark.implicits._
+    // every doc is in slice 0 -> n_b = 0 -> JS against a nonexistent
+    // distribution is undefined, not zero and not an engine-specific NaN
+    val oneSided = Seq(("a b c", 0L), ("a d", 0L)).toDF("text", "g")
+    val r = TextAnalysis.jsDivergence(oneSided, col("text"), col("g")).head()
+    assert(r.getLong(0) === 5L && r.getLong(1) === 0L)
+    assert(r.isNullAt(5), "js_bits must be NULL when one slice is empty")
+  }
+
   test("jsDivergence matches a driver-side replay on a mixed fixture") {
     import spark.implicits._
     val df = Seq(

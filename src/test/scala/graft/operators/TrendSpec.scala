@@ -116,6 +116,18 @@ class TrendSpec extends SparkSpec {
     assert(e.getMessage.contains("odd"))
   }
 
+  test("crossCorrelation enforces the series contract on BOTH sides") {
+    import spark.implicits._
+    val small = (0L until 5L).map(t => (t, t.toDouble)).toDF("t", "x")
+    val big = (0L until 50L).map(t => (t, t.toDouble)).toDF("t", "y")
+    // an unbounded b fans into the lag join exactly like a — must trip
+    val e = intercept[IllegalArgumentException] {
+      Trend.crossCorrelation(small, big, col("t"), col("x"), col("t"),
+        col("y"), maxLag = 2, maxPoints = 10L)
+    }
+    assert(e.getMessage.contains("crossCorrelation"))
+  }
+
   test("crossCorrelation finds the planted lead and matches driver Pearson") {
     import spark.implicits._
     val rnd = new scala.util.Random(37)
