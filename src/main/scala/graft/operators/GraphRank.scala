@@ -907,18 +907,36 @@ object GraphRank {
     * against it (frontier lineage-cut per hop); the pair stage is a
     * positions self-join keyed by walker with ≤ C(steps+1, 2) pairs per
     * walker. Nothing walks on the driver.
+    *
+    * Opt-in budget gate (the pageRank/stronglyConnected convention): the
+    * dominant scan is the adjacency build (two ranking windows over
+    * |edges|) plus `steps` frontier-vs-adjacency equi-joins, so the
+    * priced volume is (steps + 2)·|edges|. Pass `maxEdgeScanRows` to
+    * fail fast with the sized diagnosis in milliseconds instead of
+    * discovering the single-host edge-build wall minutes in; pass
+    * `estimatedEdges` (e.g. 2·|lineitem| for the bidirectional trade
+    * graph) to price the gate without even counting.
     */
   def walkCooccurrence(
       edges: DataFrame,
       steps: Int = 4,
       window: Int = 2,
       topK: Int = 20,
-      seed: String = "dw"): DataFrame = {
+      seed: String = "dw",
+      maxEdgeScanRows: Double = Double.MaxValue,
+      estimatedEdges: Option[Long] = None): DataFrame = {
     require(steps >= 1 && steps <= 8, "steps in [1, 8]")
     require(window >= 1 && topK >= 1, "window and topK must be positive")
     import org.apache.spark.sql.expressions.Window
+    def gate(m: Long): Unit = iterativeScanGate("walkCooccurrence",
+      steps.toDouble + 2, m, maxEdgeScanRows,
+      "Lower steps, pre-filter the edge list (degree cap or sampled " +
+        "walkers), or run on a cluster sized for the adjacency build")
+    estimatedEdges.filter(_ => maxEdgeScanRows < Double.MaxValue).foreach(gate)
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
+    if (maxEdgeScanRows < Double.MaxValue && estimatedEdges.isEmpty)
+      gate(e.count())
     val adj = OperatorCaches.persistTracked(e
       .withColumn("rn",
         row_number().over(Window.partitionBy("src").orderBy("dst"))

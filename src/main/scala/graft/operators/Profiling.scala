@@ -436,4 +436,117 @@ object Profiling {
         when(col("ss") > 0, round(col("num") / col("ss"), 6)).as("acf"))
       .orderBy("lag")
   }
+
+  /** Exact 1-Wasserstein (earth-mover) distance between the value
+    * distributions of two slices, on an integral grid — the drift
+    * measure that is SENSITIVE TO HOW FAR mass moved, completing the
+    * drift family (PSI: binned ratios; KS: max CDF gap; JS: vocabulary
+    * overlap — none of them metric in the value space):
+    *
+    *   W1 = ∫ |F_a(x) − F_b(x)| dx
+    *      = Σ_support |cumA·nB − cumB·nA| · Δx / (nA·nB)
+    *
+    * over the DISTINCT unit-value support in order (the grouped-Lorenz
+    * trapezoid trick applied to the CDF gap).
+    *
+    * Cross-engine determinism: ENTIRELY exact until one final division —
+    * values arrive as integral units (`unitCol`, e.g. cents), the CDF
+    * gap is the cross-multiplied integer |cumA·nB − cumB·nA|, and the
+    * per-gap terms accumulate in decimal(38,0) (cum·n·Δx reaches ~n²·Δx,
+    * past int64 at corpus scale; DuckDB would promote to HUGEINT while
+    * Spark wraps — the q_gini_concentration lesson).
+    *
+    * Distributed shape: ONE groupBy(unit) with two conditional sums
+    * folds the corpus to its support, then a support-sized ordered
+    * window (bin-first contract — bin continuous values to a coarser
+    * grid upstream if the support is unbounded) and a single reduce.
+    *
+    * Returns one row: (n_a, n_b, support, w1) — w1 in units, 6 dp;
+    * explicit NULL when either slice is empty (W1 against a nonexistent
+    * distribution is undefined — the jsDivergence doctrine).
+    */
+  def wasserstein1(df: DataFrame, unitCol: Column, groupCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val counts = df
+      .select(unitCol.cast("long").as("v"), groupCol.cast("long").as("g"))
+      .groupBy("v")
+      .agg(sum(when(col("g") === 0L, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = broadcast(counts.agg(
+      sum("ca").as("n_a"), sum("cb").as("n_b")))
+    counts
+      .withColumn("cum_a", sum("ca").over(w))
+      .withColumn("cum_b", sum("cb").over(w))
+      .withColumn("dx", lead("v", 1).over(Window.orderBy("v")) - col("v"))
+      .crossJoin(tot)
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        count(lit(1)).as("support"),
+        sum(when(col("dx").isNotNull,
+          abs(col("cum_a").cast(dec) * col("n_b").cast(dec) -
+            col("cum_b").cast(dec) * col("n_a").cast(dec)) *
+            col("dx").cast(dec))).as("area"))
+      .select(col("n_a"), col("n_b"), col("support"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          round(col("area").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 6))
+          .as("w1"))
+  }
+
+  /** Empirical-Bayes shrinkage of per-group success rates via the
+    * moment-matched Beta-Binomial prior (Robbins/Efron–Morris in the
+    * form every CTR/quality-score ranker uses): fit Beta(α, β) to the
+    * observed per-group rates by method of moments,
+    *
+    *   s = m(1−m)/v − 1,   α = m·s,   β = (1−m)·s
+    *
+    * (m, v the 6-dp-anchored mean/variance of the raw rates), then
+    * shrink each group: rate* = (x_g + α) / (n_g + s). Small-n groups
+    * collapse toward the global mean, large-n groups keep their data —
+    * the fix for "a 1/1 group outranks a 970/1000 group".
+    *
+    * Cross-engine determinism: x_g, n_g are exact BIGINTs; m and v are
+    * anchored on the 6-dp grid BEFORE deriving α/β (the Welch/CUPED
+    * convention), so both engines shrink with identical doubles.
+    *
+    * Distributed shape: ONE groupBy(group) with map-side combine, one
+    * broadcast single-row moment reduce over the bounded group support,
+    * top-k as TakeOrderedAndProject.
+    *
+    * Returns (grp, n, successes, raw_rate, shrunk_rate) top `topK` by
+    * shrunk_rate desc then grp ("grp", not "group" — reserved-word-proof
+    * across engines); NULL shrunk_rate when the prior is degenerate
+    * (v = 0 or s ≤ 0 — all groups identical, nothing to fit), with the
+    * same guard mirrored in the oracle.
+    */
+  def ebShrinkage(
+      df: DataFrame,
+      groupCol: Column,
+      successCol: Column,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val perGroup = df
+      .select(groupCol.cast("long").as("grp"),
+        successCol.cast("long").as("x"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("x").as("successes"))
+      .withColumn("raw_rate",
+        round(col("successes").cast("double") / col("n"), 6))
+    val prior = broadcast(perGroup.agg(
+        round(avg("raw_rate"), 6).as("m"),
+        round(var_samp("raw_rate"), 6).as("v"))
+      .select(col("m"), col("v"),
+        when(col("v") > 0.0,
+          col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0))
+          .as("s")))
+    perGroup.crossJoin(prior)
+      .select(col("grp"), col("n"), col("successes"), col("raw_rate"),
+        when(col("s") > 0.0,
+          round((col("successes") + col("m") * col("s")) /
+            (col("n") + col("s")), 6)).as("shrunk_rate"))
+      .orderBy(col("shrunk_rate").desc, col("grp"))
+      .limit(topK)
+  }
 }

@@ -9281,6 +9281,45 @@ object QueryCatalog {
         FROM base, (VALUES ('quantity'), ('disc_pct'), ('tax_pct'),
           ('ship_month')) f(feature)"""
 
+  /** Shared oracle for q_walk_cooc and its budget-gated twin: re-derives
+    * the ranked adjacency and replays ALL FOUR hash-seeded hops hash-for-
+    * hash, so a single divergent step anywhere in any walk mismatches.
+    */
+  private lazy val walkCoocOracleSql: String = {
+    def hop(t: Int) =
+      s"""s$t AS MATERIALIZED (SELECT w.walker, a.dst AS node
+              FROM s${t - 1} w JOIN adj a ON a.src = w.node
+                AND a.rn = ${graft.operators.PortableHash.duckSql(
+                  s"'dw:' || CAST(walker AS VARCHAR) || ':$t'")} % a.deg)"""
+    val hops = (1 to 4).map(hop).mkString(",\n              ")
+    val posUnion = (1 to 4)
+      .map(t => s"SELECT walker, node, $t AS pos FROM s$t")
+      .mkString("\n                UNION ALL ")
+    s"""WITH ebase AS (SELECT DISTINCT
+                  CAST(o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              e AS (SELECT src, dst FROM ebase
+                UNION SELECT dst, src FROM ebase),
+              adj AS MATERIALIZED (SELECT src, dst,
+                  CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+                    AS BIGINT) - 1 AS rn,
+                  CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+                FROM e),
+              s0 AS (SELECT DISTINCT src AS walker, src AS node FROM e),
+              $hops,
+              pos AS (SELECT walker, node, 0 AS pos FROM s0
+                UNION ALL $posUnion),
+              co AS (SELECT least(p1.node, p2.node) AS node_a,
+                  greatest(p1.node, p2.node) AS node_b
+                FROM pos p1 JOIN pos p2 ON p1.walker = p2.walker
+                  AND p2.pos > p1.pos AND p2.pos - p1.pos <= 2
+                  AND p1.node <> p2.node)
+              SELECT node_a, node_b, CAST(count(*) AS BIGINT) AS n_cooc
+              FROM co GROUP BY node_a, node_b
+              ORDER BY n_cooc DESC, node_a, node_b LIMIT 20"""
+  }
+
   /** Session-11 wave: split-conformal prediction intervals, off-policy
     * bandit evaluation (IPS/SNIPS), and A/B power analysis / minimum
     * detectable effect — the "before you ship the experiment" companions
@@ -10128,40 +10167,30 @@ object QueryCatalog {
         graft.operators.GraphRank.walkCooccurrence(edges, steps = 4,
           window = 2, topK = 20, seed = "dw")
       },
-      Some {
-        def hop(t: Int) =
-          s"""s$t AS MATERIALIZED (SELECT w.walker, a.dst AS node
-              FROM s${t - 1} w JOIN adj a ON a.src = w.node
-                AND a.rn = ${graft.operators.PortableHash.duckSql(
-                  s"'dw:' || CAST(walker AS VARCHAR) || ':$t'")} % a.deg)"""
-        val hops = (1 to 4).map(hop).mkString(",\n              ")
-        val posUnion = (1 to 4)
-          .map(t => s"SELECT walker, node, $t AS pos FROM s$t")
-          .mkString("\n                UNION ALL ")
-        s"""WITH ebase AS (SELECT DISTINCT
-                  CAST(o_custkey * 2 AS BIGINT) AS src,
-                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
-                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-              e AS (SELECT src, dst FROM ebase
-                UNION SELECT dst, src FROM ebase),
-              adj AS MATERIALIZED (SELECT src, dst,
-                  CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
-                    AS BIGINT) - 1 AS rn,
-                  CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
-                FROM e),
-              s0 AS (SELECT DISTINCT src AS walker, src AS node FROM e),
-              $hops,
-              pos AS (SELECT walker, node, 0 AS pos FROM s0
-                UNION ALL $posUnion),
-              co AS (SELECT least(p1.node, p2.node) AS node_a,
-                  greatest(p1.node, p2.node) AS node_b
-                FROM pos p1 JOIN pos p2 ON p1.walker = p2.walker
-                  AND p2.pos > p1.pos AND p2.pos - p1.pos <= 2
-                  AND p1.node <> p2.node)
-              SELECT node_a, node_b, CAST(count(*) AS BIGINT) AS n_cooc
-              FROM co GROUP BY node_a, node_b
-              ORDER BY n_cooc DESC, node_a, node_b LIMIT 20"""
-      }),
+      Some(walkCoocOracleSql)),
+
+    // the budget-gated twin (the q_pagerank_gated convention): identical
+    // walk corpus, but the (steps+2)x|edges| adjacency-build volume is
+    // priced against an explicit ceiling BEFORE any scan — at x1000 the
+    // same call with a production ceiling fails in milliseconds with the
+    // sized diagnosis instead of minutes into the single-host edge build.
+    // estimatedEdges = 2*|lineitem| (bidirectional trade graph) prices
+    // the gate from table stats without counting the distinct edge set.
+    Q("q_walk_cooc_gated",
+      (s, dir) => {
+        val liT = t(s, dir, "lineitem")
+        val li = liT.select(col("l_orderkey"), col("l_suppkey"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+        val edges = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.GraphRank.walkCooccurrence(edges, steps = 4,
+          window = 2, topK = 20, seed = "dw",
+          maxEdgeScanRows = 3e9, estimatedEdges = Some(2L * liT.count()))
+      },
+      Some(walkCoocOracleSql)),
 
     // Gini concentration of per-user total value — the inequality audit
     // ("is 1% of accounts 90% of the volume") in the grouped-Lorenz form
@@ -10334,21 +10363,38 @@ object QueryCatalog {
 
     // Referential-integrity audit over the warehouse's FK edges: orphan
     // child keys per edge via left-anti joins against the DISTINCT parent
-    // key set (the parent side folds to its key support before the join —
-    // never a row-level shuffle of the parent; NO broadcast hint, because
-    // a fact-sized parent like orders must be allowed to shuffle — stats
-    // and AQE pick broadcast for the true dims on their own). The ETL
-    // health check a pipeline runs before trusting any downstream join.
+    // key set. Round-11 shape: the child folds to its (key, multiplicity)
+    // support FIRST — groupBy(k).count with map-side combine collapses
+    // the 600M-row key stream to its distinct support BEFORE anything
+    // shuffles, the anti-join then REUSES the aggregate's hash
+    // partitioning (EnsureRequirements sees the child side already
+    // distributed by k — only the parent support moves), and both
+    // n_child and n_orphans are sum(cnt) over the support, so each edge
+    // scans its child exactly ONCE (the old shape scanned it twice: a
+    // count pass + a raw-key anti-join shuffle). NO broadcast hint —
+    // a fact-sized parent like orders must be allowed to shuffle; stats
+    // and AQE pick broadcast for the true dims on their own. (The bloom
+    // lever the r10 verdict named is semantically unusable here: a scan-
+    // level bloom keep-filter on an ANTI join's probe side would drop
+    // false-positive orphans — blooms have no false negatives, not no
+    // false positives — which is exactly why Spark's InjectRuntimeFilter
+    // only fires on inner/semi shapes. See BENCH_SF10 round-11 addendum.)
     Q("q_fk_integrity",
       (s, dir) => {
         def edge(name: String, child: DataFrame,
             fk: org.apache.spark.sql.Column, parent: DataFrame,
             pk: org.apache.spark.sql.Column) = {
-          val orphans = child.select(fk.cast("long").as("k"))
+          val support = child.select(fk.cast("long").as("k"))
+            .groupBy("k").agg(count(lit(1)).as("cnt"))
+          val orphans = support
             .join(parent.select(pk.cast("long").as("k")).distinct(),
               Seq("k"), "left_anti")
+          // n_child from a separate count pass, NOT sum over `support`:
+          // the count is a shuffle-free single-column scan, while a
+          // second consumer of `support` would re-run the whole aggregate
           child.agg(count(lit(1)).as("n_child")).crossJoin(
-            broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+            broadcast(orphans.agg(
+              coalesce(sum("cnt"), lit(0L)).as("n_orphans"))))
             .select(lit(name).as("fk_edge"), col("n_child"),
               col("n_orphans"),
               round(col("n_orphans").cast("double") / col("n_child"), 6)
@@ -10588,8 +10634,187 @@ object QueryCatalog {
               FROM fin, tot, naive"""
       }))
 
+  /** Session-12 wave: ordered-path behavioral analytics (sequential
+    * bigrams, multi-touch attribution, Markov stationary flow) plus two
+    * distribution tools the drift/ranking families lacked — exact
+    * 1-Wasserstein drift and empirical-Bayes rate shrinkage.
+    */
+  private lazy val session12: Seq[Q] = Seq(
+
+    // sequential bigram mining: what event type FOLLOWS what, within a
+    // 30-minute gap — the PrefixSpan-depth-2 cut. One user-window pass,
+    // then a map-side-combined groupBy over the bounded K^2 pair support;
+    // top-15 with full tie-breaks so the cut is deterministic.
+    Q("q_seq_bigrams",
+      (s, dir) => graft.operators.PathAnalytics.seqBigrams(
+        t(s, dir, "events"), col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), maxGapSec = 1800L, topK = 15),
+      Some("""WITH e AS (SELECT user_id AS u,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                  event_id AS id, event_type AS ty FROM events),
+              s AS (SELECT u, ty, sec, lead(ty) OVER w AS ty_next,
+                  lead(sec) OVER w AS sec_next
+                FROM e WINDOW w AS (PARTITION BY u ORDER BY sec, id))
+              SELECT ty AS type_a, ty_next AS type_b,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(count(DISTINCT u) AS BIGINT) AS n_users
+              FROM s WHERE ty_next IS NOT NULL AND sec_next - sec <= 1800
+              GROUP BY 1, 2
+              ORDER BY n_pairs DESC, type_a, type_b LIMIT 15""")),
+
+    // multi-touch attribution: linear and U-shaped (40/20/40) conversion
+    // credit over each user's pre-first-purchase touch path. Credits are
+    // exact BIGINT micro-units (10^12 div k floor division — identical in
+    // both engines), summed in decimal(38,0); the only doubles are the
+    // two final divisions onto the 6-dp grid.
+    Q("q_attribution",
+      (s, dir) => graft.operators.PathAnalytics.multiTouchAttribution(
+        t(s, dir, "events"), col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("event_type") === "purchase"),
+      Some("""WITH e AS (SELECT user_id AS u,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                  event_id AS id, event_type AS ch,
+                  (event_type = 'purchase') AS conv FROM events),
+              cu AS (SELECT u, min(sec) AS conv_sec FROM e WHERE conv
+                GROUP BY u),
+              ci AS (SELECT e.u, cu.conv_sec, min(e.id) AS conv_id
+                FROM e JOIN cu ON e.u = cu.u AND e.sec = cu.conv_sec
+                WHERE e.conv GROUP BY e.u, cu.conv_sec),
+              touch AS (SELECT e.u, e.ch, e.sec, e.id
+                FROM e JOIN ci ON e.u = ci.u
+                WHERE NOT e.conv AND (e.sec < ci.conv_sec OR
+                  (e.sec = ci.conv_sec AND e.id < ci.conv_id))),
+              ranked AS (SELECT u, ch,
+                  CAST(row_number() OVER (PARTITION BY u ORDER BY sec, id)
+                    AS BIGINT) AS pos,
+                  CAST(count(*) OVER (PARTITION BY u) AS BIGINT) AS k
+                FROM touch),
+              credits AS (SELECT u, ch,
+                  1000000000000 // k AS lin_u,
+                  CASE WHEN k = 1 THEN 1000000000000
+                    WHEN k = 2 THEN 500000000000
+                    WHEN pos = 1 OR pos = k THEN 400000000000
+                    ELSE 200000000000 // (k - 2) END AS u_u
+                FROM ranked)
+              SELECT ch AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+                CAST(count(DISTINCT u) AS BIGINT) AS n_paths,
+                round(CAST(sum(lin_u) AS DOUBLE) / 1000000000000, 6)
+                  AS linear_credit,
+                round(CAST(sum(u_u) AS DOUBLE) / 1000000000000, 6)
+                  AS u_credit
+              FROM credits GROUP BY ch
+              ORDER BY linear_credit DESC, channel""")),
+
+    // Markov stationary distribution of the event-type chain: 12 power-
+    // iteration rounds on the 12-dp per-round grid (the pageRank fixed-
+    // round convention), sinks keep their mass. The oracle unrolls all
+    // 12 rounds, so a single divergent step anywhere mismatches.
+    Q("q_markov_stationary",
+      (s, dir) => graft.operators.PathAnalytics.markovStationary(
+        t(s, dir, "events"), col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), iterations = 12),
+      Some {
+        def step(i: Int) =
+          s"""pi$i AS MATERIALIZED (SELECT s.state,
+                round(coalesce(f.inflow, 0) + coalesce(kp.pi, 0), 12) AS pi
+              FROM states s
+              LEFT JOIN (SELECT p.b AS state, sum(x.pi * p.p) AS inflow
+                FROM pi${i - 1} x JOIN p ON x.state = p.a
+                GROUP BY p.b) f ON f.state = s.state
+              LEFT JOIN (SELECT x.state, x.pi FROM pi${i - 1} x
+                JOIN sinks sk ON sk.state = x.state) kp
+                ON kp.state = s.state)"""
+        val steps = (1 to 12).map(step).mkString(",\n              ")
+        s"""WITH e AS (SELECT user_id AS u,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                  event_id AS id, event_type AS ty FROM events),
+              sq AS (SELECT u, ty, lead(ty) OVER (PARTITION BY u
+                  ORDER BY sec, id) AS tyn FROM e),
+              tr AS MATERIALIZED (SELECT ty AS a, tyn AS b,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM sq WHERE tyn IS NOT NULL GROUP BY 1, 2),
+              p AS MATERIALIZED (SELECT a, b,
+                  n / CAST(sum(n) OVER (PARTITION BY a) AS DOUBLE) AS p
+                FROM tr),
+              states AS MATERIALIZED (SELECT DISTINCT a AS state FROM tr
+                UNION SELECT DISTINCT b FROM tr),
+              sinks AS MATERIALIZED (SELECT state FROM states
+                WHERE state NOT IN (SELECT a FROM tr)),
+              kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+              pi0 AS MATERIALIZED (SELECT state, round(1.0 / k, 12) AS pi
+                FROM states, kk),
+              $steps
+              SELECT state, round(pi, 6) AS pi FROM pi12 ORDER BY state"""
+      }),
+
+    // exact 1-Wasserstein distance between click and purchase value
+    // distributions on the cents grid — the metric drift measure beside
+    // PSI/KS/JS. Corpus folds to its support in one groupBy; the CDF-gap
+    // trapezoid accumulates in decimal(38,0) (cum*n*dx passes int64 at
+    // corpus scale — the gini lesson).
+    Q("q_wasserstein_drift",
+      (s, dir) => graft.operators.Profiling.wasserstein1(
+        t(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase")),
+        round(col("value") * 100).cast("long"),
+        when(col("event_type") === "click", 0L).otherwise(1L)),
+      Some("""WITH x AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                  CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS g
+                FROM events WHERE event_type IN ('click', 'purchase')),
+              c AS (SELECT v,
+                  CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS ca,
+                  CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS cb
+                FROM x GROUP BY v),
+              t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                  CAST(sum(cb) AS BIGINT) AS n_b FROM c),
+              cum AS (SELECT v,
+                  CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+                  CAST(sum(cb) OVER w AS BIGINT) AS cum_b,
+                  lead(v) OVER (ORDER BY v) - v AS dx
+                FROM c WINDOW w AS (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              SELECT t.n_a, t.n_b, CAST(count(*) AS BIGINT) AS support,
+                CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+                  round(CAST(sum(CASE WHEN dx IS NOT NULL THEN
+                    abs(CAST(cum_a AS DECIMAL(38,0)) * t.n_b -
+                      CAST(cum_b AS DECIMAL(38,0)) * t.n_a) * dx END)
+                    AS DOUBLE) /
+                    (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6)
+                END AS w1
+              FROM cum, t GROUP BY t.n_a, t.n_b""")),
+
+    // empirical-Bayes shrinkage of per-user click rates toward the
+    // moment-matched Beta prior — the small-n ranking fix. Moments are
+    // 6-dp anchored before deriving alpha/beta (the Welch/CUPED
+    // convention); top-20 by shrunk rate with a full tie-break.
+    Q("q_eb_shrinkage",
+      (s, dir) => graft.operators.Profiling.ebShrinkage(
+        t(s, dir, "events"), col("user_id"),
+        (col("event_type") === "click").cast("long"), topK = 20),
+      Some("""WITH g AS (SELECT user_id AS grp,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                    END) AS BIGINT) AS successes
+                FROM events GROUP BY user_id),
+              r AS (SELECT *, round(successes / CAST(n AS DOUBLE), 6)
+                  AS raw_rate FROM g),
+              pr AS (SELECT round(avg(raw_rate), 6) AS m,
+                  round(var_samp(raw_rate), 6) AS v FROM r),
+              s AS (SELECT m, v,
+                  CASE WHEN v > 0 THEN m * (1 - m) / v - 1 END AS s
+                FROM pr)
+              SELECT grp, n, successes, raw_rate,
+                CASE WHEN s.s > 0 THEN
+                  round((successes + s.m * s.s) / (n + s.s), 6) END
+                  AS shrunk_rate
+              FROM r, s
+              ORDER BY shrunk_rate DESC NULLS LAST, grp LIMIT 20""")),
+  )
+
   val all: Seq[Q] =
     relational ++ relational2 ++ text ++ sampling ++ embeddings ++ media ++
       taxi ++ session8 ++ session9 ++ session9b ++ session10 ++ session10b ++
-      session11
+      session11 ++ session12
 }

@@ -12,12 +12,16 @@ import graft.sources.Tables
   * W2_NYCTaxi_ETL.ipynb).
   *
   * Usage:
-  *   runMain graft.taxi.RunPipeline [--raw=parquetPath] [--out=dir] [--strict]
+  *   runMain graft.taxi.RunPipeline [--raw=parquetPath] [--out=dir]
+  *     [--strict] [--golden]
   *
   * With no --raw the deterministic in-memory fixture runs — a
   * self-contained demo of the whole program. Given the real January-2024
   * TLC file it reproduces the reference's golden stage counts
-  * (2,964,624 → 2,644,148 shipped mode; BASELINE.md anchors).
+  * (2,964,624 → 2,644,148 shipped mode; BASELINE.md anchors); add
+  * --golden to ASSERT the [[TaxiGoldens]] stage counts as the stages run
+  * (require, fail-fast) — the executable form of BASELINE.md's parity
+  * table, same constants as the path-gated GoldenReplaySpec.
   *
   * Stage-count logging costs one count() action per stage (each a scan +
   * 1-row reduce); production runs chasing wall-clock can skip straight to
@@ -30,8 +34,11 @@ object RunPipeline {
       args.collectFirst { case a if a.startsWith(s"--$name=") =>
         a.stripPrefix(s"--$name=") }
     val strict = args.contains("--strict")
+    val golden = args.contains("--golden")
     val rawPath = flag("raw")
     val outDir = flag("out").getOrElse("/tmp/graft-taxi-out")
+    require(!golden || rawPath.isDefined,
+      "--golden asserts the real Jan-2024 TLC goldens; pass --raw=<path>")
 
     // only stop a session this run created — under getOrCreate the runner
     // may be handed a host's live session (tests, notebooks) to leave alone
@@ -41,12 +48,15 @@ object RunPipeline {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def stage(name: String)(df: DataFrame): DataFrame = {
-      println(f"[stage] $name%-28s rows=${df.count()}")
+    def stage(name: String, want: Option[Long] = None)(df: DataFrame): DataFrame = {
+      val n = df.count()
+      println(f"[stage] $name%-28s rows=$n")
+      want.filter(_ => golden).foreach(w => require(n == w,
+        s"GOLDEN MISMATCH at $name: got $n, BASELINE.md says $w"))
       df
     }
 
-    val raw = stage("raw")(rawPath match {
+    val raw = stage("raw", Some(TaxiGoldens.RawRows))(rawPath match {
       case Some(p) => spark.read.parquet(p)
       case None    => TaxiFixture.raw(spark)
     })
@@ -55,10 +65,19 @@ object RunPipeline {
     val validDistance = stage("valid_speed+distance")(
       Cleaning.filterValidDistance(Cleaning.filterValidSpeed(
         Cleaning.withDuration(raw))))
+    // the notebook computes the dead branch even though the shipped
+    // lineage restarts from df_valid_distance (cell 49) — in golden mode
+    // replay it as an audit either way, so the 2,959,170 anchor is checked
+    if (golden && !strict)
+      stage("dead_branch_audit", Some(TaxiGoldens.DeadBranchRows))(
+        Cleaning.strictBranch(validDistance))
     val base =
-      if (strict) stage("strict_branch")(Cleaning.strictBranch(validDistance))
+      if (strict) stage("strict_branch", Some(TaxiGoldens.DeadBranchRows))(
+        Cleaning.strictBranch(validDistance))
       else validDistance
-    val cleaned = stage("cleaned")(
+    // the golden final count is a shipped-mode (non-strict) anchor
+    val cleaned = stage("cleaned",
+        if (strict) None else Some(TaxiGoldens.FinalCleanedRows))(
       Cleaning.filterPassengers(Cleaning.filterFareBand(
         Cleaning.fixNegativeAmounts(Cleaning.triageZeroDistance(base)))))
     val featured = stage("featured")(

@@ -527,6 +527,35 @@ class GraphRankSpec extends SparkSpec {
     OperatorCaches.releaseAll()
   }
 
+  test("walkCooccurrence budget gate: fail-fast on both paths, pass-unchanged") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L), (1L, 3L))
+      .toDF("src", "dst")
+    // estimate path: driver arithmetic only, fires before any scan
+    val ex1 = intercept[IllegalArgumentException] {
+      GraphRank.walkCooccurrence(edges, steps = 4,
+        maxEdgeScanRows = 10, estimatedEdges = Some(1000000L))
+    }
+    assert(ex1.getMessage.contains("walkCooccurrence"), ex1.getMessage)
+    assert(ex1.getMessage.contains("ceiling"), ex1.getMessage)
+    // counted path: 6 distinct edges x (4 steps + 2 adjacency windows)
+    val ex2 = intercept[IllegalArgumentException] {
+      GraphRank.walkCooccurrence(edges, steps = 4, maxEdgeScanRows = 10)
+        .collect()
+    }
+    assert(ex2.getMessage.contains("36"), ex2.getMessage)
+    OperatorCaches.releaseAll()
+    // under the ceiling the gate is cost-only: identical corpus
+    val gated = GraphRank.walkCooccurrence(edges, steps = 4, topK = 30,
+        maxEdgeScanRows = 1e6, estimatedEdges = Some(6L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    OperatorCaches.releaseAll()
+    val plain = GraphRank.walkCooccurrence(edges, steps = 4, topK = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gated === plain)
+    OperatorCaches.releaseAll()
+  }
+
   test("walkCooccurrence is invariant under input repartitioning") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 1L),
