@@ -62,6 +62,45 @@ object PathAnalytics {
       .limit(topK)
   }
 
+  /** Sequential trigram mining — the depth-3 sibling of [[seqBigrams]]:
+    * ordered (type → type → type) transitions where BOTH consecutive
+    * gaps are at most `maxGapSec` (a path, not just co-presence). Same
+    * shape: one user-window pass with two leads, one map-side-combined
+    * groupBy over the bounded K³ support, deterministic top-k.
+    *
+    * Returns (type_a, type_b, type_c, n_triples, n_users) top `topK`
+    * by n_triples desc then the triple.
+    */
+  def seqTrigrams(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      idCol: Column,
+      typeCol: Column,
+      maxGapSec: Long,
+      topK: Int = 15): DataFrame = {
+    require(maxGapSec >= 1 && topK >= 1, "need positive gap and topK")
+    val w = Window.partitionBy("u").orderBy(col("sec"), col("id"))
+    events
+      .select(userCol.cast("long").as("u"),
+        unix_timestamp(tsCol).as("sec"), idCol.cast("long").as("id"),
+        typeCol.cast("string").as("ty"))
+      .withColumn("ty2", lead("ty", 1).over(w))
+      .withColumn("sec2", lead("sec", 1).over(w))
+      .withColumn("ty3", lead("ty", 2).over(w))
+      .withColumn("sec3", lead("sec", 2).over(w))
+      .filter(col("ty3").isNotNull &&
+        col("sec2") - col("sec") <= maxGapSec &&
+        col("sec3") - col("sec2") <= maxGapSec)
+      .groupBy(col("ty").as("type_a"), col("ty2").as("type_b"),
+        col("ty3").as("type_c"))
+      .agg(count(lit(1)).as("n_triples"),
+        countDistinct(col("u")).as("n_users"))
+      .orderBy(col("n_triples").desc, col("type_a"), col("type_b"),
+        col("type_c"))
+      .limit(topK)
+  }
+
   /** Multi-touch attribution: split conversion credit across the touch
     * events preceding each user's FIRST conversion, under the linear
     * (1/k each) and U-shaped/position (40% first, 40% last, middles

@@ -495,6 +495,49 @@ object Profiling {
           .as("w1"))
   }
 
+  /** Exact weighted median per group: the smallest support value v with
+    * 2·cumWeight(v) ≥ totalWeight — the lower weighted median, the "what
+    * price does half the VOLUME trade at" statistic that the unweighted
+    * median gets wrong whenever quantity and value correlate.
+    *
+    * Cross-engine determinism: ENTIRELY exact — values and weights are
+    * integral units, the selection predicate is the cross-multiplied
+    * integer comparison (no division, no doubles anywhere), and the
+    * support fold makes ties well-defined by construction.
+    *
+    * Distributed shape: ONE groupBy(group, value) with map-side combine
+    * folds the corpus to the per-group support; the cumulative pass is a
+    * per-group window over that bounded support (bin-first contract for
+    * unbounded supports); one final min-reduce.
+    *
+    * Returns (grp, total_w, n_support, w_median) ordered by grp.
+    */
+  def weightedMedian(
+      df: DataFrame,
+      groupCol: Column,
+      valueCol: Column,
+      weightCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // group keeps its native type (string flags, codes, …) — only value
+    // and weight are forced onto the integral grid
+    val sup = df.select(groupCol.as("grp"),
+        valueCol.cast("long").as("v"), weightCol.cast("long").as("wt"))
+      .filter(col("wt") > 0L)
+      .groupBy("grp", "v").agg(sum("wt").as("wv"))
+    val wc = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy("grp")
+    sup
+      .withColumn("cum", sum("wv").over(wc))
+      .withColumn("total_w", sum("wv").over(wg))
+      .withColumn("n_support", count(lit(1)).over(wg))
+      .filter(lit(2L) * col("cum") >= col("total_w"))
+      .groupBy("grp")
+      .agg(max("total_w").as("total_w"), max("n_support").as("n_support"),
+        min("v").as("w_median"))
+      .orderBy("grp")
+  }
+
   /** Empirical-Bayes shrinkage of per-group success rates via the
     * moment-matched Beta-Binomial prior (Robbins/Efron–Morris in the
     * form every CTR/quality-score ranker uses): fit Beta(α, β) to the

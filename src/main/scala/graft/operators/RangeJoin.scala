@@ -114,4 +114,95 @@ object RangeJoin {
       .filter(col("dist2") <= r * r)
       .select("id_a", "id_b", "dist2")
   }
+
+  /** Interval×interval OVERLAP self-join per key, counted exactly once
+    * per pair — the temporal-conflict shape ("which shipping windows of
+    * the same supplier overlap", double-booking detection) that a naive
+    * self-join plans as a per-key cross product.
+    *
+    * Bucketed rewrite: every interval explodes to the `bucketSize`-wide
+    * buckets it touches; candidates equi-join on (key, bucket); the
+    * exact closed-interval predicate sA ≤ eB ∧ sB ≤ eA filters; and each
+    * surviving pair is counted at ONE canonical bucket — the bucket of
+    * max(sA, sB), the left edge of the overlap — so no distinct pass is
+    * ever needed (the radiusPairs one-cell-ownership trick in 1-D).
+    *
+    * Scale contract: fan-out per interval is len/bucketSize + 1 rows;
+    * candidate volume per (key, bucket) is its occupancy² — size buckets
+    * a few× the typical interval length so occupancy stays O(overlap
+    * degree), and pre-cap pathological keys upstream (the maxDf/hub-cap
+    * doctrine). All arithmetic integral.
+    *
+    * Returns (key, n_intervals, n_overlaps) top `topK` by n_overlaps
+    * desc then key.
+    */
+  def intervalOverlapPairs(
+      intervals: DataFrame,
+      keyCol: Column,
+      idCol: Column,
+      startCol: Column,
+      endCol: Column,
+      bucketSize: Long,
+      topK: Int = 20): DataFrame = {
+    require(bucketSize > 0 && topK >= 1, "need positive bucketSize/topK")
+    val base = intervals.select(keyCol.cast("long").as("g"),
+        idCol.cast("long").as("id"), startCol.cast("long").as("s"),
+        endCol.cast("long").as("e"))
+      .filter(col("e") >= col("s"))
+    val exploded = base.withColumn("bucket",
+      explode(sequence(expr(s"s div $bucketSize"), expr(s"e div $bucketSize"))))
+    val a = exploded.select(col("g"), col("bucket"), col("id").as("id_a"),
+      col("s").as("sa"), col("e").as("ea"))
+    val b = exploded.select(col("g"), col("bucket"), col("id").as("id_b"),
+      col("s").as("sb"), col("e").as("eb"))
+    val pairs = a.join(b, Seq("g", "bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sa") <= col("eb") && col("sb") <= col("ea") &&
+        expr(s"greatest(sa, sb) div $bucketSize") === col("bucket"))
+    val perKey = pairs.groupBy("g").agg(count(lit(1)).as("n_overlaps"))
+    val counts = base.groupBy("g").agg(count(lit(1)).as("n_intervals"))
+    counts.join(perKey, Seq("g"), "left")
+      .select(col("g").as("key"), col("n_intervals"),
+        coalesce(col("n_overlaps"), lit(0L)).as("n_overlaps"))
+      .orderBy(col("n_overlaps").desc, col("key"))
+      .limit(topK)
+  }
+
+  /** Union length of a key's closed integer intervals — "how many
+    * distinct days was this supplier actually shipping" — via the sweep
+    * identity: sort by start, clip each interval at the running max end
+    * of its PREDECESSORS, sum the positive remainders. One window pass
+    * per key, exact integers, no pairwise anything.
+    *
+    * Returns (key, n_intervals, covered, span) top `topK` by covered
+    * desc then key — `covered` the union length in grid units, `span`
+    * max(e) − min(s) + 1 (so covered/span is the occupancy diagnostic).
+    */
+  def intervalCoverage(
+      intervals: DataFrame,
+      keyCol: Column,
+      startCol: Column,
+      endCol: Column,
+      topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, "topK must be positive")
+    val base = intervals.select(keyCol.cast("long").as("g"),
+        startCol.cast("long").as("s"), endCol.cast("long").as("e"))
+      .filter(col("e") >= col("s"))
+    val w = Window.partitionBy("g").orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("prev_max", max("e").over(w))
+      .withColumn("clip_s",
+        greatest(col("s"), coalesce(col("prev_max") + 1L, col("s"))))
+      .withColumn("contrib",
+        greatest(lit(0L), col("e") - col("clip_s") + 1L))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_intervals"), sum("contrib").as("covered"),
+        (max("e") - min("s") + 1L).as("span"))
+      .select(col("g").as("key"), col("n_intervals"), col("covered"),
+        col("span"))
+      .orderBy(col("covered").desc, col("key"))
+      .limit(topK)
+  }
 }

@@ -10811,6 +10811,163 @@ object QueryCatalog {
                   AS shrunk_rate
               FROM r, s
               ORDER BY shrunk_rate DESC NULLS LAST, grp LIMIT 20""")),
+
+    // interval-overlap self-join per supplier over synthesized shipping
+    // windows [shipday, shipday + quantity]: bucketed candidates, exact
+    // closed-interval predicate, each pair owned by the bucket of its
+    // overlap's left edge (one-cell ownership — no distinct pass). The
+    // oracle is the INDEPENDENT naive per-key pairwise join, so the
+    // bucketing machinery itself is what gets checked.
+    Q("q_interval_overlap",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .withColumn("d", datediff(col("l_shipdate"), lit("1970-01-01"))
+            .cast("long"))
+        graft.operators.RangeJoin.intervalOverlapPairs(
+          li, col("l_suppkey"),
+          col("l_orderkey") * 8 + col("l_linenumber"),
+          col("d"), col("d") + col("l_quantity").cast("long"),
+          bucketSize = 32L, topK = 20)
+      },
+      Some("""WITH iv AS (SELECT CAST(l_suppkey AS BIGINT) AS g,
+                  CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS id,
+                  CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS s,
+                  CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                    + CAST(l_quantity AS BIGINT) AS BIGINT) AS e
+                FROM lineitem),
+              pairs AS (SELECT a.g, CAST(count(*) AS BIGINT) AS n_overlaps
+                FROM iv a JOIN iv b ON a.g = b.g AND a.id < b.id
+                  AND a.s <= b.e AND b.s <= a.e
+                GROUP BY a.g),
+              cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_intervals
+                FROM iv GROUP BY g)
+              SELECT cnt.g AS key, cnt.n_intervals,
+                coalesce(pairs.n_overlaps, 0) AS n_overlaps
+              FROM cnt LEFT JOIN pairs ON cnt.g = pairs.g
+              ORDER BY n_overlaps DESC, key LIMIT 20""")),
+
+    // union length of each supplier's shipping windows (the sweep
+    // identity: clip at the running max predecessor end, sum positive
+    // remainders) — "how many distinct days was this supplier actually
+    // shipping". One window pass per key, exact integers.
+    Q("q_interval_coverage",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .withColumn("d", datediff(col("l_shipdate"), lit("1970-01-01"))
+            .cast("long"))
+        graft.operators.RangeJoin.intervalCoverage(
+          li, col("l_suppkey"), col("d"),
+          col("d") + col("l_quantity").cast("long"), topK = 20)
+      },
+      Some("""WITH iv AS (SELECT CAST(l_suppkey AS BIGINT) AS g,
+                  CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS s,
+                  CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                    + CAST(l_quantity AS BIGINT) AS BIGINT) AS e
+                FROM lineitem),
+              c AS (SELECT g, s, e, max(e) OVER (PARTITION BY g
+                  ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING) AS prev_max FROM iv),
+              k AS (SELECT g, s, e,
+                  greatest(CAST(0 AS BIGINT), e - greatest(s,
+                    coalesce(prev_max + 1, s)) + 1) AS contrib FROM c)
+              SELECT g AS key, CAST(count(*) AS BIGINT) AS n_intervals,
+                CAST(sum(contrib) AS BIGINT) AS covered,
+                CAST(max(e) - min(s) + 1 AS BIGINT) AS span
+              FROM k GROUP BY g ORDER BY covered DESC, key LIMIT 20""")),
+
+    // exact weighted median of the price support, weighted by quantity,
+    // per return flag — cross-multiplied integer selection, no doubles.
+    Q("q_weighted_median",
+      (s, dir) => graft.operators.Profiling.weightedMedian(
+        t(s, dir, "lineitem"), col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        col("l_quantity").cast("long")),
+      Some("""WITH sup AS (SELECT l_returnflag AS grp,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wv
+                FROM lineitem WHERE CAST(l_quantity AS BIGINT) > 0
+                GROUP BY 1, 2),
+              c AS (SELECT grp, v,
+                  CAST(sum(wv) OVER (PARTITION BY grp ORDER BY v)
+                    AS BIGINT) AS cum,
+                  CAST(sum(wv) OVER (PARTITION BY grp) AS BIGINT)
+                    AS total_w,
+                  CAST(count(*) OVER (PARTITION BY grp) AS BIGINT)
+                    AS n_support
+                FROM sup)
+              SELECT grp, CAST(max(total_w) AS BIGINT) AS total_w,
+                CAST(max(n_support) AS BIGINT) AS n_support,
+                CAST(min(v) AS BIGINT) AS w_median
+              FROM c WHERE 2 * cum >= total_w
+              GROUP BY grp ORDER BY grp""")),
+
+    // funnel time-to-convert: seconds from first view to first
+    // subsequent purchase per converting user; count, 6-dp mean, and the
+    // exact midrank median (avg of the 1-2 middle order statistics on
+    // the .5 grid). The median window runs over the user-support-bounded
+    // converter set — the bin-first/bounded-series contract.
+    Q("q_funnel_ttc",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id").as("u"),
+          unix_timestamp(col("ts")).as("sec"), col("event_type").as("ty"))
+        val tv = ev.filter(col("ty") === "view")
+          .groupBy("u").agg(min("sec").as("tv"))
+        val ttc = ev.filter(col("ty") === "purchase")
+          .join(tv, Seq("u")).filter(col("sec") >= col("tv"))
+          .groupBy("u").agg((min("sec") - first("tv")).as("d"))
+        val stats = ttc.agg(count(lit(1)).as("n_conv"),
+          round(avg("d"), 6).as("avg_ttc"))
+        val wo = Window.orderBy("d")
+        val med = ttc
+          .withColumn("rn", row_number().over(wo).cast("long"))
+          .withColumn("m", count(lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .filter(col("rn") * 2 >= col("m") && col("rn") * 2 <= col("m") + 2)
+          .agg(round(avg("d"), 1).as("median_ttc"))
+        stats.crossJoin(med)
+      },
+      Some("""WITH e AS (SELECT user_id AS u,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type AS ty
+                FROM events),
+              tv AS (SELECT u, min(sec) AS tv FROM e WHERE ty = 'view'
+                GROUP BY u),
+              ttc AS (SELECT e.u, min(e.sec) - min(tv.tv) AS d
+                FROM e JOIN tv ON e.u = tv.u
+                WHERE e.ty = 'purchase' AND e.sec >= tv.tv GROUP BY e.u),
+              st AS (SELECT CAST(count(*) AS BIGINT) AS n_conv,
+                  round(avg(d), 6) AS avg_ttc FROM ttc),
+              r AS (SELECT d,
+                  CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+                  CAST(count(*) OVER () AS BIGINT) AS m FROM ttc),
+              md AS (SELECT round(avg(d), 1) AS median_ttc FROM r
+                WHERE rn * 2 >= m AND rn * 2 <= m + 2)
+              SELECT st.n_conv, st.avg_ttc, md.median_ttc FROM st, md""")),
+
+    // sequential trigram mining: ordered type->type->type paths where
+    // both consecutive gaps fit the 30-minute bound — the depth-3 flow
+    // view the bigram entry cannot see (a->b->a loops vs a->b->c drifts).
+    Q("q_seq_trigrams",
+      (s, dir) => graft.operators.PathAnalytics.seqTrigrams(
+        t(s, dir, "events"), col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), maxGapSec = 1800L, topK = 15),
+      Some("""WITH e AS (SELECT user_id AS u,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                  event_id AS id, event_type AS ty FROM events),
+              s AS (SELECT u, ty, sec,
+                  lead(ty, 1) OVER w AS ty2, lead(sec, 1) OVER w AS sec2,
+                  lead(ty, 2) OVER w AS ty3, lead(sec, 2) OVER w AS sec3
+                FROM e WINDOW w AS (PARTITION BY u ORDER BY sec, id))
+              SELECT ty AS type_a, ty2 AS type_b, ty3 AS type_c,
+                CAST(count(*) AS BIGINT) AS n_triples,
+                CAST(count(DISTINCT u) AS BIGINT) AS n_users
+              FROM s WHERE ty3 IS NOT NULL AND sec2 - sec <= 1800
+                AND sec3 - sec2 <= 1800
+              GROUP BY 1, 2, 3
+              ORDER BY n_triples DESC, type_a, type_b, type_c
+              LIMIT 15""")),
   )
 
   val all: Seq[Q] =

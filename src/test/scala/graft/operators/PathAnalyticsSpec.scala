@@ -39,6 +39,21 @@ class PathAnalyticsSpec extends SparkSpec {
     assert(got === Seq(("a", "b"))) // id 1 before id 2, not file order
   }
 
+  test("seqTrigrams: both gaps bound the path, not just the endpoints") {
+    import spark.implicits._
+    // a(0) b(10) c(2000): first gap ok, second gap out -> no triple
+    // a(0) b(10) c(20):   both ok -> (a,b,c)
+    val ev = Seq(
+      (1L, ts(0), 1L, "a"), (1L, ts(10), 2L, "b"), (1L, ts(2000), 3L, "c"),
+      (2L, ts(0), 4L, "a"), (2L, ts(10), 5L, "b"), (2L, ts(20), 6L, "c"))
+      .toDF("u", "t", "id", "ty")
+    val got = PathAnalytics.seqTrigrams(ev, col("u"), col("t"), col("id"),
+        col("ty"), maxGapSec = 60L, topK = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(("a", "b", "c") -> ((1L, 1L))))
+  }
+
   test("multiTouchAttribution: linear and U credits, path boundaries") {
     import spark.implicits._
     // user 1: 3 touches (view, click, view) then purchase then an ignored

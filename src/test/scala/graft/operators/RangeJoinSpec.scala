@@ -92,4 +92,56 @@ class RangeJoinSpec extends SparkSpec {
       r = 10L, maxExpectedCandidates = Some(100000L))
     assert(ok.count() === 4950L)
   }
+
+  test("intervalOverlapPairs matches the naive pairwise count across " +
+      "bucket sizes (one-cell ownership: no double counting)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val iv = (0L until 120L).map { i =>
+      val g = i % 3
+      val s = rnd.nextInt(300).toLong
+      (g, i, s, s + rnd.nextInt(40).toLong)
+    }
+    val df = iv.toDF("g", "id", "s", "e")
+    val naive = iv.groupBy(_._1).map { case (g, xs) =>
+      g -> (for {
+        a <- xs; b <- xs
+        if a._2 < b._2 && a._3 <= b._4 && b._3 <= a._4
+      } yield 1).size.toLong
+    }
+    // ownership must hold for buckets smaller, comparable, and larger
+    // than the interval lengths
+    for (bucket <- Seq(7L, 32L, 1000L)) {
+      val got = RangeJoin.intervalOverlapPairs(df, col("g"), col("id"),
+          col("s"), col("e"), bucketSize = bucket, topK = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === naive, s"bucketSize=$bucket")
+    }
+  }
+
+  test("intervalCoverage: sweep union length on a planted fixture") {
+    import spark.implicits._
+    // key 1: [0,9] [5,14] [20,20] -> covered 16, span 21
+    // key 2: [3,4] nested [0,10]  -> covered 11, span 11
+    val df = Seq((1L, 0L, 9L), (1L, 5L, 14L), (1L, 20L, 20L),
+      (2L, 0L, 10L), (2L, 3L, 4L)).toDF("g", "s", "e")
+    val got = RangeJoin.intervalCoverage(df, col("g"), col("s"), col("e"),
+        topK = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((3L, 16L, 21L)))
+    assert(got(2L) === ((2L, 11L, 11L)))
+  }
+
+  test("weightedMedian: half the volume, exact tie semantics") {
+    import spark.implicits._
+    // group 1: v=10 w=3, v=20 w=1 -> total 4, cum(10)=3, 2*3 >= 4 -> 10
+    // group 2: v=10 w=1, v=20 w=1 -> exact tie 2*1 >= 2 -> lower = 10
+    // group 3: v=10 w=1, v=20 w=3 -> cum(10)=1, 2 < 4 -> 20
+    val df = Seq((1L, 10L, 3L), (1L, 20L, 1L), (2L, 10L, 1L),
+      (2L, 20L, 1L), (3L, 10L, 1L), (3L, 20L, 3L)).toDF("g", "v", "w")
+    val got = Profiling.weightedMedian(df, col("g"), col("v"), col("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === Map(1L -> 10L, 2L -> 10L, 3L -> 20L))
+  }
 }
