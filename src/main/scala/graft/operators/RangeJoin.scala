@@ -131,7 +131,14 @@ object RangeJoin {
     * candidate volume per (key, bucket) is its occupancy² — size buckets
     * a few× the typical interval length so occupancy stays O(overlap
     * degree), and pre-cap pathological keys upstream (the maxDf/hub-cap
-    * doctrine). All arithmetic integral.
+    * doctrine). All arithmetic integral. This form MATERIALIZES the
+    * candidate pairs — use it when you need to inspect the conflicts;
+    * when only the per-key COUNT is wanted, [[intervalOverlapCount]] is
+    * the O(n log n) sweep that never builds a pair (measured: the pair
+    * join is Σ occupancy² and dies at dense decades — the r11 ×1000
+    * kill). `maxExpectedCandidates` is the radiusPairs-style opt-in
+    * pre-flight: one cheap occupancy aggregate prices Σ occ² and fails
+    * in seconds with the sized diagnosis instead of hours into the join.
     *
     * Returns (key, n_intervals, n_overlaps) top `topK` by n_overlaps
     * desc then key.
@@ -143,7 +150,8 @@ object RangeJoin {
       startCol: Column,
       endCol: Column,
       bucketSize: Long,
-      topK: Int = 20): DataFrame = {
+      topK: Int = 20,
+      maxExpectedCandidates: Option[Long] = None): DataFrame = {
     require(bucketSize > 0 && topK >= 1, "need positive bucketSize/topK")
     val base = intervals.select(keyCol.cast("long").as("g"),
         idCol.cast("long").as("id"), startCol.cast("long").as("s"),
@@ -151,6 +159,18 @@ object RangeJoin {
       .filter(col("e") >= col("s"))
     val exploded = base.withColumn("bucket",
       explode(sequence(expr(s"s div $bucketSize"), expr(s"e div $bucketSize"))))
+    maxExpectedCandidates.foreach { ceiling =>
+      val est = exploded.groupBy("g", "bucket")
+        .agg(count(lit(1)).as("occ"))
+        .agg(sum(col("occ") * col("occ")).as("cand"))
+        .head().getLong(0)
+      require(est <= ceiling,
+        s"intervalOverlapPairs would scan ~$est candidate pairs " +
+          s"(Sigma occupancy^2 over (key, bucket); ceiling $ceiling). " +
+          "Use intervalOverlapCount for counts (linear sweep), raise " +
+          "bucketSize, or pre-cap dense keys — or raise the ceiling if " +
+          "the cluster is sized for it.")
+    }
     val a = exploded.select(col("g"), col("bucket"), col("id").as("id_a"),
       col("s").as("sa"), col("e").as("ea"))
     val b = exploded.select(col("g"), col("bucket"), col("id").as("id_b"),
@@ -162,6 +182,58 @@ object RangeJoin {
     val perKey = pairs.groupBy("g").agg(count(lit(1)).as("n_overlaps"))
     val counts = base.groupBy("g").agg(count(lit(1)).as("n_intervals"))
     counts.join(perKey, Seq("g"), "left")
+      .select(col("g").as("key"), col("n_intervals"),
+        coalesce(col("n_overlaps"), lit(0L)).as("n_overlaps"))
+      .orderBy(col("n_overlaps").desc, col("key"))
+      .limit(topK)
+  }
+
+  /** Exact per-key overlap-pair COUNT without materializing a single
+    * pair — the scale path beside [[intervalOverlapPairs]]: each pair is
+    * counted at its LATER-starting member (order (s, id)), whose count
+    * of already-open intervals is
+    *
+    *   active(i) = rank_{(s,id)}(i) − #{j : e_j < s_i} − 1
+    *
+    * and Σ active = the pair count. The strict e < s lookup rides the
+    * parity trick: ends live at coordinate 2e+1, starts probe at 2s, so
+    * 2e+1 < 2s ⟺ e < s and no tie between kinds can exist. Two window
+    * passes per key over 2n rows — O(n log n), no occupancy² anywhere.
+    *
+    * Returns (key, n_intervals, n_overlaps) top `topK` by n_overlaps
+    * desc then key — same shape as the pair-materializing form, so the
+    * two are interchangeable (and cross-check each other in the spec).
+    */
+  def intervalOverlapCount(
+      intervals: DataFrame,
+      keyCol: Column,
+      idCol: Column,
+      startCol: Column,
+      endCol: Column,
+      topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, "topK must be positive")
+    val base = intervals.select(keyCol.cast("long").as("g"),
+        idCol.cast("long").as("id"), startCol.cast("long").as("s"),
+        endCol.cast("long").as("e"))
+      .filter(col("e") >= col("s"))
+    val ranked = base.withColumn("rs", row_number().over(
+      Window.partitionBy("g").orderBy(col("s"), col("id"))).cast("long"))
+    val probes = ranked.select(col("g"), (col("s") * 2).as("coord"),
+      lit(0L).as("is_end"), col("rs"))
+    val ends = ranked.select(col("g"), (col("e") * 2 + 1).as("coord"),
+      lit(1L).as("is_end"), lit(null).cast("long").as("rs"))
+    val wc = Window.partitionBy("g").orderBy("coord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val active = probes.unionByName(ends)
+      .withColumn("ends_lt", sum("is_end").over(wc))
+      .filter(col("is_end") === 0L)
+      .select(col("g"),
+        (col("rs") - col("ends_lt") - 1L).as("active"))
+    val counts = base.groupBy("g").agg(count(lit(1)).as("n_intervals"))
+    counts.join(
+        active.groupBy("g").agg(sum("active").as("n_overlaps")),
+        Seq("g"), "left")
       .select(col("g").as("key"), col("n_intervals"),
         coalesce(col("n_overlaps"), lit(0L)).as("n_overlaps"))
       .orderBy(col("n_overlaps").desc, col("key"))

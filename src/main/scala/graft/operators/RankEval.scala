@@ -366,4 +366,85 @@ object RankEval {
         round(avg(col("n_hits").cast("double") / col("n_rel")), 6)
           .as("recall"))
   }
+
+  /** Reciprocal-rank fusion of two rankings of the same id set (Cormack
+    * et al. 2009 — the standard hybrid-search merge, e.g. BM25 ⊕ ANN):
+    *
+    *   RRF(i) = 1/(k + r1(i)) + 1/(k + r2(i))
+    *
+    * with r the STRICT row_number rank under (score desc, id) — fully
+    * tie-broken, so both engines assign identical integer ranks and the
+    * reciprocals are identical IEEE doubles before the 6-dp output grid.
+    *
+    * Distributed shape: the input is a per-id score table (the corpus
+    * fold happened upstream — support contract as everywhere in this
+    * object); two windows over it, one top-k TakeOrderedAndProject.
+    * Ids missing a score on either side simply rank behind all scored
+    * ids on that side (NULL sorts last under desc in both engines —
+    * pinned in the oracle).
+    *
+    * Returns (id, r1, r2, rrf) top `topK` by rrf desc then id.
+    */
+  def rrfFuse(
+      scores: DataFrame,
+      idCol: Column,
+      score1: Column,
+      score2: Column,
+      k: Int = 60,
+      topK: Int = 20): DataFrame = {
+    require(k >= 1 && topK >= 1, "k and topK must be positive")
+    val base = scores.select(idCol.as("id"), score1.as("s1"),
+      score2.as("s2"))
+    base
+      .withColumn("r1", row_number().over(
+        Window.orderBy(col("s1").desc_nulls_last, col("id"))).cast("long"))
+      .withColumn("r2", row_number().over(
+        Window.orderBy(col("s2").desc_nulls_last, col("id"))).cast("long"))
+      .select(col("id"), col("r1"), col("r2"),
+        round(lit(1.0) / (lit(k.toDouble) + col("r1")) +
+          lit(1.0) / (lit(k.toDouble) + col("r2")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(topK)
+  }
+
+  /** Order- and partition-independent table fingerprint per group — the
+    * migration-parity primitive ("did the copy/engine-swap preserve the
+    * data") that a 100 TB pipeline runs after every rewrite: each row
+    * canonicalizes to a string, hashes through two INDEPENDENT portable
+    * hash channels (domain-separated seeds), and the per-group fingerprint
+    * is the pair of hash SUMS folded mod 2^61−1 — commutative, so file
+    * order, partitioning, and shuffle order cannot move it; two channels
+    * so a coincidental collision in one sum cannot hide a diff.
+    *
+    * Arithmetic: sums accumulate in decimal(38,0) (n·2^60 < 10^37 even
+    * at 10^18 rows — no wraparound to reason about), then fold onto the
+    * BIGINT grid with one mod — the published fingerprint is a plain
+    * int64 both engines and every downstream tool can carry.
+    *
+    * Distributed shape: one scan, one map-side-combined groupBy(group) —
+    * the cheapest possible full-content audit.
+    *
+    * Returns (grp, n_rows, fp1, fp2) ordered by grp. Callers build
+    * `rowCanon` from INTEGRAL/string columns only (doubles format
+    * differently across engines — put them on a unit grid first).
+    */
+  val FingerprintMod: Long = 2305843009213693951L // 2^61 - 1
+
+  def tableFingerprint(
+      df: DataFrame,
+      groupCol: Column,
+      rowCanon: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.select(groupCol.as("grp"), rowCanon.cast("string").as("c"))
+      .select(col("grp"),
+        PortableHash.portable60(concat(lit("fp1:"), col("c"))).as("h1"),
+        PortableHash.portable60(concat(lit("fp2:"), col("c"))).as("h2"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(sum(col("h1").cast(dec)), lit(FingerprintMod).cast(dec))
+          .cast("long").as("fp1"),
+        pmod(sum(col("h2").cast(dec)), lit(FingerprintMod).cast(dec))
+          .cast("long").as("fp2"))
+      .orderBy("grp")
+  }
 }

@@ -10634,6 +10634,50 @@ object QueryCatalog {
               FROM fin, tot, naive"""
       }))
 
+  /** Synthesized shipping windows per supplier for the interval family:
+    * [shipday, shipday + quantity] with a per-key row_number interval id.
+    * (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+    * (11,785 collisions at sf0.01), and a collided id makes a < b
+    * silently skip the duplicate pair — the per-key rank is unique by
+    * construction, and overlap COUNTS are invariant to which duplicate
+    * of an identical interval gets which rank.
+    */
+  private def supplierShipWindows(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .withColumn("d", datediff(col("l_shipdate"), lit("1970-01-01"))
+        .cast("long"))
+      .select(col("l_suppkey").as("g"), col("d").as("s"),
+        (col("d") + col("l_quantity").cast("long")).as("e"))
+    base.withColumn("iid", row_number().over(
+      Window.partitionBy("g").orderBy(col("s"), col("e"))).cast("long"))
+  }
+
+  /** Shared oracle for the two interval-overlap forms (pair join and
+    * sweep): the INDEPENDENT naive per-key pairwise join, so both the
+    * bucketing machinery and the sweep identity are checked against
+    * first-principles SQL.
+    */
+  private lazy val intervalOverlapOracleSql: String =
+    """WITH iv0 AS (SELECT CAST(l_suppkey AS BIGINT) AS g,
+                  CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS s,
+                  CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                    + CAST(l_quantity AS BIGINT) AS BIGINT) AS e
+                FROM lineitem),
+              iv AS (SELECT g, s, e, CAST(row_number() OVER (
+                  PARTITION BY g ORDER BY s, e) AS BIGINT) AS id
+                FROM iv0),
+              pairs AS (SELECT a.g, CAST(count(*) AS BIGINT) AS n_overlaps
+                FROM iv a JOIN iv b ON a.g = b.g AND a.id < b.id
+                  AND a.s <= b.e AND b.s <= a.e
+                GROUP BY a.g),
+              cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_intervals
+                FROM iv GROUP BY g)
+              SELECT cnt.g AS key, cnt.n_intervals,
+                coalesce(pairs.n_overlaps, 0) AS n_overlaps
+              FROM cnt LEFT JOIN pairs ON cnt.g = pairs.g
+              ORDER BY n_overlaps DESC, key LIMIT 20"""
+
   /** Session-12 wave: ordered-path behavioral analytics (sequential
     * bigrams, multi-touch attribution, Markov stationary flow) plus two
     * distribution tools the drift/ranking families lacked — exact
@@ -10817,35 +10861,27 @@ object QueryCatalog {
     // closed-interval predicate, each pair owned by the bucket of its
     // overlap's left edge (one-cell ownership — no distinct pass). The
     // oracle is the INDEPENDENT naive per-key pairwise join, so the
-    // bucketing machinery itself is what gets checked.
+    // bucketing machinery itself is what gets checked. Candidate volume
+    // is Σ occupancy² — the opt-in pre-flight prices it and fails fast at
+    // dense decades (×1000 here is ~48e9 candidates — the measured r11
+    // kill); the sweep twin below is the scale path for counts.
     Q("q_interval_overlap",
-      (s, dir) => {
-        val li = t(s, dir, "lineitem")
-          .withColumn("d", datediff(col("l_shipdate"), lit("1970-01-01"))
-            .cast("long"))
-        graft.operators.RangeJoin.intervalOverlapPairs(
-          li, col("l_suppkey"),
-          col("l_orderkey") * 8 + col("l_linenumber"),
-          col("d"), col("d") + col("l_quantity").cast("long"),
-          bucketSize = 32L, topK = 20)
-      },
-      Some("""WITH iv AS (SELECT CAST(l_suppkey AS BIGINT) AS g,
-                  CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS id,
-                  CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
-                    AS BIGINT) AS s,
-                  CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
-                    + CAST(l_quantity AS BIGINT) AS BIGINT) AS e
-                FROM lineitem),
-              pairs AS (SELECT a.g, CAST(count(*) AS BIGINT) AS n_overlaps
-                FROM iv a JOIN iv b ON a.g = b.g AND a.id < b.id
-                  AND a.s <= b.e AND b.s <= a.e
-                GROUP BY a.g),
-              cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_intervals
-                FROM iv GROUP BY g)
-              SELECT cnt.g AS key, cnt.n_intervals,
-                coalesce(pairs.n_overlaps, 0) AS n_overlaps
-              FROM cnt LEFT JOIN pairs ON cnt.g = pairs.g
-              ORDER BY n_overlaps DESC, key LIMIT 20""")),
+      (s, dir) => graft.operators.RangeJoin.intervalOverlapPairs(
+        supplierShipWindows(s, dir), col("g"), col("iid"),
+        col("s"), col("e"), bucketSize = 32L, topK = 20,
+        maxExpectedCandidates = Some(3000000000L)),
+      Some(intervalOverlapOracleSql)),
+
+    // the O(n log n) sweep twin: each pair counted at its later-starting
+    // member via active(i) = rank(i) − #{e_j < s_i} − 1 (strict < by the
+    // 2e+1 vs 2s parity trick) — no pair ever materializes, so density
+    // cannot square. Same output shape and the same independent naive
+    // oracle as the pair-materializing form.
+    Q("q_interval_overlap_sweep",
+      (s, dir) => graft.operators.RangeJoin.intervalOverlapCount(
+        supplierShipWindows(s, dir), col("g"), col("iid"),
+        col("s"), col("e"), topK = 20),
+      Some(intervalOverlapOracleSql)),
 
     // union length of each supplier's shipping windows (the sweep
     // identity: clip at the running max predecessor end, sum positive
@@ -10968,6 +11004,88 @@ object QueryCatalog {
               GROUP BY 1, 2, 3
               ORDER BY n_triples DESC, type_a, type_b, type_c
               LIMIT 15""")),
+
+    // order/partition-independent table fingerprint per return flag: two
+    // domain-separated portable-hash channels summed in decimal(38,0) —
+    // the "did the 100 TB copy preserve the data" parity primitive. Canon
+    // string uses integral grids only (doubles never stringify).
+    Q("q_table_fingerprint",
+      (s, dir) => graft.operators.RankEval.tableFingerprint(
+        t(s, dir, "lineitem"), col("l_returnflag"),
+        concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long"),
+          col("l_quantity").cast("long"), col("l_returnflag"))),
+      Some {
+        val canon = "CAST(l_orderkey AS VARCHAR) || '|' || " +
+          "CAST(l_linenumber AS VARCHAR) || '|' || " +
+          "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)" +
+          " || '|' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)" +
+          " || '|' || l_returnflag"
+        val m = graft.operators.RankEval.FingerprintMod
+        s"""WITH c AS (SELECT l_returnflag AS grp, $canon AS c
+                FROM lineitem)
+              SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(${graft.operators.PortableHash.duckSql(
+                  "'fp1:' || c")}) % $m AS BIGINT) AS fp1,
+                CAST(sum(${graft.operators.PortableHash.duckSql(
+                  "'fp2:' || c")}) % $m AS BIGINT) AS fp2
+              FROM c GROUP BY grp ORDER BY grp"""
+      }),
+
+    // reciprocal-rank fusion of the spend ranking with the activity
+    // ranking — the hybrid-search merge (BM25 ⊕ ANN shape) on exact
+    // strict ranks; reciprocals are identical IEEE doubles pre-grid.
+    Q("q_rrf_fusion",
+      (s, dir) => {
+        val per = t(s, dir, "events").groupBy(col("user_id"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("s1"),
+            count(lit(1)).as("s2"))
+        graft.operators.RankEval.rrfFuse(per, col("user_id"),
+          col("s1"), col("s2"), k = 60, topK = 20)
+      },
+      Some("""WITH per AS (SELECT user_id AS id,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS s1,
+                  CAST(count(*) AS BIGINT) AS s2
+                FROM events GROUP BY user_id),
+              r AS (SELECT id,
+                  CAST(row_number() OVER (ORDER BY s1 DESC NULLS LAST, id)
+                    AS BIGINT) AS r1,
+                  CAST(row_number() OVER (ORDER BY s2 DESC NULLS LAST, id)
+                    AS BIGINT) AS r2
+                FROM per)
+              SELECT id, r1, r2,
+                round(CAST(1 AS DOUBLE) / (60 + r1)
+                  + CAST(1 AS DOUBLE) / (60 + r2), 6) AS rrf
+              FROM r ORDER BY rrf DESC, id LIMIT 20""")),
+
+    // unpivot/melt (Dataset.unpivot, the §2 wide→long reshaping surface):
+    // three measure columns melt to (feature, v) rows, then a bounded
+    // (flag, feature) roll-up — exact cents sums beside the 6-dp means.
+    Q("q_unpivot_melt",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")), "feature", "v")
+        .groupBy("l_returnflag", "feature")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("v") * 100).cast("long")).as("sum_cents"),
+          round(avg("v"), 6).as("avg_v"))
+        .orderBy("l_returnflag", "feature"),
+      Some("""WITH m AS (
+                SELECT l_returnflag, 'l_quantity' AS feature,
+                  l_quantity AS v FROM lineitem
+                UNION ALL SELECT l_returnflag, 'l_extendedprice',
+                  l_extendedprice FROM lineitem
+                UNION ALL SELECT l_returnflag, 'l_discount', l_discount
+                FROM lineitem)
+              SELECT l_returnflag, feature, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents,
+                round(avg(v), 6) AS avg_v
+              FROM m GROUP BY 1, 2 ORDER BY 1, 2""")),
   )
 
   val all: Seq[Q] =

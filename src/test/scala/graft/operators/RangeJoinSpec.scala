@@ -117,6 +117,29 @@ class RangeJoinSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
       assert(got === naive, s"bucketSize=$bucket")
     }
+    // the sweep twin agrees with both, pair-free
+    val sweep = RangeJoin.intervalOverlapCount(df, col("g"), col("id"),
+        col("s"), col("e"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sweep === naive)
+  }
+
+  test("intervalOverlapPairs pre-flight gate prices Sigma occupancy^2") {
+    import spark.implicits._
+    // 50 identical intervals in one bucket: est = 50^2 = 2500
+    val df = (0L until 50L).map(i => (1L, i, 0L, 10L)).toDF("g", "id", "s", "e")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlapPairs(df, col("g"), col("id"), col("s"),
+        col("e"), bucketSize = 100L, topK = 10,
+        maxExpectedCandidates = Some(100L))
+    }
+    assert(e.getMessage.contains("2500") &&
+      e.getMessage.contains("ceiling 100"), e.getMessage)
+    // under the ceiling: all C(50,2) pairs overlap
+    val ok = RangeJoin.intervalOverlapPairs(df, col("g"), col("id"),
+      col("s"), col("e"), bucketSize = 100L, topK = 10,
+      maxExpectedCandidates = Some(10000L))
+    assert(ok.head().getLong(2) === 1225L)
   }
 
   test("intervalCoverage: sweep union length on a planted fixture") {

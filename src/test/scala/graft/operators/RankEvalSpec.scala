@@ -265,4 +265,41 @@ class RankEvalSpec extends SparkSpec {
         pNum = 1, pDen = 2)
     }
   }
+
+  test("rrfFuse: closed-form reciprocal ranks, NULL scores rank last") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(100L), Some(1L)), // r1=1, r2=3
+      (2L, Some(50L), Some(10L)), // r1=2, r2=1
+      (3L, None, Some(5L)))       // r1=3 (null last), r2=2
+      .toDF("id", "s1", "s2")
+    val got = RankEval.rrfFuse(df, col("id"), col("s1"), col("s2"),
+        k = 60, topK = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def rrf(a: Long, b: Long) = BigDecimal(1.0 / (60 + a) + 1.0 / (60 + b))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((1L, 3L, rrf(1, 3))))
+    assert(got(2L) === ((2L, 1L, rrf(2, 1))))
+    assert(got(3L) === ((3L, 2L, rrf(3, 2))))
+  }
+
+  test("tableFingerprint is order- and partition-invariant, diff-sensitive") {
+    import spark.implicits._
+    val rows = (0L until 500L).map(i => (i % 3, s"row-$i"))
+    val a = rows.toDF("g", "c")
+    val b = scala.util.Random.shuffle(rows).toDF("g", "c").repartition(13)
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      RankEval.tableFingerprint(df, col("g"), col("c"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(fp(a) === fp(b))
+    // one changed row moves the fingerprint of exactly its group
+    val c = rows.updated(7, (rows(7)._1, "row-MUTATED")).toDF("g", "c")
+    val (fa, fc) = (fp(a), fp(c))
+    val changedGroup = rows(7)._1
+    assert(fa(changedGroup) !== fc(changedGroup))
+    assert(fa.filter(_._1 != changedGroup) ===
+      fc.filter(_._1 != changedGroup))
+  }
 }
