@@ -208,17 +208,24 @@ object PathAnalytics {
         typeCol.cast("string").as("ty"))
       .withColumn("ty_next", lead("ty", 1).over(w))
       .filter(col("ty_next").isNotNull)
+    // the K²-row transition table and K-row state list are the ONLY
+    // things the rounds touch — localCheckpoint them once, or every one
+    // of the `iterations` jobs re-runs the corpus-scale window pass
+    // behind them (measured: 288 s -> the corpus pass times 12 at ×1000)
     val trans = pairs.groupBy(col("ty").as("a"), col("ty_next").as("b"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val rowTot = trans.groupBy("a").agg(sum("n").as("row_n"))
     val p = broadcast(trans.join(rowTot, Seq("a"))
       .select(col("a"), col("b"),
-        (col("n").cast("double") / col("row_n")).as("p")))
+        (col("n").cast("double") / col("row_n")).as("p"))
+      .localCheckpoint())
     // all observed states (sources and sinks)
     val states = broadcast(
-      pairs.select(col("ty").as("state"))
-        .unionByName(pairs.select(col("ty_next").as("state")))
-        .distinct())
+      trans.select(col("a").as("state"))
+        .unionByName(trans.select(col("b").as("state")))
+        .distinct()
+        .localCheckpoint())
     val k = states.count()
     require(k >= 1 && k <= 1000,
       s"state space $k outside [1, 1000] — the unrolled broadcast plan " +

@@ -10,6 +10,53 @@ import org.apache.spark.sql.functions._
   */
 object Warehouse {
 
+  /** Exact join-size forecast — "how many rows would this equi-join
+    * produce, and which keys carry the blow-up" — the pre-flight audit a
+    * 100 TB pipeline runs BEFORE committing to a join whose output could
+    * be quadratic in a hot key:
+    *
+    *   |A ⋈_k B| = Σ_k cnt_A(k) · cnt_B(k)
+    *
+    * computed from the two key supports (each ONE map-side-combined
+    * groupBy — the forecast costs two skinny aggregates, never the join).
+    * Top keys by product are the salting/skew-split worklist.
+    *
+    * Products and their sum ACCUMULATE in decimal(38,0) (a 1e9×1e9 hot
+    * key is 1e18 — int64's edge — and the sum is past it), then publish
+    * on the int64 grid (the tableFingerprint fold convention): a
+    * forecast beyond 9.2e18 rows is not a join anyone runs, it is the
+    * diagnosis itself.
+    *
+    * Returns top `topK` keys: (key, c_left, c_right, product,
+    * total_rows, shared_keys) — the totals repeated per row (broadcast
+    * single-row reduce), product desc then key.
+    */
+  def joinSizeForecast(
+      left: DataFrame,
+      leftKey: Column,
+      right: DataFrame,
+      rightKey: Column,
+      topK: Int = 10): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val dec = "decimal(38,0)"
+    val la = left.select(leftKey.cast("long").as("key"))
+      .groupBy("key").agg(count(lit(1)).as("c_left"))
+    val ra = right.select(rightKey.cast("long").as("key"))
+      .groupBy("key").agg(count(lit(1)).as("c_right"))
+    val prod = la.join(ra, Seq("key"))
+      .withColumn("product_dec",
+        col("c_left").cast(dec) * col("c_right").cast(dec))
+    val tot = broadcast(prod.agg(
+      sum("product_dec").cast("long").as("total_rows"),
+      count(lit(1)).as("shared_keys")))
+    prod.crossJoin(tot)
+      .select(col("key"), col("c_left"), col("c_right"),
+        col("product_dec").cast("long").as("product"),
+        col("total_rows"), col("shared_keys"))
+      .orderBy(col("product").desc, col("key"))
+      .limit(topK)
+  }
+
   /** SCD Type-2 merge: apply an update batch to a versioned dimension.
     *
     * `dim` rows carry (key, tracked attributes, valid_from, valid_to,

@@ -11086,6 +11086,30 @@ object QueryCatalog {
                   AS sum_cents,
                 round(avg(v), 6) AS avg_v
               FROM m GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // exact join-size forecast for the events-on-user SELF-join — the
+    // quadratic pre-flight (sessions × sessions per user) computed from
+    // two skinny key supports, never the join. The ops primitive behind
+    // every gate this repo ships: Σ c_l·c_r, top keys = salting worklist.
+    Q("q_join_size_forecast",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        graft.operators.Warehouse.joinSizeForecast(
+          ev, col("user_id"), ev, col("user_id"), topK = 10)
+      },
+      Some("""WITH la AS (SELECT user_id AS key,
+                  CAST(count(*) AS BIGINT) AS c_left
+                FROM events GROUP BY 1),
+              p AS (SELECT key, c_left, c_left AS c_right,
+                  CAST(CAST(c_left AS DECIMAL(38,0)) * c_left AS BIGINT)
+                    AS product
+                FROM la),
+              t AS (SELECT CAST(sum(CAST(product AS DECIMAL(38,0)))
+                    AS BIGINT) AS total_rows,
+                  CAST(count(*) AS BIGINT) AS shared_keys FROM p)
+              SELECT key, c_left, c_right, product, t.total_rows,
+                t.shared_keys
+              FROM p, t ORDER BY product DESC, key LIMIT 10""")),
   )
 
   val all: Seq[Q] =
