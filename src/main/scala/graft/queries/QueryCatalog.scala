@@ -11110,6 +11110,56 @@ object QueryCatalog {
               SELECT key, c_left, c_right, product, t.total_rows,
                 t.shared_keys
               FROM p, t ORDER BY product DESC, key LIMIT 10""")),
+
+    // OHLC daily bars per event type — the candlestick/metrics-rollup
+    // downsampler: open/close picked by (sec, id) row_number (no
+    // first_value frame semantics to align), high/low/sum exact units.
+    Q("q_ohlc_bars",
+      (s, dir) => graft.operators.Downsample.ohlcBars(
+        t(s, dir, "events"), col("event_type"), col("ts"),
+        col("event_id"), round(col("value") * 100).cast("long"),
+        bucketSec = 86400L),
+      Some("""WITH e AS (SELECT event_type AS key,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                  event_id AS id,
+                  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+              b AS (SELECT key, sec // 86400 AS bucket, sec, id, v FROM e),
+              r AS (SELECT key, bucket, v,
+                  CAST(row_number() OVER w AS BIGINT) AS rn,
+                  CAST(count(*) OVER (PARTITION BY key, bucket) AS BIGINT)
+                    AS n
+                FROM b WINDOW w AS (PARTITION BY key, bucket
+                  ORDER BY sec, id))
+              SELECT key, bucket, max(n) AS n,
+                max(CASE WHEN rn = 1 THEN v END) AS open,
+                max(v) AS high, min(v) AS low,
+                max(CASE WHEN rn = n THEN v END) AS close,
+                CAST(sum(v) AS BIGINT) AS sum_units
+              FROM r GROUP BY key, bucket ORDER BY key, bucket""")),
+
+    // time-weighted average value per user (step-function hold until the
+    // next event) — the irregular-sampling mean; unit×seconds areas in
+    // decimal(38,0), <2-instant keys explicitly NULL.
+    Q("q_twap",
+      (s, dir) => graft.operators.Downsample.twap(
+        t(s, dir, "events"), col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long"), topK = 20),
+      Some("""WITH e AS (SELECT user_id AS key,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                  event_id AS id,
+                  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+              l AS (SELECT key, v, sec, lead(sec) OVER (PARTITION BY key
+                  ORDER BY sec, id) AS sec_next FROM e),
+              a AS (SELECT key, CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(max(sec) - min(sec) AS BIGINT) AS span_sec,
+                  sum(CASE WHEN sec_next IS NOT NULL THEN
+                    CAST(v AS DECIMAL(38,0)) * (sec_next - sec) END)
+                    AS area
+                FROM l GROUP BY key)
+              SELECT key, n_events, span_sec,
+                CASE WHEN span_sec > 0 THEN
+                  round(CAST(area AS DOUBLE) / span_sec, 6) END AS twap
+              FROM a ORDER BY twap DESC NULLS LAST, key LIMIT 20""")),
   )
 
   val all: Seq[Q] =
