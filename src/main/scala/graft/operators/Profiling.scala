@@ -503,7 +503,10 @@ object Profiling {
     * Cross-engine determinism: ENTIRELY exact — values and weights are
     * integral units, the selection predicate is the cross-multiplied
     * integer comparison (no division, no doubles anywhere), and the
-    * support fold makes ties well-defined by construction.
+    * support fold makes ties well-defined by construction. Envelope:
+    * the predicate computes 2·cumWeight, so the per-group weight total
+    * must stay ≤ 2^62 (4.6e18) — at unit weights that is 4.6e18 rows;
+    * past it, swap the two comparison operands to decimal(38,0).
     *
     * Distributed shape: ONE groupBy(group, value) with map-side combine
     * folds the corpus to the per-group support; the cumulative pass is a

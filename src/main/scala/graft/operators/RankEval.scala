@@ -447,4 +447,46 @@ object RankEval {
           .cast("long").as("fp2"))
       .orderBy("grp")
   }
+
+  /** Merkle-style snapshot reconciliation: fingerprint both snapshots
+    * into `buckets` hash buckets of the row canon and return ONLY the
+    * buckets whose fingerprints disagree — locating a diff in a 100 TB
+    * pair costs two scans and a `buckets`-row compare, never a row-level
+    * join. Each flagged bucket then scopes the expensive row-level diff
+    * to n/buckets rows (recurse with a finer canon prefix if needed —
+    * the anti-entropy pattern).
+    *
+    * Returns (bucket, n_rows_a, n_rows_b, fp1_a, fp1_b, match) for
+    * differing buckets ordered by bucket — plus nothing when the
+    * snapshots are identical (empty result IS the parity certificate).
+    */
+  def fingerprintDiff(
+      a: DataFrame,
+      b: DataFrame,
+      rowCanonA: Column,
+      rowCanonB: Column,
+      buckets: Long): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    def side(df: DataFrame, canon: Column, suffix: String) =
+      tableFingerprint(
+        df.select(canon.cast("string").as("c"))
+          .withColumn("bkt", pmod(PortableHash.portable60(
+            concat(lit("fpd:"), col("c"))), lit(buckets))),
+        col("bkt"), col("c"))
+        .select(col("grp").as("bucket"),
+          col("n_rows").as(s"n_rows_$suffix"),
+          col("fp1").as(s"fp1_$suffix"), col("fp2").as(s"fp2_$suffix"))
+    side(a, rowCanonA, "a").join(side(b, rowCanonB, "b"),
+        Seq("bucket"), "full_outer")
+      .filter(coalesce(col("n_rows_a"), lit(-1L)) =!=
+          coalesce(col("n_rows_b"), lit(-1L)) ||
+        coalesce(col("fp1_a"), lit(-1L)) =!=
+          coalesce(col("fp1_b"), lit(-1L)) ||
+        coalesce(col("fp2_a"), lit(-1L)) =!=
+          coalesce(col("fp2_b"), lit(-1L)))
+      .select(col("bucket"), coalesce(col("n_rows_a"), lit(0L)).as("n_rows_a"),
+        coalesce(col("n_rows_b"), lit(0L)).as("n_rows_b"),
+        col("fp1_a"), col("fp1_b"))
+      .orderBy("bucket")
+  }
 }

@@ -11160,6 +11160,50 @@ object QueryCatalog {
                 CASE WHEN span_sec > 0 THEN
                   round(CAST(area AS DOUBLE) / span_sec, 6) END AS twap
               FROM a ORDER BY twap DESC NULLS LAST, key LIMIT 20""")),
+
+    // Merkle-style snapshot reconciliation: snapshot B is lineitem minus
+    // the orderkey-0 rows; 64-bucket fingerprints locate the diff in a
+    // bucket compare — two scans, no row join; only disagreeing buckets
+    // surface (empty output would BE the parity certificate).
+    Q("q_fingerprint_diff",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val canon = concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long"),
+          col("l_quantity").cast("long"), col("l_returnflag"))
+        graft.operators.RankEval.fingerprintDiff(
+          li, li.filter(col("l_orderkey") =!= 0), canon, canon,
+          buckets = 64L)
+      },
+      Some {
+        val canon = "CAST(l_orderkey AS VARCHAR) || '|' || " +
+          "CAST(l_linenumber AS VARCHAR) || '|' || " +
+          "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)" +
+          " || '|' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)" +
+          " || '|' || l_returnflag"
+        val m = graft.operators.RankEval.FingerprintMod
+        def side(where: String) =
+          s"""SELECT ${graft.operators.PortableHash.duckSql(
+                "'fpd:' || c")} % 64 AS bucket,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(${graft.operators.PortableHash.duckSql(
+                "'fp1:' || c")}) % $m AS BIGINT) AS fp1,
+              CAST(sum(${graft.operators.PortableHash.duckSql(
+                "'fp2:' || c")}) % $m AS BIGINT) AS fp2
+              FROM (SELECT $canon AS c FROM lineitem $where)
+              GROUP BY 1"""
+        s"""WITH sa AS (${side("")}),
+              sb AS (${side("WHERE l_orderkey <> 0")})
+              SELECT coalesce(sa.bucket, sb.bucket) AS bucket,
+                coalesce(sa.n_rows, 0) AS n_rows_a,
+                coalesce(sb.n_rows, 0) AS n_rows_b,
+                sa.fp1 AS fp1_a, sb.fp1 AS fp1_b
+              FROM sa FULL OUTER JOIN sb ON sa.bucket = sb.bucket
+              WHERE coalesce(sa.n_rows, -1) <> coalesce(sb.n_rows, -1)
+                OR coalesce(sa.fp1, -1) <> coalesce(sb.fp1, -1)
+                OR coalesce(sa.fp2, -1) <> coalesce(sb.fp2, -1)
+              ORDER BY bucket"""
+      }),
   )
 
   val all: Seq[Q] =

@@ -284,6 +284,24 @@ class RankEvalSpec extends SparkSpec {
     assert(got(3L) === ((3L, 2L, rrf(3, 2))))
   }
 
+  test("fingerprintDiff: identical snapshots certify empty; a mutation " +
+      "surfaces only its bucket") {
+    import spark.implicits._
+    val rows = (0L until 400L).map(i => s"row-$i")
+    val a = rows.toDF("c")
+    // identical snapshots (even shuffled/repartitioned): no diff rows
+    val same = RankEval.fingerprintDiff(a,
+      scala.util.Random.shuffle(rows).toDF("c").repartition(7),
+      col("c"), col("c"), buckets = 16L)
+    assert(same.count() === 0L)
+    // drop one row: exactly the buckets containing it disagree (one)
+    val b = rows.filterNot(_ == "row-123").toDF("c")
+    val diff = RankEval.fingerprintDiff(a, b, col("c"), col("c"),
+      buckets = 16L).collect()
+    assert(diff.length === 1)
+    assert(diff.head.getLong(1) === diff.head.getLong(2) + 1) // n_a = n_b+1
+  }
+
   test("tableFingerprint is order- and partition-invariant, diff-sensitive") {
     import spark.implicits._
     val rows = (0L until 500L).map(i => (i % 3, s"row-$i"))
