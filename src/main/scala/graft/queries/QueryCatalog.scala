@@ -11204,6 +11204,129 @@ object QueryCatalog {
                 OR coalesce(sa.fp2, -1) <> coalesce(sb.fp2, -1)
               ORDER BY bucket"""
       }),
+
+    // ABC (Pareto) classification of brands by revenue: cumulative-share
+    // classes on cross-multiplied integers (100·cum ≤ 80·total → A,
+    // ≤ 95 → B, else C; the crossing brand falls to the next class —
+    // the cum ≤ threshold convention, mirrored in the oracle). Support-
+    // bounded window over the brand roll-up.
+    Q("q_abc_class",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand").as("brand"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("rev"))
+        val w = Window.orderBy(col("rev").desc, col("brand"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = broadcast(rev.agg(sum("rev").as("total")))
+        rev.withColumn("cum", sum("rev").over(w))
+          .crossJoin(tot)
+          .withColumn("abc",
+            when(lit(100L) * col("cum") <= lit(80L) * col("total"), "A")
+              .when(lit(100L) * col("cum") <= lit(95L) * col("total"), "B")
+              .otherwise("C"))
+          .groupBy("abc")
+          .agg(count(lit(1)).as("n_brands"), sum("rev").as("revenue_cents"),
+            round(sum("rev").cast("double") / max("total"), 6).as("share"))
+          .orderBy("abc")
+      },
+      Some("""WITH rev AS (SELECT p_brand AS brand,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1),
+              c AS (SELECT brand, rev,
+                  CAST(sum(rev) OVER (ORDER BY rev DESC, brand) AS BIGINT)
+                    AS cum,
+                  CAST(sum(rev) OVER () AS BIGINT) AS total
+                FROM rev),
+              k AS (SELECT rev, total,
+                  CASE WHEN 100 * cum <= 80 * total THEN 'A'
+                    WHEN 100 * cum <= 95 * total THEN 'B' ELSE 'C' END
+                    AS abc
+                FROM c)
+              SELECT abc, CAST(count(*) AS BIGINT) AS n_brands,
+                CAST(sum(rev) AS BIGINT) AS revenue_cents,
+                round(CAST(sum(rev) AS DOUBLE) / max(total), 6) AS share
+              FROM k GROUP BY abc ORDER BY abc""")),
+
+    // DAU/WAU stickiness: per day, distinct actives vs distinct users
+    // active in the trailing 7 days — the exact sliding-distinct via the
+    // dedup-then-explode trick (each user-day contributes to the 7
+    // forward windows; 7× fan-out of the DEDUPED user-day table, never
+    // of raw events), restricted to full-window days.
+    Q("q_dau_wau",
+      (s, dir) => {
+        val ud = t(s, dir, "events")
+          .select(col("user_id").as("u"),
+            expr("unix_timestamp(ts) div 86400").as("day"))
+          .distinct()
+        val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+        val wau = ud
+          .withColumn("d", explode(sequence(col("day"), col("day") + 6)))
+          .select("u", "d").distinct()
+          .groupBy(col("d").as("day")).agg(count(lit(1)).as("wau"))
+        val bounds = broadcast(ud.agg(min("day").as("lo"), max("day").as("hi")))
+        dau.join(wau, Seq("day")).crossJoin(bounds)
+          .filter(col("day") >= col("lo") + 6 && col("day") <= col("hi"))
+          .select(col("day"), col("dau"), col("wau"),
+            round(col("dau").cast("double") / col("wau"), 6)
+              .as("stickiness"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id AS u,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+                FROM events),
+              dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                FROM ud GROUP BY day),
+              f AS (SELECT DISTINCT u, unnest(generate_series(day, day + 6))
+                  AS d FROM ud),
+              wau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS wau
+                FROM f GROUP BY d),
+              b AS (SELECT min(day) AS lo, max(day) AS hi FROM ud)
+              SELECT day, dau, wau,
+                round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+              FROM dau JOIN wau USING (day), b
+              WHERE day >= b.lo + 6 AND day <= b.hi
+              ORDER BY day""")),
+
+    // new-vs-returning decomposition per day: actives split by whether
+    // the day is the user's first-ever day; one user-level min plus one
+    // join of deduped user-days — the growth-accounting readout.
+    Q("q_new_returning",
+      (s, dir) => {
+        val ud = t(s, dir, "events")
+          .select(col("user_id").as("u"),
+            expr("unix_timestamp(ts) div 86400").as("day"))
+          .distinct()
+        val first = ud.groupBy("u").agg(min("day").as("first_day"))
+        ud.join(first, Seq("u"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_active"),
+            sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+              .as("n_new"))
+          .select(col("day"), col("n_active"), col("n_new"),
+            (col("n_active") - col("n_new")).as("n_returning"),
+            round(col("n_new").cast("double") / col("n_active"), 6)
+              .as("new_share"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id AS u,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+                FROM events),
+              fst AS (SELECT u, min(day) AS first_day FROM ud GROUP BY u),
+              j AS (SELECT ud.day,
+                  CASE WHEN ud.day = fst.first_day THEN 1 ELSE 0 END
+                    AS is_new
+                FROM ud JOIN fst ON ud.u = fst.u)
+              SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+                CAST(sum(is_new) AS BIGINT) AS n_new,
+                CAST(count(*) - sum(is_new) AS BIGINT) AS n_returning,
+                round(CAST(sum(is_new) AS DOUBLE) / count(*), 6)
+                  AS new_share
+              FROM j GROUP BY day ORDER BY day""")),
   )
 
   val all: Seq[Q] =
