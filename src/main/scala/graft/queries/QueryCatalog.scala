@@ -11259,6 +11259,10 @@ object QueryCatalog {
     // of raw events), restricted to full-window days.
     Q("q_dau_wau",
       (s, dir) => {
+        // ud feeds three consumers UNCACHED, deliberately: persisting it
+        // was tried and MEASURED WORSE at ×1000 (89.5 s vs 63.9 s in-run
+        // — materializing 10M cached rows costs more than three 2-column
+        // parquet scans whose dedup exchanges are cheap map-side folds)
         val ud = t(s, dir, "events")
           .select(col("user_id").as("u"),
             expr("unix_timestamp(ts) div 86400").as("day"))
@@ -11297,6 +11301,8 @@ object QueryCatalog {
     // join of deduped user-days — the growth-accounting readout.
     Q("q_new_returning",
       (s, dir) => {
+        // uncached for the same measured reason as q_dau_wau (the
+        // persist experiment read 16.8 s vs 12.0 s in-run at ×1000)
         val ud = t(s, dir, "events")
           .select(col("user_id").as("u"),
             expr("unix_timestamp(ts) div 86400").as("day"))
