@@ -92,14 +92,18 @@ object Bench {
     * side artifact (bench_full.json). The r9 adjudication went blind on
     * every name-matched in-run regression because the 1920-char line could
     * only afford 5 isolated slots and all 5 went to new entries; the side
-    * file has no byte budget, so it carries a top-20 — wide enough that
-    * consecutive rounds share isolated measurements for the entries that
-    * matter (the slow tail is stable round-over-round) and cross-round
-    * diffs can be isolated-to-isolated. Entries named in
-    * SPARK_GRAFT_ISOLATE (comma list) are measured IN ADDITION, so a
-    * specific watch set can be adjudicated without riding the top-20.
+    * file has no byte budget, so it carries a top-40 (raised 20 → 40 in
+    * r12: with ~305/329 entries in-run-omitted at sf0.1, 20 slots
+    * under-covered the tail the adjudication must diff — the r11
+    * walk_cooc drift question would have self-answered with the wider
+    * map) — wide enough that consecutive rounds share isolated
+    * measurements for the entries that matter (the slow tail is stable
+    * round-over-round) and cross-round diffs can be
+    * isolated-to-isolated. Entries named in SPARK_GRAFT_ISOLATE (comma
+    * list) are measured IN ADDITION, so a specific watch set can be
+    * adjudicated without riding the top-40.
     */
-  private[graft] val IsolatedSideN = 20
+  private[graft] val IsolatedSideN = 40
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

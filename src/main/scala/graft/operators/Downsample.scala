@@ -41,7 +41,13 @@ object Downsample {
     val base = events.select(keyCol.as("key"),
       unix_timestamp(tsCol).as("sec"), idCol.cast("long").as("id"),
       valueUnitsCol.cast("long").as("v"))
-      .withColumn("bucket", expr(s"sec div $bucketSec"))
+      // floor division, not `div` (truncation toward zero): pre-1970
+      // timestamps have negative epoch seconds, and the DuckDB twin's
+      // `//` floors — (sec − pmod(sec, b)) is the largest multiple of b
+      // ≤ sec (pmod ≥ 0), so the div is exact and floor-valued for all
+      // signs, in pure long arithmetic
+      .withColumn("bucket",
+        expr(s"(sec - pmod(sec, $bucketSec)) div $bucketSec"))
     val w = Window.partitionBy("key", "bucket").orderBy(col("sec"), col("id"))
     val wn = Window.partitionBy("key", "bucket")
     base

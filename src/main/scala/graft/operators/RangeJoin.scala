@@ -89,8 +89,10 @@ object RangeJoin {
       .withColumn("cx", floor(col("x") / r).cast("long"))
       .withColumn("cy", floor(col("y") / r).cast("long"))
     maxExpectedCandidates.foreach { ceiling =>
+      // coalesce: empty input ⇒ NULL sum must pass the gate as 0, not NPE
       val est = base.groupBy("cx", "cy").agg(count(lit(1)).as("k"))
-        .agg(sum(col("k") * col("k") * 9L)).head().getLong(0)
+        .agg(coalesce(sum(col("k") * col("k") * 9L), lit(0L)))
+        .head().getLong(0)
       require(est <= ceiling,
         s"radiusPairs pre-flight: ~$est grid-join candidate pairs " +
           s"(Σ 9·|cell|² over occupied cells; ceiling $ceiling). " +
@@ -160,9 +162,11 @@ object RangeJoin {
     val exploded = base.withColumn("bucket",
       explode(sequence(expr(s"s div $bucketSize"), expr(s"e div $bucketSize"))))
     maxExpectedCandidates.foreach { ceiling =>
+      // coalesce: sum over zero groups is NULL — an empty input must
+      // pass the gate (0 candidates), not NPE out of getLong
       val est = exploded.groupBy("g", "bucket")
         .agg(count(lit(1)).as("occ"))
-        .agg(sum(col("occ") * col("occ")).as("cand"))
+        .agg(coalesce(sum(col("occ") * col("occ")), lit(0L)).as("cand"))
         .head().getLong(0)
       require(est <= ceiling,
         s"intervalOverlapPairs would scan ~$est candidate pairs " +

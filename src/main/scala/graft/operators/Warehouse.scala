@@ -46,10 +46,24 @@ object Warehouse {
     val prod = la.join(ra, Seq("key"))
       .withColumn("product_dec",
         col("c_left").cast(dec) * col("c_right").cast(dec))
+    // the int64 publish is GUARDED, not a bare cast: Spark's non-ANSI
+    // cast NULLs silently past 9.2e18 (DuckDB errors), which would turn
+    // "the forecast IS the diagnosis" into a cross-engine divergence —
+    // instead overflow raises with the sized total, the refusal doctrine
     val tot = broadcast(prod.agg(
-      sum("product_dec").cast("long").as("total_rows"),
+      sum("product_dec").as("total_dec"),
       count(lit(1)).as("shared_keys")))
     prod.crossJoin(tot)
+      .withColumn("total_rows",
+        when(col("total_dec") <= lit(Long.MaxValue).cast(dec),
+          col("total_dec").cast("long"))
+          .otherwise(raise_error(concat(
+            lit("joinSizeForecast: forecast join size "),
+            col("total_dec").cast("string"),
+            lit(" rows overflows int64 — this join must not run; " +
+              "split/salt the top keys below first"))).cast("long")))
+      // per-key product needs no second guard: total = Σ products bounds
+      // every product, so a passing total implies each product fits
       .select(col("key"), col("c_left"), col("c_right"),
         col("product_dec").cast("long").as("product"),
         col("total_rows"), col("shared_keys"))

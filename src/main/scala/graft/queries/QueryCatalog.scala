@@ -11209,7 +11209,11 @@ object QueryCatalog {
     // classes on cross-multiplied integers (100·cum ≤ 80·total → A,
     // ≤ 95 → B, else C; the crossing brand falls to the next class —
     // the cum ≤ threshold convention, mirrored in the oracle). Support-
-    // bounded window over the brand roll-up.
+    // bounded window over the brand roll-up. The cross-multiplications
+    // run in decimal(38,0) on BOTH engines: cum/total are corpus-wide
+    // revenue cents, and 100·cum passes int64 near ~9.2e16 cents total
+    // (inside the ×1000 envelope) where Spark would wrap silently while
+    // DuckDB errors — the house Dec convention (gini/quantileNormalize).
     Q("q_abc_class",
       (s, dir) => {
         val rev = t(s, dir, "lineitem")
@@ -11221,11 +11225,15 @@ object QueryCatalog {
         val w = Window.orderBy(col("rev").desc, col("brand"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val tot = broadcast(rev.agg(sum("rev").as("total")))
+        val dec = "decimal(38,0)"
         rev.withColumn("cum", sum("rev").over(w))
           .crossJoin(tot)
           .withColumn("abc",
-            when(lit(100L) * col("cum") <= lit(80L) * col("total"), "A")
-              .when(lit(100L) * col("cum") <= lit(95L) * col("total"), "B")
+            when(col("cum").cast(dec) * 100 <= col("total").cast(dec) * 80,
+              "A")
+              .when(
+                col("cum").cast(dec) * 100 <= col("total").cast(dec) * 95,
+                "B")
               .otherwise("C"))
           .groupBy("abc")
           .agg(count(lit(1)).as("n_brands"), sum("rev").as("revenue_cents"),
@@ -11243,9 +11251,11 @@ object QueryCatalog {
                   CAST(sum(rev) OVER () AS BIGINT) AS total
                 FROM rev),
               k AS (SELECT rev, total,
-                  CASE WHEN 100 * cum <= 80 * total THEN 'A'
-                    WHEN 100 * cum <= 95 * total THEN 'B' ELSE 'C' END
-                    AS abc
+                  CASE WHEN 100 * CAST(cum AS DECIMAL(38,0))
+                      <= 80 * CAST(total AS DECIMAL(38,0)) THEN 'A'
+                    WHEN 100 * CAST(cum AS DECIMAL(38,0))
+                      <= 95 * CAST(total AS DECIMAL(38,0)) THEN 'B'
+                    ELSE 'C' END AS abc
                 FROM c)
               SELECT abc, CAST(count(*) AS BIGINT) AS n_brands,
                 CAST(sum(rev) AS BIGINT) AS revenue_cents,
@@ -11263,9 +11273,13 @@ object QueryCatalog {
         // was tried and MEASURED WORSE at ×1000 (89.5 s vs 63.9 s in-run
         // — materializing 10M cached rows costs more than three 2-column
         // parquet scans whose dedup exchanges are cheap map-side folds)
+        // day = floor(epoch/86400), not `div` (truncation): pre-1970
+        // events have negative epochs and the oracle's `//` floors —
+        // the pmod form is floor-valued for all signs in long arithmetic
         val ud = t(s, dir, "events")
           .select(col("user_id").as("u"),
-            expr("unix_timestamp(ts) div 86400").as("day"))
+            expr("(unix_timestamp(ts) - pmod(unix_timestamp(ts), 86400))" +
+              " div 86400").as("day"))
           .distinct()
         val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
         val wau = ud
@@ -11296,6 +11310,71 @@ object QueryCatalog {
               WHERE day >= b.lo + 6 AND day <= b.hi
               ORDER BY day""")),
 
+    // DAU/WAU stickiness, SKETCH twin — the corpus-scale dashboard path
+    // beside q_dau_wau's exact sliding distinct: per-day Datasketches
+    // HLL sketches (one groupBy straight over events — the sketch
+    // absorbs duplicates, so no user-day dedup shuffle), then the 7-day
+    // trailing union merges 7 SKETCH ROWS per day — fan-out is 7× the
+    // per-day sketch table (days × ~2 KB at lgK=14), never 7× user-days
+    // (q_dau_wau's measured 63.9 s ×1000 wall IS that user-day fan-out;
+    // at L28 the exact form quadruples while this one is flat).
+    // Published values stay EXACT (oracle-checkable); sketch estimates
+    // surface only through audited error booleans (the q_approx_distinct
+    // convention: a sketch regression flips the boolean). lgK=14 ⇒ RSE
+    // ≈ 0.81%, tol = 4% (~5σ) with an absolute floor of 16 for
+    // small-count days; full 7-day windows only (n_days = 7), the same
+    // day set as the oracle's distinct-day self-join count.
+    Q("q_dau_wau_approx",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id").as("u"),
+            expr("(unix_timestamp(ts) - pmod(unix_timestamp(ts), 86400))" +
+              " div 86400").as("day"))
+        val daily = ev.groupBy("day")
+          .agg(expr("hll_sketch_agg(u, 14)").as("sk"))
+        val winEst = daily
+          .withColumn("d", explode(sequence(col("day"), col("day") + 6)))
+          .groupBy(col("d").as("day"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("wau_est"),
+            count(lit(1)).as("n_days"))
+          .filter(col("n_days") === 7)
+        val dauEst = daily.select(col("day"),
+          expr("hll_sketch_estimate(sk)").as("dau_est"))
+        val ud = ev.distinct()
+        val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+        val wau = ud
+          .withColumn("d", explode(sequence(col("day"), col("day") + 6)))
+          .select("u", "d").distinct()
+          .groupBy(col("d").as("day")).agg(count(lit(1)).as("wau"))
+        dau.join(wau, Seq("day")).join(winEst, Seq("day"))
+          .join(dauEst, Seq("day"))
+          .select(col("day"), col("dau"), col("wau"),
+            (abs(col("dau_est") - col("dau")).cast("double") <=
+              greatest(col("dau").cast("double") * 0.04, lit(16.0)))
+              .as("dau_within_tol"),
+            (abs(col("wau_est") - col("wau")).cast("double") <=
+              greatest(col("wau").cast("double") * 0.04, lit(16.0)))
+              .as("wau_within_tol"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id AS u,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+                FROM events),
+              dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                FROM ud GROUP BY day),
+              f AS (SELECT DISTINCT u, unnest(generate_series(day, day + 6))
+                  AS d FROM ud),
+              wau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS wau
+                FROM f GROUP BY d),
+              days AS (SELECT DISTINCT day FROM ud),
+              cnt AS (SELECT a.day, count(*) AS n_days FROM days a
+                JOIN days b ON b.day BETWEEN a.day - 6 AND a.day
+                GROUP BY 1)
+              SELECT day, dau, wau, TRUE AS dau_within_tol,
+                TRUE AS wau_within_tol
+              FROM dau JOIN wau USING (day) JOIN cnt USING (day)
+              WHERE n_days = 7 ORDER BY day""")),
+
     // new-vs-returning decomposition per day: actives split by whether
     // the day is the user's first-ever day; one user-level min plus one
     // join of deduped user-days — the growth-accounting readout.
@@ -11303,9 +11382,11 @@ object QueryCatalog {
       (s, dir) => {
         // uncached for the same measured reason as q_dau_wau (the
         // persist experiment read 16.8 s vs 12.0 s in-run at ×1000)
+        // floor-div day bucketing for sign-correctness (see q_dau_wau)
         val ud = t(s, dir, "events")
           .select(col("user_id").as("u"),
-            expr("unix_timestamp(ts) div 86400").as("day"))
+            expr("(unix_timestamp(ts) - pmod(unix_timestamp(ts), 86400))" +
+              " div 86400").as("day"))
           .distinct()
         val first = ud.groupBy("u").agg(min("day").as("first_day"))
         ud.join(first, Seq("u"))

@@ -188,6 +188,10 @@ class BenchLineSpec extends AnyFunSuite {
     // the isolated map keeps all IsolatedSideN entries (the r9 line kept 5)
     val isoJson = "\"isolated\":\\{([^}]*)\\}".r.findFirstMatchIn(full).map(_.group(1))
     assert(isoJson.exists(_.count(_ == ':') == Bench.IsolatedSideN), isoJson.toString)
+    // r10 directive (closed in r12): the side map must cover the slow
+    // tail — pin the width so a silent narrowing can't recur
+    assert(Bench.IsolatedSideN >= 40,
+      s"IsolatedSideN=${Bench.IsolatedSideN}; the adjudication map needs >= 40")
     // failures render as an object (name -> class), counterexamples as an array
     assert(full.contains("\"failed\":{\"q_dedup_simhash\":\"OutOfMemoryError\"}"), full.takeRight(400))
     assert(full.contains("\"counterexamples\":[\"" + cex.head + "\""), full.takeRight(400))
