@@ -60,6 +60,20 @@ object GraftSession {
       // errors, so the engine pins the same dialect.
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // Streaming state store. The default HDFSBacked provider keeps ALL
+      // live state on-heap per partition: measured at ×1000 (100M events)
+      // the native session-window query OOMs the 32 GB heap and still
+      // OOMs at 64 GB (BENCH_SF10 round-12 addendum) — session state for
+      // ~100k users × open sessions never fits a single JVM's heap.
+      // RocksDB (in /opt/spark/jars, rocksdbjni 9.8.4) moves state
+      // off-heap with disk spill — the production cluster shape for
+      // large stateful streaming. Default ON; SPARK_GRAFT_STATESTORE=heap
+      // restores the on-heap provider for small-state comparisons.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("heap"))
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+        else
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   def local(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()
