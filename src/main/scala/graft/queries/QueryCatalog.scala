@@ -2501,6 +2501,54 @@ object QueryCatalog {
                 ON r.doc_id = n.doc_id AND r.line_idx = n.line_idx
               GROUP BY n.doc_id ORDER BY n.doc_id""")),
 
+    // PII / denylist scrub certificate per source: five PII classes
+    // (email/SSN/phone/IPv4/card-run) + one denylist term, counted on the
+    // original text and redacted with stable placeholders in ONE codegen
+    // projection (no shuffle beyond the bounded source roll-up). On this
+    // synthetic word-soup corpus the PII classes certify ZERO (the clean
+    // certificate is the product — a crawl corpus would light them up)
+    // while the denylist class hits, so both the zero path and the
+    // replace path execute; the scrubbed-text portable hash-sum proves
+    // the redaction is deterministic — the DuckDB oracle replays the
+    // same chained replaces and must land on the same fold. Patterns
+    // stay in the Java-regex ∩ RE2 subset (no lookaround/backrefs).
+    Q("q_pii_scrub",
+      (s, dir) => graft.operators.Scrub.scrubReport(
+        t(s, dir, "documents"), col("source"), col("text"),
+        graft.operators.Scrub.PiiDefaults :+
+          graft.operators.Scrub.ScrubPattern(
+            "term", "\\bcustomer\\b", "<TERM>")),
+      Some {
+        val m = graft.operators.RankEval.FingerprintMod
+        val cls = Seq(
+          "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+          "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+          "phone" -> "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b",
+          "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+          "card" -> "\\b\\d{13,16}\\b",
+          "term" -> "\\bcustomer\\b")
+        val repl = Seq("<EMAIL>", "<SSN>", "<PHONE>", "<IP>", "<CARD>",
+          "<TERM>")
+        val counts = cls.map { case (n, re) =>
+          s"len(regexp_extract_all(text, '$re')) AS h_$n" }.mkString(", ")
+        val scrub = cls.zip(repl).foldLeft("text") {
+          case (acc, ((_, re), ph)) =>
+            s"regexp_replace($acc, '$re', '$ph', 'g')" }
+        val hitSums = cls.map { case (n, _) =>
+          s"CAST(sum(h_$n) AS BIGINT) AS hits_$n" }.mkString(", ")
+        val anyHit = cls.map { case (n, _) => s"h_$n > 0" }.mkString(" OR ")
+        s"""WITH r AS (SELECT source, $counts, $scrub AS scrubbed
+                FROM documents)
+              SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN $anyHit THEN 1 ELSE 0 END) AS BIGINT)
+                  AS docs_affected,
+                $hitSums,
+                CAST(CAST(sum(${graft.operators.PortableHash.duckSql(
+                  "md5(scrubbed)")} % $m) AS DECIMAL(38,0)) % $m AS BIGINT)
+                  AS scrubbed_hash_sum
+              FROM r GROUP BY source ORDER BY grp"""
+      }),
+
     Q("q_text_quality",
       (s, dir) => TextAnalysis.qualityMetrics(t(s, dir, "documents"))
         .select("doc_id", "n_char", "n_tokens", "alpha_ratio", "digit_ratio")
