@@ -11363,9 +11363,13 @@ object QueryCatalog {
     // HLL sketches (one groupBy straight over events — the sketch
     // absorbs duplicates, so no user-day dedup shuffle), then the 7-day
     // trailing union merges 7 SKETCH ROWS per day — fan-out is 7× the
-    // per-day sketch table (days × ~2 KB at lgK=14), never 7× user-days
-    // (q_dau_wau's measured 63.9 s ×1000 wall IS that user-day fan-out;
-    // at L28 the exact form quadruples while this one is flat).
+    // per-day sketch table (days × ~2 KB at lgK=14), never 7× user-days.
+    // Measured ×1000 (BENCH_SF10 r12 addenda 3/6): sketch-only 2.8 s vs
+    // exact 62.2 s at L7 (22×), 4.3 s vs 63.8 s at L28 (15×) — the exact
+    // form's wall is the scan + first user-day dedup, NOT the window
+    // fan-out (the predicted L28 4× did not materialize), so the sketch
+    // case is the 15–22× constant plus the memory shape, not an
+    // asymptotic in window length.
     // Published values stay EXACT (oracle-checkable); sketch estimates
     // surface only through audited error booleans (the q_approx_distinct
     // convention: a sketch regression flips the boolean). lgK=14 ⇒ RSE
