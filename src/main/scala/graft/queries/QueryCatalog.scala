@@ -11382,8 +11382,13 @@ object QueryCatalog {
           .select(col("user_id").as("u"),
             expr("(unix_timestamp(ts) - pmod(unix_timestamp(ts), 86400))" +
               " div 86400").as("day"))
+        // daily feeds TWO consumers (window union + per-day estimate):
+        // localCheckpoint the ~days-row sketch table once or Catalyst
+        // re-inlines the corpus-scale sketch pass per consumer (the
+        // house multi-consumer rule; the table is days × ~2 KB)
         val daily = ev.groupBy("day")
           .agg(expr("hll_sketch_agg(u, 14)").as("sk"))
+          .localCheckpoint()
         val winEst = daily
           .withColumn("d", explode(sequence(col("day"), col("day") + 6)))
           .groupBy(col("d").as("day"))
