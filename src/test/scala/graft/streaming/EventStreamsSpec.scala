@@ -263,4 +263,15 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
     assert(rows.sorted.toSeq === Seq((1L, 3L), (2L, 3L)))
   }
+
+  test("session default: RocksDB state store provider (heap escape hatch via env)") {
+    // the on-heap provider is a measured OOM cliff for native session
+    // windows at corpus scale (BENCH_SF10 round-12 addendum 4); pin the
+    // default so a silent config regression can't reintroduce it
+    val provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("heap"))
+      assert(provider.endsWith("HDFSBackedStateStoreProvider"))
+    else
+      assert(provider.endsWith("RocksDBStateStoreProvider"), provider)
+  }
 }
