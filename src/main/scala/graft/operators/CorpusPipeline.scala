@@ -5,10 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** The end-to-end corpus-cleaning recipe as ONE call — the composition a
   * pre-training data pipeline actually runs, chaining operators that are
-  * each individually driver-oracled: Gopher hard gates → span-level
-  * global line dedup → exact dedup → per-domain cap → a one-row report
-  * of what every stage kept. A user of the reference switching here gets
-  * the whole cleaning pass, not just its pieces.
+  * each individually driver-oracled: PII scrub → Gopher hard gates →
+  * span-level global line dedup → exact dedup → per-domain cap → a
+  * one-row report of what every stage kept. A user of the reference
+  * switching here gets the whole cleaning pass, not just its pieces.
+  *
+  * The scrub runs FIRST (stage 0) on purpose: no later stage — no
+  * persisted intermediate, no dedup digest, no capped output — ever
+  * holds raw PII; every downstream hash and winner is computed over the
+  * already-redacted text.
   *
   * Scale shape: each stage is the already-audited operator (zero-shuffle
   * gates, digest-keyed line winners, md5 exact groups, one window for
@@ -26,11 +31,19 @@ object CorpusPipeline {
       docs: DataFrame,
       windowTokens: Int = 10,
       cap: Int = 40,
-      minStopHits: Int = 1): DataFrame = {
+      minStopHits: Int = 1,
+      scrub: Seq[Scrub.ScrubPattern] = Scrub.PiiDefaults): DataFrame = {
     val linesC = Dedup.tokenWindowLines(col("text"), windowTokens)
 
+    // stage 0: PII scrub — persisted as (id, redacted text, source, pii
+    // flag) only, so the raw text never sits in an intermediate
+    val anyHit = scrub.map(p => col(s"hits_${p.name}") > 0).reduce(_ || _)
+    val red = OperatorCaches.persistTracked(
+      Scrub.redact(docs, col("text"), scrub)
+        .select(col("doc_id"), col("scrubbed_text").as("text"),
+          col("source"), when(anyHit, 1L).otherwise(0L).as("pii")))
     val gated = OperatorCaches.persistTracked(
-      TextAnalysis.gopherFilter(docs)
+      TextAnalysis.gopherFilter(red.select("doc_id", "text", "source"))
         .filter(col("ok_n_words") && col("ok_mean_len") && col("ok_symbols") &&
           col("ok_alpha") && col("stop_hits") >= minStopHits)
         .select("doc_id", "text", "source"))
@@ -46,12 +59,13 @@ object CorpusPipeline {
     val nTok = (c: org.apache.spark.sql.Column) =>
       sum(size(split(c, "\\s+"))).cast("long") // text_dedup joins lines by \n
     docs.agg(count(lit(1)).as("n_input"), nTok(col("text")).as("tokens_in"))
+      .crossJoin(red.agg(sum("pii").as("n_pii_docs")))
       .crossJoin(gated.agg(count(lit(1)).as("n_quality")))
       .crossJoin(lined.agg(count(lit(1)).as("n_nonempty")))
       .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
       .crossJoin(capped.agg(count(lit(1)).as("n_final"),
         nTok(col("text_dedup")).as("tokens_out")))
-      .select("n_input", "n_quality", "n_nonempty", "n_exact", "n_final",
-        "tokens_in", "tokens_out")
+      .select("n_input", "n_pii_docs", "n_quality", "n_nonempty", "n_exact",
+        "n_final", "tokens_in", "tokens_out")
   }
 }

@@ -2670,16 +2670,33 @@ object QueryCatalog {
                   AS avg_tokens
               FROM documents""")),
 
-    // the end-to-end cleaning recipe as one call: Gopher gates → global
-    // line dedup → exact dedup → domain cap → one-row report. The oracle
-    // replays every stage in one CTE chain (gates as list ops, line
-    // winners as the md5 window rank, exact + cap as QUALIFY ranks)
+    // the end-to-end cleaning recipe as one call: PII scrub → Gopher
+    // gates → global line dedup → exact dedup → domain cap → one-row
+    // report. The oracle replays every stage in one CTE chain (the scrub
+    // as the chained regexp_replace prologue — identity on this PII-free
+    // corpus, but the replay PROVES it, and n_pii_docs certifies the
+    // zero; gates as list ops, line winners as the md5 window rank,
+    // exact + cap as QUALIFY ranks)
     Q("q_corpus_pipeline",
       (s, dir) => graft.operators.CorpusPipeline.cleanReport(
         t(s, dir, "documents")),
-      Some(s"""WITH m AS (SELECT doc_id, text, source,
-                     regexp_split_to_array(trim(text), '\\s+') AS t
+      Some {
+        val cls = Seq(
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+          "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+          "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b" -> "<PHONE>",
+          "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+          "\\b\\d{13,16}\\b" -> "<CARD>")
+        val scrubExpr = cls.foldLeft("text") { case (acc, (re, ph)) =>
+          s"regexp_replace($acc, '$re', '$ph', 'g')" }
+        val anyHit = cls.map { case (re, _) =>
+          s"len(regexp_extract_all(text, '$re')) > 0" }.mkString(" OR ")
+        s"""WITH sc AS (SELECT doc_id, $scrubExpr AS text, source,
+                     CASE WHEN $anyHit THEN 1 ELSE 0 END AS pii
                    FROM documents),
+              m AS (SELECT doc_id, text, source,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+                   FROM sc),
               gated AS (SELECT doc_id, text, source FROM m
                 WHERE len(t) BETWEEN 50 AND 100000
                   AND round(list_sum(list_transform(t, w -> length(w)))
@@ -2716,6 +2733,7 @@ object QueryCatalog {
                   ${graft.operators.PortableHash.duckSql(
                     "'domaincap:' || CAST(doc_id AS VARCHAR)")}, doc_id) <= 40)
               SELECT (SELECT count(*) FROM documents) AS n_input,
+                (SELECT CAST(sum(pii) AS BIGINT) FROM sc) AS n_pii_docs,
                 (SELECT count(*) FROM gated) AS n_quality,
                 (SELECT count(*) FROM kept2) AS n_nonempty,
                 (SELECT count(*) FROM ex) AS n_exact,
@@ -2723,7 +2741,8 @@ object QueryCatalog {
                 (SELECT CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
                    AS BIGINT) FROM documents) AS tokens_in,
                 (SELECT CAST(sum(len(regexp_split_to_array(text_dedup, '\\s+')))
-                   AS BIGINT) FROM capped) AS tokens_out""")),
+                   AS BIGINT) FROM capped) AS tokens_out"""
+      }),
 
     Q("q_multimodal_binary_meta",
       (s, dir) => t(s, dir, "documents")

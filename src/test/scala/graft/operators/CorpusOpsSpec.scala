@@ -227,4 +227,30 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(again === got.view.mapValues(_._2).toMap)
   }
+
+  test("cleanReport stage 0: PII is counted and never reaches a later stage") {
+    import spark.implicits._
+    // a passing-quality doc needs >= 50 words, stopwords, alpha ratio —
+    // build one and plant an email + an SSN inside it
+    val good = (("the be to of and that have with " * 8).trim + " tail").trim
+    val withPii = good.replace("tail", "mail me at a.b@mail.example.org or 123-45-6789 now")
+    val docs = Seq(
+      (1L, withPii, "s0"),
+      (2L, good + " two", "s0"),
+      (3L, "short", "s1")) // fails the Gopher word-count gate
+      .toDF("doc_id", "text", "source")
+    val rep = CorpusPipeline.cleanReport(docs, minStopHits = 1).collect()(0)
+    OperatorCaches.releaseAll()
+    assert(rep.getAs[Long]("n_input") === 3L)
+    assert(rep.getAs[Long]("n_pii_docs") === 1L)
+    // the scrub must not DROP the doc — it flows on, redacted
+    assert(rep.getAs[Long]("n_quality") === 2L)
+    // and the redaction is visible downstream: the redact() of the same
+    // input contains the placeholders, not the raw identifiers
+    val red = Scrub.redact(docs, col("text"))
+      .filter(col("doc_id") === 1L).collect()(0)
+    val txt = red.getAs[String]("scrubbed_text")
+    assert(txt.contains("<EMAIL>") && txt.contains("<SSN>"))
+    assert(!txt.contains("a.b@mail.example.org") && !txt.contains("123-45-6789"))
+  }
 }
