@@ -80,4 +80,45 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Provider class names — the currency for [[withStateStore]]. */
+  val HeapStateStore: String =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+  val RocksDbStateStore: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private val StateStoreKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Run `body` under a per-QUERY state-store provider, restoring the
+    * session's provider after. The provider class is a runtime SQL conf
+    * captured by each streaming query AT START, so scoping a start +
+    * awaitTermination inside this block gives that one query its own
+    * provider while the session keeps the RocksDB robustness default.
+    *
+    * Why this exists: the RocksDB default is a cliff-avoidance choice
+    * (on-heap session state OOMs at ×1000 — BENCH_SF10 r12 addendum 4),
+    * but the stream-stream JOIN measurably prefers on-heap 3:1 at the
+    * same tier — its dual-sided join state is READ-heavy per input row
+    * (every arrival probes the other side's buffer), so RocksDB pays a
+    * serde per lookup where the heap map pays a pointer, while its state
+    * SIZE is watermark-bounded (horizon × arrival rate per partition),
+    * not corpus-unbounded like open sessions. Per-query heap is safe
+    * exactly where state is bounded and lookup-dominated.
+    *
+    * An explicit session-global `SPARK_GRAFT_STATESTORE` pin OUTRANKS the
+    * hint (the block becomes a no-op): the env exists for A/B
+    * measurement, and a pin that silently un-pins itself inside hinted
+    * queries would corrupt the comparison it was set up for.
+    */
+  def withStateStore[T](s: SparkSession, providerClass: String)(body: => T): T =
+    if (sys.env.contains("SPARK_GRAFT_STATESTORE")) body
+    else {
+      val prev = s.conf.getOption(StateStoreKey)
+      s.conf.set(StateStoreKey, providerClass)
+      try body
+      finally prev match {
+        case Some(v) => s.conf.set(StateStoreKey, v)
+        case None    => s.conf.unset(StateStoreKey)
+      }
+    }
 }

@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions._
   *
   * The scrub runs FIRST (stage 0) on purpose: no later stage — no
   * persisted intermediate, no dedup digest, no capped output — ever
-  * holds raw PII; every downstream hash and winner is computed over the
-  * already-redacted text.
+  * holds text matching the CONFIGURED scrub classes; every downstream
+  * hash and winner is computed over the already-redacted text. (That is
+  * a guarantee about the configured patterns, not about PII in general:
+  * forms outside them — e.g. 17+-digit runs or exotic phone groupings
+  * under [[Scrub.PiiDefaults]] — flow through unredacted. Pass stricter
+  * patterns for stricter corpora; `scrub = Seq.empty` skips stage 0
+  * entirely and reports n_pii_docs = 0.)
   *
   * Scale shape: each stage is the already-audited operator (zero-shuffle
   * gates, digest-keyed line winners, md5 exact groups, one window for
@@ -36,12 +41,19 @@ object CorpusPipeline {
     val linesC = Dedup.tokenWindowLines(col("text"), windowTokens)
 
     // stage 0: PII scrub — persisted as (id, redacted text, source, pii
-    // flag) only, so the raw text never sits in an intermediate
-    val anyHit = scrub.map(p => col(s"hits_${p.name}") > 0).reduce(_ || _)
+    // flag) only, so the raw text never sits in an intermediate. An empty
+    // pattern list is the documented opt-out (stage skipped, n_pii_docs
+    // reports 0) rather than an opaque .reduce crash
     val red = OperatorCaches.persistTracked(
-      Scrub.redact(docs, col("text"), scrub)
-        .select(col("doc_id"), col("scrubbed_text").as("text"),
-          col("source"), when(anyHit, 1L).otherwise(0L).as("pii")))
+      if (scrub.isEmpty)
+        docs.select(col("doc_id"), col("text"), col("source"),
+          lit(0L).as("pii"))
+      else {
+        val anyHit = scrub.map(p => col(s"hits_${p.name}") > 0).reduce(_ || _)
+        Scrub.redact(docs, col("text"), scrub)
+          .select(col("doc_id"), col("scrubbed_text").as("text"),
+            col("source"), when(anyHit, 1L).otherwise(0L).as("pii"))
+      })
     val gated = OperatorCaches.persistTracked(
       TextAnalysis.gopherFilter(red.select("doc_id", "text", "source"))
         .filter(col("ok_n_words") && col("ok_mean_len") && col("ok_symbols") &&

@@ -26,7 +26,10 @@ object Scrub {
 
   /** One scrub class: `name` keys the report columns, `regex` must be
     * valid under BOTH Java regex and RE2, `placeholder` is the literal
-    * replacement (no regex metacharacters).
+    * replacement. [[redact]] enforces the literal part: '$' and '\' are
+    * Java replacement-string metacharacters (and '\1' is an RE2 rewrite
+    * backref), so a placeholder containing either would throw or silently
+    * diverge cross-engine — rejected up front rather than documented away.
     */
   final case class ScrubPattern(name: String, regex: String,
       placeholder: String)
@@ -34,15 +37,28 @@ object Scrub {
   /** Default PII classes. Digit-run classes are ordered most- to
     * least-structured (SSN/phone/IP before the bare card run) so the
     * chained replace never lets a generic class eat a specific one.
+    * Within the phone and card classes, alternations are ordered
+    * specific-first (parenthesized area code before the dashed form,
+    * separator-grouped card before the bare digit run) — both engines
+    * try alternatives left to right at each position, and the two forms
+    * of each class can never match at the same start offset ('(' vs
+    * digit, digit-4-then-separator vs digit run), so the alternation is
+    * unambiguous. Known residue (deliberate, documented): digit runs of
+    * 17+ and card groupings other than 4-4-4-4 match no default class —
+    * callers with stricter corpora pass custom patterns.
     */
   val PiiDefaults: Seq[ScrubPattern] = Seq(
     ScrubPattern("email",
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ScrubPattern("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
-    ScrubPattern("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"),
+    ScrubPattern("phone",
+      "\\(\\d{3}\\) ?\\d{3}[-. ]\\d{4}\\b|\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b",
+      "<PHONE>"),
     ScrubPattern("ipv4",
       "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
-    ScrubPattern("card", "\\b\\d{13,16}\\b", "<CARD>"))
+    ScrubPattern("card",
+      "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b|\\b\\d{13,16}\\b",
+      "<CARD>"))
 
   /** Per-row scrub: appends one `hits_<name>` count column per pattern
     * (counted on the ORIGINAL text) and replaces `textCol` with the
@@ -56,6 +72,21 @@ object Scrub {
     require(patterns.nonEmpty, "redact: need >= 1 pattern")
     require(patterns.map(_.name).distinct.size == patterns.size,
       "redact: pattern names must be unique")
+    // '$'/'\' are replacement metacharacters in Java's regexp_replace (and
+    // RE2 rewrites treat '\1' specially): fail loudly instead of letting a
+    // denylist placeholder throw mid-job or diverge from the DuckDB replay
+    for (p <- patterns)
+      require(!p.placeholder.exists(c => c == '$' || c == '\\'),
+        s"redact: placeholder for '${p.name}' contains '$$' or '\\' — " +
+          "Java replacement metacharacters are not portable")
+    // withColumn REPLACES an existing column of the same name: a caller
+    // frame already carrying hits_<name>/scrubbed_text would be silently
+    // corrupted, so reject the collision instead
+    val generated = "scrubbed_text" +: "__scrub_text" +:
+      patterns.map(p => s"hits_${p.name}")
+    val clash = df.columns.toSet.intersect(generated.toSet)
+    require(clash.isEmpty,
+      s"redact: input columns collide with generated names: ${clash.mkString(", ")}")
     val counted = patterns.foldLeft(df.withColumn("__scrub_text", textCol)) {
       case (d, p) => d.withColumn(s"hits_${p.name}",
         regexp_count(col("__scrub_text"), lit(p.regex)))
@@ -90,7 +121,7 @@ object Scrub {
     val aggs = (sum(when(anyHit, 1L).otherwise(0L)).as("docs_affected") +:
       patterns.map(p =>
         sum(col(s"hits_${p.name}").cast("long")).as(s"hits_${p.name}"))) :+
-      pmod(sum(pmod(PortableHash.portable60(md5(col("scrubbed_text"))),
+      pmod(sum(pmod(PortableHash.portable60(col("scrubbed_text")),
           lit(m)).cast(dec)), lit(m).cast(dec))
         .cast("long").as("scrubbed_hash_sum")
     red.groupBy(groupCol.as("grp"))

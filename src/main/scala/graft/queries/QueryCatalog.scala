@@ -577,6 +577,38 @@ object QueryCatalog {
               ORDER BY sim DESC, vec_id LIMIT $topK"""
   }
 
+  /** DuckDB replay of [[graft.operators.Scrub.scrubReport]] over `srcSql`
+    * (any SELECT producing (source, text)). Regexes and placeholders are
+    * SPLICED FROM THE PATTERN LIST ITSELF — the oracle cannot drift from
+    * the Spark implementation when [[graft.operators.Scrub.PiiDefaults]]
+    * changes. Counts replay via regexp_extract_all on the original text,
+    * the redaction as the same declaration-order regexp_replace chain,
+    * and the certificate hash as the portable60 fold of the scrubbed
+    * text (mod 2^61−1 in DECIMAL(38,0), matching the Spark side).
+    */
+  private def scrubReportSql(
+      srcSql: String, patterns: Seq[graft.operators.Scrub.ScrubPattern]): String = {
+    val m = graft.operators.RankEval.FingerprintMod
+    val counts = patterns.map(p =>
+      s"len(regexp_extract_all(text, '${p.regex}')) AS h_${p.name}")
+      .mkString(", ")
+    val scrub = patterns.foldLeft("text") { case (acc, p) =>
+      s"regexp_replace($acc, '${p.regex}', '${p.placeholder}', 'g')" }
+    val hitSums = patterns.map(p =>
+      s"CAST(sum(h_${p.name}) AS BIGINT) AS hits_${p.name}").mkString(", ")
+    val anyHit = patterns.map(p => s"h_${p.name} > 0").mkString(" OR ")
+    s"""WITH src AS ($srcSql),
+            r AS (SELECT source, $counts, $scrub AS scrubbed FROM src)
+          SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN $anyHit THEN 1 ELSE 0 END) AS BIGINT)
+              AS docs_affected,
+            $hitSums,
+            CAST(CAST(sum(${graft.operators.PortableHash.duckSql(
+              "scrubbed")} % $m) AS DECIMAL(38,0)) % $m AS BIGINT)
+              AS scrubbed_hash_sum
+          FROM r GROUP BY source ORDER BY grp"""
+  }
+
   // ---------------------------------------------------------------- scans,
   // filters, projections (reference SURVEY.md §2b)
 
@@ -1968,11 +2000,18 @@ object QueryCatalog {
           withinMinutes = 30)
         val qname = "graft_ss_join_" + math.abs(dir.hashCode).toString
         s.catalog.dropTempView(qname) // append-mode sink: clear prior runs
-        val q = joined.writeStream.format("memory").queryName(qname)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        // per-query ON-HEAP state store (GraftSession.withStateStore doc):
+        // the dual-sided join state is read-heavy per row and
+        // watermark-BOUNDED, so heap wins 3:1 over the session's RocksDB
+        // robustness default at ×1000 with no OOM exposure; an explicit
+        // SPARK_GRAFT_STATESTORE pin overrides the hint
+        graft.GraftSession.withStateStore(s, graft.GraftSession.HeapStateStore) {
+          val q = joined.writeStream.format("memory").queryName(qname)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table(qname).agg(
           count(lit(1)).as("n_pairs"),
           countDistinct(col("user_id")).as("n_users"),
@@ -2518,36 +2557,48 @@ object QueryCatalog {
         graft.operators.Scrub.PiiDefaults :+
           graft.operators.Scrub.ScrubPattern(
             "term", "\\bcustomer\\b", "<TERM>")),
-      Some {
-        val m = graft.operators.RankEval.FingerprintMod
-        val cls = Seq(
-          "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
-          "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
-          "phone" -> "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b",
-          "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
-          "card" -> "\\b\\d{13,16}\\b",
-          "term" -> "\\bcustomer\\b")
-        val repl = Seq("<EMAIL>", "<SSN>", "<PHONE>", "<IP>", "<CARD>",
-          "<TERM>")
-        val counts = cls.map { case (n, re) =>
-          s"len(regexp_extract_all(text, '$re')) AS h_$n" }.mkString(", ")
-        val scrub = cls.zip(repl).foldLeft("text") {
-          case (acc, ((_, re), ph)) =>
-            s"regexp_replace($acc, '$re', '$ph', 'g')" }
-        val hitSums = cls.map { case (n, _) =>
-          s"CAST(sum(h_$n) AS BIGINT) AS hits_$n" }.mkString(", ")
-        val anyHit = cls.map { case (n, _) => s"h_$n > 0" }.mkString(" OR ")
-        s"""WITH r AS (SELECT source, $counts, $scrub AS scrubbed
-                FROM documents)
-              SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
-                CAST(sum(CASE WHEN $anyHit THEN 1 ELSE 0 END) AS BIGINT)
-                  AS docs_affected,
-                $hitSums,
-                CAST(CAST(sum(${graft.operators.PortableHash.duckSql(
-                  "md5(scrubbed)")} % $m) AS DECIMAL(38,0)) % $m AS BIGINT)
-                  AS scrubbed_hash_sum
-              FROM r GROUP BY source ORDER BY grp"""
-      }),
+      Some(scrubReportSql("SELECT source, text FROM documents",
+        graft.operators.Scrub.PiiDefaults :+
+          graft.operators.Scrub.ScrubPattern(
+            "term", "\\bcustomer\\b", "<TERM>")))),
+
+    // the NON-ZERO scrub path, driver-oracled: PII is PLANTED onto the
+    // word-soup corpus by both engines from the same deterministic recipe
+    // (doc_id-keyed emails; separated vs bare card forms by parity;
+    // parenthesized vs dashed phone forms by mod 3; an SSN+IP tail on
+    // every 5th doc), so every class counts nonzero, the chained
+    // replacement is non-identity on every row, and the scrubbed-text
+    // portable hash fold certifies the two engines' redactions are
+    // BYTE-IDENTICAL — exactly the surface (alternation order, chained
+    // replaces, word boundaries around separators) where regex engines
+    // can diverge. q_pii_scrub keeps the zero-hit clean-certificate path;
+    // this entry is its hit-dense twin.
+    Q("q_pii_scrub_planted",
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(col("source"), concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"),
+          when(col("doc_id") % 2 === 0, lit(" card 4111-1111-1111-1111"))
+            .otherwise(lit(" card 4111111111111111")),
+          when(col("doc_id") % 3 === 0, lit(" call (212) 555-0187"))
+            .otherwise(lit(" call 212-555-0187")),
+          when(col("doc_id") % 5 === 0, lit(" ssn 987-65-4320 at 10.0.0.1"))
+            .otherwise(lit(""))).as("text"))
+        graft.operators.Scrub.scrubReport(planted, col("source"), col("text"))
+      },
+      Some(scrubReportSql(
+        """SELECT source,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com'
+               || CASE WHEN doc_id % 2 = 0 THEN ' card 4111-1111-1111-1111'
+                       ELSE ' card 4111111111111111' END
+               || CASE WHEN doc_id % 3 = 0 THEN ' call (212) 555-0187'
+                       ELSE ' call 212-555-0187' END
+               || CASE WHEN doc_id % 5 = 0 THEN ' ssn 987-65-4320 at 10.0.0.1'
+                       ELSE '' END AS text
+           FROM documents""",
+        graft.operators.Scrub.PiiDefaults))),
 
     Q("q_text_quality",
       (s, dir) => TextAnalysis.qualityMetrics(t(s, dir, "documents"))

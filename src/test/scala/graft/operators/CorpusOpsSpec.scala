@@ -253,4 +253,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(txt.contains("<EMAIL>") && txt.contains("<SSN>"))
     assert(!txt.contains("a.b@mail.example.org") && !txt.contains("123-45-6789"))
   }
+
+  test("cleanReport with scrub = Seq.empty skips stage 0 and reports zero") {
+    import spark.implicits._
+    val good = (("the be to of and that have with " * 8).trim + " tail").trim
+    val docs = Seq(
+      (1L, good.replace("tail", "mail a.b@mail.example.org now ok"), "s0"),
+      (2L, good + " two", "s0"))
+      .toDF("doc_id", "text", "source")
+    val rep = CorpusPipeline.cleanReport(docs, scrub = Seq.empty).collect()(0)
+    OperatorCaches.releaseAll()
+    assert(rep.getAs[Long]("n_input") === 2L)
+    // opt-out: nothing scrubbed, nothing counted — and no crash
+    assert(rep.getAs[Long]("n_pii_docs") === 0L)
+    assert(rep.getAs[Long]("n_quality") === 2L)
+  }
 }

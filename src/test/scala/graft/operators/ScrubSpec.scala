@@ -81,4 +81,50 @@ class ScrubSpec extends SparkSpec {
           Scrub.ScrubPattern("x", "b", "<B>")))
     }
   }
+
+  test("separator-grouped cards and parenthesized phones hit the defaults") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "pay with 4111-1111-1111-1111 thanks"),
+      (2L, "or spaced 5500 0000 0000 0004 form"),
+      (3L, "bare 4111111111111111 run still caught"),
+      (4L, "call (212) 555-0187 or (646)555-0199 today"),
+      (5L, "digits 12345678901234567 are 17 long: no class claims them"))
+      .toDF("doc_id", "text")
+    val got = Scrub.redact(df, col("text")).orderBy("doc_id").collect()
+    assert(got(0).getAs[Int]("hits_card") === 1)
+    assert(got(0).getAs[String]("scrubbed_text") === "pay with <CARD> thanks")
+    assert(got(1).getAs[Int]("hits_card") === 1)
+    assert(got(1).getAs[String]("scrubbed_text") === "or spaced <CARD> form")
+    assert(got(2).getAs[Int]("hits_card") === 1)
+    // both paren forms (with and without the space) are one phone class
+    assert(got(3).getAs[Int]("hits_phone") === 2)
+    assert(got(3).getAs[String]("scrubbed_text")
+      === "call <PHONE> or <PHONE> today")
+    // documented residue: 17+-digit runs match nothing
+    assert(Scrub.PiiDefaults.forall(p =>
+      got(4).getAs[Int](s"hits_${p.name}") === 0))
+  }
+
+  test("placeholders with Java replacement metacharacters are rejected") {
+    intercept[IllegalArgumentException] {
+      Scrub.redact(corpus, col("text"),
+        Seq(Scrub.ScrubPattern("x", "a+", "<$1>")))
+    }
+    intercept[IllegalArgumentException] {
+      Scrub.redact(corpus, col("text"),
+        Seq(Scrub.ScrubPattern("x", "a+", "\\REDACTED")))
+    }
+  }
+
+  test("input columns colliding with generated names are rejected") {
+    val withClash = corpus.withColumn("scrubbed_text", col("text"))
+    val e = intercept[IllegalArgumentException] {
+      Scrub.redact(withClash, col("text"))
+    }
+    assert(e.getMessage.contains("scrubbed_text"))
+    intercept[IllegalArgumentException] {
+      Scrub.redact(corpus.withColumn("hits_email", col("doc_id")), col("text"))
+    }
+  }
 }

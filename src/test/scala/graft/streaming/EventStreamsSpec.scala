@@ -274,4 +274,28 @@ class EventStreamsSpec extends SparkSpec {
     else
       assert(provider.endsWith("RocksDBStateStoreProvider"), provider)
   }
+
+  test("withStateStore scopes a per-query provider and restores the default") {
+    // the per-entry hint for read-heavy watermark-bounded join state
+    // (q_stream_stream_join): inside the block the conf carries the hint,
+    // after it the session default is back — unless an explicit
+    // SPARK_GRAFT_STATESTORE pin outranks the hint (no-op then)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.get(key)
+    val seen = graft.GraftSession.withStateStore(
+      spark, graft.GraftSession.HeapStateStore) { spark.conf.get(key) }
+    if (sys.env.contains("SPARK_GRAFT_STATESTORE"))
+      assert(seen === before) // explicit pin wins; hint is a no-op
+    else
+      assert(seen === graft.GraftSession.HeapStateStore)
+    assert(spark.conf.get(key) === before)
+    // restore also runs on a throwing body
+    intercept[RuntimeException] {
+      graft.GraftSession.withStateStore(
+        spark, graft.GraftSession.HeapStateStore) {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get(key) === before)
+  }
 }
