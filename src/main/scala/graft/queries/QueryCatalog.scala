@@ -2027,6 +2027,86 @@ object QueryCatalog {
                 AND p.user_id = c.user_id AND p.ts >= c.ts
                 AND p.ts <= c.ts + INTERVAL '30 minutes'""")),
 
+    // SEVENTH driver-gated streaming pattern: LEFT-OUTER stream-stream
+    // join — the one streaming-join semantics where output is driven by
+    // STATE EVICTION, not by data: an unmatched click null-emits only
+    // when the global watermark strictly passes its match horizon
+    // (l_ts + 30 min), proving no purchase can still arrive; clicks
+    // inside the final lateness horizon never null-emit. With an
+    // AvailableNow drain the final watermark is
+    // least(max click ts, max purchase ts) − 1 h (two watermarked
+    // operators; Spark's multipleWatermarkPolicy=min is the default),
+    // so the emitted set is exactly: all interval matches + the
+    // unmatched clicks whose horizon < that watermark — which is what
+    // the oracle computes. Timestamps are second-truncated BEFORE the
+    // watermark so the strict-inequality boundary (pinned by
+    // EventStreamsSpec at wm == horizon → no emit) is exercised on
+    // clean instants in both engines. Same per-query on-heap hint as
+    // the inner entry (read-heavy, watermark-bounded dual-sided state).
+    Q("q_stream_left_join",
+      (s, dir) => {
+        val ev = Tables.loadEventsStream(s, dir)
+          .withColumn("ts", date_trunc("second", col("ts")))
+        val joined = graft.streaming.EventStreams.streamStreamJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          withinMinutes = 30, joinType = "left_outer")
+        // FILE sink, not a memory sink: null-emits scale with |clicks|
+        // (~20M rows at ×1000), and a memory sink would materialize all
+        // of them on the driver — executors write the parquet sink and
+        // the read-back aggregation stays distributed (the
+        // q_stream_sessionize precedent)
+        val sink = s"/tmp/graft-ssleft-sink-${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(sink)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(sink), true)
+        fs.delete(new org.apache.hadoop.fs.Path(sink + "-ckpt"), true)
+        graft.GraftSession.withStateStore(s, graft.GraftSession.HeapStateStore) {
+          val q = joined.writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", sink + "-ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.read.parquet(sink).agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("r_id").isNull, 1L).otherwise(0L)).as("n_null_emits"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(pmod(col("l_id") * 31 + coalesce(col("r_id"), lit(0L)),
+            lit(1000000007L))).as("pair_hash_sum"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+                           date_trunc('second', ts) AS sec FROM events),
+              c AS (SELECT event_id, user_id, sec FROM e
+                    WHERE event_type = 'click'),
+              p AS (SELECT event_id, user_id, sec FROM e
+                    WHERE event_type = 'purchase'),
+              wm AS (SELECT least((SELECT max(sec) FROM c),
+                                  (SELECT max(sec) FROM p))
+                            - INTERVAL '1 hour' AS w),
+              matched AS (
+                SELECT c.event_id AS l_id, p.event_id AS r_id, c.user_id
+                FROM c JOIN p ON p.user_id = c.user_id
+                  AND p.sec >= c.sec
+                  AND p.sec <= c.sec + INTERVAL '30 minutes'),
+              nulls AS (
+                SELECT c.event_id AS l_id, CAST(NULL AS BIGINT) AS r_id,
+                       c.user_id
+                FROM c, wm
+                WHERE c.sec + INTERVAL '30 minutes' < wm.w
+                  AND NOT EXISTS (SELECT 1 FROM p
+                    WHERE p.user_id = c.user_id AND p.sec >= c.sec
+                      AND p.sec <= c.sec + INTERVAL '30 minutes')),
+              allr AS (SELECT * FROM matched UNION ALL SELECT * FROM nulls)
+              SELECT count(*) AS n_rows,
+                CAST(sum(CASE WHEN r_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_null_emits,
+                count(DISTINCT user_id) AS n_users,
+                CAST(sum((l_id * 31 + coalesce(r_id, 0)) % 1000000007)
+                  AS BIGINT) AS pair_hash_sum
+              FROM allr""")),
+
     // third driver-gated streaming pattern: exactly-once-style dedup.
     // The stream is the events source UNIONED WITH ITSELF (two
     // independent file-source reads — a replayed-ingest simulation with

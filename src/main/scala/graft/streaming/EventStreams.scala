@@ -56,20 +56,32 @@ object EventStreams {
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
-  /** Stream-stream inner join with an event-time range: pair each left
-    * event with right events of the same user arriving within
-    * `withinMinutes` AFTER it (e.g. click → purchase attribution).
+  /** Stream-stream join with an event-time range: pair each left event
+    * with right events of the same user arriving within `withinMinutes`
+    * AFTER it (e.g. click → purchase attribution).
     *
     * Both sides are watermarked and the join condition bounds event time on
     * both sides — that pair of constraints is what lets Spark EVICT
     * buffered rows from the join state store once the watermark passes the
     * interval; an unbounded condition would buffer both streams forever.
+    *
+    * `joinType` supports "inner" (emit on match) and "left_outer": a left
+    * row that finds no match is emitted WITH NULL RIGHT COLUMNS, but only
+    * when the watermark proves no match can still arrive — i.e. when its
+    * state is evicted at wm > l_ts + withinMinutes. Rows inside the final
+    * lateness horizon therefore never null-emit (they might yet match);
+    * that conditional emission, driven by state eviction rather than by
+    * data, is the semantics EventStreamsSpec pins at the exact boundary
+    * (wm == l_ts + interval does NOT emit — eviction is strictly-greater).
     */
   def streamStreamJoin(
       left: DataFrame,
       right: DataFrame,
       withinMinutes: Int = 30,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"streamStreamJoin: unsupported joinType $joinType")
     val l = left.withWatermark("ts", watermark)
       .select(col("event_id").as("l_id"), col("user_id"),
         col("ts").as("l_ts"), col("event_type").as("l_type"))
@@ -79,7 +91,8 @@ object EventStreams {
     l.join(r,
         col("user_id") === col("r_user") &&
           col("r_ts") >= col("l_ts") &&
-          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
+        joinType)
       .select(col("l_id"), col("r_id"), col("user_id"),
         col("l_ts"), col("r_ts"), col("l_type"), col("r_type"))
   }

@@ -78,6 +78,52 @@ class EventStreamsSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 100L)))
   }
 
+  test("left-outer stream-stream join null-emits only on state eviction") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = streamStreamJoin(clicks.toDF(), buys.toDF(), withinMinutes = 30,
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("ssj_left")
+      .outputMode("append").start()
+    clicks.addData(
+      ev(1, "2024-01-01 10:00:00", user = 1L),
+      ev(2, "2024-01-01 10:00:00", user = 2L),
+      ev(3, "2024-01-01 10:30:00", user = 3L))
+    buys.addData(ev(100, "2024-01-01 10:10:00", user = 1L, typ = "buy"))
+    q.processAllAvailable()
+    def rows() = spark.table("ssj_left").collect()
+      .map(r => (r.getAs[Long]("l_id"),
+        Option(r.getAs[java.lang.Long]("r_id")).map(_.toLong))).toSet
+    // only the match emits so far: the unmatched clicks might still match
+    assert(rows() === Set((1L, Some(100L))))
+    // advance the GLOBAL watermark to exactly 11:00 — BOTH sides must
+    // move (multipleWatermarkPolicy = min over the two watermark
+    // operators), so feed a matching 12:00 pair on user 9. Click 2's
+    // match horizon (10:30) is strictly passed → null-emit on eviction;
+    // click 3's horizon is 11:00 == wm exactly → NOT emitted (eviction
+    // needs wm strictly past the horizon) — this is the boundary the
+    // q_stream_left_join oracle encodes
+    clicks.addData(ev(4, "2024-01-01 12:00:00", user = 9L))
+    buys.addData(ev(101, "2024-01-01 12:00:00", user = 9L, typ = "buy"))
+    q.processAllAvailable()
+    assert(rows() === Set((1L, Some(100L)), (4L, Some(101L)), (2L, None)))
+    // push the watermark past the boundary: click 3 evicts and null-emits
+    clicks.addData(ev(5, "2024-01-01 13:00:00", user = 9L))
+    buys.addData(ev(102, "2024-01-01 13:00:00", user = 9L, typ = "buy"))
+    q.processAllAvailable()
+    val fin = rows()
+    val n = spark.table("ssj_left").count()
+    q.stop()
+    assert(fin === Set((1L, Some(100L)), (4L, Some(101L)), (5L, Some(102L)),
+      (2L, None), (3L, None)))
+    // unmatched RIGHT rows never emit in a LEFT join; matched clicks
+    // never ALSO null-emit on eviction — exactly 5 rows
+    assert(n === 5L)
+  }
+
   test("streaming dedup drops repeated event_ids") {
     val spark0 = spark
     import spark0.implicits._
