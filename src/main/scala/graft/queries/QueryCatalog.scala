@@ -2107,6 +2107,89 @@ object QueryCatalog {
                   AS BIGINT) AS pair_hash_sum
               FROM allr""")),
 
+    // EIGHTH driver-gated streaming pattern: keyed upsert (streaming
+    // SCD1) — foreachBatch folds each batch's per-user winner (max of
+    // struct(ts, event_id): lexicographic, ASSOCIATIVE, so the final
+    // state table is independent of micro-batch splits and arrival
+    // order) into a bucket-partitioned parquet state table, rewriting
+    // only the buckets the batch touches via dynamic partition
+    // overwrite — the Delta-less streaming MERGE whose per-batch I/O is
+    // proportional to touched buckets, not to the table. The oracle
+    // replays last-row-per-user with a (ts DESC, event_id DESC) window
+    // and aggregates the same winner set.
+    Q("q_stream_upsert",
+      (s, dir) => {
+        val sink = s"/tmp/graft-upsert-${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(sink)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(sink), true)
+        fs.delete(new org.apache.hadoop.fs.Path(sink + "-ckpt"), true)
+        val q = graft.streaming.EventStreams.upsertLatest(
+          Tables.loadEventsStream(s, dir), sink, sink + "-ckpt",
+          nBuckets = 16, availableNow = true)
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"),
+            sum(pmod(col("user_id") * 31 + col("event_id"),
+              lit(1000000007L))).as("winner_hash_sum"),
+            round(sum("value"), 2).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH w AS (SELECT user_id, event_id, event_type, value,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+              SELECT event_type, count(*) AS n_users,
+                CAST(sum((user_id * 31 + event_id) % 1000000007) AS BIGINT)
+                  AS winner_hash_sum,
+                round(sum(value), 2) AS sum_value
+              FROM w WHERE rn = 1
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // NINTH driver-gated streaming pattern: windowed approx-distinct
+    // users via HLL++ — O(sketch) state per (window, type) group where
+    // dedup-then-count state grows one entry per distinct id. The raw
+    // estimate is engine-specific (never hash-compared); the entry is
+    // the q_approx_distinct AUDIT shape — the streamed sketch joins the
+    // batch-exact count per window and the 3·rsd (15%) band must hold,
+    // so a Spark-side sketch regression breaks the boolean while DuckDB
+    // independently replays the exact side. Complete-mode memory sink is
+    // bounded: one row per (window, event_type).
+    Q("q_stream_approx_distinct",
+      (s, dir) => {
+        val agg = graft.streaming.EventStreams.windowedApproxDistinct(
+          Tables.loadEventsStream(s, dir),
+          window = "1 hour", watermark = "2 hours", rsd = 0.05)
+        val qname = "graft_stream_hll_" + math.abs(dir.hashCode).toString
+        val query = agg.writeStream.format("memory").queryName(qname)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val sk = s.table(qname)
+        val exact = t(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(countDistinct("user_id").as("exact_users"))
+          .select(col("window.start").as("window_start"),
+            col("event_type"), col("exact_users"))
+        sk.join(exact, Seq("window_start", "event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_windows"),
+            sum("exact_users").as("sum_exact_users"),
+            (sum(when(abs(col("approx_users") - col("exact_users")) <=
+                greatest(lit(5.0), col("exact_users") * lit(0.15)), 1L)
+              .otherwise(0L)) === count(lit(1))).as("hll_within_tol"))
+          .orderBy("event_type")
+      },
+      Some("""WITH w AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+                event_type, count(DISTINCT user_id) AS exact_users
+              FROM events GROUP BY 1, 2)
+              SELECT event_type, count(*) AS n_windows,
+                CAST(sum(exact_users) AS BIGINT) AS sum_exact_users,
+                TRUE AS hll_within_tol
+              FROM w GROUP BY event_type ORDER BY event_type""")),
+
     // third driver-gated streaming pattern: exactly-once-style dedup.
     // The stream is the events source UNIONED WITH ITSELF (two
     // independent file-source reads — a replayed-ingest simulation with

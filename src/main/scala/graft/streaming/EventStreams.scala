@@ -97,6 +97,96 @@ object EventStreams {
         col("l_ts"), col("r_ts"), col("l_type"), col("r_type"))
   }
 
+  /** Windowed approximate-distinct users per event_type — the O(sketch)
+    * streaming-cardinality pattern. The state per (window, type) group is
+    * ONE fixed-size HLL++ buffer (partial sketches merge map-side and in
+    * the state store), so distinct-user tracking over an unbounded key
+    * domain costs KBs per window where `dropDuplicates`-then-count state
+    * grows one entry per distinct id — the thing that OOMs at corpus
+    * scale. The estimate is engine-specific, so catalog entries audit it
+    * against the exact count with the q_approx_distinct 3·rsd band rather
+    * than hash-matching the raw value.
+    */
+  def windowedApproxDistinct(
+      events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "2 hours",
+      rsd: Double = 0.05): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("approx_users"))
+
+  /** Streaming keyed upsert (streaming SCD1 / materialized "latest state
+    * per key" view) — the Delta-less MERGE sink: each micro-batch folds
+    * its per-user winners into a parquet state table partitioned by a
+    * key bucket, rewriting ONLY the buckets the batch touches (dynamic
+    * partition overwrite via [[graft.sources.Tables.upsertPartitions]]).
+    * At 100 TB the per-batch I/O is proportional to touched buckets, not
+    * to the table: the read side partition-prunes to the same buckets
+    * the write replaces.
+    *
+    * The winner per user is the max of struct(ts, event_id, ...) —
+    * lexicographic, event_id breaking ts ties — which is ASSOCIATIVE, so
+    * the final table is independent of micro-batch splits and of
+    * arrival order (an out-of-order batch carrying an older event never
+    * regresses a key). The touched-bucket list is a bounded collect
+    * (≤ nBuckets values).
+    *
+    * The merged frame is localCheckpoint'ed before the write: it READS
+    * the same path the dynamic overwrite replaces, so the lineage must
+    * be cut (materialized) before the first target file is deleted.
+    */
+  def upsertLatest(
+      events: DataFrame,
+      statePath: String,
+      checkpointPath: String,
+      nBuckets: Int = 16,
+      availableNow: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(nBuckets >= 1, "upsertLatest: nBuckets must be >= 1")
+
+    def winners(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("w"))
+        .select(col("user_id"), col("w.ts").as("ts"),
+          col("w.event_id").as("event_id"),
+          col("w.event_type").as("event_type"), col("w.value").as("value"))
+        .withColumn("bucket", pmod(col("user_id"), lit(nBuckets.toLong)))
+
+    val writer = events.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val batchW = winners(batch)
+        val p = new org.apache.hadoop.fs.Path(statePath)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val merged =
+          if (!fs.exists(p)) batchW
+          else {
+            // bounded collect: at most nBuckets bucket ids
+            val touched = batchW.select("bucket").distinct()
+              .collect().map(_.getLong(0))
+            val existing = s.read.parquet(statePath)
+              .filter(col("bucket").isin(touched: _*))
+            winners(existing.drop("bucket")
+              .unionByName(batchW.drop("bucket")))
+          }
+        graft.sources.Tables.upsertPartitions(
+          merged.localCheckpoint(true), statePath, Seq("bucket"))
+        ()
+      }
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
+
   final case class Event(
       event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -310,6 +310,75 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows.sorted.toSeq === Seq((1L, 3L), (2L, 3L)))
   }
 
+  test("upsertLatest keeps the per-user winner across out-of-order micro-batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val in = MemoryStream[Event]
+    val q = upsertLatest(in.toDF(), s"$dir/state", s"$dir/ckpt", nBuckets = 4)
+    // batch 1: first sighting of users 1 and 2
+    in.addData(
+      ev(1, "2024-01-01 10:00:00", user = 1L, v = 1.0),
+      ev(2, "2024-01-01 10:00:00", user = 2L, typ = "view", v = 2.0))
+    q.processAllAvailable()
+    // batch 2: an OLDER event for user 1 (must NOT regress the key) and a
+    // newer one for user 2 (must replace)
+    in.addData(
+      ev(3, "2024-01-01 09:00:00", user = 1L, typ = "stale", v = 9.0),
+      ev(4, "2024-01-01 11:00:00", user = 2L, typ = "buy", v = 5.0))
+    q.processAllAvailable()
+    // batch 3: a new user, plus a ts TIE for user 1 — higher event_id wins
+    in.addData(
+      ev(5, "2024-01-01 10:00:00", user = 3L, typ = "view", v = 4.0),
+      ev(6, "2024-01-01 10:00:00", user = 1L, typ = "tie", v = 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val state = spark.read.parquet(s"$dir/state").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+          r.getAs[Double]("value")))).toMap
+    assert(state === Map(
+      1L -> ((6L, "tie", 7.0)),     // ts tie broken by event_id: 6 > 1
+      2L -> ((4L, "buy", 5.0)),     // newer ts replaced the view
+      3L -> ((5L, "view", 4.0))))
+    // the state table is laid out by key bucket (hive partition dirs) so
+    // the per-batch dynamic overwrite rewrites touched buckets only
+    val buckets = new java.io.File(s"$dir/state").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(buckets.forall(_.startsWith("bucket=")))
+    assert(buckets === Set("bucket=1", "bucket=2", "bucket=3"))
+  }
+
+  test("windowedApproxDistinct sketches per-window distinct users within the rsd band") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = windowedApproxDistinct(in.toDF(), window = "1 hour",
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("hll_win")
+      .outputMode("complete").start()
+    // window [10:00, 11:00): users 1,2,3 (user 1 twice — distinct is 3);
+    // window [12:00, 13:00): user 7 only
+    in.addData(
+      ev(1, "2024-01-01 10:05:00", user = 1L),
+      ev(2, "2024-01-01 10:10:00", user = 2L),
+      ev(3, "2024-01-01 10:20:00", user = 3L),
+      ev(4, "2024-01-01 10:40:00", user = 1L),
+      ev(5, "2024-01-01 12:30:00", user = 7L))
+    q.processAllAvailable()
+    val rows = spark.table("hll_win").collect()
+      .map(r => r.getAs[Timestamp]("window_start").toString ->
+        r.getAs[Long]("approx_users")).toMap
+    q.stop()
+    assert(rows.keySet === Set("2024-01-01 10:00:00.0", "2024-01-01 12:00:00.0"))
+    // HLL++ is an estimate; at these cardinalities the sparse
+    // representation is effectively exact, but assert only the audit band
+    assert(math.abs(rows("2024-01-01 10:00:00.0") - 3L) <= 1L)
+    assert(math.abs(rows("2024-01-01 12:00:00.0") - 1L) <= 1L)
+  }
+
   test("session default: RocksDB state store provider (heap escape hatch via env)") {
     // the on-heap provider is a measured OOM cliff for native session
     // windows at corpus scale (BENCH_SF10 round-12 addendum 4); pin the
