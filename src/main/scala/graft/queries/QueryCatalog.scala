@@ -2116,7 +2116,11 @@ object QueryCatalog {
     // overwrite — the Delta-less streaming MERGE whose per-batch I/O is
     // proportional to touched buckets, not to the table. The oracle
     // replays last-row-per-user with a (ts DESC, event_id DESC) window
-    // and aggregates the same winner set.
+    // and aggregates the same winner set. SPARK_GRAFT_UPSERT_BATCH_FILES
+    // caps files per micro-batch (maxFilesPerTrigger) to force a
+    // MULTI-batch AvailableNow drain: the winner fold is associative, so
+    // the oracle stays green under ANY batch split — the determinism
+    // contract proven end-to-end, not just in the spec.
     Q("q_stream_upsert",
       (s, dir) => {
         val sink = s"/tmp/graft-upsert-${math.abs(dir.hashCode)}"
@@ -2124,8 +2128,10 @@ object QueryCatalog {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(sink), true)
         fs.delete(new org.apache.hadoop.fs.Path(sink + "-ckpt"), true)
+        val srcOpts = sys.env.get("SPARK_GRAFT_UPSERT_BATCH_FILES")
+          .map(n => Map("maxFilesPerTrigger" -> n)).getOrElse(Map.empty)
         val q = graft.streaming.EventStreams.upsertLatest(
-          Tables.loadEventsStream(s, dir), sink, sink + "-ckpt",
+          Tables.loadEventsStream(s, dir, srcOpts), sink, sink + "-ckpt",
           nBuckets = 16, availableNow = true)
         q.awaitTermination()
         s.read.parquet(sink)
