@@ -348,6 +348,18 @@ class EventStreamsSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).toSet
     assert(buckets.forall(_.startsWith("bucket=")))
     assert(buckets === Set("bucket=1", "bucket=2", "bucket=3"))
+    // the per-batch merge's read side must PARTITION-PRUNE to the touched
+    // buckets — that is the "per-batch I/O ∝ touched keys" claim: the
+    // bucket filter lands in PartitionFilters (directory pruning before
+    // any row is read), not in the post-scan Filter
+    import org.apache.spark.sql.functions.col
+    val pruned = spark.read.parquet(s"$dir/state")
+      .filter(col("bucket").isin(1L))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("bucket"), scan)
+    assert(pruned.count() === 1L) // only user 1 lives in bucket 1
   }
 
   test("windowedApproxDistinct sketches per-window distinct users within the rsd band") {
