@@ -342,11 +342,43 @@ object GraphRank {
         .join(rk.withColumnRenamed("n", "b").withColumnRenamed("rk", "rb"), Seq("b"))
         .select(least(col("ra"), col("rb")).as("lo"),
           greatest(col("ra"), col("rb")).as("hi")))
-    val tri = er.as("e1")
-      .join(er.as("e2"), col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
-      .join(er.as("e3"),
-        col("e3.lo") === col("e1.hi") && col("e3.hi") === col("e2.hi"))
-      .count()
+    // Close wedges by ADJACENCY INTERSECTION, not by a second join: a
+    // triangle lo<mid<hi is one element of fwd(lo) ∩ fwd(mid) per edge
+    // (lo, mid), so per-edge size(array_intersect(fwd(lo), fwd(hi)))
+    // sums to the exact count. The Σ fwd² wedge volume is never
+    // materialized or shuffled as rows — it becomes per-row hash-set
+    // probes inside codegen. Shuffle cost is the adjacency build (|E|)
+    // plus fwd(lo) replicated onto lo's forward edges — Σ fwd² ints,
+    // the orientation-BOUNDED quantity (fwd ≤ ~√(2|E|) after
+    // rank-by-degree), vs Σ fwd² ROWS through the wedge-join twin's
+    // closing exchange (same-session A/B at sf0.1: 1.9× faster
+    // isolated, 6.1 s vs 11.7 s; BENCH_SF10 round-13 addendum 9).
+    // Two scale guards, both load-bearing at ×100 (119.6M-edge graph,
+    // 7.5B wedges — the naive shape filled 50 GB of spill disk and
+    // died): (1) fwd(lo) is trimmed to elements > hi BEFORE the
+    // exchange by hi — fwd(hi) ⊂ (hi, ∞) so the intersection is
+    // unchanged, and on a rank-uniform edge the trim drops half the
+    // payload; (2) both adjacency joins are SHUFFLE_HASH — adj is the
+    // small side (Σ fwd = |E| ints total), and hash join streams the
+    // fat rows instead of handing them to a sort-merge sorter whose
+    // sorted spill copy doubles peak disk.
+    val adj = er.groupBy(col("lo"))
+      .agg(sort_array(collect_list(col("hi"))).as("nbrs"))
+    val perEdge = er
+      .join(adj.hint("shuffle_hash")
+          .withColumnRenamed("lo", "u1").withColumnRenamed("nbrs", "n1"),
+        col("lo") === col("u1"))
+      .select(col("hi"),
+        filter(col("n1"), x => x > col("hi")).as("n1"))
+      // rank-highest nodes have no forward neighbors → no adj row: left
+      // join + empty-array default, not a dropped edge
+      .join(adj.hint("shuffle_hash")
+          .withColumnRenamed("lo", "u2").withColumnRenamed("nbrs", "n2"),
+        col("hi") === col("u2"), "left")
+      .select(size(array_intersect(col("n1"),
+        coalesce(col("n2"), array().cast("array<int>")))).as("c"))
+    val triRow = perEdge.agg(sum(col("c").cast("long"))).head()
+    val tri = if (triRow.isNullAt(0)) 0L else triRow.getLong(0)
     val nN = deg.count()
     val nE = und.count()
     val spark = und.sparkSession
