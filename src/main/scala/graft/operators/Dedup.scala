@@ -998,7 +998,7 @@ object Dedup {
     // labels lineage is truncated per round (see [[truncated]]): round k's
     // plan would otherwise embed rounds 0..k-1 and Catalyst re-analysis
     // would dominate — see connectedComponentsStar for the measurement
-    var labels = truncated(edges.select(col("src").as("id"))
+    var labels = Lineage.cutLazy(edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
       .withColumn("component", col("id")))
     // coalesce: sum over an EMPTY label set is null (no edges at all, e.g.
@@ -1016,7 +1016,11 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min("component").as("nbr_min"))
-      val next = truncated(labels.join(viaNbr, Seq("id"), "left")
+      // LAZY cut: the labelSum convergence aggregate right below is the
+      // materializing action, so the round's join+min compute, the
+      // checkpoint block write, and the sum scan share one job instead of
+      // two (guide §1.2; same blocks, same truncated plan)
+      val next = Lineage.cutLazy(labels.join(viaNbr, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component")))
@@ -1073,7 +1077,8 @@ object Dedup {
     val nodes = pairs0.select(col("src").as("id"))
       .union(pairs0.select(col("dst").as("id")))
       .distinct()
-    var edges = truncated(canon(pairs0))
+    // lazy cut — fingerprint(edges) below is the materializing action
+    var edges = Lineage.cutLazy(canon(pairs0))
 
     def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
@@ -1105,7 +1110,10 @@ object Dedup {
       // link u and every smaller neighbor to m
       val adj2 = ls.select(col("hi").as("u"), col("lo").as("v")) // v < u by canon
       val mins2 = adj2.groupBy("u").agg(min("v").as("m"))
-      val ss = truncated(canon(
+      // LAZY cut: the fingerprint aggregate right below materializes the
+      // round — compute, checkpoint write, and fingerprint scan in one job
+      // instead of two (guide §1.2)
+      val ss = Lineage.cutLazy(canon(
         adj2.join(mins2, Seq("u"))
           .select(col("v").as("src"), col("m").as("dst"))
           .union(mins2.select(col("u").as("src"), col("m").as("dst"))))

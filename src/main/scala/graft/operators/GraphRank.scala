@@ -232,10 +232,11 @@ object GraphRank {
     */
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 20): DataFrame = {
     require(k >= 1 && maxIter >= 1, "need k >= 1 and maxIter >= 1")
-    def cut(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
-    var cur = cut(
+    // lineage cuts are LAZY (Lineage.cutLazy): every cut here is followed
+    // by a count() that drives the loop, so the convergence count and the
+    // checkpoint materialization share one job instead of two per round
+    // (guide §1.2/§2.4 — fewer scheduled passes, same blocks, same plans)
+    var cur = Lineage.cutLazy(
       edges.select(least(col("src").cast("long"), col("dst").cast("long")).as("a"),
           greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
         .filter(col("a") =!= col("b")).distinct())
@@ -247,7 +248,7 @@ object GraphRank {
         .unionAll(cur.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
-      val next = cut(
+      val next = Lineage.cutLazy(
         cur.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
           .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
           .select("a", "b"))
@@ -375,8 +376,13 @@ object GraphRank {
       .join(adj.hint("shuffle_hash")
           .withColumnRenamed("lo", "u2").withColumnRenamed("nbrs", "n2"),
         col("hi") === col("u2"), "left")
-      .select(size(array_intersect(col("n1"),
-        coalesce(col("n2"), array().cast("array<int>")))).as("c"))
+      // fused sorted two-pointer count instead of size(array_intersect):
+      // both adjacency arrays are sorted (sort_array build; the > hi trim
+      // preserves order), so the distinct-intersection size needs no
+      // per-row hash set and no materialized intersection array — guide
+      // §1.2 per-task work (A/B in OPTIMIZATION_r13.md)
+      .select(org.apache.spark.sql.graftnative.SortedIntersectCount(col("n1"),
+        coalesce(col("n2"), array().cast("array<int>"))).as("c"))
     val triRow = perEdge.agg(sum(col("c").cast("long"))).head()
     val tri = if (triRow.isNullAt(0)) 0L else triRow.getLong(0)
     val nN = deg.count()
@@ -570,23 +576,31 @@ object GraphRank {
   def multiSourceBfs(
       edges: DataFrame, sources: DataFrame, maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1, "need maxHops >= 1")
-    def cut(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
     val e = OperatorCaches.persistTracked(
       edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")).distinct()
         .repartition(col("src")))
-    var state = cut(sources.select(col("node").cast("long").as("node"))
-      .distinct().withColumn("dist", lit(0)))
+    // Per-hop frontiers keep the EAGER cut (each frontier is referenced
+    // three times — next hop's expansion join, every later hop's anti-join
+    // probe, the final union — so its blocks must exist before concurrent
+    // consumer stages race to compute them). The running `state`, however,
+    // needs NO cut of its own: it is a union of already-cut leaves, so its
+    // plan grows linearly in hops (4) and each anti-join re-reads
+    // materialized frontier blocks, never recomputes — the old cut(state)
+    // paid a full materialized copy of the visited set per hop for nothing
+    // (guide §1.2: remove redundant passes). Measured at sf0.1: 37 → 33
+    // jobs; wall time inside the same-session noise band.
+    var state = Lineage.cut(
+      sources.select(col("node").cast("long").as("node"))
+        .distinct().withColumn("dist", lit(0)))
     var frontier = state.select("node")
     for (h <- 1 to maxHops) {
       val next = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node")).distinct()
         .join(state, Seq("node"), "left_anti")
         .withColumn("dist", lit(h))
-      val f = cut(next)
-      state = cut(state.unionByName(f))
+      val f = Lineage.cut(next)
+      state = state.unionByName(f)
       frontier = f.select("node")
     }
     state
@@ -705,10 +719,20 @@ object GraphRank {
       "Lower maxRounds/maxSteps (diameter-bounded graphs converge far " +
         "under the budget) or reduce the edge list first")
     estimatedEdges.filter(_ => maxEdgeScanRows < Double.MaxValue).foreach(gate)
-    def cut(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
-    var remaining = cut(
+    // Lineage cuts are LAZY wherever the loop's own convergence count (or
+    // the next step's count) is the first action — the count and the
+    // checkpoint materialization then share one job instead of two per
+    // step (guide §1.2; measured at sf0.1: 170 → 139 jobs with the
+    // one-shuffle trim below; wall time unchanged within the ±15% same-
+    // session noise band — the win is scheduled passes, which is what
+    // compounds on a cluster where each job pays scheduler latency).
+    // `assigned` is the one state with NO per-step action (it is only read
+    // at the very end): its union-of-cut-leaves plan grows linearly in
+    // peel events and each leg is already materialized, so it needs no cut
+    // of its own — the old cut(assigned) paid a full copy of the
+    // assignment table per peel event.
+    import Lineage.{cut, cutLazy}
+    var remaining = cutLazy(
       edges.select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst"))
         .filter(col("src") =!= col("dst")).distinct())
@@ -716,7 +740,7 @@ object GraphRank {
       gate(remaining.count())
     // self-loop-only nodes are singleton SCCs of themselves; the generic
     // union below folds them in via the trivial (node, node) seed
-    val allNodes = cut(
+    val allNodes = cutLazy(
       edges.select(col("src").cast("long").as("node"))
         .unionAll(edges.select(col("dst").cast("long").as("node")))
         .distinct())
@@ -726,21 +750,29 @@ object GraphRank {
     var round = 0
     var nUnassigned = unassigned.count()
     while (nUnassigned > 0 && round < maxRounds) {
-      // -- 1. trim trivial SCCs to fixpoint
+      // -- 1. trim trivial SCCs to fixpoint. A node survives iff it has
+      // BOTH an in- and an out-edge in the remaining graph: one flag-union
+      // + grouped-max aggregate — ONE exchange — instead of the old
+      // distinct(dst) + distinct(src) + semi-join (three exchanges per
+      // step) for the same node set (guide §2.4: remove shuffles outright).
       var trimmed = true
       var step = 0
       while (trimmed && step < maxSteps) {
-        val inDeg = remaining.select(col("dst").as("node")).distinct()
-        val outDeg = remaining.select(col("src").as("node")).distinct()
-        val both = inDeg.join(outDeg, Seq("node"), "left_semi")
-        val trivia = cut(unassigned.join(both, Seq("node"), "left_anti"))
+        val both = remaining.select(col("src").as("node"), lit(1).as("o"),
+            lit(0).as("i"))
+          .unionAll(remaining.select(col("dst").as("node"), lit(0).as("o"),
+            lit(1).as("i")))
+          .groupBy("node").agg(max("o").as("o"), max("i").as("i"))
+          .filter(col("o") === 1 && col("i") === 1)
+          .select("node")
+        val trivia = cutLazy(unassigned.join(both, Seq("node"), "left_anti"))
         val nTrivia = trivia.count()
         trimmed = nTrivia > 0
         if (trimmed) {
-          assigned = cut(assigned.unionAll(
-            trivia.select(col("node"), col("node").as("scc"))))
-          unassigned = cut(unassigned.join(trivia, Seq("node"), "left_anti"))
-          remaining = cut(remaining
+          assigned = assigned.unionAll(
+            trivia.select(col("node"), col("node").as("scc")))
+          unassigned = cutLazy(unassigned.join(trivia, Seq("node"), "left_anti"))
+          remaining = cutLazy(remaining
             .join(trivia.select(col("node").as("src")), Seq("src"), "left_anti")
             .join(trivia.select(col("node").as("dst")), Seq("dst"), "left_anti")
             .select("src", "dst"))
@@ -763,10 +795,13 @@ object GraphRank {
             .join(frontier.select(col("node").as("src"), col("lbl").as("slbl")),
               Seq("src"))
             .groupBy(col("dst").as("node")).agg(min("slbl").as("plbl"))
-          val dec = cut(prop.join(f, Seq("node"))
+          val dec = cutLazy(prop.join(f, Seq("node"))
             .filter(col("plbl") < col("lbl"))
             .select(col("node"), col("plbl").as("lbl")))
           nFrontier = dec.count()
+          // f stays an EAGER cut: it is referenced twice in the next step
+          // (the dec join and its own update) and three times after
+          // convergence (colorEdges twice + the root seed)
           if (nFrontier > 0)
             f = cut(f.join(dec.select(col("node"), col("lbl").as("nl")),
                 Seq("node"), "left")
@@ -779,12 +814,12 @@ object GraphRank {
         // -- 3. backward membership: pre-restrict the edges to same-color
         // pairs ONCE (each step is then one semi-join + one anti-join),
         // seed with the roots, grow by the newly-marked delta only.
-        val colorEdges = cut(remaining
+        val colorEdges = cutLazy(remaining
           .join(f.select(col("node").as("src"), col("lbl").as("sl")), Seq("src"))
           .join(f.select(col("node").as("dst"), col("lbl").as("dl")), Seq("dst"))
           .filter(col("sl") === col("dl"))
           .select("src", "dst"))
-        var mark = cut(f.filter(col("lbl") === col("node")).select("node"))
+        var mark = cutLazy(f.filter(col("lbl") === col("node")).select("node"))
         var nMark = mark.count()
         var delta = mark
         var nDelta = nMark
@@ -793,10 +828,13 @@ object GraphRank {
           val viaEdge = colorEdges
             .join(delta.select(col("node").as("dst")), Seq("dst"), "left_semi")
             .select(col("src").as("node")).distinct()
-          delta = cut(viaEdge.join(mark, Seq("node"), "left_anti"))
+          delta = cutLazy(viaEdge.join(mark, Seq("node"), "left_anti"))
           nDelta = delta.count()
+          // mark is a union of already-materialized cut leaves (the root
+          // seed + every counted delta): no cut of its own needed — the
+          // old cut(mark) re-copied the whole marked set every step
           if (nDelta > 0) {
-            mark = cut(mark.unionAll(delta))
+            mark = mark.unionAll(delta)
             nMark += nDelta
           }
           step += 1
@@ -804,11 +842,11 @@ object GraphRank {
         require(nDelta == 0,
           s"SCC membership did not reach a fixpoint in $maxSteps steps")
         // -- 4. assign and peel
-        val found = cut(f.join(mark, Seq("node"), "left_semi")
+        val found = cutLazy(f.join(mark, Seq("node"), "left_semi")
           .select(col("node"), col("lbl").as("scc")))
-        assigned = cut(assigned.unionAll(found))
-        unassigned = cut(unassigned.join(found, Seq("node"), "left_anti"))
-        remaining = cut(remaining
+        assigned = assigned.unionAll(found)
+        unassigned = cutLazy(unassigned.join(found, Seq("node"), "left_anti"))
+        remaining = cutLazy(remaining
           .join(found.select(col("node").as("src")), Seq("src"), "left_anti")
           .join(found.select(col("node").as("dst")), Seq("dst"), "left_anti")
           .select("src", "dst"))
@@ -877,31 +915,33 @@ object GraphRank {
     // sf0.01 before any data moves (measured this session). The cut
     // replaces each state's plan with a flat scanned-RDD leaf; per-round
     // plan size is then constant.
-    def cut(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
     // L2-normalize a raw (node, x) score table on the shared grid. The
     // norm is COLLECTED as one driver double (bounded, the centroid-
     // collect precedent) rather than stitched in as a scalar subquery —
     // a subquery would reference the previous state's plan a second time
     // per half-step (2^12 plan blowup); with the literal each round
     // references its predecessor once.
-    // The CUT lands on the RAW table (one job: join + groupBy straight
-    // into checkpoint blocks); the norm agg then scans |state| flat rows
-    // (cheap) and the normalize itself stays a lazy projection over the
-    // checkpointed leaf — still constant plan growth, one less
-    // materialization per half-step than checkpointing the normalized
-    // state (measured 9.6 -> 8.1 s isolated at sf0.1; per-half-step cost
-    // now matches pageRank's per-round cost, the floor for this shape).
+    // The CUT lands on the RAW table and is LAZY (Lineage.cutLazy): the
+    // norm agg immediately after is the materializing action, so the
+    // join+groupBy compute, the checkpoint block write, and the norm scan
+    // share ONE job per half-step instead of two (materialize, then agg —
+    // guide §1.2: remove passes). The normalize itself stays a lazy
+    // projection over the checkpointed leaf — still constant plan growth.
+    // (History: r12 moved the cut from the normalized state to the raw
+    // table, 9.6 → 8.1 s isolated at sf0.1; this round folds the cut into
+    // the norm job — 71 → 58 jobs, wall time unchanged within the same-
+    // session noise band at sf0.1; one fewer scheduled pass per half-step
+    // is the cluster-shape win.)
     def l2(raw0: DataFrame, outCol: String): DataFrame = {
-      val raw = cut(raw0)
+      val raw = Lineage.cutLazy(raw0)
       val nrm = raw.agg(sqrt(sum(col("x") * col("x")))).head().getDouble(0)
       require(nrm > 0, "HITS iterate collapsed to the zero vector")
       raw.select(col("node"), round(col("x") / lit(nrm), 7).as(outCol))
     }
     // uniform init is already unit-norm; rounded on the grid like every
-    // subsequent state so round 1 reads replayable inputs
-    var hub = cut(
+    // subsequent state so round 1 reads replayable inputs (lazy cut: the
+    // round-1 broadcast build is its materializing action)
+    var hub = Lineage.cutLazy(
       srcs.withColumn("h", round(lit(1.0) / sqrt(lit(nSrc.toDouble)), 7)))
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
@@ -974,15 +1014,18 @@ object GraphRank {
         row_number().over(Window.partitionBy("src").orderBy("dst"))
           .cast("long") - 1L)
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src"))))
-    var cur = e.select(col("src").as("walker")).distinct()
-      .withColumn("node", col("walker")).localCheckpoint()
+    // per-hop frontiers are EAGER lineage cuts: each cur is referenced
+    // twice (the next hop's adjacency join and the positions union), and
+    // both references land in the same terminal self-join job — a lazy cut
+    // would let the two consumer stages race to compute the same frontier
+    var cur = Lineage.cut(e.select(col("src").as("walker")).distinct()
+      .withColumn("node", col("walker")))
     var positions = cur.withColumn("pos", lit(0L))
     for (t <- 1 to steps) {
-      cur = cur.join(adj, cur("node") === adj("src"))
+      cur = Lineage.cut(cur.join(adj, cur("node") === adj("src"))
         .filter(col("rn") === pmod(PortableHash.portable60(
           concat_ws(":", lit(seed), col("walker"), lit(t))), col("deg")))
-        .select(col("walker"), col("dst").as("node"))
-        .localCheckpoint()
+        .select(col("walker"), col("dst").as("node")))
       positions = positions.unionByName(cur.withColumn("pos", lit(t.toLong)))
     }
     val p1 = positions.select(col("walker"), col("pos").as("pa"),
