@@ -1022,9 +1022,18 @@ object GraphRank {
       .withColumn("node", col("walker")))
     var positions = cur.withColumn("pos", lit(0L))
     for (t <- 1 to steps) {
-      cur = Lineage.cut(cur.join(adj, cur("node") === adj("src"))
-        .filter(col("rn") === pmod(PortableHash.portable60(
-          concat_ws(":", lit(seed), col("walker"), lit(t))), col("deg")))
+      // The step hash depends only on (walker, t) — compute it ONCE per
+      // walker on the |walkers|-row side BEFORE the join, not inside the
+      // post-join filter where it would run per CANDIDATE row (deg(cur)
+      // rows per walker — and walks drift to hubs, so Σ deg(cur) is
+      // hub-heavy: measured 6.8 s/hop at sf0.1 on the hub-landed hops with
+      // the md5 inside the filter, 0.3–0.9 s with it hoisted; guide §1.2
+      // per-task work). pmod against deg still runs per candidate — it is
+      // two longs, not an md5.
+      val stepped = cur.withColumn("h", PortableHash.portable60(
+        concat_ws(":", lit(seed), col("walker"), lit(t))))
+      cur = Lineage.cut(stepped.join(adj, stepped("node") === adj("src"))
+        .filter(col("rn") === pmod(col("h"), col("deg")))
         .select(col("walker"), col("dst").as("node")))
       positions = positions.unionByName(cur.withColumn("pos", lit(t.toLong)))
     }

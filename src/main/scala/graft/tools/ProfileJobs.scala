@@ -26,14 +26,20 @@ object ProfileJobs {
     require(names.nonEmpty, "usage: ProfileJobs <sfDir> q1[,q2,...] [passes]")
     val spark = GraftSession.local("graft-profile")
     val sc = spark.sparkContext
-    val starts = scala.collection.concurrent.TrieMap.empty[Int, (Long, Int)]
-    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Int)]()
+    val starts =
+      scala.collection.concurrent.TrieMap.empty[Int, (Long, Int, String)]
+    val done =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Int, String)]()
     sc.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
-        starts(js.jobId) = (System.nanoTime(), js.stageIds.size)
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        // last stage's callsite names the action that spawned the job —
+        // the cheapest way to attribute a job to an operator line
+        val site = js.stageInfos.lastOption.map(_.name).getOrElse("")
+        starts(js.jobId) = (System.nanoTime(), js.stageIds.size, site)
+      }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
-        starts.remove(je.jobId).foreach { case (t0, nStages) =>
-          done.add((je.jobId, (System.nanoTime() - t0) / 1000000L, nStages))
+        starts.remove(je.jobId).foreach { case (t0, nStages, site) =>
+          done.add((je.jobId, (System.nanoTime() - t0) / 1000000L, nStages, site))
         }
     })
     for (name <- names) {
@@ -47,13 +53,14 @@ object ProfileJobs {
         // the listener is async; give trailing job-end events a beat
         Thread.sleep(300)
         val jobs = {
-          val it = done.iterator(); val b = Seq.newBuilder[(Int, Long, Int)]
+          val it = done.iterator()
+          val b = Seq.newBuilder[(Int, Long, Int, String)]
           while (it.hasNext) b += it.next(); b.result().sortBy(_._1)
         }
         println(s"== $name pass $p: total ${totalMs} ms, ${jobs.size} jobs, " +
           s"job-sum ${jobs.map(_._2).sum} ms")
-        jobs.foreach { case (id, ms, st) =>
-          println(f"  job $id%4d  $ms%6d ms  $st%2d stages")
+        jobs.foreach { case (id, ms, st, site) =>
+          println(f"  job $id%4d  $ms%6d ms  $st%2d stages  ${site.take(60)}")
         }
       }
     }
