@@ -253,11 +253,19 @@ object RankEval {
     val m = models.count()
     // per-round LINEAGE CUT (the GraphRank `cut` doctrine): without it the
     // 8-round nest of join+agg+crossJoin replans multiplicatively and the
-    // driver burns minutes in Catalyst on kilobyte-sized state
-    def cut(df: DataFrame): DataFrame = df.localCheckpoint()
-    var p = cut(models.withColumn("p", lit(1.0) / m))
+    // driver burns minutes in Catalyst on kilobyte-sized state. Cuts are
+    // LAZY (Lineage.cutLazy): q's first action is the normalizer broadcast
+    // build right below, p's is the next round's pa broadcast — each
+    // materializes in the job that first needs it (guide §1.2).
+    var p = Lineage.cutLazy(models.withColumn("p", lit(1.0) / m))
     for (_ <- 1 to rounds) {
-      val q = nij
+      // q is referenced TWICE per round (the normalizer sum and the
+      // normalize itself): cut it, or the nij-join+aggregate subtree runs
+      // twice per round — once under the `s` broadcast build and once
+      // under next round's p (measured at sf0.1: 97 → 80 jobs, in-run
+      // 4.6 → 4.4 s — modest here because q is model-count-sized, but at
+      // a large model set the duplicated subtree is a full nij join)
+      val q = Lineage.cutLazy(nij
         .join(broadcast(p.select(col("model").as("a"), col("p").as("pa"))),
           Seq("a"))
         .join(broadcast(p.select(col("model").as("b"), col("p").as("pb"))),
@@ -266,9 +274,9 @@ object RankEval {
         .agg(sum(col("n") / (col("pa") + col("pb"))).as("denom"))
         .join(broadcast(winTotals), Seq("a"), "left")
         .select(col("a").as("model"),
-          (coalesce(col("w_tot"), lit(0L)) / col("denom")).as("praw"))
+          (coalesce(col("w_tot"), lit(0L)) / col("denom")).as("praw")))
       val s = broadcast(q.agg(sum("praw").as("s")))
-      p = cut(q.crossJoin(s)
+      p = Lineage.cutLazy(q.crossJoin(s)
         .select(col("model"), round(col("praw") / col("s"), 7).as("p")))
     }
     p.select(col("model"), col("p").as("rating")).orderBy("model")

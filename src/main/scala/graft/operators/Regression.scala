@@ -179,8 +179,19 @@ object Regression {
       "need features, rounds >= 1, lr > 0")
     val spark = df.sparkSession
     import spark.implicits._
-    val y = col(labelCol).cast("double")
-    val xs = featureCols.map(c => col(c).cast("double"))
+    // project to the (label, features) columns ONCE and persist: gradient
+    // descent re-aggregates the corpus every round, and without the cache
+    // each of the `rounds` jobs re-runs the source scan + casts behind it
+    // (guide §5: persist exactly when an input is re-read per iteration).
+    // Column pruning to the named columns keeps the cached footprint to
+    // the feature matrix, not the source table.
+    val cached = OperatorCaches.persistTracked(df.select(
+      (col(labelCol).cast("double").as("__y") +:
+        featureCols.zipWithIndex.map { case (c, j) =>
+          col(c).cast("double").as(s"__x$j")
+        }): _*))
+    val y = col("__y")
+    val xs = featureCols.indices.map(j => col(s"__x$j"))
     var w = Vector.fill(featureCols.size + 1)(0.0)
     def zExpr = xs.zipWithIndex
       .map { case (x, j) => lit(w(j + 1)) * x }
@@ -192,14 +203,14 @@ object Regression {
         xs.zipWithIndex.map { case (x, j) =>
           round(sum((sigma - y) * x), 6).as(s"g${j + 1}")
         }) :+ count(lit(1)).as("n")
-      val row = df.agg(gAggs.head, gAggs.tail: _*).head()
+      val row = cached.agg(gAggs.head, gAggs.tail: _*).head()
       n = row.getLong(w.size)
       require(n > 0, "logisticGD on an empty table")
       w = Vector.tabulate(w.size)(j =>
         rnd(w(j) - lr * row.getDouble(j) / n, 7))
     }
     val sClamped = greatest(lit(1e-12), least(lit(1.0 - 1e-12), sigma))
-    val metrics = df.agg(
+    val metrics = cached.agg(
       round(avg(-(y * log(sClamped)
         + (lit(1.0) - y) * log(lit(1.0) - sClamped))), 6).as("log_loss"),
       round(avg(when((sigma > 0.5) === (y === 1.0), 1.0).otherwise(0.0)), 6)
